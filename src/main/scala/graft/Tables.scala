@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Fixture-table loader (see /root/repo/TESTDATA.md, FIXTURES.md).
+  *
+  * Stands in for the reference's JDBC full-table scan
+  * (`BulkProcessImpl.java:96` — `"SELECT * from " + tableName` over a
+  * streaming cursor). On a real cluster this would be
+  * `spark.read.format("jdbc").option("partitionColumn", ...)` for parallel
+  * range scans; here the driver-generated parquet is the source of record.
+  * Parquet scans are chunked by `spark.sql.files.maxPartitionBytes`, so a
+  * 100 TB table splits into parallel tasks with column pruning + predicate
+  * pushdown for free.
+  */
+object Tables {
+  /** TPC-H-ish star schema (FIXTURES.md). */
+  val starSchema: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  /** All fixture tables, including the stream + LLM-pipeline extensions. */
+  val all: Seq[String] = starSchema ++ Seq("events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
+    // reader rejects; read nanos as long and truncate to microseconds
+    // (Spark's native timestamp precision). DuckDB oracles see the same
+    // values truncated to micros via epoch math.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    else df
+  }
+}

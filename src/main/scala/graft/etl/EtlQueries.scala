@@ -1,0 +1,136 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Reference ETL surface, Spark-first (SURVEY.md §2.1 #1–#12).
+  *
+  * The reference streams `SELECT *` rows, stringifies every value via
+  * `rs.getString` into a `HashMap<String,String>`
+  * (`BulkProcessImpl.java:104-118`), keys documents on `S_GUID` so
+  * re-imports are last-write-wins upserts (`BulkProcessImpl.java:124`),
+  * and bulk-indexes in batches (`:120-141`). Here each of those stages is
+  * a declarative DataFrame transform — Catalyst fuses
+  * scan→cast→dedup→sink into whole-stage-codegen'd tasks, and the 200k-row
+  * micro-batching / 10-way async bulk concurrency (`:186-190`) becomes
+  * plain task parallelism over input partitions.
+  */
+object Stringify {
+  /** Typed column → reference-style string value.
+    *
+    * Formats are pinned (not engine-default `CAST`) so the DuckDB oracle
+    * matches byte-for-byte: timestamps as `yyyy-MM-dd HH:mm:ss`, doubles
+    * through `DECIMAL(18,2)` (the fixtures carry 2-decimal money values),
+    * everything else via plain cast. Nulls stay null, matching the
+    * reference (`BulkProcessImpl.java:115-116`).
+    */
+  def column(c: Column, dt: DataType): Column = dt match {
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case DoubleType    => c.cast(DecimalType(18, 2)).cast(StringType)
+    case _             => c.cast(StringType)
+  }
+
+  /** Project-all + stringify — one codegen'd `Cast`/`DateFormat` per
+    * column, no row-object materialization (vs. the reference's one
+    * HashMap per row).
+    */
+  def all(df: DataFrame): DataFrame =
+    df.select(df.schema.fields.map(f => column(col(f.name), f.dataType).as(f.name)): _*)
+}
+
+object EtlQueries {
+
+  /** Deterministic last-write-wins dedup keyed on id columns — the Spark
+    * form of ES `_id`-overwrite semantics (`BulkProcessImpl.java:124`).
+    * `orderCols` defines "last"; ties are impossible when the caller
+    * passes enough columns. Shuffles once on the key (hash partition),
+    * window runs in-partition; at 100 TB this is a single exchange, same
+    * cost class as dropDuplicates but with a deterministic survivor.
+    */
+  def lastWriteWins(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // #1+#3: full scan + project-all-stringify of the fact table — the
+    // reference's entire import pipeline body (BulkProcessImpl.java:96-118).
+    "etl_bulk_import_stringify" -> ((s, dir) => {
+      val li = Stringify.all(Tables(s, dir, "lineitem"))
+      li.orderBy(li.columns.map(col): _*)
+    }),
+
+    // #4: keyed last-write-wins upsert on the composite lineitem id
+    // (l_orderkey, l_linenumber) — fixtures carry real duplicate keys.
+    // "Last" = max shipdate, deterministic tie-break on remaining cols.
+    "etl_upsert_last_write_wins" -> ((s, dir) => {
+      val li = Tables(s, dir, "lineitem")
+      lastWriteWins(
+        li,
+        Seq("l_orderkey", "l_linenumber"),
+        Seq(col("l_shipdate").desc, col("l_extendedprice").desc, col("l_partkey").desc,
+          col("l_suppkey").desc, col("l_quantity").desc, col("l_discount").desc,
+          col("l_tax").desc, col("l_returnflag").desc, col("l_linestatus").desc)
+      ).orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // #12: count(*) per "index" — the reference's unimplemented
+    // getIndexDataCount (ElasticServiceImpl.java:133-136), owned natively.
+    "etl_count_tables" -> ((s, dir) => {
+      Tables.all
+        .map(n => Tables(s, dir, n).agg(count(lit(1)).as("cnt")).select(lit(n).as("tbl"), col("cnt")))
+        .reduce(_.unionAll(_))
+        .orderBy(col("tbl"))
+    }),
+
+    // #10: catalog list + system-index filter (leading-dot names dropped,
+    // ElasticServiceImpl.java:97-101). Directory listing is a driver-side
+    // catalog op (same as spark.catalog.listTables) — not a data scan.
+    "etl_catalog_list" -> ((s, dir) => {
+      import s.implicits._
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      val names = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(_.getPath.getName)
+        .filter(_.endsWith(".parquet"))
+        .map(_.stripSuffix(".parquet").toLowerCase)
+        .filterNot(_.startsWith("."))
+        .toSeq.sorted
+      names.toDF("index_name")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "etl_bulk_import_stringify" ->
+      """SELECT CAST(l_orderkey AS VARCHAR) AS l_orderkey,
+        |       CAST(l_partkey AS VARCHAR) AS l_partkey,
+        |       CAST(l_suppkey AS VARCHAR) AS l_suppkey,
+        |       CAST(l_linenumber AS VARCHAR) AS l_linenumber,
+        |       CAST(CAST(l_quantity AS DECIMAL(18,2)) AS VARCHAR) AS l_quantity,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS VARCHAR) AS l_extendedprice,
+        |       CAST(CAST(l_discount AS DECIMAL(18,2)) AS VARCHAR) AS l_discount,
+        |       CAST(CAST(l_tax AS DECIMAL(18,2)) AS VARCHAR) AS l_tax,
+        |       l_returnflag, l_linestatus,
+        |       strftime(l_shipdate, '%Y-%m-%d %H:%M:%S') AS l_shipdate
+        |FROM lineitem
+        |ORDER BY 1,2,3,4,5,6,7,8,9,10,11""".stripMargin,
+    "etl_upsert_last_write_wins" ->
+      """SELECT * FROM lineitem
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY l_orderkey, l_linenumber
+        |  ORDER BY l_shipdate DESC, l_extendedprice DESC, l_partkey DESC,
+        |           l_suppkey DESC, l_quantity DESC, l_discount DESC,
+        |           l_tax DESC, l_returnflag DESC, l_linestatus DESC) = 1
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_count_tables" ->
+      ("SELECT 'region' AS tbl, count(*) AS cnt FROM region" +
+        Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
+          "events", "documents", "embeddings")
+          .map(t => s" UNION ALL SELECT '$t', count(*) FROM $t").mkString +
+        " ORDER BY tbl")
+    // etl_catalog_list: catalog op, no SQL twin — driver rows-only check.
+  )
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 100 TB-scale discipline checks: the *shape* of the physical plan is part
+  * of correctness here — a scan that doesn't push filters, a dim join that
+  * doesn't broadcast, or a top-k that globally sorts would all "work" at
+  * sf0.001 and melt at scale.
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("rel_filter_project pushes predicates into the parquet scan") {
+    val p = planOf("rel_filter_project")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("GreaterThan") || p.contains("IsNotNull"), p)
+  }
+
+  test("rel_filter_project prunes columns (ReadSchema is narrow)") {
+    val p = planOf("rel_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag") && !readSchema.contains("l_tax"),
+      s"scan reads unneeded columns: $readSchema")
+  }
+
+  test("rel_join_star_revenue broadcasts the small dims") {
+    val p = planOf("rel_join_star_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("rel_sort_limit_topk uses TakeOrderedAndProject (no global sort)") {
+    val p = planOf("rel_sort_limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rel_q1_pricing_summary aggregates with partial+final HashAggregate") {
+    val p = planOf("rel_q1_pricing_summary")
+    // Two HashAggregate nodes = map-side partial + final (no raw shuffle
+    // of un-combined rows).
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("rel_q1_pricing_summary runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("rel_q1_pricing_summary")(spark, sf)
+    df.collect() // finalize the adaptive plan
+    // "*(n)" prefixes mark WholeStageCodegen spans in the plan rendering.
+    assert(df.queryExecution.executedPlan.toString.contains("*("))
+  }
+}
