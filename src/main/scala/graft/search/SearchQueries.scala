@@ -1,0 +1,114 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Search surface the reference delegates to Elasticsearch URI search
+  * (SURVEY.md §2.3; `indexView.html:13-20` — `q=<keyword>` across all
+  * fields, BM25-ranked top-10), owned natively.
+  *
+  * Scale design: every query here is a single scan + narrow per-row
+  * expressions (codegen'd), followed by either a filter (match) or a
+  * `TakeOrderedAndProject` top-k (rank). No shuffle except the final
+  * top-k merge of k rows per partition — this is the shape that survives
+  * a 100 TB corpus. Scoring is deterministic integer/rational arithmetic
+  * (term frequencies and single divisions), NOT a float accumulation, so
+  * the DuckDB oracle matches exactly.
+  */
+object SearchQueries {
+
+  /** ES `query_string` keyword match across ALL fields of a document
+    * (reference `indexView.html:18`): disjunction of per-column
+    * `contains` over the same pinned stringification the bulk importer
+    * uses (timestamps `yyyy-MM-dd HH:mm:ss`, money via DECIMAL(18,2)).
+    */
+  private def anyFieldContains(df: DataFrame, kw: String): Column =
+    df.schema.fields
+      .map(f => graft.etl.Stringify.column(col(f.name), f.dataType).contains(kw))
+      .reduce(_ || _)
+
+  /** Whitespace tokenizer shared by match + rank queries. */
+  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // #14: keyword search across every field of the orders "index".
+    // The keyword "URGENT" hits o_orderpriority ("1-URGENT") but the
+    // predicate genuinely scans all columns, like ES's _all search.
+    "search_keyword_all_fields" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      o.filter(anyFieldContains(o, "URGENT"))
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Tokenized match: documents containing at least one query term;
+    // matched_terms = |distinct(tokens) ∩ terms| (set semantics in both
+    // engines: array_intersect ≡ list_intersect on distinct elements).
+    "search_tokenized_match" -> ((s, dir) => {
+      val terms = array(lit("spark"), lit("vector"))
+      Tables(s, dir, "documents")
+        .withColumn("matched_terms",
+          size(array_intersect(tokens(col("text")), terms)))
+        .filter(col("matched_terms") > 0)
+        .select(col("doc_id"), col("lang"), col("matched_terms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Relevance-ranked top-k (the ES BM25 top-10 role): deterministic
+    // tf-weighted score. tf(t) = exact token-equality count (not
+    // substring), score = 3*tf(spark) + 2*tf(vector) + tf(join),
+    // normalized by doc length via a single double division (identical
+    // IEEE op in Spark and DuckDB). Plan: scan → project →
+    // TakeOrderedAndProject(k) — each partition keeps 10 rows, driver
+    // merges; no global sort at any scale.
+    "search_topk_relevance" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val rawScore = tf("spark") * 3 + tf("vector") * 2 + tf("join")
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("score",
+          rawScore.cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .limit(10)
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "search_keyword_all_fields" ->
+      """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        |WHERE contains(CAST(o_orderkey AS VARCHAR), 'URGENT')
+        |   OR contains(CAST(o_custkey AS VARCHAR), 'URGENT')
+        |   OR contains(o_orderstatus, 'URGENT')
+        |   OR contains(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR), 'URGENT')
+        |   OR contains(strftime(o_orderdate, '%Y-%m-%d %H:%M:%S'), 'URGENT')
+        |   OR contains(o_orderpriority, 'URGENT')
+        |ORDER BY o_orderkey""".stripMargin,
+    "search_tokenized_match" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(list_intersect(regexp_split_to_array(lower(text), '\s+'),
+        |                          ['spark','vector'])) AS INT) AS matched_terms
+        |FROM documents
+        |WHERE len(list_intersect(regexp_split_to_array(lower(text), '\s+'),
+        |                         ['spark','vector'])) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_topk_relevance" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    3*len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark'))
+        |    + 2*len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector'))
+        |    + len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS raw
+        |  FROM documents)
+        |SELECT doc_id, n_tokens,
+        |       CAST(raw AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score
+        |FROM scored WHERE raw > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

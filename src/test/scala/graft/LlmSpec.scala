@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the non-SQL-expressible LLM-pipeline operators
+  * (seeded LSH / hash ops get properties, not DuckDB hash-compare —
+  * SURVEY.md §5).
+  */
+class LlmSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def topkIds(name: String): Set[Long] =
+    SparkEntry.queries(name)(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+  test("simhash is deterministic and stable under identity") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "a completely different sentence about spark and shuffles at scale")
+    ).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", llm.DedupQueries.simhash64.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L), "identical texts must hash identically")
+    assert(sh(1L) != sh(3L), "different texts should differ")
+  }
+
+  test("simhash: near-duplicates are closer than unrelated text") {
+    import spark.implicits._
+    // Simhash bit margins grow with token count, so use a doc-sized
+    // text (~120 tokens, like the fixtures) — on 19-token strings a
+    // 1-word change legitimately moves ~15/64 bits.
+    val base = Seq.fill(10)("spark shuffles partition data across executors " +
+      "using hash partitioning while broadcast joins replicate the small side").mkString(" ")
+    val near = base.replaceFirst("replicate", "copy")
+    val other = Seq.fill(10)("completely unrelated prose about cooking pasta " +
+      "with garlic tomatoes basil and olive oil in a cast iron pan").mkString(" ")
+    val df = Seq((1L, base), (2L, near), (3L, other)).toDF("doc_id", "text")
+    val sh = df.select($"doc_id", llm.DedupQueries.simhash64.as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nearDist = java.lang.Long.bitCount(sh(1L) ^ sh(2L))
+    val farDist = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    assert(nearDist <= 8, s"one-word change on a 120-token doc moved $nearDist/64 bits")
+    assert(nearDist < farDist, s"near=$nearDist should beat unrelated=$farDist")
+  }
+
+  test("minhash candidates recall exact-jaccard pairs (>=20% sim)") {
+    val exact = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mh = SparkEntry.queries("llm_dedup_minhash")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    if (exact.nonEmpty) {
+      val recall = exact.count(mh.contains).toDouble / exact.size
+      assert(recall >= 0.5, s"minhash recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
+  test("ANN results overlap brute-force top-10") {
+    val exact = topkIds("llm_cosine_topk")
+    val lsh = topkIds("llm_ann_lsh_topk")
+    val ivf = topkIds("llm_ann_ivf_topk")
+    assert((exact & lsh).size >= 5, s"LSH overlap ${(exact & lsh).size}/10")
+    assert((exact & ivf).size >= 3, s"IVF overlap ${(exact & ivf).size}/10")
+  }
+
+  test("exact dedup is idempotent") {
+    val once = SparkEntry.queries("llm_dedup_exact")(spark, sf)
+    assert(once.count() == once.dropDuplicates("content_fp").count())
+  }
+}

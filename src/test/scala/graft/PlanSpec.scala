@@ -43,6 +43,21 @@ class PlanSpec extends AnyFunSuite {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("search_topk_relevance is TakeOrderedAndProject (no global sort)") {
+    assert(planOf("search_topk_relevance").contains("TakeOrderedAndProject"))
+  }
+
+  test("llm_cosine_topk broadcasts the query vector and takes ordered k") {
+    val p = planOf("llm_cosine_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("llm_dedup_ngram_jaccard joins on shingle (inverted index), no cartesian") {
+    val p = planOf("llm_dedup_ngram_jaccard")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("rel_q1_pricing_summary runs inside whole-stage codegen") {
     val df = SparkEntry.queries("rel_q1_pricing_summary")(spark, sf)
     df.collect() // finalize the adaptive plan
