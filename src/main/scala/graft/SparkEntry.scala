@@ -25,7 +25,9 @@ object SparkEntry {
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
-      llm.SimilarityQueries.queries
+      llm.SimilarityQueries.queries ++
+      streaming.StreamQueries.queries ++
+      multimodal.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -36,5 +38,7 @@ object SparkEntry {
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
-      llm.SimilarityQueries.oracleSql
+      llm.SimilarityQueries.oracleSql ++
+      streaming.StreamQueries.oracleSql ++
+      multimodal.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spec for the stubbed-decode multimodal plumbing: the decode itself is
+  * a deterministic fake (no codecs in the container), so the tests pin
+  * its arithmetic and the schema/batch-shape invariants a real decoder
+  * swap-in must preserve.
+  */
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+  import multimodal.MultimodalQueries._
+
+  test("decodeFeatures: histogram mass == payload bytes, mean in range") {
+    val media = mediaTable(spark, sf)
+    val feats = decodeFeatures(media)
+    val bad = feats
+      .join(media.select(col("doc_id"), length(col("payload")).as("n_bytes")), "doc_id")
+      .filter(aggregate(col("histogram"), lit(0L), (a, v) => a + v) =!= col("n_bytes")
+        || col("mean_byte") < 0 || col("mean_byte") > 255)
+    assert(bad.isEmpty, "histogram mass must equal byte count")
+  }
+
+  test("decodeFeatures schema: typed metadata + fixed-width feature vector") {
+    val feats = decodeFeatures(mediaTable(spark, sf))
+    assert(feats.columns.toSeq ==
+      Seq("doc_id", "width", "height", "mean_byte", "histogram"))
+    assert(feats.filter(size(col("histogram")) =!= 16).isEmpty)
+  }
+
+  test("decodeFeatures arithmetic pinned on a known payload") {
+    import spark.implicits._
+    // "AAAA" = 4 bytes of 0x41: histogram bin 4 gets 4, mean 65.0.
+    val media = Seq((1L, "AAAA".getBytes("UTF-8"), "fake/raw", 2, 2))
+      .toDF("doc_id", "payload", "fmt", "width", "height")
+    val f = decodeFeatures(media).collect()(0)
+    assert(f.getAs[Double]("mean_byte") == 65.0)
+    assert(f.getAs[Seq[Long]]("histogram")(4) == 4L)
+  }
+
+  test("sampleFrames: every k-th byte => ceil(len/k) frames") {
+    val media = mediaTable(spark, sf)
+    val frames = sampleFrames(media, 8)
+    val bad = frames
+      .join(media.select(col("doc_id"), length(col("payload")).as("n_bytes")), "doc_id")
+      .filter(col("n_frames") =!= ceil(col("n_bytes") / 8.0).cast("int"))
+    assert(bad.isEmpty)
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Runs the streaming transforms through the REAL Structured Streaming
+  * engine (file source → stateful ops → memory sink, one
+  * Trigger.AvailableNow pass) and checks they agree with the batch
+  * path that the DuckDB oracle validates.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** The streaming file source wants a directory; stage the single
+    * fixture file into one (testdata itself is read-only).
+    */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("part-0.parquet"))
+    dir.toFile.deleteOnExit()
+    dir.toString
+  }
+
+  /** Streaming events DF with the same ts normalization as Tables. */
+  private def eventsStream: DataFrame =
+    spark.readStream.schema(eventsSchema)
+      .parquet(eventsDir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+
+  private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    spark.table(name)
+  }
+
+  test("tumbling window agg: streaming == batch") {
+    val streamed = runToMemory(
+      streaming.StreamQueries.tumblingCounts(eventsStream.withWatermark("ts", "1 hour")),
+      "t_tumbling", "complete")
+    val batch = streaming.StreamQueries.tumblingCounts(Tables(spark, sf, "events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("session windows: streaming == batch") {
+    val streamed = runToMemory(
+      streaming.StreamQueries.sessionize(eventsStream.withWatermark("ts", "1 hour")),
+      "t_sessions", "complete")
+    val batch = streaming.StreamQueries.sessionize(Tables(spark, sf, "events"))
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("streaming dedup within watermark keeps one row per event_id") {
+    val deduped = runToMemory(
+      eventsStream.withWatermark("ts", "1 hour").dropDuplicates("event_id"),
+      "t_dedup", "append")
+    val batchIds = Tables(spark, sf, "events").select("event_id").distinct().count()
+    assert(deduped.select("event_id").distinct().count() == batchIds)
+    assert(deduped.count() == batchIds)
+  }
+}
