@@ -22,6 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     etl.EtlQueries.queries ++
       relational.RelationalQueries.queries ++
+      relational.SqlQueries.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -35,6 +36,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     etl.EtlQueries.oracleSql ++
       relational.RelationalQueries.oracleSql ++
+      relational.SqlQueries.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++

