@@ -23,6 +23,7 @@ object SparkEntry {
     etl.EtlQueries.queries ++
       relational.RelationalQueries.queries ++
       relational.SqlQueries.queries ++
+      relational.AdvancedQueries.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -37,6 +38,7 @@ object SparkEntry {
     etl.EtlQueries.oracleSql ++
       relational.RelationalQueries.oracleSql ++
       relational.SqlQueries.oracleSql ++
+      relational.AdvancedQueries.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++

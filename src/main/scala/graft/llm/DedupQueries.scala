@@ -83,7 +83,12 @@ object DedupQueries {
     // no float anywhere.
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
+      // The postings feed three consumers (both join sides + sizes);
+      // persist so shingling runs once. At cluster scale this is a
+      // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
+      // index — the standard shape for repeated probes.
       val posts = postings(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       val pairs = posts.as("a")
         .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -106,8 +111,12 @@ object DedupQueries {
     // the join is linear in corpus size, never pairwise. xxhash64 has
     // no DuckDB twin -> rows-only check + property tests in LlmSpec.
     "llm_dedup_simhash" -> ((s, dir) => {
+      // Signature computation (64 nested folds per doc) is the
+      // expensive narrow stage — persist it so the self-join's two
+      // sides don't recompute it.
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"), simhash64.as("simhash"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -136,9 +145,15 @@ object DedupQueries {
         .filter(size(col("shingles")) > 0)
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
+      // Featurization feeds fit + both join sides — persist it.
+      // 4 hash tables (not 8): OR-amplified candidate generation is
+      // linear in tables, and on a dense near-dup corpus the extra
+      // tables only multiply candidate pairs (recall floor is spec'd
+      // in LlmSpec).
       val feat = tf.transform(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
-        .setNumHashTables(8).setSeed(42L)
+        .setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(feat)
       model.approxSimilarityJoin(feat, feat, 0.8, "jaccard_dist")
         .select(col("datasetA.doc_id").as("doc_a"),

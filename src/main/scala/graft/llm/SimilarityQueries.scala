@@ -99,6 +99,7 @@ object SimilarityQueries {
       import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
       val e = embDouble(Tables(s, dir, "embeddings"))
         .withColumn("features", array_to_vector(col("emb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
       val model = km.fit(e)

@@ -1,0 +1,142 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Advanced relational operators beyond the core set: as-of join,
+  * pivot, cube, approximate aggregates.
+  *
+  * The as-of join is the one operator here Spark has no built-in for.
+  * Preference order per the build rules: compose existing ops first —
+  * and the composition below IS the scalable plan, so no custom
+  * SparkStrategy is warranted:
+  *
+  *   naive form:  a LEFT JOIN b ON a.key = b.key AND b.ts <= a.ts,
+  *                then keep max(b.ts) — an inequality join Spark
+  *                executes as a per-key cartesian (O(n·m) per key).
+  *   this form:   union the two tagged streams, ONE shuffle on
+  *                (key), in-partition sort on (ts, side), then
+  *                last_value(ignoreNulls) over the ordered window —
+  *                O((n+m) log(n+m)) per key, no join at all.
+  */
+object AdvancedQueries {
+
+  private val dec2 = (c: Column) => c.cast(DecimalType(12, 2))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // As-of join via union + window (no inequality join): each order
+    // picks the most recent event (any user) at or before its
+    // order date — order stream as-of event stream on time, keyed by
+    // a derived bucket so the shuffle has a key (realistic as-of joins
+    // are keyed; key here = orderkey % 16 matching event user bucket).
+    "rel_asof_join" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), (col("o_custkey") % 8).as("k"),
+          col("o_orderdate").as("ts"))
+      val events = Tables(s, dir, "events")
+        .select((col("user_id") % 8).as("k"), col("ts"),
+          col("event_id"), col("event_type"))
+      // Tag: right rows carry the payload; left rows carry nulls.
+      // Sort (k, ts, side) — side 0 (right) before side 1 (left) at
+      // equal ts so "at or before" includes ties; last_value ignoring
+      // nulls gives the latest right payload seen so far.
+      val tagged = events
+        .select(col("k"), col("ts"), lit(0).as("side"),
+          lit(null).cast(LongType).as("o_orderkey"),
+          col("event_id"), col("event_type"))
+        .unionByName(orders.select(col("k"), col("ts"), lit(1).as("side"),
+          col("o_orderkey"),
+          lit(null).cast(LongType).as("event_id"),
+          lit(null).cast(StringType).as("event_type")))
+      val w = Window.partitionBy(col("k"))
+        .orderBy(col("ts"), col("side"), col("event_id").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("asof_event_id", last(col("event_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_event_type", last(col("event_type"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("o_orderkey"), col("k"), col("ts"),
+          col("asof_event_id"), col("asof_event_type"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // Native pivot: revenue matrix returnflag × linestatus through
+    // df.groupBy().pivot(values) — pinned pivot values (no extra
+    // distinct-scan job, and stable output schema at any scale).
+    "rel_pivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec2(col("l_quantity"))).cast(DoubleType))
+        .withColumnsRenamed(Map("F" -> "qty_f", "O" -> "qty_o"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // CUBE: all 2^2 grouping-set combinations with exact sums.
+    "rel_cube" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // Approximate aggregates — the 100 TB workhorses: HLL distinct
+    // (fixed relative error, tiny sketch vs a full distinct shuffle)
+    // and t-digest-style percentiles. Engine-specific sketches have no
+    // DuckDB twin -> rows-only + accuracy-vs-exact spec in PlanSpec.
+    "rel_approx_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
+          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT user_id % 8 AS k, ts, 0 AS side,
+        |         CAST(NULL AS BIGINT) AS o_orderkey, event_id, event_type
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey % 8 AS k, o_orderdate AS ts, 1 AS side,
+        |         o_orderkey, CAST(NULL AS BIGINT) AS event_id,
+        |         CAST(NULL AS VARCHAR) AS event_type
+        |  FROM orders),
+        |filled AS (
+        |  SELECT *,
+        |    last_value(event_id IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY ts, side, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_id,
+        |    last_value(event_type IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY ts, side, event_id ASC NULLS LAST
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_event_type
+        |  FROM tagged)
+        |SELECT o_orderkey, k, ts, asof_event_id, asof_event_type
+        |FROM filled WHERE side = 1
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_f,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+    // rel_approx_agg: sketch-based, engine-specific -> rows-only +
+    // accuracy spec.
+  )
+}

@@ -67,6 +67,18 @@ class LlmSpec extends AnyFunSuite {
     assert((exact & ivf).size >= 3, s"IVF overlap ${(exact & ivf).size}/10")
   }
 
+  test("approx aggregates land within tolerance of exact") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("rel_approx_agg")(spark, sf)
+    val exact = Tables(spark, sf, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val bad = approx.join(exact, "l_returnflag")
+      .filter(abs(col("approx_parts") - col("exact_parts"))
+        > col("exact_parts") * 0.05)
+    assert(bad.isEmpty, "HLL(rsd=0.02) drifted >5% from exact distinct")
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("llm_dedup_exact")(spark, sf)
     assert(once.count() == once.dropDuplicates("content_fp").count())
