@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source/sink formats (SURVEY.md §1.3 mapping: the reference's
+  * MySQL-source/ES-sink pair generalizes to Spark's pluggable
+  * DataSource V2 surface).
+  *
+  * Supported here: parquet (columnar, the 100 TB default), orc
+  * (columnar alternative), csv + json (text interchange). CSV/JSON
+  * reads take an explicit schema — schema inference is a full extra
+  * pass over 100 TB and non-deterministic under dirty data, so the
+  * engine treats it as a dev-only convenience.
+  */
+object FormatIO {
+
+  val formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
+
+  def write(df: DataFrame, format: String, path: String,
+            partitions: Int = 0): Unit = {
+    val out = if (partitions > 0) df.repartition(partitions) else df
+    val w = out.write.mode(SaveMode.Overwrite).format(format)
+    (format match {
+      case "csv" => w.option("header", "true")
+      case _ => w
+    }).save(path)
+  }
+
+  def read(spark: SparkSession, format: String, path: String,
+           schema: StructType): DataFrame = {
+    val r = spark.read.format(format).schema(schema)
+    (format match {
+      case "csv" => r.option("header", "true")
+      case _ => r
+    }).load(path)
+  }
+
+  /** The reference's real source: a partitioned-range JDBC scan —
+    * `BulkProcessImpl.java:96-100` streams one cursor; Spark instead
+    * splits `[lowerBound, upperBound]` on `partitionColumn` into
+    * `numPartitions` parallel range queries (no cursor bottleneck, no
+    * driver materialization). Compiles against spark-sql's JDBC
+    * source; needs a live database to execute, which the zero-egress
+    * environment doesn't provide — exercised structurally in
+    * SourcesSpec via the reader's option plumbing.
+    */
+  def jdbcReader(spark: SparkSession, url: String, table: String,
+                 partitionColumn: String, lowerBound: Long, upperBound: Long,
+                 numPartitions: Int): org.apache.spark.sql.DataFrameReader =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("fetchsize", 10000)
+}
