@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+import graft.functions.{CosineSimExpr, SimHash64Expr}
+
+/** Engine extension point: registers the native Catalyst expressions
+  * as SQL functions. Enable with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` (or
+  * `.withExtensions(new GraftExtensions)`), then both the SQL surface
+  * (`SELECT simhash64_native(text) ...`) and the DataFrame surface
+  * (`call_function("cosine_sim", a, b)`) resolve them.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("simhash64_native"),
+      new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64_native",
+        "simhash64_native(text) - 64-bit SimHash over whitespace tokens (xxhash64 seed 42)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        SimHash64Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim",
+        "cosine_sim(a, b) - fused cosine similarity of two array<double>"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        CosineSimExpr(children(0), children(1))))
+  }
+}

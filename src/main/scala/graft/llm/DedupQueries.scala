@@ -115,7 +115,8 @@ object DedupQueries {
       // expensive narrow stage — persist it so the self-join's two
       // sides don't recompute it.
       val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), simhash64.as("simhash"))
+        .select(col("doc_id"),
+          call_function("simhash64_native", col("text")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>

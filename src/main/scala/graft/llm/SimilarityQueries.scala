@@ -28,8 +28,17 @@ object SimilarityQueries {
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
 
+  /** Reference (HOF) cosine — the semantics spec; FunctionsSpec pins
+    * the native expression bit-exactly against this.
+    */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Fused native kernel (graft.functions.CosineSimExpr) — one pass,
+    * no intermediate arrays; registered by GraftExtensions.
+    */
+  def cosineNative(a: Column, b: Column): Column =
+    call_function("cosine_sim", a, b)
 
   private def embDouble(df: DataFrame): DataFrame =
     df.withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
@@ -47,7 +56,7 @@ object SimilarityQueries {
       e.crossJoin(queryVec(e))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"),
-          round(cosine(col("emb"), col("qv")), 9).as("cos_sim"))
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -117,7 +126,7 @@ object SimilarityQueries {
       assigned.join(broadcast(probed), Seq("cell"))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"), col("label"),
-          round(cosine(col("emb"), col("qv")), 9).as("cos_sim"))
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
     })

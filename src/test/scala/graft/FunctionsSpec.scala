@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-exactness + codegen checks for the native Catalyst expressions:
+  * they must be drop-in replacements for their higher-order-function
+  * twins (any deviation would silently move oracle results).
+  */
+class FunctionsSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("simhash64_native == HOF simhash on the full fixture corpus") {
+    val docs = Tables(spark, sf, "documents")
+    val diff = docs.select(
+      llm.DedupQueries.simhash64.as("hof"),
+      call_function("simhash64_native", col("text")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
+  test("simhash64_native matches HOF on split(\"\\\\s+\") edge cases") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "  ", "a", " a", "a ", " a ", "a  b", "\ta\nb\r",
+      "MiXeD CaSe TeXt", "tab\tsep", "trailing ws   ", "   leading"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val diff = edges.select(col("id"),
+      llm.DedupQueries.simhash64.as("hof"),
+      call_function("simhash64_native", col("text")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.collect().mkString("\n"))
+  }
+
+  test("cosine_sim == HOF cosine on the full embedding corpus (bit-exact)") {
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+    val q = broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qv")))
+    val diff = e.crossJoin(q).select(
+      llm.SimilarityQueries.cosine(col("emb"), col("qv")).as("hof"),
+      call_function("cosine_sim", col("emb"), col("qv")).as("native"))
+      .filter(col("hof") =!= col("native")) // bit-exact, not approximate
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
+  test("cosine_sim null semantics match zip_with+aggregate") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0)), // length mismatch -> null
+      (2L, Seq(1.0, 0.0), Seq(0.0, 1.0))
+    ).toDF("id", "a", "b")
+    val rows = df.select(col("id"),
+      call_function("cosine_sim", col("a"), col("b")).as("c"),
+      llm.SimilarityQueries.cosine(col("a"), col("b")).as("hof"))
+      .orderBy("id").collect()
+    assert(rows(0).isNullAt(1) && rows(0).isNullAt(2))
+    assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
+  }
+
+  test("native expressions run inside whole-stage codegen") {
+    val docs = Tables(spark, sf, "documents")
+      .select(call_function("simhash64_native", col("text")).as("sh"))
+    docs.collect()
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.contains("*("), s"not codegen'd:\n$plan")
+  }
+
+  test("SQL surface resolves the injected functions") {
+    Tables(spark, sf, "documents").createOrReplaceTempView("docs_fn")
+    val n = spark.sql(
+      "SELECT simhash64_native(text) AS sh FROM docs_fn").count()
+    assert(n == Tables(spark, sf, "documents").count())
+  }
+}
