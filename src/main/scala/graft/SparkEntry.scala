@@ -24,6 +24,7 @@ object SparkEntry {
       relational.RelationalQueries.queries ++
       relational.SqlQueries.queries ++
       relational.AdvancedQueries.queries ++
+      relational.FunctionSweeps.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -39,6 +40,7 @@ object SparkEntry {
       relational.RelationalQueries.oracleSql ++
       relational.SqlQueries.oracleSql ++
       relational.AdvancedQueries.oracleSql ++
+      relational.FunctionSweeps.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
