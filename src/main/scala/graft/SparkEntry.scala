@@ -29,6 +29,7 @@ object SparkEntry {
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
       llm.SimilarityQueries.queries ++
+      llm.PipelineQueries.queries ++
       streaming.StreamQueries.queries ++
       multimodal.MultimodalQueries.queries
 
@@ -45,6 +46,7 @@ object SparkEntry {
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
       llm.SimilarityQueries.oracleSql ++
+      llm.PipelineQueries.oracleSql ++
       streaming.StreamQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql
 }

