@@ -19,6 +19,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Local small-SF stand-in for cluster file parallelism: the
+      // fixture files are a few MB, far below the 128m default, so
+      // every scan would be ONE partition and per-row compute would
+      // single-thread. At real scale (multi-GB files) the default is
+      // correct and this override is harmless.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -32,7 +38,12 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Queries persist intermediates (inverted indexes, signatures);
+      // drop them so timings are independent and later queries don't
+      // run under another query's memory pressure.
+      spark.catalog.clearCache()
+      dt
     }
 
     // Warm-up: JVM + codegen + parquet footer caches.

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: scan every registered query's physical plan for
+  * scale-hostile shapes. Prints one line per query:
+  *   name | CARTESIAN? | BNLJ? | #exchanges | flags
+  * Usage: tools/run.sh graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      try {
+        val p = SparkEntry.queries(name)(spark, sfDir)
+          .queryExecution.executedPlan.toString
+        val cartesian = p.contains("CartesianProduct")
+        val bnlj = p.contains("BroadcastNestedLoopJoin")
+        val exchanges = "Exchange".r.findAllIn(p).size
+        val flags = Seq(
+          if (cartesian) Some("CARTESIAN!") else None,
+          if (bnlj) Some("bnlj") else None).flatten.mkString(",")
+        println(f"$name%-32s exchanges=$exchanges%-3d $flags")
+      } catch {
+        case e: Throwable => println(f"$name%-32s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

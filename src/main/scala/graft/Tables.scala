@@ -23,6 +23,18 @@ object Tables {
   /** All fixture tables, including the stream + LLM-pipeline extensions. */
   val all: Seq[String] = starSchema ++ Seq("events", "documents", "embeddings")
 
+  /** Like [[apply]], but repartitioned to full parallelism — for
+    * compute-bound operators over byte-small inputs. Parquet splitting
+    * is governed by `maxPartitionBytes`, so a few-MB documents file
+    * arrives as ONE partition; shingling/hashing it would then run on
+    * one core. One tiny shuffle up front buys full-cluster (here:
+    * 32-thread) parallelism for the expensive narrow stages. At
+    * 100 TB inputs are file-parallel anyway and this repartition is a
+    * no-op cost-wise relative to the compute it spreads.
+    */
+  def forCompute(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
     // reader rejects; read nanos as long and truncate to microseconds

@@ -12,6 +12,12 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
+      // Local small-SF stand-in for cluster file parallelism: the
+      // fixture files are a few MB, far below the 128m default, so
+      // every scan would be ONE partition and per-row compute would
+      // single-thread. At real scale (multi-GB files) the default is
+      // correct and this override is harmless.
+      .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -70,7 +70,7 @@ object DedupQueries {
     "llm_dedup_exact" -> ((s, dir) => {
       val fp = md5(lower(trim(col("text"))))
       val w = Window.partitionBy(col("content_fp")).orderBy(col("doc_id"))
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .withColumn("content_fp", fp)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
@@ -82,7 +82,7 @@ object DedupQueries {
     // integer (intersection, union) — Jaccard ≥ 0.5 as 2*inter >= union,
     // no float anywhere.
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.forCompute(s, dir, "documents")
       // The postings feed three consumers (both join sides + sizes);
       // persist so shingling runs once. At cluster scale this is a
       // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
@@ -114,7 +114,7 @@ object DedupQueries {
       // Signature computation (64 nested folds per doc) is the
       // expensive narrow stage — persist it so the self-join's two
       // sides don't recompute it.
-      val sh = Tables(s, dir, "documents")
+      val sh = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"),
           call_function("simhash64_native", col("text")).as("simhash"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,6 +134,53 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Native banded MinHash (engine-owned, no spark.ml): 32 minhashes
+    // from per-shingle xxhash64 with 32 salts, banded 8×4. Docs
+    // agreeing on all 4 slots of any band become candidates (one
+    // equi-join on the band key — linear shuffle, same shape as the
+    // simhash blocking); candidates are then verified with EXACT
+    // Jaccard over their shingle arrays, so the output is
+    // false-positive-free and recall is the only approximation
+    // (property-tested in LlmSpec). This is the 100 TB shape: signature
+    // pass is scan-speed, the join touches only banded collisions.
+    "llm_dedup_minhash_banded" -> ((s, dir) => {
+      val nHashes = 32
+      val bands = 8
+      val rowsPerBand = nHashes / bands
+      // Shingling feeds the signature pass + both verification joins.
+      val docs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), shingles3(col("text")).as("shingles"))
+        .filter(size(col("shingles")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sig = docs.withColumn("sig",
+        transform(sequence(lit(0), lit(nHashes - 1)), i =>
+          array_min(transform(col("shingles"),
+            sh => xxhash64(concat(sh, lit("#"), i.cast(StringType)))))))
+      // Band join carries ONLY (doc_id, band, key) — the shingle
+      // arrays would multiply the shuffle width and the pair-distinct;
+      // they are attached after dedup of candidate pairs, once per
+      // pair side, for exact verification.
+      val banded = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+          struct(b.as("band"),
+            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))).as("bk"))
+        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      val pairs = banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") &&
+            col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      pairs
+        .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+        .filter(col("inter") * 5 >= col("union_sz")) // exact jaccard >= 0.2
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
     // MinHash+LSH near-dup candidates via spark.ml: distinct word
     // shingles -> fixed-seed HashingTF (2^18 dims) -> MinHashLSH
     // signature -> approxSimilarityJoin (band-bucket join inside).
@@ -141,7 +188,7 @@ object DedupQueries {
     // rows-only check + recall property test in LlmSpec.
     "llm_dedup_minhash" -> ((s, dir) => {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
         .filter(size(col("shingles")) > 0)
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")

@@ -37,7 +37,7 @@ object TextQueries {
     // Corpus statistics per language/source cell: doc counts, exact
     // char/token sums (map-side partial agg → final), type-token info.
     "llm_text_stats" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .withColumn("n_tokens", size(toks(col("text"))))
         .withColumn("n_distinct_tokens", size(array_distinct(toks(col("text")))))
         .groupBy(col("lang"))
@@ -61,7 +61,7 @@ object TextQueries {
       val nStop = hits(col("text"), enWords).cast(DoubleType)
       val nPunct = size(regexp_extract_all(col("text"), lit("[.,;:!?]"), lit(0))).cast(DoubleType)
       val nDistinct = size(array_distinct(t)).cast(DoubleType)
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .select(
           col("doc_id"),
           size(t).as("n_tokens"),
@@ -89,7 +89,7 @@ object TextQueries {
         .when(de === best, lit("de"))
         .when(fr === best, lit("fr"))
         .otherwise(lit("es"))
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .withColumn("pred_lang", pred)
         .groupBy(col("lang"), col("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
@@ -103,7 +103,7 @@ object TextQueries {
     "llm_token_count" -> ((s, dir) => {
       val bpe = size(regexp_extract_all(col("text"),
         lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0)))
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"),
           size(toks(col("text"))).as("ws_tokens"),
           bpe.as("bpe_tokens"))
@@ -114,7 +114,7 @@ object TextQueries {
     // text plus a coarse structural fingerprint (length bucket + first
     // token), the (hash, len-bucket) pair a 100 TB dedup pass blocks on.
     "llm_fingerprint" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      Tables.forCompute(s, dir, "documents")
         .select(
           col("doc_id"),
           md5(lower(trim(col("text")))).as("content_fp"),

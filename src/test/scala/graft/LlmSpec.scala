@@ -59,6 +59,22 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("banded minhash: no false positives, recall >= 0.8 vs exact") {
+    val exact = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = SparkEntry.queries("llm_dedup_minhash_banded")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // Exact-verified candidates => every emitted pair is a true pair.
+    assert((banded -- exact).isEmpty,
+      s"false positives: ${(banded -- exact).take(3)}")
+    if (exact.nonEmpty) {
+      val recall = exact.count(banded.contains).toDouble / exact.size
+      assert(recall >= 0.8, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("ANN results overlap brute-force top-10") {
     val exact = topkIds("llm_cosine_topk")
     val lsh = topkIds("llm_ann_lsh_topk")

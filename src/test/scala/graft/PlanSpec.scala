@@ -58,6 +58,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("NO query plans a CartesianProduct; BNLJ only for 1-row broadcasts") {
+    // The scale invariant for the whole registry: a cartesian at
+    // 100 TB is a dead job. BroadcastNestedLoopJoin is tolerated only
+    // where the build side is a single-row query vector (by design in
+    // the similarity queries).
+    val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk")
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = planOf(name)
+      val cart = p.contains("CartesianProduct")
+      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      if (cart) Some(s"$name: CartesianProduct")
+      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else None
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("rel_q1_pricing_summary runs inside whole-stage codegen") {
     val df = SparkEntry.queries("rel_q1_pricing_summary")(spark, sf)
     df.collect() // finalize the adaptive plan
