@@ -25,6 +25,7 @@ object SparkEntry {
       relational.SqlQueries.queries ++
       relational.AdvancedQueries.queries ++
       relational.FunctionSweeps.queries ++
+      relational.TypedQueries.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
       relational.SqlQueries.oracleSql ++
       relational.AdvancedQueries.oracleSql ++
       relational.FunctionSweeps.oracleSql ++
+      relational.TypedQueries.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++

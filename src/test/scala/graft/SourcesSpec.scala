@@ -32,6 +32,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(r != null) // construction itself validates option plumbing
   }
 
+  test("malformed JSON: PERMISSIVE captures, FAILFAST refuses") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("json_dirty")
+    java.nio.file.Files.writeString(dir.resolve("data.json"),
+      """{"id": 1, "v": "ok"}
+        |{"id": 2, "v": "also ok"}
+        |{"id": 3, "v": BROKEN
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType),
+      StructField("_corrupt_record", StringType)))
+    val permissive = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    assert(permissive.count() == 3)
+    assert(permissive.filter(org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() == 1)
+    assert(permissive.filter("id IS NOT NULL").count() == 2)
+    permissive.unpersist()
+
+    val failfast = spark.read
+      .schema(StructType(schema.fields.take(2)))
+      .option("mode", "FAILFAST").json(dir.toString)
+    intercept[org.apache.spark.SparkException] { failfast.collect() }
+  }
+
   test("csv without explicit schema would lose types (why schema is required)") {
     val dir = java.nio.file.Files.createTempDirectory("fmt_csv_noschema").toString
     sources.FormatIO.write(orders, "csv", s"$dir/orders")

@@ -62,6 +62,23 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static join enriches events against a dimension") {
+    import spark.implicits._
+    // Static dim: user bucket -> tier label (broadcastable at scale).
+    val dim = (0L until 8L).map(b => (b, if (b < 4) "basic" else "pro"))
+      .toDF("bucket", "tier")
+    val enriched = eventsStream
+      .withColumn("bucket", expr("user_id % 8"))
+      .join(dim, "bucket")
+      .groupBy(col("tier")).count()
+    val streamed = runToMemory(enriched, "t_static_join", "complete")
+    val batch = Tables(spark, sf, "events")
+      .withColumn("bucket", expr("user_id % 8"))
+      .join(dim, "bucket")
+      .groupBy(col("tier")).count()
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val deduped = runToMemory(
       eventsStream.withWatermark("ts", "1 hour").dropDuplicates("event_id"),
