@@ -49,7 +49,23 @@ object Bench {
     // Warm-up: JVM + codegen + parquet footer caches.
     runOnce("rel_filter_project")
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n))
+    // The reference's headline metric is bulk-import WRITE throughput
+    // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
+    // scan -> stringify -> keyed-dedup -> partitioned-write pipeline.
+    val writeSecs = {
+      val out = java.nio.file.Files.createTempDirectory("bench_import").toString
+      val store = new etl.IndexStore(spark, out)
+      val li = Tables(spark, sfDir, "lineitem")
+      val t0 = System.nanoTime()
+      val n = store.bulkImport(li, "lineitem", "l_orderkey", numShards = cpus.toInt)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] bulk_import: $n rows in $dt%.2fs (${n / dt}%.0f rows/s)")
+      spark.catalog.clearCache()
+      dt
+    }
+
+    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) :+
+      ("_write_bulk_import" -> writeSecs)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
