@@ -26,6 +26,7 @@ object SparkEntry {
       relational.AdvancedQueries.queries ++
       relational.FunctionSweeps.queries ++
       relational.TypedQueries.queries ++
+      relational.IntervalJoin.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -44,6 +45,7 @@ object SparkEntry {
       relational.AdvancedQueries.oracleSql ++
       relational.FunctionSweeps.oracleSql ++
       relational.TypedQueries.oracleSql ++
+      relational.IntervalJoin.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++

@@ -58,6 +58,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("rel_interval_join_bucketed is an equi-join (never a nested loop)") {
+    val p = planOf("rel_interval_join_bucketed")
+    assert(p.contains("HashJoin") || p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("NO query plans a CartesianProduct; BNLJ only for 1-row broadcasts") {
     // The scale invariant for the whole registry: a cartesian at
     // 100 TB is a dead job. BroadcastNestedLoopJoin is tolerated only

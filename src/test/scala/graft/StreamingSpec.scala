@@ -79,6 +79,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream interval join == batch interval join") {
+    // True stream-stream join through the real engine: clicks joined
+    // with purchases of the same user within 30 min, both sides
+    // watermarked (required for state cleanup in stream-stream joins).
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+    val streamed = runToMemory(
+      joined.select("user_id", "click_id", "purchase_id"),
+      "t_ss_join", "append")
+    val batch = SparkEntry.queries("rel_interval_join_bucketed")(spark, sf)
+      .select("user_id", "click_id", "purchase_id")
+    assert(streamed.count() == batch.count(),
+      s"stream=${streamed.count()} batch=${batch.count()}")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val deduped = runToMemory(
       eventsStream.withWatermark("ts", "1 hour").dropDuplicates("event_id"),
