@@ -27,6 +27,7 @@ object SparkEntry {
       relational.FunctionSweeps.queries ++
       relational.TypedQueries.queries ++
       relational.IntervalJoin.queries ++
+      relational.ComplexTypeQueries.queries ++
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       relational.FunctionSweeps.oracleSql ++
       relational.TypedQueries.oracleSql ++
       relational.IntervalJoin.oracleSql ++
+      relational.ComplexTypeQueries.oracleSql ++
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
