@@ -68,6 +68,36 @@ class IndexStore(spark: SparkSession, root: String) {
     count(indexName)
   }
 
+  /** Incremental upsert: merge a batch of new/updated docs into an
+    * existing index — the ES continuous-indexing mode (each bulk
+    * request upserts by `_id`). Implementation: union existing +
+    * incoming (incoming tagged newer), re-run last-write-wins keyed
+    * on `idCol` with the recency tag leading the order, rewrite.
+    * This is a copy-on-write merge (read + shuffle + write of one
+    * index); at 100 TB per-index you'd shard the rewrite by key range
+    * so only touched ranges rewrite — the per-range logic is
+    * identical to this.
+    */
+  def upsert(incoming: DataFrame, indexName: String, idCol: String,
+             numShards: Int = 5): Long = {
+    val existing = read(indexName).withColumn("__gen", lit(0))
+    val next = Stringify.all(incoming).withColumn("__gen", lit(1))
+    val unioned = existing.unionByName(next)
+    val dataCols = existing.columns.filterNot(c => c == idCol || c == "__gen")
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__gen").desc +: dataCols.map(c => col(c).desc): _*)
+    val merged = unioned
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__gen")
+    // Write via temp dir then swap: the source of the merge is the
+    // index itself, so a direct overwrite would truncate its input.
+    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
+    merged.repartition(numShards).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dir(indexName), true)
+    fs.rename(tmp, dir(indexName))
+    count(indexName)
+  }
+
   /** Doc count — parquet footer metadata only, no data scan. */
   def count(indexName: String): Long =
     spark.read.parquet(dir(indexName).toString).count()

@@ -79,6 +79,40 @@ object FunctionSweeps {
         .orderBy(col("doc_id"))
     }),
 
+    // Statistical aggregates the deterministic way: stddev/variance/
+    // correlation derived from EXACT decimal sums (n, Σx, Σx², Σxy) so
+    // the result is order-independent — engine-native stddev_samp uses
+    // float merge trees whose last-ulp noise never hash-compares.
+    // min_by/max_by with unique keys are deterministic as-is.
+    "rel_stat_agg" -> ((s, dir) => {
+      val q = col("l_quantity").cast(DecimalType(20, 4))
+      val p = col("l_extendedprice").cast(DecimalType(20, 4))
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(q).as("sq"), sum(q * q).as("sq2"),
+          sum(p).as("sp"), sum(p * p).as("sp2"),
+          sum(q * p).as("sqp"),
+          // Total-order key as a zero-padded string so min_by/max_by
+          // tie-break identically in Spark and DuckDB (struct compare
+          // semantics differ across engines; lexicographic doesn't).
+          min_by(col("l_orderkey"),
+            format_string("%020d|%012d|%04d", unix_timestamp(col("l_shipdate")),
+              col("l_orderkey"), col("l_linenumber"))).as("first_shipped_order"),
+          max_by(col("l_orderkey"),
+            format_string("%020d|%012d|%04d", unix_timestamp(col("l_shipdate")),
+              col("l_orderkey"), col("l_linenumber"))).as("last_shipped_order"))
+        .select(
+          col("l_returnflag"), col("n"),
+          round(sqrt((col("sq2").cast(DoubleType) - col("sq").cast(DoubleType) * col("sq").cast(DoubleType) / col("n"))
+            / (col("n") - 1)), 6).as("stddev_qty"),
+          round((col("sqp").cast(DoubleType) - col("sq").cast(DoubleType) * col("sp").cast(DoubleType) / col("n"))
+            / ((col("n") - 1).cast(DoubleType)), 4).as("covar_qty_price"),
+          col("first_shipped_order"), col("last_shipped_order"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // GROUPING SETS with grouping_id — finer than rollup/cube: the
     // exact set list {(flag,status), (flag), ()}.
     "sql_grouping_sets" -> ((s, dir) => {
@@ -138,6 +172,25 @@ object FunctionSweeps {
         |  toks[-1] AS last_tok,
         |  list_aggregate(toks[1:3], 'string_agg', '-') AS first3_joined
         |FROM t ORDER BY doc_id""".stripMargin,
+    "rel_stat_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(20,4))) AS sq,
+        |    SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_quantity AS DECIMAL(20,4))) AS sq2,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(20,4))) AS sp,
+        |    SUM(CAST(l_quantity AS DECIMAL(20,4)) * CAST(l_extendedprice AS DECIMAL(20,4))) AS sqp,
+        |    arg_min(l_orderkey, format('{:020d}|{:012d}|{:04d}',
+        |      CAST(epoch(l_shipdate) AS BIGINT), l_orderkey, l_linenumber)) AS first_shipped_order,
+        |    arg_max(l_orderkey, format('{:020d}|{:012d}|{:04d}',
+        |      CAST(epoch(l_shipdate) AS BIGINT), l_orderkey, l_linenumber)) AS last_shipped_order
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  round(sqrt((CAST(sq2 AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE) / n)
+        |        / (n - 1)), 6) AS stddev_qty,
+        |  round((CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE) / n)
+        |        / CAST(n - 1 AS DOUBLE), 4) AS covar_qty_price,
+        |  first_shipped_order, last_shipped_order
+        |FROM s ORDER BY l_returnflag""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,

@@ -58,6 +58,41 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Phrase match: consecutive-token phrase present in the text
+    // (ES match_phrase). Normalized-whitespace contains — tokens glued
+    // with single spaces on both sides.
+    "search_phrase_match" -> ((s, dir) => {
+      val normalized = concat_ws(" ", split(lower(col("text")), "\\s+"))
+      Tables(s, dir, "documents")
+        .filter(normalized.contains("the table"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Prefix match (ES prefix / wildcard 'spar*'): any token starts
+    // with the prefix.
+    "search_prefix_match" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("n_hits",
+          size(filter(tokens(col("text")), t => t.startsWith("spar"))))
+        .filter(col("n_hits") > 0)
+        .select(col("doc_id"), col("n_hits"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Fuzzy match (ES fuzziness=1): any token within edit distance 1
+    // of the query term — exists() over tokens with levenshtein, all
+    // codegen'd; no index needed at scan speed.
+    "search_fuzzy_match" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .withColumn("n_fuzzy",
+          size(filter(array_distinct(tokens(col("text"))),
+            t => levenshtein(t, lit("spork")) <= 1)))
+        .filter(col("n_fuzzy") > 0)
+        .select(col("doc_id"), col("n_fuzzy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Relevance-ranked top-k (the ES BM25 top-10 role): deterministic
     // tf-weighted score. tf(t) = exact token-equality count (not
     // substring), score = 3*tf(spark) + 2*tf(vector) + tf(join),
@@ -97,6 +132,27 @@ object SearchQueries {
         |FROM documents
         |WHERE len(list_intersect(regexp_split_to_array(lower(text), '\s+'),
         |                         ['spark','vector'])) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_phrase_match" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE contains(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' '),
+        |               'the table')
+        |ORDER BY doc_id""".stripMargin,
+    "search_prefix_match" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                       t -> starts_with(t, 'spar'))) AS INT) AS n_hits
+        |FROM documents
+        |WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                      t -> starts_with(t, 'spar'))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "search_fuzzy_match" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |                       t -> levenshtein(t, 'spork') <= 1)) AS INT) AS n_fuzzy
+        |FROM documents
+        |WHERE len(list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |                      t -> levenshtein(t, 'spork') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
     "search_topk_relevance" ->
       """WITH scored AS (

@@ -33,6 +33,31 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.read("orders").schema.fields.forall(_.dataType.typeName == "string"))
   }
 
+  test("incremental upsert: new ids append, existing ids overwrite") {
+    import spark.implicits._
+    val store = newStore
+    val orders = Tables(spark, sf, "orders")
+    val n0 = store.bulkImport(orders, "orders", "o_orderkey")
+
+    // One existing id with changed payload + one brand-new id.
+    val existingKey = orders.select("o_orderkey").orderBy("o_orderkey")
+      .first().getLong(0)
+    val batch = Seq(
+      (existingKey, 999L, "Z", 1.23, new java.sql.Timestamp(0), "9-UPSERTED"),
+      (999999999L, 1L, "N", 4.56, new java.sql.Timestamp(0), "1-NEW")
+    ).toDF(orders.columns: _*)
+    val n1 = store.upsert(batch, "orders", "o_orderkey")
+
+    assert(n1 == n0 + 1, s"expected one net-new doc: $n0 -> $n1")
+    val updated = store.read("orders")
+      .filter(col("o_orderkey") === existingKey.toString).collect()
+    assert(updated.length == 1)
+    assert(updated(0).getAs[String]("o_orderpriority") == "9-UPSERTED",
+      "incoming generation must win over the existing doc")
+    assert(store.read("orders")
+      .filter(col("o_orderkey") === "999999999").count() == 1)
+  }
+
   test("re-import is idempotent (last-write-wins on the id)") {
     val store = newStore
     val orders = Tables(spark, sf, "orders")

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Statistics / cost-based-optimization surface: ANALYZE TABLE
+  * populates catalog stats, and those stats drive planning (broadcast
+  * selection below the threshold) — the knob a 100 TB deployment
+  * relies on so the optimizer knows a "dimension" from a "fact"
+  * without hints.
+  */
+class StatsCboSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("ANALYZE TABLE populates row-count and size stats") {
+    Tables(spark, sf, "nation").write.mode("overwrite").saveAsTable("t_nation")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    try {
+      // rowCount propagates into plan stats only under CBO.
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.sql("ANALYZE TABLE t_nation COMPUTE STATISTICS FOR ALL COLUMNS")
+      val stats = spark.table("t_nation").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(25)), s"rowCount=${stats.rowCount}")
+      assert(stats.sizeInBytes > 0)
+      // Column-level stats present (distinct counts for the join key).
+      val cols = spark.sql("DESCRIBE EXTENDED t_nation n_nationkey").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(cols.get("distinct_count").exists(_.toLong == 25L), cols.toString)
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS t_nation")
+    }
+  }
+
+  test("size stats drive broadcast selection") {
+    Tables(spark, sf, "customer").write.mode("overwrite").saveAsTable("t_cust")
+    Tables(spark, sf, "orders").write.mode("overwrite").saveAsTable("t_ord")
+    try {
+      spark.sql("ANALYZE TABLE t_cust COMPUTE STATISTICS")
+      spark.sql("ANALYZE TABLE t_ord COMPUTE STATISTICS")
+      val joined = spark.table("t_ord").join(spark.table("t_cust"),
+        col("o_custkey") === col("c_custkey"))
+      // customer (150 rows) is far below the 10MB default threshold:
+      // the optimizer must pick a broadcast join on stats alone.
+      assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS t_cust")
+      spark.sql("DROP TABLE IF EXISTS t_ord")
+    }
+  }
+}
