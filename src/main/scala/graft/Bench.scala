@@ -30,6 +30,21 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Shuffle-volume accounting: bytes written to shuffle per query is
+    // the scale-limiting quantity (network at 1000 executors) — worth
+    // reporting next to seconds.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    val shuffleByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
+    var lastShuffleSnap = 0L
+
     def runOnce(name: String): Double = {
       val t0 = System.nanoTime()
       try SparkEntry.queries(name)(spark, sfDir)
@@ -43,6 +58,10 @@ object Bench {
       // drop them so timings are independent and later queries don't
       // run under another query's memory pressure.
       spark.catalog.clearCache()
+      Thread.sleep(150) // let async listener events drain
+      val snap = shuffleBytes.get()
+      shuffleByQuery(name) = snap - lastShuffleSnap
+      lastShuffleSnap = snap
       dt
     }
 
@@ -67,8 +86,11 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) :+
       ("_write_bulk_import" -> writeSecs)
     val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val sh = shuffleByQuery
+      .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.US, v / 1e6)}""" }
+      .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,34 @@ class IndexStore(spark: SparkSession, root: String) {
     count(indexName)
   }
 
+  /** Delete-by-query (ES `_delete_by_query`): rewrite the index
+    * without matching docs. Copy-on-write like [[upsert]]; returns
+    * docs deleted.
+    */
+  def deleteWhere(indexName: String, predicate: org.apache.spark.sql.Column): Long = {
+    val before = count(indexName)
+    val kept = read(indexName).filter(!predicate)
+    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
+    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dir(indexName), true)
+    fs.rename(tmp, dir(indexName))
+    before - count(indexName)
+  }
+
+  /** Compaction (ES force-merge): rewrite the index into `numShards`
+    * files. Small-file accumulation is THE silent killer of 100 TB
+    * scan throughput (per-file open cost + tiny row groups defeat
+    * min/max skipping); periodic compaction restores it.
+    */
+  def compact(indexName: String, numShards: Int): Long = {
+    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
+    read(indexName).repartition(numShards)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    fs.delete(dir(indexName), true)
+    fs.rename(tmp, dir(indexName))
+    fs.listStatus(dir(indexName)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
   /** Doc count — parquet footer metadata only, no data scan. */
   def count(indexName: String): Long =
     spark.read.parquet(dir(indexName).toString).count()

@@ -58,6 +58,30 @@ class IndexStoreSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === "999999999").count() == 1)
   }
 
+  test("delete-by-query removes matching docs, keeps the rest intact") {
+    val store = newStore
+    val orders = Tables(spark, sf, "orders")
+    val n0 = store.bulkImport(orders, "orders", "o_orderkey")
+    val urgent = store.read("orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    val deleted = store.deleteWhere("orders", col("o_orderpriority") === "1-URGENT")
+    assert(deleted == urgent && deleted > 0)
+    assert(store.count("orders") == n0 - urgent)
+    assert(store.read("orders")
+      .filter(col("o_orderpriority") === "1-URGENT").count() == 0)
+  }
+
+  test("compaction merges to the requested file count, data unchanged") {
+    val store = newStore
+    store.bulkImport(Tables(spark, sf, "orders"), "orders", "o_orderkey",
+      numShards = 16)
+    val before = store.read("orders").orderBy(col("o_orderkey")).collect()
+    val files = store.compact("orders", 2)
+    assert(files == 2, s"expected 2 files, got $files")
+    val after = store.read("orders").orderBy(col("o_orderkey")).collect()
+    assert(before.sameElements(after))
+  }
+
   test("re-import is idempotent (last-write-wins on the id)") {
     val store = newStore
     val orders = Tables(spark, sf, "orders")
