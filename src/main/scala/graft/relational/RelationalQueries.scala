@@ -93,6 +93,62 @@ object RelationalQueries {
         .orderBy(col("r_name"))
     }),
 
+    // Left outer join with null-side aggregation: every customer with
+    // their order count — customers without orders surface with 0.
+    "rel_join_left_outer" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+      val o = Tables(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(count(col("o_orderkey")).as("n_orders"),
+          dsum(coalesce(dec2(col("o_totalprice")), lit(0).cast(DecimalType(12, 2))))
+            .as("total_spent"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Full outer join: union of key spaces with nulls where one side
+    // is absent — here high-value orders vs recent orders.
+    "rel_join_full_outer" -> ((s, dir) => {
+      val o = Tables(s, dir, "orders")
+      val big = o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("big_key"), col("o_totalprice"))
+      val recent = o.filter(col("o_orderdate") >= lit("1998-01-01").cast(TimestampType))
+        .select(col("o_orderkey").as("recent_key"), col("o_orderdate"))
+      big.join(recent, col("big_key") === col("recent_key"), "full_outer")
+        .select(
+          coalesce(col("big_key"), col("recent_key")).as("o_orderkey"),
+          col("big_key").isNotNull.as("is_big"),
+          col("recent_key").isNotNull.as("is_recent"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // RANGE window frame: for each order, total spent across ALL of
+    // the same customer's orders within +-30 days of it (value-based
+    // frame, not row-count-based).
+    "rel_window_range_frame" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(unix_timestamp(col("o_orderdate")))
+        .rangeBetween(-30L * 86400, 30L * 86400)
+      Tables(s, dir, "orders")
+        .withColumn("nearby_spend",
+          sum(dec2(col("o_totalprice"))).over(w).cast(DoubleType))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          col("nearby_spend"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // Distribution window functions: percent_rank / cume_dist —
+    // rank-derived rational arithmetic, deterministic across engines.
+    "rel_window_distribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, dir, "orders")
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"))
+        .orderBy(col("o_orderpriority"), col("o_orderkey"))
+    }),
+
     // Left-semi join (EXISTS): orders that have at least one high-quantity
     // line. Semi joins ship only the key column of the probe side.
     "rel_join_semi" -> ((s, dir) => {
@@ -231,6 +287,40 @@ object RelationalQueries {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY r_name""".stripMargin,
+    "rel_join_left_outer" ->
+      """SELECT c_custkey, c_name, count(o_orderkey) AS n_orders,
+        |  CAST(SUM(coalesce(CAST(o_totalprice AS DECIMAL(12,2)),
+        |                    CAST(0 AS DECIMAL(12,2)))) AS DOUBLE) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "rel_join_full_outer" ->
+      """SELECT coalesce(big_key, recent_key) AS o_orderkey,
+        |  big_key IS NOT NULL AS is_big,
+        |  recent_key IS NOT NULL AS is_recent
+        |FROM (SELECT o_orderkey AS big_key, o_totalprice FROM orders
+        |      WHERE o_totalprice > 400000) b
+        |FULL OUTER JOIN
+        |     (SELECT o_orderkey AS recent_key, o_orderdate FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00') r
+        |ON big_key = recent_key
+        |ORDER BY o_orderkey""".stripMargin,
+    "rel_window_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) OVER (
+        |    PARTITION BY o_custkey
+        |    ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+        |    RANGE BETWEEN 2592000 PRECEDING AND 2592000 FOLLOWING) AS DOUBLE)
+        |    AS nearby_spend
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "rel_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "rel_join_semi" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
         |WHERE EXISTS (SELECT 1 FROM lineitem
