@@ -76,6 +76,48 @@ object SimilarityQueries {
         .orderBy(col("label"))
     }),
 
+    // Embedding-cosine near-dup pairs (the vector-space sibling of
+    // MinHash dedup): all pairs with cosine >= threshold. Blocking =
+    // KMeans cells, each vector joining its 2 nearest cells, so the
+    // pair join is within-cell — linear in corpus size, never the
+    // full n^2 — and verification is the exact fused-kernel cosine,
+    // so emitted pairs are never false. Threshold 0.4 is calibrated
+    // to this fixture (near-orthogonal random vectors, max pairwise
+    // cosine ~0.5); a real near-dup corpus runs the same operator at
+    // 0.9+, where blocking recall is also far higher (true dups
+    // land in the same cell). Seeded KMeans -> rows-only check +
+    // recall spec in LlmSpec.
+    "llm_dedup_embedding_cosine" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val e = embDouble(Tables(s, dir, "embeddings"))
+        .withColumn("features", array_to_vector(col("emb")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val km = new KMeans().setK(4).setSeed(42L).setMaxIter(5)
+        .setFeaturesCol("features").setPredictionCol("cell")
+      val model = km.fit(e)
+      val centroids = s.createDataFrame(
+        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
+      ).toDF("c_cell", "centroid")
+      // Each vector joins its 2 nearest cells (own + runner-up).
+      val withCells = model.transform(e)
+        .crossJoin(broadcast(centroids))
+        .withColumn("cdist", dot(col("emb"), col("emb")) + dot(col("centroid"), col("centroid"))
+          - lit(2.0) * dot(col("emb"), col("centroid")))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("vec_id")).orderBy(col("cdist"), col("c_cell"))))
+        .filter(col("rk") <= 2)
+        .select(col("vec_id"), col("emb"), col("c_cell").as("cell"))
+      withCells.as("a").join(withCells.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          round(cosineNative(col("a.emb"), col("b.emb")), 9).as("cos_sim"))
+        .distinct()
+        .filter(col("cos_sim") >= 0.4)
+        .orderBy(col("vec_a"), col("vec_b"))
+    }),
+
     // LSH-bucketed ANN: random-hyperplane signatures via spark.ml
     // BucketedRandomProjectionLSH; approxSimilarityJoin of the 1-row
     // query dataset against the corpus (bucket join — only colliding

@@ -75,6 +75,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("embedding-cosine near-dup: recall vs brute force, no false pairs") {
+    import org.apache.spark.sql.types.DoubleType
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+      .select(col("vec_id"), col("emb"))
+    // Brute-force ground truth at sf0.001 (500 vectors -> 125k pairs).
+    val exact = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        llm.SimilarityQueries.cosine(col("a.emb"), col("b.emb")).as("c"))
+      .filter(col("c") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val blocked = SparkEntry.queries("llm_dedup_embedding_cosine")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((blocked -- exact).isEmpty, s"false pairs: ${(blocked -- exact).take(3)}")
+    if (exact.nonEmpty) {
+      val recall = exact.count(blocked.contains).toDouble / exact.size
+      assert(recall >= 0.7, s"recall $recall over ${exact.size} exact pairs")
+    }
+  }
+
   test("ANN results overlap brute-force top-10") {
     val exact = topkIds("llm_cosine_topk")
     val lsh = topkIds("llm_ann_lsh_topk")

@@ -69,7 +69,10 @@ class PlanSpec extends AnyFunSuite {
     // 100 TB is a dead job. BroadcastNestedLoopJoin is tolerated only
     // where the build side is a single-row query vector (by design in
     // the similarity queries).
-    val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk")
+    // Allowed: build side is a broadcast of O(1) rows (a single query
+    // vector or a handful of KMeans centroids).
+    val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk",
+      "llm_dedup_embedding_cosine")
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val cart = p.contains("CartesianProduct")
