@@ -1,16 +1,38 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, GraftSqlAccess, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.Sort
 
 /** Per-round benchmark: times every registered query at
-  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (driver contract).
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout (driver contract), plus
+  * the full per-query detail in BENCH_LOCAL.json (stdout capture has
+  * truncated in the past; the file is the durable record).
   *
   * Timing discipline: each query materializes fully through the noop
   * sink (count() would let Catalyst prune whole subtrees, e.g. a
   * projected column never computed); a warm-up query first so JVM/
   * codegen startup isn't billed to the first victim; queries run in
   * sorted name order for run-to-run comparability.
+  *
+  * Two numbers per query: `queries` = end-to-end seconds including the
+  * final global ORDER BY that exists only so the DuckDB oracle can
+  * hash-compare rows deterministically; `queries_op` = the same plan
+  * with that top-level presentation Sort stripped — the number that
+  * tracks the OPERATOR's cost round-over-round (a 600k-row global sort
+  * is harness artifact, not operator work).
   */
 object Bench {
+
+  /** The query minus its top-level global presentation Sort, if any.
+    * Only the outermost node is considered — interior sorts (window
+    * ordering, sort-merge joins) are real operator work and stay.
+    */
+  private def stripTopSort(df: DataFrame): Option[DataFrame] =
+    df.queryExecution.logical match {
+      case s: Sort if s.global =>
+        Some(GraftSqlAccess.ofRows(df.sparkSession, s.child))
+      case _ => None
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,24 +67,55 @@ object Bench {
     val shuffleByQuery = scala.collection.mutable.LinkedHashMap[String, Long]()
     var lastShuffleSnap = 0L
 
-    def runOnce(name: String): Double = {
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
-      }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Queries persist intermediates (inverted indexes, signatures);
-      // drop them so timings are independent and later queries don't
-      // run under another query's memory pressure.
-      spark.catalog.clearCache()
+    def snapShuffle(name: String): Unit = {
       Thread.sleep(150) // let async listener events drain
       val snap = shuffleBytes.get()
       shuffleByQuery(name) = snap - lastShuffleSnap
       lastShuffleSnap = snap
-      dt
+    }
+
+    def timeNoop(df: DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    /** (end-to-end secs, operator secs with presentation sort stripped).
+      * Shuffle bytes are attributed from the END-TO-END run only; the
+      * stripped re-run's shuffle is excluded from per-query accounting
+      * (it would double-count the same exchanges).
+      */
+    def runOnce(name: String): (Double, Double) = {
+      val df =
+        try SparkEntry.queries(name)(spark, sfDir)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed to plan: ${e.getMessage}")
+          return (-1.0, -1.0)
+        }
+      val full =
+        try timeNoop(df)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          spark.catalog.clearCache()
+          snapShuffle(name) // bill this query's partial shuffle to itself
+          return (-1.0, -1.0)
+        }
+      // Queries persist intermediates (inverted indexes, signatures);
+      // drop them so timings are independent and later queries don't
+      // run under another query's memory pressure.
+      spark.catalog.clearCache()
+      snapShuffle(name)
+      val op = stripTopSort(df) match {
+        case None => full
+        case Some(stripped) =>
+          try { val t = timeNoop(stripped); spark.catalog.clearCache(); t }
+          catch { case _: Throwable => spark.catalog.clearCache(); full }
+      }
+      // The stripped run's shuffle is not per-query billed; reset the
+      // baseline so it doesn't leak into the NEXT query's delta.
+      Thread.sleep(150)
+      lastShuffleSnap = shuffleBytes.get()
+      (full, op)
     }
 
     // Warm-up: JVM + codegen + parquet footer caches.
@@ -80,17 +133,30 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] bulk_import: $n rows in $dt%.2fs (${n / dt}%.0f rows/s)")
       spark.catalog.clearCache()
+      snapShuffle("_write_bulk_import")
       dt
     }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> runOnce(n)) :+
-      ("_write_bulk_import" -> writeSecs)
-    val qs = results.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+      ("_write_bulk_import" -> ((writeSecs, writeSecs)))
+
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val qs = results.map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }.mkString("{", ",", "}")
+    val qsOp = results.map { case (k, (_, op)) => s""""$k":${fmt(op)}""" }.mkString("{", ",", "}")
     val sh = shuffleByQuery
-      .map { case (k, v) => s""""$k":${"%.3f".formatLocal(java.util.Locale.US, v / 1e6)}""" }
+      .map { case (k, v) => s""""$k":${fmt(v / 1e6)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"shuffle_mb":$sh,"sf":"$sfDir"}""")
+    val total = results.map(_._2._1).filter(_ >= 0).sum
+    val totalOp = results.map(_._2._2).filter(_ >= 0).sum
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+    // Durable copy first (stdout capture has truncated before), then
+    // the driver-contract line as the only stdout line.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      line.getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(line)
     spark.stop()
   }
 }

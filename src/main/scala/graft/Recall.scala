@@ -1,0 +1,119 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+import java.nio.file.{Files, Paths}
+
+/** Quantified-accuracy dump for the approximate operators whose outputs
+  * are engine-specific (seeded LSH, banded signatures, KMeans blocking)
+  * and therefore get rows-only driver checks instead of a DuckDB twin:
+  * this main measures each against its brute-force ground truth at the
+  * given SF and writes per-operator recall/overlap to a JSON artifact —
+  * turning "rows-only pass" into a number a reviewer can audit.
+  *
+  * Usage: Recall <sfDir> <outFile>  (defaults: sf0.01, RECALL.json)
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val outFile = if (args.length > 1) args(1) else "/root/repo/RECALL.json"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.sql.files.maxPartitionBytes", "1m")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pairsOf(name: String): Set[(Long, Long)] = {
+      val s = SparkEntry.queries(name)(spark, sfDir)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      s
+    }
+    def idsOf(name: String): Set[Long] = {
+      val s = SparkEntry.queries(name)(spark, sfDir)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      spark.catalog.clearCache()
+      s
+    }
+    def recallEntry(truth: Set[(Long, Long)], found: Set[(Long, Long)]): String = {
+      val hit = truth.count(found.contains)
+      val fp = (found -- truth).size
+      val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
+      f"""{"ground_truth_pairs":${truth.size},"found_pairs":${found.size},"true_hits":$hit,"false_positives":$fp,"recall":$recall%.4f}"""
+    }
+
+    // Ground truth 1: exact n-gram Jaccard >= 0.2 pairs (itself
+    // DuckDB-verified) — the target for both MinHash variants.
+    val exactJaccard = pairsOf("llm_dedup_ngram_jaccard")
+    val minhashMl = pairsOf("llm_dedup_minhash")
+    val minhashBanded = pairsOf("llm_dedup_minhash_banded")
+
+    // Ground truth 2: brute-force all-pairs SimHash hamming <= 3 (the
+    // banded query's own distance + threshold, minus the band blocking —
+    // measures exactly what blocking loses; pigeonhole over 4 bands
+    // predicts exactly zero loss at k=3).
+    val sh = Tables.forCompute(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        call_function("simhash64_native", col("text")).as("simhash"))
+      .persist()
+    val simhashTruth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    sh.unpersist()
+    val simhashBanded = pairsOf("llm_dedup_simhash")
+
+    // Ground truth 3: brute-force cosine >= 0.4 pairs over embeddings —
+    // the target for the KMeans-cell-blocked near-dup join.
+    val e = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+      .select(col("vec_id"), col("emb")).persist()
+    val cosineTruth = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("va"), col("b.vec_id").as("vb"),
+        llm.SimilarityQueries.cosine(col("a.emb"), col("b.emb")).as("c"))
+      .filter(col("c") >= 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    e.unpersist()
+    val cosineBlocked = SparkEntry.queries("llm_dedup_embedding_cosine")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+
+    // Ground truth 4: exact cosine top-10 — overlap@10 for the two ANN
+    // paths (LSH buckets, IVF probes).
+    val exactTop = idsOf("llm_cosine_topk")
+    val lshTop = idsOf("llm_ann_lsh_topk")
+    val ivfTop = idsOf("llm_ann_ivf_topk")
+
+    // Approx aggregates: max relative error of HLL distinct vs exact.
+    val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
+    val exactDistinct = Tables(spark, sfDir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+    val maxRelErr = approx.join(exactDistinct, "l_returnflag")
+      .select(max(abs(col("approx_parts") - col("exact_parts"))
+        .cast(DoubleType) / col("exact_parts")).as("e"))
+      .collect()(0).getDouble(0)
+
+    val json =
+      s"""{
+         |"sf":"$sfDir",
+         |"llm_dedup_minhash":${recallEntry(exactJaccard, minhashMl)},
+         |"llm_dedup_minhash_banded":${recallEntry(exactJaccard, minhashBanded)},
+         |"llm_dedup_simhash":${recallEntry(simhashTruth, simhashBanded)},
+         |"llm_dedup_embedding_cosine":${recallEntry(cosineTruth, cosineBlocked)},
+         |"llm_ann_lsh_topk":{"overlap_at_10":${(exactTop & lshTop).size}},
+         |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
+         |"rel_approx_agg":{"max_rel_err":${f"$maxRelErr%.5f"}}
+         |}""".stripMargin
+    Files.writeString(Paths.get(outFile), json)
+    println(json)
+    spark.stop()
+  }
+}

@@ -39,6 +39,28 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def createIndex(name: String): Unit = fs.mkdirs(dir(name))
 
+  /** Crash-safe copy-on-write swap: `write` materializes the new index
+    * contents into a unique dot-prefixed tmp dir; the live dir is then
+    * renamed aside to a unique backup, the tmp renamed in, and the
+    * backup dropped. Every intermediate state keeps the data under
+    * SOME name (tmp / backup / live) — a crash loses at most the
+    * in-flight rewrite, never the index (a delete-then-rename swap has
+    * a window where the only copy is gone, which is unrecoverable data
+    * loss under a streaming checkpoint that already marked the batch
+    * committed). Unique suffixes also keep concurrent operations on
+    * one index from colliding on a shared tmp path.
+    */
+  private def swapIn(indexName: String)(write: Path => Unit): Unit = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    val live = dir(indexName)
+    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}_$id")
+    val bak = new Path(root, s".old_${indexName.toLowerCase}_$id")
+    write(tmp)
+    if (fs.exists(live)) fs.rename(live, bak)
+    fs.rename(tmp, live)
+    fs.delete(bak, true)
+  }
+
   def deleteIndex(name: String): Unit = fs.delete(dir(name), true)
 
   /** All index names, system (dot-prefixed) entries filtered. */
@@ -91,10 +113,9 @@ class IndexStore(spark: SparkSession, root: String) {
       .filter(col("__rn") === 1).drop("__rn", "__gen")
     // Write via temp dir then swap: the source of the merge is the
     // index itself, so a direct overwrite would truncate its input.
-    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
-    merged.repartition(numShards).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dir(indexName), true)
-    fs.rename(tmp, dir(indexName))
+    swapIn(indexName) { tmp =>
+      merged.repartition(numShards).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     count(indexName)
   }
 
@@ -104,11 +125,13 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def deleteWhere(indexName: String, predicate: org.apache.spark.sql.Column): Long = {
     val before = count(indexName)
-    val kept = read(indexName).filter(!predicate)
-    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
-    kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dir(indexName), true)
-    fs.rename(tmp, dir(indexName))
+    // ES _delete_by_query deletes only docs that MATCH the query: rows
+    // where the predicate is NULL (unknown) are KEPT, so the keep-filter
+    // is "not definitely matching", not "definitely not matching".
+    val kept = read(indexName).filter(!coalesce(predicate, lit(false)))
+    swapIn(indexName) { tmp =>
+      kept.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     before - count(indexName)
   }
 
@@ -118,12 +141,30 @@ class IndexStore(spark: SparkSession, root: String) {
     * min/max skipping); periodic compaction restores it.
     */
   def compact(indexName: String, numShards: Int): Long = {
-    val tmp = new Path(root, s".tmp_${indexName.toLowerCase}")
-    read(indexName).repartition(numShards)
-      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-    fs.delete(dir(indexName), true)
-    fs.rename(tmp, dir(indexName))
+    swapIn(indexName) { tmp =>
+      read(indexName).repartition(numShards)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     fs.listStatus(dir(indexName)).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** The UI's "all index" search option (reference
+    * `indexView.html:15-17`): one keyword fanned out across every
+    * index, hits tagged with their index name. Schemas differ per
+    * index, so each hit is emitted as its JSON document (the ES
+    * `_source` shape). Plan-level union of independent pruned scans —
+    * no shuffle; cost = sum of the per-index scans, like ES's
+    * multi-index URI search.
+    */
+  def searchAll(keyword: String): DataFrame = {
+    import spark.implicits._
+    listIndexes().map { idx =>
+      val df = read(idx)
+      df.filter(graft.search.SearchQueries.anyFieldContains(df, keyword))
+        .select(lit(idx).as("index_name"),
+          to_json(struct(df.columns.map(col): _*)).as("doc"))
+    }.reduceOption(_.unionByName(_))
+      .getOrElse(Seq.empty[(String, String)].toDF("index_name", "doc"))
   }
 
   /** Doc count — parquet footer metadata only, no data scan. */

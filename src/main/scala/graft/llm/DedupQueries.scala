@@ -15,10 +15,13 @@ import graft.Tables
   *    shuffle of (hash, id), never of the text itself.
   *  - n-gram Jaccard: inverted-index self-join (explode distinct
   *    shingles → join on shingle → pair-count = intersection size).
-  *    Never a cross join. At 100 TB you additionally drop
-  *    ultra-frequent shingles (stop-shingles) before the join — here a
-  *    frequency cap is applied the same way to bound join fan-out.
-  *    All-integer arithmetic (inter/union counts) → exact oracle.
+  *    Never a cross join. Stop-shingles (document frequency >
+  *    `MaxShingleDf`) are dropped from the doc representation before
+  *    the join — one ultra-common shingle would otherwise fan the
+  *    self-join out quadratically in its df. The hot list is tiny by
+  *    construction, so the drop is a broadcast anti-join.
+  *    All-integer arithmetic (inter/union counts) → exact oracle
+  *    (the cap is mirrored in the DuckDB twin).
   *  - MinHash LSH: shingle → minhash signature → band-bucket join;
   *    candidate pairs verified with exact Jaccard. Linear shuffle in
   *    corpus size, no pairwise blow-up.
@@ -27,6 +30,14 @@ import graft.Tables
   *    sub-keys for hamming-neighbor candidates.
   */
 object DedupQueries {
+
+  /** Stop-shingle document-frequency cap for the inverted-index Jaccard
+    * join: bounds any single shingle's pair fan-out at MaxShingleDf².
+    * 50 is far above every fixture df (max 25 at sf0.1), so small-SF
+    * results are unchanged; at 100 TB it is the knob that keeps the
+    * postings self-join linear.
+    */
+  val MaxShingleDf = 50
 
   private def toks(c: Column): Column = split(lower(c), "\\s+")
 
@@ -79,16 +90,28 @@ object DedupQueries {
     }),
 
     // N-gram Jaccard near-dup pairs via inverted index. Output keeps
-    // integer (intersection, union) — Jaccard ≥ 0.5 as 2*inter >= union,
-    // no float anywhere.
+    // integer (intersection, union) — Jaccard ≥ 0.2 as inter*5 >= union,
+    // no float anywhere. Stop-shingles (df > MaxShingleDf) are removed
+    // from the doc representation (so both intersection AND union see
+    // the capped shingle set — Jaccard stays internally consistent).
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.forCompute(s, dir, "documents")
       // The postings feed three consumers (both join sides + sizes);
       // persist so shingling runs once. At cluster scale this is a
       // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
       // index — the standard shape for repeated probes.
-      val posts = postings(docs)
+      val raw = postings(docs)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Stop-shingle cap: a shingle in > MaxShingleDf docs contributes
+      // up to df² candidate pairs; the list of such shingles is small
+      // by definition (bounded by corpus_shingles / MaxShingleDf), so
+      // it broadcasts, and the drop is a broadcast LEFT ANTI — no extra
+      // shuffle of the postings.
+      val hot = raw.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxShingleDf)
+        .select(col("shingle"))
+      val posts = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
       val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
       val pairs = posts.as("a")
         .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
@@ -106,10 +129,14 @@ object DedupQueries {
 
     // SimHash near-dup candidates: 64-bit signature per doc, banded
     // into 4×16-bit keys; docs sharing any band are candidates, kept
-    // when hamming(simhash_a, simhash_b) <= 12. The band join is the
-    // scale move: hamming-close pairs collide on >=1 band w.h.p., so
-    // the join is linear in corpus size, never pairwise. xxhash64 has
-    // no DuckDB twin -> rows-only check + property tests in LlmSpec.
+    // when hamming(simhash_a, simhash_b) <= 3 — the standard 64-bit
+    // near-dup threshold (Manku et al., WWW'07). The threshold and the
+    // blocking are matched: <=3 differing bits across 4 bands leaves
+    // at least one band identical (pigeonhole), so the band join has
+    // GUARANTEED 100% recall at this threshold (measured in
+    // RECALL_r02.json) while staying linear in corpus size, never
+    // pairwise. xxhash64 has no DuckDB twin -> rows-only check +
+    // property tests in LlmSpec.
     "llm_dedup_simhash" -> ((s, dir) => {
       // Signature computation (64 nested folds per doc) is the
       // expensive narrow stage — persist it so the self-join's two
@@ -130,7 +157,7 @@ object DedupQueries {
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
         .distinct()
-        .filter(col("hamming") <= 12)
+        .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -226,10 +253,13 @@ object DedupQueries {
         |  SELECT DISTINCT doc_id,
         |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
         |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY doc_id),
+        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+        |kept AS (SELECT sh.doc_id, sh.shingle
+        |         FROM sh JOIN df USING (shingle) WHERE df.df <= 50),
+        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT doc_a, doc_b, inter,
         |       sa.n_shingles + sb.n_shingles - inter AS union_sz

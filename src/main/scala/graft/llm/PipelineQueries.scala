@@ -89,7 +89,7 @@ object PipelineQueries {
     "llm_train_eval_split" ->
       """SELECT CASE WHEN substr(md5(lower(trim(text))), 1, 1) IN ('d','e','f')
         |            THEN 'eval' ELSE 'train' END AS split,
-        |       lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+        |       lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents

@@ -131,9 +131,9 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "llm_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
-         |  sum(n_chars) AS total_chars,
-         |  sum(CAST(len($toksSql) AS BIGINT)) AS total_tokens,
-         |  sum(CAST(len(list_distinct($toksSql)) AS BIGINT)) AS total_distinct_tokens,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(sum(CAST(len($toksSql) AS BIGINT)) AS BIGINT) AS total_tokens,
+         |  CAST(sum(CAST(len(list_distinct($toksSql)) AS BIGINT)) AS BIGINT) AS total_distinct_tokens,
          |  CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_quality_score" ->

@@ -71,8 +71,13 @@ object MultimodalQueries {
   }
 
   /** STUBBED FRAME SAMPLING: every k-th byte plays the role of every
-    * k-th video frame; checksum makes the result assertable.
+    * k-th video frame; checksum makes the result assertable. The rolling
+    * hash runs mod 1e9+7 (not raw Long wraparound) so the exact same
+    * fold is expressible in an oracle engine whose BIGINT errors on
+    * overflow instead of wrapping.
     */
+  val ChecksumMod = 1000000007L
+
   def sampleFrames(media: DataFrame, k: Int): DataFrame = {
     import media.sparkSession.implicits._
     media.as[MediaRow].mapPartitions { rows =>
@@ -80,7 +85,7 @@ object MultimodalQueries {
         var i = 0; var n = 0; var checksum = 0L
         while (i < r.payload.length) {
           n += 1
-          checksum = checksum * 31 + (r.payload(i) & 0xFF)
+          checksum = (checksum * 31 + (r.payload(i) & 0xFF)) % ChecksumMod
           i += k
         }
         FrameSample(r.doc_id, n, checksum)
@@ -106,14 +111,20 @@ object MultimodalQueries {
     }),
 
     // Decode + feature-extract through mapPartitions (stub decoder).
-    // Not SQL-expressible (imperative decode) -> rows-only + spec.
+    // The stub's byte math IS SQL-expressible (the fixture payload is
+    // ASCII text, so bytes == code points), so the whole mapPartitions
+    // path gets a hard DuckDB check. Histogram serialized (array_join)
+    // at the output boundary so the harness can sort/hash rows.
     "mm_decode_features" -> ((s, dir) =>
       decodeFeatures(mediaTable(s, dir))
         .select(col("doc_id"), col("width"), col("height"),
-          round(col("mean_byte"), 6).as("mean_byte"), col("histogram"))
+          round(col("mean_byte"), 6).as("mean_byte"),
+          array_join(transform(col("histogram"), _.cast(StringType)), ",")
+            .as("histogram"))
         .orderBy(col("doc_id"))),
 
-    // Frame sampling (every 8th byte) -> rows-only + spec.
+    // Frame sampling (every 8th byte); rolling mod-hash checksum gets a
+    // hard DuckDB check via list_reduce over the same sampled bytes.
     "mm_frame_sample" -> ((s, dir) =>
       sampleFrames(mediaTable(s, dir), 8)
         .orderBy(col("doc_id")))
@@ -125,6 +136,31 @@ object MultimodalQueries {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  CAST(min(octet_length(encode(text))) AS INT) AS min_bytes,
         |  CAST(max(octet_length(encode(text))) AS INT) AS max_bytes
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    // The fixture payload is UTF-8 of ASCII text (verified: octet_length
+    // == length for every doc), so byte values == unicode code points —
+    // DuckDB reproduces the byte histogram/mean/rolling hash exactly.
+    "mm_decode_features" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    list_transform(generate_series(1, length(text)), i -> unicode(text[i])) AS bytes
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(16 AS INT) AS width,
+        |  CAST(ceil(n_chars / 16.0) AS INT) AS height,
+        |  round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_byte,
+        |  array_to_string(list_transform(generate_series(0, 15),
+        |    bin -> len(list_filter(bytes, v -> v // 16 = bin))), ',') AS histogram
+        |FROM b ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    list_transform(generate_series(1, length(text), 8),
+        |                   i -> CAST(unicode(text[i]) AS BIGINT)) AS sampled
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(sampled) AS INT) AS n_frames,
+        |  CAST(list_reduce(sampled, (x, y) -> (x * 31 + y) % 1000000007) AS BIGINT) AS frame_checksum
+        |FROM b ORDER BY doc_id""".stripMargin
   )
 }

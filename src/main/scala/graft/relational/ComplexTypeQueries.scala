@@ -25,7 +25,9 @@ object ComplexTypeQueries {
           element_at(m, "status").as("status_val"),
           element_at(m, "prio").as("prio_val"),
           size(m).as("n_entries"),
-          map_keys(m).as("keys"))
+          // Serialized (array_join) so the oracle harness can sort/hash;
+          // map_keys itself still runs.
+          array_join(map_keys(m), ",").as("keys"))
         .orderBy(col("o_orderkey"))
     }),
 
@@ -81,7 +83,7 @@ object ComplexTypeQueries {
         |  m['status'][1] AS status_val,
         |  m['prio'][1] AS prio_val,
         |  CAST(cardinality(m) AS INT) AS n_entries,
-        |  map_keys(m) AS keys
+        |  array_to_string(map_keys(m), ',') AS keys
         |FROM (SELECT o_orderkey,
         |        MAP {'status': o_orderstatus, 'prio': o_orderpriority} AS m
         |      FROM orders)

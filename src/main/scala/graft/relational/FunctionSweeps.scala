@@ -70,8 +70,11 @@ object FunctionSweeps {
         .select(
           col("doc_id"),
           size(toks).as("n_toks"),
-          slice(toks, 1, 3).as("first3"),
-          sort_array(array_distinct(slice(toks, 1, 8))).as("first8_sorted"),
+          // Arrays serialized at the output boundary (array_join) so the
+          // oracle harness can sort/hash rows; the array ops themselves
+          // (slice/sort_array/array_distinct) still run.
+          array_join(slice(toks, 1, 3), "|").as("first3"),
+          array_join(sort_array(array_distinct(slice(toks, 1, 8))), "|").as("first8_sorted"),
           array_contains(toks, "spark").as("has_spark"),
           array_position(toks, "data").cast(LongType).as("data_pos"),
           element_at(toks, -1).as("last_tok"),
@@ -165,8 +168,8 @@ object FunctionSweeps {
         |           FROM documents)
         |SELECT doc_id,
         |  CAST(len(toks) AS INT) AS n_toks,
-        |  toks[1:3] AS first3,
-        |  list_sort(list_distinct(toks[1:8])) AS first8_sorted,
+        |  array_to_string(toks[1:3], '|') AS first3,
+        |  array_to_string(list_sort(list_distinct(toks[1:8])), '|') AS first8_sorted,
         |  list_contains(toks, 'spark') AS has_spark,
         |  CAST(coalesce(list_position(toks, 'data'), 0) AS BIGINT) AS data_pos,
         |  toks[-1] AS last_tok,

@@ -77,12 +77,14 @@ object SqlQueries {
         |ORDER BY s_suppkey""".stripMargin,
 
     // Conditional aggregation (manual pivot): line counts per status
-    // cell, one row per returnflag.
+    // cell, one row per returnflag. Sums wrapped in CAST(... AS BIGINT)
+    // so DuckDB's HUGEINT-widening SUM hash-matches Spark's BIGINT
+    // (no-op on the Spark side — same text runs in both engines).
     "sql_case_pivot" ->
       """SELECT l_returnflag,
-        |  SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-        |  SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-        |  SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+        |  CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk
         |FROM lineitem
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin,

@@ -24,8 +24,10 @@ object SearchQueries {
     * (reference `indexView.html:18`): disjunction of per-column
     * `contains` over the same pinned stringification the bulk importer
     * uses (timestamps `yyyy-MM-dd HH:mm:ss`, money via DECIMAL(18,2)).
+    * `private[graft]`: IndexStore.searchAll reuses it for the
+    * multi-index fan-out.
     */
-  private def anyFieldContains(df: DataFrame, kw: String): Column =
+  private[graft] def anyFieldContains(df: DataFrame, kw: String): Column =
     df.schema.fields
       .map(f => graft.etl.Stringify.column(col(f.name), f.dataType).contains(kw))
       .reduce(_ || _)
@@ -112,6 +114,81 @@ object SearchQueries {
         .orderBy(col("score").desc, col("doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("score"))
         .limit(10)
+    }),
+
+    // Keyset pagination (the reference's queryDataFrom from/size intent,
+    // `ElasticServiceImpl.java:127-130`, done the scale-safe way): the
+    // next page is "rows strictly after the last-seen (score, doc_id)
+    // cursor", a pure predicate + top-k — every page is the same
+    // TakeOrderedAndProject plan, cost independent of page number.
+    // OFFSET pagination would sort-and-skip the whole prefix: page 1000
+    // of a 100 TB corpus scans everything before it; keyset doesn't.
+    "search_page_after" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val rawScore = tf("spark") * 3 + tf("vector") * 2 + tf("join")
+      val (curScore, curDoc) = (0.08, 0L) // last row of the previous page
+      Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("score",
+          rawScore.cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .filter(col("score") > 0 &&
+          (col("score") < curScore ||
+            (col("score") === curScore && col("doc_id") > curDoc)))
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .limit(10)
+    }),
+
+    // tf·idf relevance (one step toward the BM25 the reference's ES
+    // `q=` search uses, `indexView.html:13-20`): idf = ln(N/df) from ONE
+    // corpus-level aggregation — a single scalar row, broadcast to the
+    // scoring scan (crossJoin with a 1-row side is a BroadcastNestedLoop
+    // over one row, i.e. free). At 100 TB the df table is per-term tiny
+    // regardless of corpus size; the scoring pass stays scan-speed.
+    // round(6) absorbs last-ulp ln() differences across engines.
+    "search_topk_tfidf" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+        .withColumn("tf_vector", tf("vector"))
+        .withColumn("tf_join", tf("join"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
+        sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
+        sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          (col("tf_spark") * log(col("n_docs") / col("df_spark")) +
+            col("tf_vector") * log(col("n_docs") / col("df_vector")) +
+            col("tf_join") * log(col("n_docs") / col("df_join"))) /
+            col("n_tokens").cast(DoubleType), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .limit(10)
+    }),
+
+    // Multi-index fan-out — the UI's literal "all index" option
+    // (`indexView.html:15-17`): the same keyword searched across every
+    // index, results tagged with their index. Each branch is an
+    // independent pruned scan + codegen'd filter; the union is
+    // plan-level (no shuffle), so the cost is the sum of the per-index
+    // scans — exactly what ES does for a multi-index URI search.
+    "search_all_indexes" -> ((s, dir) => {
+      val kw = "0000000"
+      val indexes = Seq(
+        ("customer", "c_custkey"), ("supplier", "s_suppkey"),
+        ("part", "p_partkey"), ("nation", "n_nationkey"), ("region", "r_regionkey"))
+      indexes.map { case (t, key) =>
+        val df = Tables(s, dir, t)
+        df.filter(anyFieldContains(df, kw))
+          .select(lit(t).as("index_name"), col(key).cast(LongType).as("doc_key"))
+      }.reduce(_.unionByName(_))
+        .orderBy(col("index_name"), col("doc_key"))
     })
   )
 
@@ -165,6 +242,76 @@ object SearchQueries {
         |SELECT doc_id, n_tokens,
         |       CAST(raw AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score
         |FROM scored WHERE raw > 0
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_page_after" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    3*len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark'))
+        |    + 2*len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector'))
+        |    + len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS raw
+        |  FROM documents),
+        |s2 AS (
+        |  SELECT doc_id, n_tokens,
+        |         CAST(raw AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS score
+        |  FROM scored WHERE raw > 0)
+        |SELECT doc_id, n_tokens, score FROM s2
+        |WHERE score < 0.08 OR (score = 0.08 AND doc_id > 0)
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_topk_tfidf" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored)
+        |SELECT doc_id, n_tokens,
+        |  round((tf_spark * ln(n_docs / df_spark)
+        |       + tf_vector * ln(n_docs / df_vector)
+        |       + tf_join * ln(n_docs / df_join)) / CAST(n_tokens AS DOUBLE), 6) AS score
+        |FROM scored CROSS JOIN stats
+        |WHERE round((tf_spark * ln(n_docs / df_spark)
+        |           + tf_vector * ln(n_docs / df_vector)
+        |           + tf_join * ln(n_docs / df_join)) / CAST(n_tokens AS DOUBLE), 6) > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_all_indexes" ->
+      """SELECT * FROM (
+        |  SELECT 'customer' AS index_name, CAST(c_custkey AS BIGINT) AS doc_key FROM customer
+        |  WHERE contains(CAST(c_custkey AS VARCHAR), '0000000')
+        |     OR contains(c_name, '0000000')
+        |     OR contains(CAST(c_nationkey AS VARCHAR), '0000000')
+        |     OR contains(CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR), '0000000')
+        |     OR contains(c_mktsegment, '0000000')
+        |  UNION ALL
+        |  SELECT 'supplier', CAST(s_suppkey AS BIGINT) FROM supplier
+        |  WHERE contains(CAST(s_suppkey AS VARCHAR), '0000000')
+        |     OR contains(s_name, '0000000')
+        |     OR contains(CAST(s_nationkey AS VARCHAR), '0000000')
+        |     OR contains(CAST(CAST(s_acctbal AS DECIMAL(18,2)) AS VARCHAR), '0000000')
+        |  UNION ALL
+        |  SELECT 'part', CAST(p_partkey AS BIGINT) FROM part
+        |  WHERE contains(CAST(p_partkey AS VARCHAR), '0000000')
+        |     OR contains(p_name, '0000000')
+        |     OR contains(p_brand, '0000000')
+        |     OR contains(p_type, '0000000')
+        |     OR contains(CAST(p_size AS VARCHAR), '0000000')
+        |     OR contains(CAST(CAST(p_retailprice AS DECIMAL(18,2)) AS VARCHAR), '0000000')
+        |  UNION ALL
+        |  SELECT 'nation', CAST(n_nationkey AS BIGINT) FROM nation
+        |  WHERE contains(CAST(n_nationkey AS VARCHAR), '0000000')
+        |     OR contains(n_name, '0000000')
+        |     OR contains(CAST(n_regionkey AS VARCHAR), '0000000')
+        |  UNION ALL
+        |  SELECT 'region', CAST(r_regionkey AS BIGINT) FROM region
+        |  WHERE contains(CAST(r_regionkey AS VARCHAR), '0000000')
+        |     OR contains(r_name, '0000000'))
+        |ORDER BY index_name, doc_key""".stripMargin
   )
 }

@@ -122,7 +122,7 @@ object StreamQueries {
         |ORDER BY event_id""".stripMargin,
     "stream_json_props" ->
       """SELECT event_type, count(*) AS n_events,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )

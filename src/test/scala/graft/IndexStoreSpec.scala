@@ -11,10 +11,12 @@ import org.scalatest.funsuite.AnyFunSuite
 class IndexStoreSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private def newStore = {
+  private def newStoreWithRoot = {
     val root = java.nio.file.Files.createTempDirectory("graft_idx").toString
-    new etl.IndexStore(spark, root)
+    (new etl.IndexStore(spark, root), root)
   }
+
+  private def newStore = newStoreWithRoot._1
 
   test("create / list / delete with system-index filtering") {
     val store = newStore
@@ -80,6 +82,49 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(files == 2, s"expected 2 files, got $files")
     val after = store.read("orders").orderBy(col("o_orderkey")).collect()
     assert(before.sameElements(after))
+  }
+
+  test("searchAll fans out across every index and tags hits") {
+    val store = newStore
+    store.bulkImport(Tables(spark, sf, "orders"), "orders", "o_orderkey")
+    store.bulkImport(Tables(spark, sf, "customer"), "customer", "c_custkey")
+    val urgent = store.searchAll("URGENT")
+    assert(urgent.count() > 0)
+    assert(urgent.select("index_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("orders"),
+      "URGENT lives only in orders.o_orderpriority")
+    val cust = store.searchAll("Customer#")
+    assert(cust.count() > 0)
+    assert(cust.select("index_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("customer"))
+    assert(store.searchAll("no_such_token_anywhere").count() == 0)
+  }
+
+  test("deleteWhere keeps NULL-predicate rows (ES matches-only semantics)") {
+    import spark.implicits._
+    val store = newStore
+    val df = Seq((1L, Option("a")), (2L, None), (3L, Option("b")))
+      .toDF("id", "v")
+    store.bulkImport(df, "t", "id")
+    // Predicate is NULL for id=2: _delete_by_query deletes only MATCHING
+    // docs, so the unknown row must survive.
+    val deleted = store.deleteWhere("t", col("v") === "a")
+    assert(deleted == 1, s"expected 1 deleted, got $deleted")
+    assert(store.count("t") == 2)
+    assert(store.read("t").filter(col("id") === "2").count() == 1)
+  }
+
+  test("copy-on-write swap leaves no tmp/backup residue at the root") {
+    val (store, root) = newStoreWithRoot
+    val orders = Tables(spark, sf, "orders")
+    store.bulkImport(orders, "orders", "o_orderkey")
+    store.upsert(orders.limit(5), "orders", "o_orderkey")
+    store.deleteWhere("orders", col("o_orderpriority") === "1-URGENT")
+    store.compact("orders", 2)
+    val leftover = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.startsWith("."))
+    assert(leftover.isEmpty, s"dot-dir residue after swaps: ${leftover.toSeq}")
+    assert(store.listIndexes() == Seq("orders"))
   }
 
   test("re-import is idempotent (last-write-wins on the id)") {

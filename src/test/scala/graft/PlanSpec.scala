@@ -47,6 +47,28 @@ class PlanSpec extends AnyFunSuite {
     assert(planOf("search_topk_relevance").contains("TakeOrderedAndProject"))
   }
 
+  test("search_page_after: keyset page is a pure top-k (no global sort)") {
+    val p = planOf("search_page_after")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // Keyset pagination's whole point: page N never range-sorts the
+    // full prefix — no range-partitioned exchange anywhere.
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("search_topk_tfidf broadcasts the 1-row corpus stats, takes ordered k") {
+    val p = planOf("search_topk_tfidf")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("search_all_indexes unions pruned per-index scans (no shuffle)") {
+    val p = planOf("search_all_indexes")
+    assert(p.contains("Union"), p)
+    // TakeOrdered handles the presentation sort; the fan-out itself
+    // must not exchange.
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("llm_cosine_topk broadcasts the query vector and takes ordered k") {
     val p = planOf("llm_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -72,7 +94,8 @@ class PlanSpec extends AnyFunSuite {
     // Allowed: build side is a broadcast of O(1) rows (a single query
     // vector or a handful of KMeans centroids).
     val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk",
-      "llm_dedup_embedding_cosine")
+      "llm_dedup_embedding_cosine",
+      "search_topk_tfidf") // 1-row corpus-stats broadcast
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val cart = p.contains("CartesianProduct")

@@ -64,7 +64,13 @@ def main():
             results[name] = f"READ-FAIL: {e}"
             continue
         if name not in oracles:
-            results[name] = f"rows-only: {len(spark_df)} rows" + (" EMPTY!" if len(spark_df) == 0 else "")
+            # A rows-only query returning ZERO rows is the exact failure
+            # mode that previously hid two broken queries — the gate
+            # itself rejects it (not just the SparkEntrySpec smoke test).
+            if len(spark_df) == 0:
+                results[name] = "rows-only EMPTY — vacuous query"
+            else:
+                results[name] = f"rows-only: {len(spark_df)} rows"
             continue
         try:
             duck_df = con.execute(oracles[name]).fetchdf()
@@ -99,9 +105,9 @@ def main():
                     bad.append(f"{c}: {int(neq.sum())} diffs e.g. row{i}: {av.iloc[i]!r} vs {bv.iloc[i]!r}")
         results[name] = "OK" if not bad else "VALUE-MISMATCH " + "; ".join(bad[:3])
 
-    n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
+    n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only:"))
     for k, v in sorted(results.items()):
-        flag = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only") else "FAIL")
+        flag = "PASS" if v == "OK" else ("INFO" if v.startswith("rows-only:") else "FAIL")
         print(f"[{flag}] {k}: {v}")
     print(f"\n{n_ok}/{len(results)} ok")
     sys.exit(0 if n_ok == len(results) else 1)
