@@ -19,15 +19,34 @@ object RangeLayout {
       .sortWithinPartitions(keys: _*)
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** Hive-style directory partitioning — the COARSE layout lever that
+    * complements row-group skipping: a low-cardinality key (ingest
+    * date, event type, language) becomes a directory level, so a
+    * literal predicate on it prunes whole partitions at PLANNING time
+    * (no file listing, no footer reads), and a join against a filtered
+    * dimension prunes them at RUNTIME via dynamic partition pruning.
+    * At 100 TB this is the difference between listing a day and
+    * listing a decade. Keep cardinality low: one dir per value — a
+    * high-cardinality key here melts the file system instead.
+    */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.partitionBy(cols: _*).mode(SaveMode.Overwrite).parquet(path)
+
   /** Rows the parquet scan actually surfaced for a predicate —
     * row-group min/max skipping makes this ≪ table size on a
     * range-sorted layout and ≈ table size on an unsorted one
     * (observable proof the layout pays; asserted in RangeLayoutSpec).
     */
-  def scanOutputRows(df: DataFrame): Long = {
+  def scanOutputRows(df: DataFrame): Long = scanMetric(df, "numOutputRows")
+
+  /** Sum of a leaf-scan metric (e.g. "numFiles", "numOutputRows")
+    * after executing `df` — the observable evidence that a layout
+    * actually pruned.
+    */
+  def scanMetric(df: DataFrame, metric: String): Long = {
     df.collect()
     df.queryExecution.executedPlan.collectLeaves()
-      .flatMap(_.metrics.get("numOutputRows").map(_.value))
+      .flatMap(_.metrics.get(metric).map(_.value))
       .sum
   }
 }

@@ -127,6 +127,36 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Incremental (batch-vs-corpus) near-dup dedup — the op a LIVE
+    // 100 TB pipeline actually runs daily: admit a new batch only where
+    // it has no near-dup (Jaccard >= 0.2 on word-3-shingles) already in
+    // the corpus. NOT a corpus self-join: the batch side is small, so
+    // its postings broadcast and the corpus-side inverted index (the
+    // same `postings` artifact the self-join uses, persisted once in
+    // production) is probed linearly — cost is O(corpus postings), not
+    // O(corpus²), and re-dedup of the whole corpus never happens.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val isNew = col("source") === "src19"
+      val posts = postings(docs.filter(!isNew))
+      val newPosts = postings(docs.filter(isNew))
+      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val newSizes = newPosts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+      val matched = newPosts.as("a")
+        .join(posts.as("b"), col("a.shingle") === col("b.shingle"))
+        .groupBy(col("a.doc_id").as("doc_new"), col("b.doc_id").as("doc_old"))
+        .agg(count(lit(1)).as("inter"))
+        .join(newSizes.as("sa"), col("doc_new") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("doc_old") === col("sb.doc_id"))
+        .filter(col("inter") * 5 >=
+          col("sa.n_shingles") + col("sb.n_shingles") - col("inter"))
+        .select(col("doc_new")).distinct()
+      docs.filter(isNew)
+        .join(matched, docs("doc_id") === matched("doc_new"), "left_outer")
+        .select(col("doc_id"), col("doc_new").isNull.as("admitted"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup candidates: 64-bit signature per doc, banded
     // into 4×16-bit keys; docs sharing any band are candidates, kept
     // when hamming(simhash_a, simhash_b) <= 3 — the standard 64-bit
@@ -267,6 +297,30 @@ object DedupQueries {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_incremental" ->
+      """WITH t AS (
+        |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle
+        |  WHERE a.source = 'src19' AND b.source != 'src19'
+        |  GROUP BY 1, 2),
+        |matched AS (
+        |  SELECT DISTINCT doc_new
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_new = sa.doc_id
+        |  JOIN sizes sb ON doc_old = sb.doc_id
+        |  WHERE inter * 5 >= sa.n + sb.n - inter)
+        |SELECT d.doc_id, m.doc_new IS NULL AS admitted
+        |FROM documents d LEFT JOIN matched m ON d.doc_id = m.doc_new
+        |WHERE d.source = 'src19'
+        |ORDER BY d.doc_id""".stripMargin
   )
 }

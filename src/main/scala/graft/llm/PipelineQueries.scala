@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -71,6 +72,48 @@ object PipelineQueries {
         .filter(substring(md5(lower(trim(col("text")))), 1, 1) === "0")
         .select(col("doc_id"), col("lang"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Stratified sampling with EXACT per-stratum quotas — training-mix
+    // curation ("20 docs per language"), deterministic: rank within the
+    // stratum by content hash (content-stable under any reshuffle,
+    // unlike rand()), keep the first k. One shuffle on the stratum key.
+    // Scale note: k is small and fixed, so at 100 TB the right physical
+    // form is the same window with a partial top-k per partition first
+    // (rank <= k can't survive a partition unless it's in that
+    // partition's top k) — Spark's WindowGroupLimit pushdown does
+    // exactly this when the filter sits directly on the rank.
+    "llm_stratified_sample" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(md5(lower(trim(col("text")))), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 20)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
+    // Eval-set decontamination — the op every serious pre-training run
+    // needs: find train-split documents sharing any word-8-gram with
+    // the eval split (the n-gram-overlap contamination test). Inverted-
+    // index join on the 8-gram (never doc×doc): the eval side is small
+    // by construction, so its postings broadcast and the train side
+    // streams through — linear in corpus size at 100 TB.
+    "llm_decontaminate" -> ((s, dir) => {
+      val t = split(lower(col("text")), "\\s+")
+      val grams8 = when(size(t) >= 8,
+        array_distinct(transform(sequence(lit(1), size(t) - 7),
+          i => concat_ws(" ", (0 to 7).map(o => element_at(t, i + o)): _*))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val docs = Tables.forCompute(s, dir, "documents")
+        .withColumn("split", splitBucket(col("text")))
+        .select(col("doc_id"), col("split"), explode(grams8).as("g"))
+      val evalG = docs.filter(col("split") === "eval").select(col("g")).distinct()
+      docs.filter(col("split") === "train")
+        .join(broadcast(evalG), "g")
+        .groupBy(col("doc_id"))
+        .agg(countDistinct(col("g")).as("n_shared_8grams"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -94,6 +137,29 @@ object PipelineQueries {
     "llm_hash_sample" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE substr(md5(lower(trim(text))), 1, 1) = '0'
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "llm_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY lang
+        |  ORDER BY md5(lower(trim(text))), doc_id) <= 20
+        |ORDER BY lang, doc_id""".stripMargin,
+    "llm_decontaminate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN substr(md5(lower(trim(text))), 1, 1) IN ('d','e','f')
+        |         THEN 'eval' ELSE 'train' END AS split,
+        |    regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, split,
+        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+        |    w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7] AS g
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 7, 0))) AS u(i)),
+        |ev AS (SELECT DISTINCT g FROM sh WHERE split = 'eval')
+        |SELECT a.doc_id, count(DISTINCT a.g) AS n_shared_8grams
+        |FROM sh a JOIN ev ON a.g = ev.g
+        |WHERE a.split = 'train'
+        |GROUP BY a.doc_id
+        |ORDER BY a.doc_id""".stripMargin
   )
 }

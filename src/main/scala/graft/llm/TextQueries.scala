@@ -110,6 +110,31 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Repetition-based quality filter (the Gopher/C4-style rule):
+    // fraction of word-3-grams that are duplicates of an earlier
+    // 3-gram in the same document. High ratio = boilerplate/spam; the
+    // standard pre-training repetition cut. Pure per-row HOF arithmetic
+    // (integer counts + one division) — scan-speed, shuffle-free.
+    "llm_repetition_filter" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val grams = when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      Tables.forCompute(s, dir, "documents")
+        .withColumn("total_3grams", size(grams))
+        .withColumn("uniq_3grams", size(array_distinct(grams)))
+        .select(col("doc_id"), col("total_3grams"), col("uniq_3grams"),
+          round(when(col("total_3grams") > 0,
+            (col("total_3grams") - col("uniq_3grams")).cast(DoubleType) /
+              col("total_3grams").cast(DoubleType)).otherwise(0.0), 6)
+            .as("rep_ratio"),
+          (col("total_3grams") > 0 &&
+            (col("total_3grams") - col("uniq_3grams")) * 25 > col("total_3grams"))
+            .as("flagged")) // rep_ratio > 0.04, integer arithmetic
+        .orderBy(col("doc_id"))
+    }),
+
     // Document fingerprinting: md5 content fingerprint over normalized
     // text plus a coarse structural fingerprint (length bucket + first
     // token), the (hash, len-bucket) pair a 100 TB dedup pass blocks on.
@@ -167,6 +192,23 @@ object TextQueries {
          |  CAST(len($toksSql) AS INT) AS ws_tokens,
          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS INT) AS bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_repetition_filter" ->
+      s"""WITH g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len($toksSql) >= 3
+         |         THEN list_transform(generate_series(1, len($toksSql) - 2),
+         |                i -> $toksSql[i] || ' ' || $toksSql[i+1] || ' ' || $toksSql[i+2])
+         |         ELSE [] END AS grams
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(grams) AS INT) AS total_3grams,
+         |  CAST(len(list_distinct(grams)) AS INT) AS uniq_3grams,
+         |  round(CASE WHEN len(grams) > 0
+         |        THEN CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+         |             / CAST(len(grams) AS DOUBLE) ELSE 0.0 END, 6) AS rep_ratio,
+         |  (len(grams) > 0 AND
+         |   (len(grams) - len(list_distinct(grams))) * 25 > len(grams)) AS flagged
+         |FROM g ORDER BY doc_id""".stripMargin,
     "llm_fingerprint" ->
       s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
          |  CAST(n_chars // 100 AS INT) AS len_bucket,

@@ -69,6 +69,15 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("llm_stratified_sample pushes partial per-partition top-k (WindowGroupLimit)") {
+    val p = planOf("llm_stratified_sample")
+    // rank <= k directly on a row_number window lets Spark keep only k
+    // rows per group per partition BEFORE the shuffle — the form that
+    // survives a 100 TB stratum.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("llm_cosine_topk broadcasts the query vector and takes ordered k") {
     val p = planOf("llm_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
