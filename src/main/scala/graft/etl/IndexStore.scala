@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's index-lifecycle surface (SURVEY.md §2.1 #6–#12),
@@ -80,11 +79,22 @@ class IndexStore(spark: SparkSession, root: String) {
   def bulkImport(df: DataFrame, indexName: String, idCol: String,
                  numShards: Int = 5): Long = {
     val stringified = Stringify.all(df)
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(stringified.columns.filterNot(_ == idCol).map(c => col(c).desc): _*)
+    val dataCols = stringified.columns.filterNot(_ == idCol)
+    // Last-write-wins as a HASH AGGREGATE, not a window: the survivor
+    // is the row with the max (c1,…,cn) tuple, and struct comparison
+    // is field-order lexicographic — identical to the window form
+    // ORDER BY c1 DESC,…,cn DESC ROW_NUMBER()=1 (ties are bit-identical
+    // rows). The aggregate gets map-side partial combine, so each input
+    // partition shuffles AT MOST one candidate per key — the window
+    // form shuffles and sorts every duplicate. At a 100 TB re-import
+    // (high dup ratio) that is the difference between shuffling the
+    // delta and shuffling the corpus.
+    val doc = struct(dataCols.map(col): _*)
     val deduped = stringified
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+      .groupBy(col(idCol))
+      .agg(max_by(doc, doc).as("__doc"))
+      .select(stringified.columns.map(c =>
+        if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
     deduped.repartition(numShards)
       .write.mode(SaveMode.Overwrite).parquet(dir(indexName).toString)
     count(indexName)
@@ -106,11 +116,17 @@ class IndexStore(spark: SparkSession, root: String) {
     val next = Stringify.all(incoming).withColumn("__gen", lit(1))
     val unioned = existing.unionByName(next)
     val dataCols = existing.columns.filterNot(c => c == idCol || c == "__gen")
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__gen").desc +: dataCols.map(c => col(c).desc): _*)
+    // Same hash-agg last-write-wins as bulkImport, with the recency tag
+    // leading the comparison tuple (incoming generation always beats
+    // existing; ties within a generation break on the data columns).
+    val doc = struct(dataCols.map(col): _*)
+    val ord = struct(col("__gen") +: dataCols.map(col): _*)
+    val outCols = existing.columns.filterNot(_ == "__gen")
     val merged = unioned
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn", "__gen")
+      .groupBy(col(idCol))
+      .agg(max_by(doc, ord).as("__doc"))
+      .select(outCols.map(c =>
+        if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
     // Write via temp dir then swap: the source of the merge is the
     // index itself, so a direct overwrite would truncate its input.
     swapIn(indexName) { tmp =>

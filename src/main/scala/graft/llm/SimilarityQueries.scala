@@ -61,6 +61,29 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // BATCHED cosine top-k — the retrieval workhorse shape (N query
+    // vectors at once, per-query top-k): broadcast the query set, one
+    // corpus scan scores all queries, per-query rank via row_number —
+    // which Spark rewrites to a partial-then-final WindowGroupLimit, so
+    // each scan partition forwards at most k rows PER QUERY into the
+    // shuffle. Cost: one scan regardless of query count; shuffle is
+    // O(queries × k), independent of corpus size.
+    "llm_cosine_topk_batch" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      val qset = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("emb").as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(qset)
+        .select(col("q_id"), col("vec_id"), col("label"),
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // Embedding corpus audit: per label, count + L2-norm statistics.
     // Per-row norm is row-local double math; the cross-row mean goes
     // through round(9) so both engines sum identical values — and the
@@ -187,6 +210,22 @@ object SimilarityQueries {
         |        9) AS cos_sim
         |FROM e, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_cosine_topk_batch" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, emb AS qv FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q_id, e.vec_id, e.label,
+        |    round(list_dot_product(emb, qv)
+        |          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |          9) AS cos_sim
+        |  FROM e, q WHERE e.vec_id >= 5)
+        |SELECT q_id, vec_id, label, cos_sim FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos_sim DESC, vec_id) <= 5
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
     "llm_embedding_stats" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -36,6 +36,30 @@ object FormatIO {
     }).load(path)
   }
 
+  /** Media-file ingestion — the entry point of the multimodal pipeline
+    * (graft.multimodal operates on binary columns this source
+    * produces): each file becomes one row (path, modificationTime,
+    * length, content: binary). `pathGlobFilter` prunes by extension at
+    * LISTING time; `maxBytesPerTrigger`-style batching is the
+    * streaming twin. At 100 TB of media the number that matters is
+    * files-per-task: Spark packs small files into tasks by
+    * `maxPartitionBytes`, so millions of small images parallelize
+    * without a manual manifest.
+    */
+  def readBinaryFiles(spark: SparkSession, dir: String,
+                      glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+
+  /** Raw-text corpus ingestion: one row per line (or whole file with
+    * `wholetext`) — the on-ramp for document pipelines before any
+    * schema exists.
+    */
+  def readTextLines(spark: SparkSession, dir: String,
+                    wholeFile: Boolean = false): DataFrame =
+    spark.read.option("wholetext", wholeFile.toString).text(dir)
+
   /** The reference's real source: a partitioned-range JDBC scan —
     * `BulkProcessImpl.java:96-100` streams one cursor; Spark instead
     * splits `[lowerBound, upperBound]` on `partitionColumn` into

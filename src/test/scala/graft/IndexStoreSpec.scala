@@ -127,6 +127,29 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listIndexes() == Seq("orders"))
   }
 
+  test("bulkImport's hash-agg survivor == sort-window survivor") {
+    import org.apache.spark.sql.expressions.Window
+    // bulkImport dedups via max_by(struct) hash agg (map-side combine);
+    // the reference semantics is the all-desc sort window. They must
+    // pick bit-identical survivors (struct comparison == lexicographic
+    // column order).
+    val store = newStore
+    val li = Tables(spark, sf, "lineitem")
+    store.bulkImport(li, "li", "l_orderkey")
+    val stringified = etl.Stringify.all(li)
+    val dataCols = stringified.columns.filterNot(_ == "l_orderkey")
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(dataCols.map(c => col(c).desc): _*)
+    val windowForm = stringified
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .select(stringified.columns.map(col): _*)
+    val stored = store.read("li").select(stringified.columns.map(col): _*)
+    assert(stored.exceptAll(windowForm).isEmpty &&
+      windowForm.exceptAll(stored).isEmpty,
+      "agg-based and window-based survivors must be identical")
+  }
+
   test("re-import is idempotent (last-write-wins on the id)") {
     val store = newStore
     val orders = Tables(spark, sf, "orders")

@@ -78,6 +78,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("Partial"), p)
   }
 
+  test("llm_cosine_topk_batch: per-query top-k is a partial WindowGroupLimit") {
+    val p = planOf("llm_cosine_topk_batch")
+    // One scan scores every query; each partition forwards <= k rows
+    // per query — shuffle O(queries*k), corpus-size independent.
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+  }
+
   test("llm_cosine_topk broadcasts the query vector and takes ordered k") {
     val p = planOf("llm_cosine_topk")
     assert(p.contains("TakeOrderedAndProject"), p)
@@ -104,6 +112,7 @@ class PlanSpec extends AnyFunSuite {
     // vector or a handful of KMeans centroids).
     val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk",
       "llm_dedup_embedding_cosine",
+      "llm_cosine_topk_batch", // 5-row query-set broadcast
       "search_topk_tfidf") // 1-row corpus-stats broadcast
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)

@@ -23,6 +23,42 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("binaryFile source: one row per media file, glob-pruned listing") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    val payloads = Map("a.img" -> "fake-image-bytes-a",
+      "b.img" -> "fake-image-bytes-bb", "skip.txt" -> "not-media")
+    payloads.foreach { case (name, content) =>
+      java.nio.file.Files.write(java.nio.file.Paths.get(dir, name),
+        content.getBytes("UTF-8"))
+    }
+    val media = sources.FormatIO.readBinaryFiles(spark, dir, "*.img")
+    assert(media.count() == 2, "glob must prune non-media at listing time")
+    assert(media.columns.toSet ==
+      Set("path", "modificationTime", "length", "content"))
+    // Content arrives intact as a binary column — the mediaTable /
+    // decodeFeatures input shape.
+    val rows = media.select(col("path"), col("content")).collect()
+      .map(r => (r.getString(0).split('/').last,
+        new String(r.getAs[Array[Byte]]("content"), "UTF-8"))).toMap
+    assert(rows == payloads.view.filterKeys(_.endsWith(".img")).toMap)
+    // Length column matches the payload (metadata-only predicates can
+    // skip decode entirely).
+    assert(media.filter(col("length") =!= length(col("content"))).isEmpty)
+  }
+
+  test("text source: line-per-row and whole-file corpus ingestion") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d1.txt"),
+      "line one\nline two\n".getBytes("UTF-8"))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "d2.txt"),
+      "single doc\n".getBytes("UTF-8"))
+    val lines = sources.FormatIO.readTextLines(spark, dir)
+    assert(lines.count() == 3)
+    val whole = sources.FormatIO.readTextLines(spark, dir, wholeFile = true)
+    assert(whole.count() == 2, "wholetext: one row per document")
+    assert(whole.filter(col("value").contains("line one\nline two")).count() == 1)
+  }
+
   test("jdbc reader carries partitioned-range scan options") {
     // No live DB in this environment — assert the reader is built with
     // the parallel-range plumbing (the part that replaces the
