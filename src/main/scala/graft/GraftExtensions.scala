@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, MinHash32Expr, SimHash64Expr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -21,6 +21,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "simhash64_native(text) - 64-bit SimHash over whitespace tokens (xxhash64 seed 42)"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         SimHash64Expr(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("minhash32_native"),
+      new ExpressionInfo(classOf[MinHash32Expr].getName, "minhash32_native",
+        "minhash32_native(shingles) - 32 salted minhashes of array<string> in one pass (xxhash64 seed 42)"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinHash32Expr(children.head)))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim",

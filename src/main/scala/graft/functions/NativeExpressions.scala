@@ -105,6 +105,38 @@ case class CosineSimExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** minhash32_native(shingles): the 32 salted minhashes of an
+  * array<string> in ONE pass over the array — hash_i(sh) =
+  * xxhash64(sh ++ "#" ++ i, seed 42), exactly the HOF twin
+  * `transform(sequence(0,31), i -> array_min(transform(shingles,
+  * sh -> xxhash64(concat(sh,'#',i)))))` used by the banded-MinHash
+  * dedup, which walks the shingle array 32 times and materializes 32
+  * hash arrays per row. Null elements contribute the seed (Spark's
+  * xxhash64(NULL) = unchanged seed, which array_min then considers);
+  * an empty array yields 32 nulls (array_min of empty). This is the
+  * signature pass that streams over the whole corpus at 100 TB — the
+  * one worth fusing.
+  */
+case class MinHash32Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"minhash32_native requires ARRAY<STRING>, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash32_native"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.minhash32(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.minhash32($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32Expr =
+    copy(child = newChild)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
@@ -162,6 +194,57 @@ object GraftKernels {
   private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long =
     XXH64.hashUnsafeBytes(bytes,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, Seed)
+
+  private final val MinHashK = 32
+
+  /** One-pass 32-way minhash: per shingle, the "sh#i" salt suffix is
+    * written into a single reused buffer (shingle bytes copied once,
+    * only the 2-3 salt digits rewritten per i) — no per-(shingle,i)
+    * string allocation, no intermediate hash arrays. A NULL element
+    * contributes the seed itself for every salt, because Spark's
+    * xxhash64(NULL) returns the unchanged seed (42) rather than NULL —
+    * the HOF twin therefore folds 42 into the min, and so do we.
+    */
+  def minhash32(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) // array_min over an empty array => 32 nulls
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](MinHashK))
+    val mins = new Array[Long](MinHashK)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      if (arr.isNullAt(j)) {
+        var i = 0
+        while (i < MinHashK) {
+          if (Seed < mins(i)) mins(i) = Seed
+          i += 1
+        }
+      } else {
+        val shBytes = arr.getUTF8String(j).getBytes
+        val base = shBytes.length
+        val buf = new Array[Byte](base + 3) // "#" + up to 2 digits
+        System.arraycopy(shBytes, 0, buf, 0, base)
+        buf(base) = '#'
+        var i = 0
+        while (i < MinHashK) {
+          var len = base + 1
+          if (i < 10) { buf(len) = ('0' + i).toByte; len += 1 }
+          else {
+            buf(len) = ('0' + i / 10).toByte
+            buf(len + 1) = ('0' + i % 10).toByte
+            len += 2
+          }
+          val h = XXH64.hashUnsafeBytes(buf,
+            org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, len, Seed)
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+      }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 
   /** Fused cosine: dot + norms in one pass. Null (boxed) when lengths
     * differ or any element is null — zip_with+aggregate semantics.

@@ -45,7 +45,7 @@ object DedupQueries {
     * n-2 shingles; empty for n<3 — guarded because Spark's `sequence`
     * counts DOWN when start > stop).
     */
-  private[llm] def shingles3(c: Column): Column = {
+  private[graft] def shingles3(c: Column): Column = {
     val t = toks(c)
     when(size(t) >= 3,
       array_distinct(transform(
@@ -209,10 +209,12 @@ object DedupQueries {
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
         .filter(size(col("shingles")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Signature pass through the fused native kernel (one pass over
+      // the shingle array; bit-exact vs the 32-fold HOF twin, pinned in
+      // FunctionsSpec) — this is the stage that streams the whole
+      // corpus, so it runs at scan speed.
       val sig = docs.withColumn("sig",
-        transform(sequence(lit(0), lit(nHashes - 1)), i =>
-          array_min(transform(col("shingles"),
-            sh => xxhash64(concat(sh, lit("#"), i.cast(StringType)))))))
+        call_function("minhash32_native", col("shingles")))
       // Band join carries ONLY (doc_id, band, key) — the shingle
       // arrays would multiply the shuffle width and the pair-distinct;
       // they are attached after dedup of candidate pairs, once per

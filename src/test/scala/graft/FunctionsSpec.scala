@@ -33,6 +33,45 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.isEmpty, diff.collect().mkString("\n"))
   }
 
+  private def minhashHof(shingles: org.apache.spark.sql.Column) =
+    transform(sequence(lit(0), lit(31)), i =>
+      array_min(transform(shingles,
+        sh => xxhash64(concat(sh, lit("#"), i.cast("string"))))))
+
+  test("minhash32_native == 32-fold HOF minhash on the full fixture corpus") {
+    val docs = Tables(spark, sf, "documents")
+      .select(llm.DedupQueries.shingles3(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val diff = docs.select(
+      minhashHof(col("sh")).as("hof"),
+      call_function("minhash32_native", col("sh")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
+  test("minhash32_native edge cases: empty array and null elements") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq.empty[String]),             // -> 32 nulls (array_min of empty)
+      (2L, Seq("only one shingle")),
+      (3L, Seq("a b c", "b c d", "a b c")) // duplicates collapse in min
+    ).toDF("id", "sh")
+    val rows = df.select(col("id"),
+      minhashHof(col("sh")).as("hof"),
+      call_function("minhash32_native", col("sh")).as("native"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"id=${r.getLong(0)}: hof=${r.getSeq[Any](1)} native=${r.getSeq[Any](2)}")
+    }
+    // Null element skipped by both forms.
+    val withNull = Seq((4L, Seq("x y z", null))).toDF("id", "sh")
+    val rn = withNull.select(
+      minhashHof(col("sh")).as("hof"),
+      call_function("minhash32_native", col("sh")).as("native")).collect()(0)
+    assert(rn.getSeq[Any](0) == rn.getSeq[Any](1))
+  }
+
   test("cosine_sim == HOF cosine on the full embedding corpus (bit-exact)") {
     val e = Tables(spark, sf, "embeddings")
       .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))

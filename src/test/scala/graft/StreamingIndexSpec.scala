@@ -22,6 +22,72 @@ class StreamingIndexSpec extends AnyFunSuite {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  test("streaming ingest with content-fingerprint dedup screening") {
+    // The LLM-corpus form of continuous ingest: each micro-batch is
+    // (1) deduped within itself on a content fingerprint, then
+    // (2) screened against the ACCUMULATED index with a left-anti join
+    // on the fingerprint, so only never-seen content is admitted —
+    // id-renumbered replays of old content must NOT grow the corpus.
+    val docs = Tables(spark, sf, "documents")
+    val srcDir = java.nio.file.Files.createTempDirectory("stream_docs_src")
+    val store = new etl.IndexStore(spark,
+      java.nio.file.Files.createTempDirectory("stream_docs_wh").toString)
+
+    def stageDf(df: DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("stage_tmp")
+      df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(name))
+    }
+
+    def runPass(): Unit = {
+      val q = spark.readStream.schema(docs.schema).parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val withFp = batch
+            .withColumn("content_fp", md5(lower(trim(col("text")))))
+            .dropDuplicates("content_fp")
+          val admitted =
+            if (store.listIndexes().contains("docs"))
+              withFp.join(store.read("docs").select("content_fp"),
+                Seq("content_fp"), "left_anti")
+            else withFp
+          if (!admitted.isEmpty) {
+            if (store.listIndexes().contains("docs"))
+              store.upsert(admitted, "docs", "content_fp")
+            else store.bulkImport(admitted, "docs", "content_fp")
+          }
+          ()
+        }
+        .option("checkpointLocation", srcDir.resolve(".ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+
+    val corpusFps = docs
+      .select(md5(lower(trim(col("text")))).as("fp")).distinct().count()
+
+    stageDf(docs, "b1.parquet")
+    runPass()
+    assert(store.count("docs") == corpusFps)
+
+    // Replay with renumbered ids: same CONTENT, different keys — the
+    // fingerprint screen must reject every row.
+    stageDf(docs.withColumn("doc_id", col("doc_id") + 10000), "b2.parquet")
+    runPass()
+    assert(store.count("docs") == corpusFps,
+      "re-keyed replay of known content must not grow the index")
+
+    // Genuinely new content is admitted.
+    stageDf(docs.withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(col("text"), lit(" fresh suffix"))),
+      "b3.parquet")
+    runPass()
+    assert(store.count("docs") == 2 * corpusFps,
+      "novel content must be admitted")
+  }
+
   test("streaming foreachBatch bulk-upsert into IndexStore") {
     val srcDir = java.nio.file.Files.createTempDirectory("stream_idx_src")
     val store = new etl.IndexStore(spark,
