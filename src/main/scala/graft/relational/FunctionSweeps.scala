@@ -116,6 +116,21 @@ object FunctionSweeps {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Deterministic string aggregation (listagg/string_agg family):
+    // collect_list is order-nondeterministic under parallelism, so the
+    // canonical deterministic form sorts before joining — same trick
+    // both engines can express. Plus the boolean aggregate pair.
+    "rel_string_agg" -> ((s, dir) => {
+      Tables(s, dir, "nation")
+        .groupBy(col("n_regionkey"))
+        .agg(
+          array_join(sort_array(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"),
+          bool_and(col("n_nationkey") >= 0).as("all_nonneg"),
+          bool_or(col("n_name").startsWith("NATION_1")).as("any_teen"))
+        .orderBy(col("n_regionkey"))
+    }),
+
     // GROUPING SETS with grouping_id — finer than rollup/cube: the
     // exact set list {(flag,status), (flag), ()}.
     "sql_grouping_sets" -> ((s, dir) => {
@@ -194,6 +209,13 @@ object FunctionSweeps {
         |        / CAST(n - 1 AS DOUBLE), 4) AS covar_qty_price,
         |  first_shipped_order, last_shipped_order
         |FROM s ORDER BY l_returnflag""".stripMargin,
+    "rel_string_agg" ->
+      """SELECT n_regionkey,
+        |  array_to_string(list_sort(list(n_name)), ',') AS nations,
+        |  count(*) AS n_nations,
+        |  bool_and(n_nationkey >= 0) AS all_nonneg,
+        |  bool_or(starts_with(n_name, 'NATION_1')) AS any_teen
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "sql_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(grouping(l_returnflag) AS INT) AS g_flag,

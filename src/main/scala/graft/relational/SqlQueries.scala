@@ -101,6 +101,18 @@ object SqlQueries {
         |GROUP BY o_orderkey, o_custkey, o_totalprice
         |ORDER BY o_orderkey""".stripMargin,
 
+    // Aggregate FILTER clause (ANSI): per-aggregate predicates without
+    // CASE scaffolding — one pass, partial-aggregatable in both engines.
+    "sql_filter_clause" ->
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  count(*) FILTER (WHERE l_quantity >= 25) AS n_bulk,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)))
+        |       FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS open_revenue
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
     // Full window-function family: ranking, distribution, offsets.
     "sql_window_funcs" ->
       """SELECT o_custkey, o_orderkey, o_totalprice,

@@ -65,7 +65,59 @@ object StreamQueries {
         sum(col("k")).as("sum_k"),
         countDistinct(col("user_id")).as("n_users"))
 
+  /** Conversion funnel: each user's first click, and their first
+    * purchase within 24 h of it. Per-stage `min(ts)` partial aggs
+    * first (map-side combine shrinks each side to one row per user
+    * BEFORE any join), then one equi-join on user_id with the time
+    * window as a post-join range filter — never an inequality-only
+    * join. The canonical events-at-scale analysis shape.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(clicks, Seq("user_id"))
+      .filter(col("ts") > col("first_click") &&
+        col("ts") <= col("first_click") + expr("INTERVAL 24 HOURS"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("first_purchase"))
+    clicks.join(purchases, Seq("user_id"), "left_outer")
+      .select(col("user_id"), col("first_click"), col("first_purchase"),
+        col("first_purchase").isNotNull.as("converted"))
+  }
+
+  /** Time-series gap fill: regularize each user's event stream onto a
+    * 1-hour grid (min..max hour) and forward-fill the last observed
+    * hourly sum into empty hours — `sequence`+`explode` builds the
+    * grid, `last(_, ignoreNulls)` over an unbounded-preceding row
+    * frame is the fill. Grid size is O(users × hours), independent of
+    * event count — the standard densify-then-fill shape for feature
+    * pipelines over sparse telemetry.
+    */
+  def gapFill(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("obs"))
+    val grid = events.groupBy(col("user_id"))
+      .agg(date_trunc("hour", min(col("ts"))).as("h0"),
+        date_trunc("hour", max(col("ts"))).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("INTERVAL 1 HOUR"))).as("hour"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("user_id", "hour"), "left_outer")
+      .withColumn("filled", round(last(col("obs"), ignoreNulls = true).over(w), 6))
+      .select(col("user_id"), col("hour"),
+        round(col("obs"), 6).as("obs"), col("filled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_funnel" -> ((s, dir) =>
+      funnel(Tables(s, dir, "events"))
+        .orderBy(col("user_id"))),
+    "stream_gap_fill" -> ((s, dir) =>
+      gapFill(Tables(s, dir, "events"))
+        .orderBy(col("user_id"), col("hour"))),
     "stream_tumbling_counts" -> ((s, dir) =>
       tumblingCounts(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
@@ -85,6 +137,39 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_funnel" ->
+      """WITH c AS (
+        |  SELECT user_id, min(ts) AS first_click FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS first_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+        |    AND e.ts <= c.first_click + INTERVAL '24 hours'
+        |  GROUP BY 1)
+        |SELECT c.user_id, c.first_click, p.first_purchase,
+        |       p.first_purchase IS NOT NULL AS converted
+        |FROM c LEFT JOIN p ON c.user_id = p.user_id
+        |ORDER BY c.user_id""".stripMargin,
+    "stream_gap_fill" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS hour,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS obs
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT user_id, date_trunc('hour', min(ts)) AS h0,
+        |         date_trunc('hour', max(ts)) AS h1
+        |  FROM events GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS hour
+        |  FROM b)
+        |SELECT g.user_id, g.hour, round(h.obs, 6) AS obs,
+        |  round(last_value(h.obs IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.hour
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS filled
+        |FROM grid g LEFT JOIN hourly h
+        |  ON g.user_id = h.user_id AND g.hour = h.hour
+        |ORDER BY g.user_id, g.hour""".stripMargin,
     "stream_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,
