@@ -85,9 +85,23 @@ object Recall {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache()
 
-    // Ground truth 4: exact cosine top-10 — overlap@10 for the two ANN
-    // paths (LSH buckets, IVF probes).
+    // Ground truth 4: exact top-10 in EACH index's own metric — IVF
+    // ranks by cosine (vs the exact cosine top-10), but the LSH query
+    // ranks by L2 distance, so its ground truth is the exact L2 top-10
+    // (on non-normalized embeddings the two orderings differ, and
+    // mixing them would conflate metric mismatch with approximation
+    // loss).
     val exactTop = idsOf("llm_cosine_topk")
+    val e2 = Tables(spark, sfDir, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+    val q2 = broadcast(e2.filter(col("vec_id") === 0).select(col("emb").as("qv")))
+    import llm.SimilarityQueries.dot
+    val exactL2Top = e2.crossJoin(q2).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        (dot(col("emb"), col("emb")) + dot(col("qv"), col("qv"))
+          - lit(2.0) * dot(col("emb"), col("qv"))).as("d2"))
+      .orderBy(col("d2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
     val lshTop = idsOf("llm_ann_lsh_topk")
     val ivfTop = idsOf("llm_ann_ivf_topk")
 
@@ -108,7 +122,7 @@ object Recall {
          |"llm_dedup_minhash_banded":${recallEntry(exactJaccard, minhashBanded)},
          |"llm_dedup_simhash":${recallEntry(simhashTruth, simhashBanded)},
          |"llm_dedup_embedding_cosine":${recallEntry(cosineTruth, cosineBlocked)},
-         |"llm_ann_lsh_topk":{"overlap_at_10":${(exactTop & lshTop).size}},
+         |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"rel_approx_agg":{"max_rel_err":${f"$maxRelErr%.5f"}}
          |}""".stripMargin

@@ -55,9 +55,37 @@ class IndexStore(spark: SparkSession, root: String) {
     val tmp = new Path(root, s".tmp_${indexName.toLowerCase}_$id")
     val bak = new Path(root, s".old_${indexName.toLowerCase}_$id")
     write(tmp)
-    if (fs.exists(live)) fs.rename(live, bak)
-    fs.rename(tmp, live)
+    // Hadoop FileSystem.rename reports failure by returning FALSE, not
+    // throwing — an unchecked failed rename-aside would leave `live` in
+    // place and the next rename would nest tmp INSIDE it, silently
+    // dropping the rewrite. Fail loudly instead; the data still exists
+    // under tmp (and live), so a failed swap loses nothing.
+    def renameOrThrow(from: Path, to: Path): Unit =
+      if (!fs.rename(from, to))
+        throw new java.io.IOException(s"swap rename failed: $from -> $to")
+    if (fs.exists(live)) renameOrThrow(live, bak)
+    renameOrThrow(tmp, live)
     fs.delete(bak, true)
+  }
+
+  /** Shared last-write-wins survivor: pack `ordPrefix ++ data` columns
+    * into one struct, take the per-key MAX (struct comparison is
+    * field-order lexicographic — identical to ORDER BY all-DESC +
+    * row_number()=1; ties are bit-identical rows), unpack the data
+    * fields. A hash aggregate with map-side partial combine: each
+    * input partition shuffles at most one candidate per key, where the
+    * window form shuffles and sorts every duplicate — at a 100 TB
+    * re-import that is shuffling the delta, not the corpus.
+    */
+  private def dedupByKey(df: DataFrame, idCol: String,
+                         ordPrefix: Seq[String] = Nil): DataFrame = {
+    val dataCols = df.columns.filterNot(c => c == idCol || ordPrefix.contains(c))
+    val packed = struct((ordPrefix ++ dataCols).map(col): _*)
+    val outCols = df.columns.filterNot(ordPrefix.contains)
+    df.groupBy(col(idCol))
+      .agg(max(packed).as("__doc"))
+      .select(outCols.map(c =>
+        if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
   }
 
   def deleteIndex(name: String): Unit = fs.delete(dir(name), true)
@@ -78,25 +106,15 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def bulkImport(df: DataFrame, indexName: String, idCol: String,
                  numShards: Int = 5): Long = {
-    val stringified = Stringify.all(df)
-    val dataCols = stringified.columns.filterNot(_ == idCol)
-    // Last-write-wins as a HASH AGGREGATE, not a window: the survivor
-    // is the row with the max (c1,…,cn) tuple, and struct comparison
-    // is field-order lexicographic — identical to the window form
-    // ORDER BY c1 DESC,…,cn DESC ROW_NUMBER()=1 (ties are bit-identical
-    // rows). The aggregate gets map-side partial combine, so each input
-    // partition shuffles AT MOST one candidate per key — the window
-    // form shuffles and sorts every duplicate. At a 100 TB re-import
-    // (high dup ratio) that is the difference between shuffling the
-    // delta and shuffling the corpus.
-    val doc = struct(dataCols.map(col): _*)
-    val deduped = stringified
-      .groupBy(col(idCol))
-      .agg(max_by(doc, doc).as("__doc"))
-      .select(stringified.columns.map(c =>
-        if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
-    deduped.repartition(numShards)
-      .write.mode(SaveMode.Overwrite).parquet(dir(indexName).toString)
+    val deduped = dedupByKey(Stringify.all(df), idCol)
+    // Through the same crash-safe swap as every other rewrite: a direct
+    // Overwrite of the live dir deletes the previous index before the
+    // job commits — a mid-write crash on a RE-import would lose the
+    // existing data unrecoverably.
+    swapIn(indexName) { tmp =>
+      deduped.repartition(numShards)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
     count(indexName)
   }
 
@@ -114,19 +132,11 @@ class IndexStore(spark: SparkSession, root: String) {
              numShards: Int = 5): Long = {
     val existing = read(indexName).withColumn("__gen", lit(0))
     val next = Stringify.all(incoming).withColumn("__gen", lit(1))
-    val unioned = existing.unionByName(next)
-    val dataCols = existing.columns.filterNot(c => c == idCol || c == "__gen")
     // Same hash-agg last-write-wins as bulkImport, with the recency tag
     // leading the comparison tuple (incoming generation always beats
     // existing; ties within a generation break on the data columns).
-    val doc = struct(dataCols.map(col): _*)
-    val ord = struct(col("__gen") +: dataCols.map(col): _*)
-    val outCols = existing.columns.filterNot(_ == "__gen")
-    val merged = unioned
-      .groupBy(col(idCol))
-      .agg(max_by(doc, ord).as("__doc"))
-      .select(outCols.map(c =>
-        if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
+    val merged = dedupByKey(existing.unionByName(next), idCol,
+      ordPrefix = Seq("__gen"))
     // Write via temp dir then swap: the source of the merge is the
     // index itself, so a direct overwrite would truncate its input.
     swapIn(indexName) { tmp =>
@@ -174,12 +184,18 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def searchAll(keyword: String): DataFrame = {
     import spark.implicits._
-    listIndexes().map { idx =>
-      val df = read(idx)
-      df.filter(graft.search.SearchQueries.anyFieldContains(df, keyword))
-        .select(lit(idx).as("index_name"),
-          to_json(struct(df.columns.map(col): _*)).as("doc"))
-    }.reduceOption(_.unionByName(_))
+    listIndexes()
+      // A created-but-never-loaded index has no parquet footers to
+      // infer a schema from; it can't match anything, so it simply
+      // contributes zero hits instead of failing the whole fan-out.
+      .filter(idx => fs.exists(dir(idx)) && fs.listStatus(dir(idx))
+        .exists(_.getPath.getName.endsWith(".parquet")))
+      .map { idx =>
+        val df = read(idx)
+        df.filter(graft.search.SearchQueries.anyFieldContains(df, keyword))
+          .select(lit(idx).as("index_name"),
+            to_json(struct(df.columns.map(col): _*)).as("doc"))
+      }.reduceOption(_.unionByName(_))
       .getOrElse(Seq.empty[(String, String)].toDF("index_name", "doc"))
   }
 

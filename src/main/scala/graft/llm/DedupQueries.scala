@@ -287,7 +287,7 @@ object DedupQueries {
         |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
         |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
         |kept AS (SELECT sh.doc_id, sh.shingle
-        |         FROM sh JOIN df USING (shingle) WHERE df.df <= 50),
+        |         FROM sh JOIN df USING (shingle) WHERE df.df <= <MAX_DF>),
         |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
         |pairs AS (
         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
@@ -299,7 +299,8 @@ object DedupQueries {
         |JOIN sizes sa ON doc_a = sa.doc_id
         |JOIN sizes sb ON doc_b = sb.doc_id
         |WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter
-        |ORDER BY doc_a, doc_b""".stripMargin,
+        |ORDER BY doc_a, doc_b""".stripMargin
+        .replace("<MAX_DF>", MaxShingleDf.toString), // single knob, both engines
     "llm_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w

@@ -148,7 +148,9 @@ object MultimodalQueries {
         |SELECT doc_id,
         |  CAST(16 AS INT) AS width,
         |  CAST(ceil(n_chars / 16.0) AS INT) AS height,
-        |  round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6) AS mean_byte,
+        |  CASE WHEN len(bytes) = 0 THEN 0.0
+        |       ELSE round(CAST(list_sum(bytes) AS DOUBLE) / len(bytes), 6)
+        |  END AS mean_byte,
         |  array_to_string(list_transform(generate_series(0, 15),
         |    bin -> len(list_filter(bytes, v -> v // 16 = bin))), ',') AS histogram
         |FROM b ORDER BY doc_id""".stripMargin,
@@ -160,7 +162,9 @@ object MultimodalQueries {
         |  FROM documents)
         |SELECT doc_id,
         |  CAST(len(sampled) AS INT) AS n_frames,
-        |  CAST(list_reduce(sampled, (x, y) -> (x * 31 + y) % 1000000007) AS BIGINT) AS frame_checksum
+        |  CAST(CASE WHEN len(sampled) = 0 THEN 0
+        |            ELSE list_reduce(sampled, (x, y) -> (x * 31 + y) % 1000000007)
+        |       END AS BIGINT) AS frame_checksum
         |FROM b ORDER BY doc_id""".stripMargin
   )
 }

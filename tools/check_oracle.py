@@ -77,6 +77,14 @@ def main():
         except Exception as e:
             results[name] = f"ORACLE-SQL-FAIL: {e}"
             continue
+        # Empty == empty proves nothing: a query and twin broken the
+        # same way (bad keyword, over-tight threshold) would "match" on
+        # zero rows. Only queries where emptiness IS the expected answer
+        # may pass empty.
+        MAY_BE_EMPTY = {"rel_join_anti"}
+        if len(spark_df) == 0 and len(duck_df) == 0 and name not in MAY_BE_EMPTY:
+            results[name] = "EMPTY-BOTH — vacuous twin comparison"
+            continue
         a, b = canon(spark_df), canon(duck_df)
         if list(a.columns) != list(b.columns):
             results[name] = f"COL-MISMATCH spark={list(a.columns)} duck={list(b.columns)}"
