@@ -101,6 +101,19 @@ object SqlQueries {
         |GROUP BY o_orderkey, o_custkey, o_totalprice
         |ORDER BY o_orderkey""".stripMargin,
 
+    // LATERAL correlated subquery (ANSI): per-customer top-1 order via
+    // a correlated ORDER BY ... LIMIT 1 — the "top-N per group as a
+    // join" surface. Catalyst decorrelates this into a window/aggregate
+    // under the hood rather than executing a per-row subquery.
+    "sql_lateral_topn" ->
+      """SELECT c_custkey, c_name, o.o_orderkey, o.o_totalprice
+        |FROM customer,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+        |         WHERE o_custkey = c_custkey
+        |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 1) o
+        |WHERE c_custkey < 50
+        |ORDER BY c_custkey""".stripMargin,
+
     // Aggregate FILTER clause (ANSI): per-aggregate predicates without
     // CASE scaffolding — one pass, partial-aggregatable in both engines.
     "sql_filter_clause" ->
