@@ -111,7 +111,48 @@ object StreamQueries {
         round(col("obs"), 6).as("obs"), col("filled"))
   }
 
+  /** Daily new users + running total — the growth-curve metric. The
+    * per-user min is a partial agg; the running sum's window has NO
+    * partition key, which is fine precisely because its input is one
+    * row per DAY (cardinality ~10³ even over years) — the heavy
+    * per-user work happened before the single-partition step.
+    */
+  def cumulativeUsers(events: DataFrame): DataFrame = {
+    val firstSeen = events.groupBy(col("user_id"))
+      .agg(to_date(min(col("ts"))).as("first_day"))
+    val daily = firstSeen.groupBy(col("first_day"))
+      .agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("first_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.withColumn("cum_users", sum(col("new_users")).over(w))
+  }
+
+  /** Weekly retention cohorts: users grouped by first-seen week,
+    * counted in each subsequent active week — the (cohort, week_idx)
+    * triangle. Two per-user partial aggs + one join on user_id; the
+    * final distinct-count shuffles (cohort, week, user) once.
+    */
+  def retentionCohorts(events: DataFrame): DataFrame = {
+    val cohort = events.groupBy(col("user_id"))
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = events
+      .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+      .distinct()
+    active.join(cohort, "user_id")
+      .withColumn("week_idx",
+        (datediff(to_date(col("week")), to_date(col("cohort_week"))) / 7)
+          .cast(IntegerType))
+      .groupBy(col("cohort_week"), col("week_idx"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_cumulative_users" -> ((s, dir) =>
+      cumulativeUsers(Tables(s, dir, "events"))
+        .orderBy(col("first_day"))),
+    "stream_retention_cohorts" -> ((s, dir) =>
+      retentionCohorts(Tables(s, dir, "events"))
+        .orderBy(col("cohort_week"), col("week_idx"))),
     "stream_funnel" -> ((s, dir) =>
       funnel(Tables(s, dir, "events"))
         .orderBy(col("user_id"))),
@@ -137,6 +178,25 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_cumulative_users" ->
+      """WITH f AS (
+        |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT first_day, count(*) AS new_users FROM f GROUP BY 1)
+        |SELECT first_day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY first_day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d ORDER BY first_day""".stripMargin,
+    "stream_retention_cohorts" ->
+      """WITH c AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events)
+        |SELECT cohort_week,
+        |  CAST(datediff('day', CAST(cohort_week AS DATE), CAST(week AS DATE)) // 7 AS INT) AS week_idx,
+        |  count(DISTINCT user_id) AS n_active
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_funnel" ->
       """WITH c AS (
         |  SELECT user_id, min(ts) AS first_click FROM events
