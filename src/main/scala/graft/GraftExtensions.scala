@@ -14,24 +14,41 @@ import graft.functions.{CosineSimExpr, MinHash32Expr, SimHash64Expr}
   * (`call_function("cosine_sim", a, b)`) resolve them.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private type Exprs = Seq[org.apache.spark.sql.catalyst.expressions.Expression]
+
+  /** Builders receive whatever arity the user wrote — silently taking
+    * `children.head` would drop extra arguments without a diagnostic.
+    */
+  private def arity(name: String, n: Int, children: Exprs): Unit =
+    if (children.length != n)
+      throw new IllegalArgumentException(
+        s"$name expects $n argument(s), got ${children.length}")
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("simhash64_native"),
       new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64_native",
         "simhash64_native(text) - 64-bit SimHash over whitespace tokens (xxhash64 seed 42)"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        SimHash64Expr(children.head)))
+      (children: Exprs) => {
+        arity("simhash64_native", 1, children)
+        SimHash64Expr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("minhash32_native"),
       new ExpressionInfo(classOf[MinHash32Expr].getName, "minhash32_native",
         "minhash32_native(shingles) - 32 salted minhashes of array<string> in one pass (xxhash64 seed 42)"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        MinHash32Expr(children.head)))
+      (children: Exprs) => {
+        arity("minhash32_native", 1, children)
+        MinHash32Expr(children.head)
+      }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimExpr].getName, "cosine_sim",
         "cosine_sim(a, b) - fused cosine similarity of two array<double>"),
-      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        CosineSimExpr(children(0), children(1))))
+      (children: Exprs) => {
+        arity("cosine_sim", 2, children)
+        CosineSimExpr(children(0), children(1))
+      }))
   }
 }

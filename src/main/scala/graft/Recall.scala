@@ -92,15 +92,15 @@ object Recall {
     // mixing them would conflate metric mismatch with approximation
     // loss).
     val exactTop = idsOf("llm_cosine_topk")
-    val e2 = Tables(spark, sfDir, "embeddings")
-      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
-    val q2 = broadcast(e2.filter(col("vec_id") === 0).select(col("emb").as("qv")))
-    import llm.SimilarityQueries.dot
-    val exactL2Top = e2.crossJoin(q2).filter(col("vec_id") =!= 0)
+    import llm.SimilarityQueries.{embDouble, l2sq, queryVec}
+    val e2 = embDouble(Tables(spark, sfDir, "embeddings"))
+    // Same rounding as the LSH query's l2_dist (6 decimals) so a
+    // sub-rounding tie at the top-10 boundary can't masquerade as
+    // approximation loss.
+    val exactL2Top = e2.crossJoin(queryVec(e2)).filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
-        (dot(col("emb"), col("emb")) + dot(col("qv"), col("qv"))
-          - lit(2.0) * dot(col("emb"), col("qv"))).as("d2"))
-      .orderBy(col("d2"), col("vec_id")).limit(10)
+        round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(10)
       .collect().map(_.getLong(0)).toSet
     val lshTop = idsOf("llm_ann_lsh_topk")
     val ivfTop = idsOf("llm_ann_ivf_topk")

@@ -188,7 +188,8 @@ class IndexStore(spark: SparkSession, root: String) {
       // A created-but-never-loaded index has no parquet footers to
       // infer a schema from; it can't match anything, so it simply
       // contributes zero hits instead of failing the whole fan-out.
-      .filter(idx => fs.exists(dir(idx)) && fs.listStatus(dir(idx))
+      // (listIndexes already guarantees the dir exists.)
+      .filter(idx => fs.listStatus(dir(idx))
         .exists(_.getPath.getName.endsWith(".parquet")))
       .map { idx =>
         val df = read(idx)

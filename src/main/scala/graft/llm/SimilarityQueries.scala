@@ -40,12 +40,19 @@ object SimilarityQueries {
   def cosineNative(a: Column, b: Column): Column =
     call_function("cosine_sim", a, b)
 
-  private def embDouble(df: DataFrame): DataFrame =
+  private[graft] def embDouble(df: DataFrame): DataFrame =
     df.withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
 
   /** The fixed query vector: embedding of vec_id 0, broadcast. */
-  private def queryVec(df: DataFrame): DataFrame =
+  private[graft] def queryVec(df: DataFrame): DataFrame =
     broadcast(df.filter(col("vec_id") === 0).select(col("emb").as("qv")))
+
+  /** Squared L2 via the norm identity ‖a‖²+‖b‖²−2a·b — shared by the
+    * IVF probe and Recall's ground truth so both measure the same
+    * distance expression.
+    */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -125,8 +132,7 @@ object SimilarityQueries {
       // Each vector joins its 2 nearest cells (own + runner-up).
       val withCells = model.transform(e)
         .crossJoin(broadcast(centroids))
-        .withColumn("cdist", dot(col("emb"), col("emb")) + dot(col("centroid"), col("centroid"))
-          - lit(2.0) * dot(col("emb"), col("centroid")))
+        .withColumn("cdist", l2sq(col("emb"), col("centroid")))
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("vec_id")).orderBy(col("cdist"), col("c_cell"))))
@@ -183,8 +189,7 @@ object SimilarityQueries {
         model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
       ).toDF("cell", "centroid")
       val probed = queryVec(e).crossJoin(broadcast(centroids))
-        .withColumn("qdist", dot(col("qv"), col("qv")) + dot(col("centroid"), col("centroid"))
-          - lit(2.0) * dot(col("qv"), col("centroid")))
+        .withColumn("qdist", l2sq(col("qv"), col("centroid")))
         .orderBy(col("qdist"), col("cell"))
         .limit(4)
         .select(col("cell"), col("qv"))

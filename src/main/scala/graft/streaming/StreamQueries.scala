@@ -66,11 +66,14 @@ object StreamQueries {
         countDistinct(col("user_id")).as("n_users"))
 
   /** Conversion funnel: each user's first click, and their first
-    * purchase within 24 h of it. Per-stage `min(ts)` partial aggs
-    * first (map-side combine shrinks each side to one row per user
-    * BEFORE any join), then one equi-join on user_id with the time
-    * window as a post-join range filter — never an inequality-only
-    * join. The canonical events-at-scale analysis shape.
+    * purchase within 24 h of it. The clicks side is pre-aggregated to
+    * one row per user (map-side combine) before anything else; the
+    * purchases side must join RAW purchase events against that
+    * per-user cursor (the window depends on each user's first_click)
+    * and only then aggregates — so the join shuffles purchases +
+    * one-row-per-user clicks, never clicks × all events, and the time
+    * window rides the user_id equi-join as a range filter (never an
+    * inequality-only join).
     */
   def funnel(events: DataFrame): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")

@@ -79,12 +79,20 @@ class StreamingIndexSpec extends AnyFunSuite {
     assert(store.count("docs") == corpusFps,
       "re-keyed replay of known content must not grow the index")
 
-    // Genuinely new content is admitted.
-    stageDf(docs.withColumn("doc_id", col("doc_id") + 20000)
-      .withColumn("text", concat(col("text"), lit(" fresh suffix"))),
-      "b3.parquet")
+    // Genuinely new content is admitted. Expected growth is computed
+    // from the suffixed texts' own fingerprints (not assumed == the
+    // original count): suffixing raw text can merge or split
+    // whitespace-variant fingerprints.
+    val suffixed = docs.withColumn("doc_id", col("doc_id") + 20000)
+      .withColumn("text", concat(col("text"), lit(" fresh suffix")))
+    val newFps = suffixed
+      .select(md5(lower(trim(col("text")))).as("fp")).distinct()
+      .join(docs.select(md5(lower(trim(col("text")))).as("fp")).distinct(),
+        Seq("fp"), "left_anti").count()
+    assert(newFps > 0, "fixture must yield novel fingerprints")
+    stageDf(suffixed, "b3.parquet")
     runPass()
-    assert(store.count("docs") == 2 * corpusFps,
+    assert(store.count("docs") == corpusFps + newFps,
       "novel content must be admitted")
   }
 

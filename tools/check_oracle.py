@@ -22,6 +22,11 @@ import numpy as np
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Queries where an empty result IS the expected answer (must agree with
+# SparkEntrySpec's mayBeEmpty set — the smoke test and the gate share
+# this contract).
+MAY_BE_EMPTY = {"rel_join_anti"}
+
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
@@ -81,7 +86,6 @@ def main():
         # same way (bad keyword, over-tight threshold) would "match" on
         # zero rows. Only queries where emptiness IS the expected answer
         # may pass empty.
-        MAY_BE_EMPTY = {"rel_join_anti"}
         if len(spark_df) == 0 and len(duck_df) == 0 and name not in MAY_BE_EMPTY:
             results[name] = "EMPTY-BOTH — vacuous twin comparison"
             continue
