@@ -31,6 +31,7 @@ object SparkEntry {
       search.SearchQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
+      llm.CorpusQueries.queries ++
       llm.SimilarityQueries.queries ++
       llm.PipelineQueries.queries ++
       streaming.StreamQueries.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       search.SearchQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
+      llm.CorpusQueries.oracleSql ++
       llm.SimilarityQueries.oracleSql ++
       llm.PipelineQueries.oracleSql ++
       streaming.StreamQueries.oracleSql ++

@@ -32,6 +32,38 @@ object RangeLayout {
   def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
     df.write.partitionBy(cols: _*).mode(SaveMode.Overwrite).parquet(path)
 
+  /** Morton (Z-order) value: bit-interleave of two non-negative
+    * integer keys (a's bit i lands at 2i+1, b's at 2i). Statically
+    * unrolled bitwise expression — whole-stage-codegen'd, no UDF.
+    * Callers with unbounded or skewed domains should rank-normalize
+    * first (ntile into 2^bits buckets); the layout only needs relative
+    * order, not the raw values.
+    */
+  def zValue(a: Column, b: Column, bits: Int = 16): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(a.cast("long"), i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(b.cast("long"), i).bitwiseAND(lit(1L)), 2 * i))
+    }
+
+  /** Z-ordered layout over TWO keys — the multi-dimensional version of
+    * [[writeRangeSorted]]: range-partitioning on the Morton value
+    * gives each file an (approximately square) region of the key
+    * plane, so parquet min/max footer stats prune files for
+    * predicates on EITHER key — a single-key sort prunes only its
+    * own key and reads the full table for the other. This is the
+    * write-time answer to "we filter this table by two different
+    * columns" at 100 TB; beyond two keys the same interleave
+    * generalizes (or a Hilbert curve for better locality).
+    */
+  def writeZOrdered(df: DataFrame, path: String, numFiles: Int,
+                    a: Column, b: Column, bits: Int = 16): Unit =
+    df.withColumn("__z", zValue(a, b, bits))
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
   /** Rows the parquet scan actually surfaced for a predicate —
     * row-group min/max skipping makes this ≪ table size on a
     * range-sorted layout and ≈ table size on an unsorted one

@@ -1,0 +1,217 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Corpus-structure operators for a training-data pipeline (SURVEY.md
+  * §2.4 family): near-dup cluster resolution (the stage AFTER pair
+  * finding), overlapping token chunking, vocabulary extraction, and
+  * distribution-tail trimming.
+  *
+  * Scale design notes (the 100 TB story, per operator):
+  *  - dedup clustering: near-dup PAIRS are not enough — survivor
+  *    selection needs the transitive closure (A~B, B~C ⇒ one cluster).
+  *    Implemented as iterated min-label propagation ("hash-to-min"):
+  *    each round, every node takes the min label among itself and its
+  *    neighbors — one equi-join + one partial-agg shuffle per round,
+  *    converging in O(component diameter) rounds. Near-dup components
+  *    are short chains/cliques, so 3-5 rounds in practice; for
+  *    adversarial long-path graphs the published fix is the
+  *    large-star/small-star rewrite (Kiveris et al., "Connected
+  *    Components in MapReduce and Beyond", SoCC'14) which converges in
+  *    O(log n) rounds with the same per-round join shape. Lineage is
+  *    truncated per round (localCheckpoint here; a reliable
+  *    HDFS-checkpoint on a real cluster) — without it the plan doubles
+  *    every iteration and the job dies on planning long before data
+  *    volume matters.
+  *  - chunking: pure per-row explode — scan-speed, shuffle-free; the
+  *    output is bigger than the input (overlap factor 64/48), which is
+  *    fine because it never shuffles.
+  *  - vocabulary: explode + hash-agg; map-side partial aggregation
+  *    collapses each partition's token stream to its local vocabulary
+  *    before the shuffle, so shuffle volume is O(distinct tokens per
+  *    partition), not O(corpus tokens). Top-k via
+  *    TakeOrderedAndProject (per-partition heaps, never a global sort).
+  *  - length trim: percentile cuts computed from a VALUE HISTOGRAM
+  *    (groupBy n_chars → cumulative count), not a global row sort —
+  *    the histogram is bounded by the value domain (thousands of
+  *    distinct lengths) regardless of corpus row count, so the
+  *    window over it is metadata-sized. This is the exact-arithmetic
+  *    twin of the approx_percentile cut (`rel_approx_agg`) a 100 TB
+  *    run would use, and unlike row-ranked trimming it needs no
+  *    global ordering of the data.
+  */
+object CorpusQueries {
+
+  /** Connected components by iterated min-label propagation.
+    *
+    * @param nodes single column `doc_id` (every vertex, including
+    *              singletons — they keep their own id as the label)
+    * @param edges columns `src`, `dst`, both directions present
+    * @return (doc_id, label) where label = min doc_id in the component
+    */
+  private[graft] def connectedComponents(
+      nodes: DataFrame, edges: DataFrame, maxIters: Int = 25): DataFrame = {
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
+    var done = false
+    var i = 0
+    while (!done && i < maxIters) {
+      // Propagate each node's label one hop, then keep the min per
+      // node. Labels only ever decrease, so the fixpoint is exactly
+      // the per-component min and a no-change round proves global
+      // convergence.
+      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(edges("dst").as("doc_id"), col("label"))
+      val next = labels.union(prop)
+        .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true)
+      val changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.label") < col("o.label"))
+        .limit(1).count()
+      labels = next
+      done = changed == 0L
+      i += 1
+    }
+    labels
+  }
+
+  /** Chunk geometry: 64-token chunks, stride 48 (16-token overlap). A
+    * chunk start beyond position 1 must contribute at least one token
+    * past the previous chunk's coverage (start + overlap <= n_tokens),
+    * so a short tail fully contained in its predecessor is not
+    * re-emitted. Integer rule, mirrored verbatim in the oracle.
+    */
+  private val ChunkTokens = 64
+  private val ChunkStride = 48
+  private val ChunkOverlap = ChunkTokens - ChunkStride
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Near-dup CLUSTERS from the ngram-Jaccard pair graph: transitive
+    // closure + canonical (min-id) cluster label for every document.
+    // Survivor selection is then `doc_id = cluster_id`; every other
+    // member names its canonical replacement. DuckDB twin: recursive
+    // CTE over the same pair CTEs — a hard (hash-exact) check of an
+    // iterative distributed algorithm against a sequential fixpoint.
+    "llm_dedup_cluster" -> ((s, dir) => {
+      val pairs = DedupQueries.jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      // The loop touches the edge set every round; materialize the
+      // pair join ONCE (it is the expensive part) so iterations pay
+      // only the tiny label join, not a pair-finding recompute.
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .localCheckpoint(true)
+      val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+      connectedComponents(nodes, edges)
+        .select(col("doc_id"), col("label").as("cluster_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Overlapping token chunking — the pre-training/RAG splitter.
+    // Per-row sequence+explode+slice, no shuffle; chunk text leaves
+    // the operator as md5 so the comparison surface stays narrow.
+    "llm_chunk_docs" -> ((s, dir) => {
+      val w = split(lower(col("text")), "\\s+")
+      Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), w.as("w"))
+        .select(col("doc_id"), col("w"),
+          explode(filter(
+            sequence(lit(1), greatest(size(col("w")), lit(1)), lit(ChunkStride)),
+            st => (st === 1) || (st + lit(ChunkOverlap) <= size(col("w")))))
+            .as("st"))
+        .select(
+          col("doc_id"),
+          expr(s"CAST((st - 1) DIV $ChunkStride AS BIGINT)").as("chunk_idx"),
+          least(lit(ChunkTokens), size(col("w")) - col("st") + 1).as("n_tokens"),
+          md5(concat_ws(" ", slice(col("w"), col("st"), lit(ChunkTokens))))
+            .as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Corpus vocabulary top-k: token explode → partial+final hash agg
+    // → per-partition top-k heaps (TakeOrderedAndProject). The
+    // deterministic (cnt DESC, token) tiebreak makes the boundary
+    // oracle-exact.
+    "llm_vocab_topk" -> ((s, dir) => {
+      Tables.forCompute(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(100)
+    }),
+
+    // Distribution-tail trim: drop the bottom and top 5% of documents
+    // by n_chars, at VALUE granularity (a length value is kept iff any
+    // of its cumulative-count span lies inside (5%, 95%]) — all-integer
+    // rule: cum*20 > total && (cum-cnt)*20 < 19*total. The histogram
+    // window is over distinct length VALUES (metadata-sized), never the
+    // corpus rows; kept-values broadcast back against the scan.
+    "llm_length_trim" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val hist = docs.groupBy(col("n_chars")).agg(count(lit(1)).as("cnt"))
+      // Single-partition window is safe here: hist has one row per
+      // DISTINCT length value, not per document.
+      val cum = hist.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val total = docs.agg(count(lit(1)).as("total"))
+      val kept = cum.crossJoin(broadcast(total))
+        .filter(col("cum") * 20 > col("total") &&
+          (col("cum") - col("cnt")) * 20 < col("total") * 19)
+        .select(col("n_chars"))
+      docs.join(broadcast(kept), Seq("n_chars"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("lang"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE ${DedupQueries.ngramPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM good),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_chunk_docs" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST((i - 1) // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(least($ChunkTokens, len(w) - i + 1) AS INT) AS n_tokens,
+         |  md5(array_to_string(w[i : i + ${ChunkTokens - 1}], ' ')) AS chunk_md5
+         |FROM t, unnest(generate_series(1, greatest(len(w), 1), $ChunkStride)) AS u(i)
+         |WHERE i = 1 OR i + $ChunkOverlap <= len(w)
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_vocab_topk" ->
+      """SELECT token, count(*) AS cnt
+        |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |      FROM documents)
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 100""".stripMargin,
+    "llm_length_trim" ->
+      """WITH hist AS (
+        |  SELECT n_chars, count(*) AS cnt FROM documents GROUP BY n_chars),
+        |cum AS (
+        |  SELECT n_chars, cnt, sum(cnt) OVER (ORDER BY n_chars) AS cum FROM hist),
+        |tot AS (SELECT count(*) AS total FROM documents),
+        |kept AS (
+        |  SELECT n_chars FROM cum, tot
+        |  WHERE cum * 20 > total AND (cum - cnt) * 20 < total * 19)
+        |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN kept USING (n_chars)
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  )
+}

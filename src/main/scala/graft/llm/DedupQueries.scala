@@ -58,6 +58,74 @@ object DedupQueries {
   private def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
 
+  /** Near-dup pairs (Jaccard >= 0.2 on word-3-shingles) via the
+    * inverted-index self-join — the pair finder behind
+    * `llm_dedup_ngram_jaccard`, reused by the cluster/survivor stage
+    * ([[CorpusQueries]]). Columns: doc_a < doc_b, inter, union_sz
+    * (all integers — oracle-exact). Unordered; callers add their own
+    * presentation sort.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.forCompute(s, dir, "documents")
+    // The postings feed three consumers (both join sides + sizes);
+    // persist so shingling runs once. At cluster scale this is a
+    // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
+    // index — the standard shape for repeated probes.
+    val raw = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Stop-shingle cap: a shingle in > MaxShingleDf docs contributes
+    // up to df² candidate pairs; the list of such shingles is small
+    // by definition (bounded by corpus_shingles / MaxShingleDf), so
+    // it broadcasts, and the drop is a broadcast LEFT ANTI — no extra
+    // shuffle of the postings.
+    val hot = raw.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("shingle"))
+    val posts = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val pairs = posts.as("a")
+      .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("sa.n_shingles") + col("sb.n_shingles") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 5 >= col("union_sz")) // jaccard >= 0.2
+  }
+
+  /** Shared DuckDB CTE chain producing `good(doc_a, doc_b, inter,
+    * union_sz)` — the SQL twin of [[jaccardPairs]], composed into both
+    * the pair query's oracle and the recursive cluster oracle.
+    */
+  private[graft] val ngramPairsCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
+      |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      |kept AS (SELECT sh.doc_id, sh.shingle
+      |         FROM sh JOIN df USING (shingle) WHERE df.df <= <MAX_DF>),
+      |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |good AS (
+      |  SELECT doc_a, doc_b, inter,
+      |         sa.n_shingles + sb.n_shingles - inter AS union_sz
+      |  FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id
+      |  WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter)""".stripMargin
+      .replace("<MAX_DF>", MaxShingleDf.toString) // single knob, both engines
+
   /** 64-bit SimHash of a text column named `text`: for each bit b, sum
     * +1/-1 votes from every token's xxhash64 bit b; result bit b is set
     * iff the vote is positive. Pure higher-order functions (nested
@@ -94,38 +162,8 @@ object DedupQueries {
     // no float anywhere. Stop-shingles (df > MaxShingleDf) are removed
     // from the doc representation (so both intersection AND union see
     // the capped shingle set — Jaccard stays internally consistent).
-    "llm_dedup_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.forCompute(s, dir, "documents")
-      // The postings feed three consumers (both join sides + sizes);
-      // persist so shingling runs once. At cluster scale this is a
-      // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
-      // index — the standard shape for repeated probes.
-      val raw = postings(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Stop-shingle cap: a shingle in > MaxShingleDf docs contributes
-      // up to df² candidate pairs; the list of such shingles is small
-      // by definition (bounded by corpus_shingles / MaxShingleDf), so
-      // it broadcasts, and the drop is a broadcast LEFT ANTI — no extra
-      // shuffle of the postings.
-      val hot = raw.groupBy(col("shingle"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxShingleDf)
-        .select(col("shingle"))
-      val posts = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
-      val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-      val pairs = posts.as("a")
-        .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-        .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-        .select(col("doc_a"), col("doc_b"), col("inter"),
-          (col("sa.n_shingles") + col("sb.n_shingles") - col("inter")).as("union_sz"))
-        .filter(col("inter") * 5 >= col("union_sz")) // jaccard >= 0.2
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "llm_dedup_ngram_jaccard" -> ((s, dir) =>
+      jaccardPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
     // Incremental (batch-vs-corpus) near-dup dedup — the op a LIVE
     // 100 TB pipeline actually runs daily: admit a new batch only where
@@ -278,29 +316,9 @@ object DedupQueries {
         |                           ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-        |  FROM documents),
-        |sh AS (
-        |  SELECT DISTINCT doc_id,
-        |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
-        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
-        |df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
-        |kept AS (SELECT sh.doc_id, sh.shingle
-        |         FROM sh JOIN df USING (shingle) WHERE df.df <= <MAX_DF>),
-        |sizes AS (SELECT doc_id, count(*) AS n_shingles FROM kept GROUP BY doc_id),
-        |pairs AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
-        |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, inter,
-        |       sa.n_shingles + sb.n_shingles - inter AS union_sz
-        |FROM pairs
-        |JOIN sizes sa ON doc_a = sa.doc_id
-        |JOIN sizes sb ON doc_b = sb.doc_id
-        |WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter
-        |ORDER BY doc_a, doc_b""".stripMargin
-        .replace("<MAX_DF>", MaxShingleDf.toString), // single knob, both engines
+      s"""WITH $ngramPairsCtes
+         |SELECT doc_a, doc_b, inter, union_sz FROM good
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w

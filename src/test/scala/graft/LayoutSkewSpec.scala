@@ -30,6 +30,41 @@ class LayoutSkewSpec extends AnyFunSuite {
       spark.read.parquet(unsorted).filter(pred).count())
   }
 
+  test("z-order layout prunes on BOTH keys; single-key sort on one") {
+    import spark.implicits._
+    // Full 256×256 grid — every (x, y) cell exactly once, so pruning
+    // ratios are exact geometry, not data luck.
+    val grid = spark.range(65536L)
+      .select((col("id") / 256).cast("int").as("x"),
+        pmod(col("id"), lit(256)).cast("int").as("y"))
+    val zPath = java.nio.file.Files.createTempDirectory("layout_z").toString
+    val xPath = java.nio.file.Files.createTempDirectory("layout_x").toString
+    etl.RangeLayout.writeZOrdered(grid, zPath, 16, col("x"), col("y"), bits = 8)
+    etl.RangeLayout.writeRangeSorted(grid, xPath, 16, col("x"))
+
+    val total = 65536L
+    def scanned(path: String, pred: org.apache.spark.sql.Column): Long =
+      etl.RangeLayout.scanOutputRows(spark.read.parquet(path).filter(pred))
+
+    // 16 z-range files over the grid = 4×4 aligned blocks: a predicate
+    // selecting a quarter of either axis intersects only one row/column
+    // of blocks — both axes prune to ~1/4 of the table.
+    val zx = scanned(zPath, $"x" < 64)
+    val zy = scanned(zPath, $"y" < 64)
+    assert(zx <= total / 2, s"z-layout x-predicate scanned $zx of $total")
+    assert(zy <= total / 2, s"z-layout y-predicate scanned $zy of $total")
+    // The single-key sort prunes its own key…
+    val xx = scanned(xPath, $"x" < 64)
+    assert(xx <= total / 2, s"x-layout x-predicate scanned $xx of $total")
+    // …but reads essentially everything for the other key.
+    val xy = scanned(xPath, $"y" < 64)
+    assert(xy >= (total * 3) / 4, s"x-layout y-predicate scanned only $xy")
+    assert(zy < xy / 2, s"z-order should beat single-key on y: $zy vs $xy")
+    // Layout never changes answers.
+    assert(spark.read.parquet(zPath).filter($"y" < 64).count() ==
+      grid.filter($"y" < 64).count())
+  }
+
   test("hive-partitioned layout prunes whole directories at plan time") {
     val events = Tables(spark, sf, "events")
     val path = java.nio.file.Files.createTempDirectory("layout_part").toString

@@ -119,4 +119,60 @@ class LlmSpec extends AnyFunSuite {
     val once = SparkEntry.queries("llm_dedup_exact")(spark, sf)
     assert(once.count() == once.dropDuplicates("content_fp").count())
   }
+
+  test("connected components: path, triangle, and singletons resolve") {
+    import spark.implicits._
+    // Components: {1,2,3,4} (a path — needs multi-round propagation),
+    // {10,11,12} (a triangle), {20} and {21} (singletons).
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L).toDF("doc_id")
+    val half = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("src", "dst")
+    val edges = half.union(half.select($"dst".as("src"), $"src".as("dst")))
+    val got = llm.CorpusQueries.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 21L)
+    assert(got == want)
+  }
+
+  test("dedup clusters are consistent with the near-dup pair graph") {
+    val cluster = SparkEntry.queries("llm_dedup_cluster")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val pairs = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // Every near-dup pair landed in one cluster, and each cluster's
+    // canonical label is a member of itself (the survivor exists).
+    pairs.foreach { case (a, b) =>
+      assert(cluster(a) == cluster(b), s"pair ($a,$b) split across clusters")
+    }
+    cluster.values.toSet.foreach { (c: Long) =>
+      assert(cluster(c) == c, s"cluster label $c is not its own survivor")
+    }
+  }
+
+  test("chunking covers every token exactly once net of overlap") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables(spark, sf, "documents")
+      .select(col("doc_id"), size(split(lower(col("text")), "\\s+")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val chunks = SparkEntry.queries("llm_chunk_docs")(spark, sf)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("n_tokens")).as("tok_sum"),
+        max(col("n_tokens")).as("max_tok"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3))))
+      .toMap
+    assert(chunks.keySet == docs.keySet, "every document must be chunked")
+    docs.foreach { case (id, n) =>
+      val (nChunks, tokSum, maxTok) = chunks(id)
+      assert(maxTok <= 64, s"doc $id chunk exceeds 64 tokens")
+      // Tokens counted once per covering chunk: n + 16 overlap tokens
+      // per chunk boundary, except a short final chunk that ends at the
+      // doc end contributes only what exists.
+      val starts = (1 to n by 48).filter(st => st == 1 || st + 16 <= n)
+      val expected = starts.map(st => math.min(64, n - st + 1)).sum
+      assert(nChunks == starts.size.toLong && tokSum == expected.toLong,
+        s"doc $id n=$n: got ($nChunks, $tokSum), want (${starts.size}, $expected)")
+    }
+  }
 }
