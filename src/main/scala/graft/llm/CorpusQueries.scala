@@ -75,6 +75,7 @@ object CorpusQueries {
       labels = next
       done = changed == 0L
       i += 1
+      System.err.println(s"[cc] round $i changed=${changed > 0}")
     }
     labels
   }
@@ -102,12 +103,26 @@ object CorpusQueries {
         .select(col("doc_a"), col("doc_b"))
       // The loop touches the edge set every round; materialize the
       // pair join ONCE (it is the expensive part) so iterations pay
-      // only the tiny label join, not a pair-finding recompute.
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      // only the tiny label join, not a pair-finding recompute. Both
+      // directions come from a single explode — a union of two
+      // branches would execute the pair join twice before the
+      // checkpoint snapshots it.
+      val edges = pairs
+        .select(explode(array(
+          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
         .localCheckpoint(true)
+      // Only nodes with at least one edge participate in propagation —
+      // near-dup graphs are SPARSE (most documents are singletons), so
+      // the per-round joins handle the touched minority, not the
+      // corpus. Singletons rejoin as their own cluster at the end.
+      val touched = edges.select(col("src").as("doc_id")).distinct()
       val nodes = Tables(s, dir, "documents").select(col("doc_id"))
-      connectedComponents(nodes, edges)
+      val clustered = connectedComponents(touched, edges)
+      val singletons = nodes.join(clustered, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("label"))
+      clustered.union(singletons)
         .select(col("doc_id"), col("label").as("cluster_id"))
         .orderBy(col("doc_id"))
     }),

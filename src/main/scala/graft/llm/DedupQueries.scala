@@ -67,28 +67,33 @@ object DedupQueries {
     */
   private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.forCompute(s, dir, "documents")
-    // The postings feed three consumers (both join sides + sizes);
-    // persist so shingling runs once. At cluster scale this is a
-    // MEMORY_AND_DISK persist (or a checkpoint) of the inverted
-    // index — the standard shape for repeated probes.
-    val raw = postings(docs)
+    // Inverted index as PER-SHINGLE POSTING LISTS: one groupBy shuffle
+    // of the postings replaces the two-sided equi-self-join (which
+    // shuffles the postings twice and re-sorts both sides). The
+    // stop-shingle cap — a shingle in > MaxShingleDf docs would fan
+    // out up to df² pairs — becomes a plain length filter on the
+    // list, replacing the separate df-count pass + broadcast
+    // anti-join of the join formulation. Persisted because it feeds
+    // both the per-doc sizes and the pair generation (at cluster
+    // scale: a checkpointed table — the standard reusable-index
+    // shape).
+    val lists = postings(docs)
+      .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) <= MaxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Stop-shingle cap: a shingle in > MaxShingleDf docs contributes
-    // up to df² candidate pairs; the list of such shingles is small
-    // by definition (bounded by corpus_shingles / MaxShingleDf), so
-    // it broadcasts, and the drop is a broadcast LEFT ANTI — no extra
-    // shuffle of the postings.
-    val hot = raw.groupBy(col("shingle"))
-      .agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxShingleDf)
-      .select(col("shingle"))
-    val posts = raw.join(broadcast(hot), Seq("shingle"), "left_anti")
-    val sizes = posts.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    val pairs = posts.as("a")
-      .join(posts.as("b"), col("a.shingle") === col("b.shingle") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val sizes = lists.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    // All in-list ordered pairs (a < b): O(df²) HOF per shingle with
+    // df ≤ MaxShingleDf — bounded, codegen'd, no join.
+    val pairs = lists
+      .select(explode(flatten(transform(col("ids"),
+        x => transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    // Sizes join stays a shuffle join: per-doc sizes are corpus-sized
+    // (one row per document) — never broadcastable at scale; AQE
+    // broadcasts them at small SF on its own.
     pairs
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
@@ -243,10 +248,16 @@ object DedupQueries {
       val bands = 8
       val rowsPerBand = nHashes / bands
       // Shingling feeds the signature pass + both verification joins.
-      val docs = Tables.forCompute(s, dir, "documents")
+      // PERSIST BEFORE FILTER: a filter on the computed column is
+      // pushed below the forCompute repartition onto the (single-
+      // partition at this file size) scan, single-threading the whole
+      // shingle pass inside the scan stage. The cache is an optimizer
+      // barrier — shingling runs once, distributed; the emptiness
+      // filter is a trivial scan over the cached arrays.
+      val cached = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
-        .filter(size(col("shingles")) > 0)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = cached.filter(size(col("shingles")) > 0)
       // Signature pass through the fused native kernel (one pass over
       // the shingle array; bit-exact vs the 32-fold HOF twin, pinned in
       // FunctionsSpec) — this is the stage that streams the whole
@@ -285,9 +296,12 @@ object DedupQueries {
     // rows-only check + recall property test in LlmSpec.
     "llm_dedup_minhash" -> ((s, dir) => {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
-      val docs = Tables.forCompute(s, dir, "documents")
+      // Persist-before-filter for the same pushdown reason as the
+      // banded variant above.
+      val cached = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
-        .filter(size(col("shingles")) > 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val docs = cached.filter(size(col("shingles")) > 0)
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
       // Featurization feeds fit + both join sides — persist it.

@@ -123,7 +123,13 @@ object SimilarityQueries {
       val e = embDouble(Tables(s, dir, "embeddings"))
         .withColumn("features", array_to_vector(col("emb")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val km = new KMeans().setK(4).setSeed(42L).setMaxIter(5)
+      // Cell COUNT scales with corpus size so cell SIZE stays constant
+      // (~2000 vectors): the within-cell join is then O(n · cellSize)
+      // — genuinely linear — instead of O(n²/k) with a fixed k, which
+      // silently reverts to quadratic as the corpus grows. The count()
+      // materializes the persist the KMeans fit needs anyway.
+      val k = math.max(4L, e.count() / 2000L).toInt
+      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
         .setFeaturesCol("features").setPredictionCol("cell")
       val model = km.fit(e)
       val centroids = s.createDataFrame(

@@ -113,7 +113,8 @@ class PlanSpec extends AnyFunSuite {
     val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk",
       "llm_dedup_embedding_cosine",
       "llm_cosine_topk_batch", // 5-row query-set broadcast
-      "search_topk_tfidf") // 1-row corpus-stats broadcast
+      "search_topk_tfidf", // 1-row corpus-stats broadcast
+      "llm_length_trim") // 1-row total-count broadcast
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
       val cart = p.contains("CartesianProduct")
