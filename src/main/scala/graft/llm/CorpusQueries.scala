@@ -160,6 +160,37 @@ object CorpusQueries {
         .limit(100)
     }),
 
+    // Heavy hitters via a distributed Count-Min sketch — the
+    // bounded-memory twin of `llm_vocab_topk` for when the token
+    // domain doesn't fit a hash aggregate (URLs, n-grams, user ids at
+    // 100 TB). Spark's `count_min_sketch` aggregate builds partial
+    // sketches per partition and merges them (same partial+final
+    // shape as any agg, fixed O(depth×width) memory regardless of
+    // cardinality). The merged sketch is O(1/eps) BYTES BY DESIGN —
+    // collecting it to the driver is the intended consumption
+    // pattern, not a driver-side data loop; the bounded candidate
+    // top-k (already limited to 100) is probed against it. Output:
+    // exact vs estimated count per top token. CMS guarantees
+    // estimate >= exact and (w.h.p.) estimate - exact <= eps·N —
+    // both asserted in LlmSpec; not SQL-expressible -> rows-only.
+    "llm_heavy_hitters_cms" -> ((s, dir) => {
+      import org.apache.spark.util.sketch.CountMinSketch
+      val toks = Tables.forCompute(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      val skBytes = toks
+        .agg(expr("count_min_sketch(token, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
+        .head.getAs[Array[Byte]](0)
+      val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
+      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("token"))
+        .limit(100)
+        .collect() // bounded: exactly the 100-row top-k
+        .map(r => (r.getString(0), r.getLong(1), sk.estimateCount(r.getString(0))))
+      import s.implicits._
+      top.toSeq.toDF("token", "exact_cnt", "cms_cnt")
+        .orderBy(col("exact_cnt").desc, col("token"))
+    }),
+
     // Distribution-tail trim: drop the bottom and top 5% of documents
     // by n_chars, at VALUE granularity (a length value is kept iff any
     // of its cumulative-count span lies inside (5%, 95%]) — all-integer

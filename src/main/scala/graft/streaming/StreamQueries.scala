@@ -149,7 +149,31 @@ object StreamQueries {
       .agg(countDistinct(col("user_id")).as("n_active"))
   }
 
+  /** Trending top-k: the 3 most frequent event types per tumbling
+    * 1-day window, ranked. The rank filter sits directly on the
+    * row_number so Spark's WindowGroupLimit computes a per-partition
+    * partial top-k before the shuffle — per-window output is O(k),
+    * never the full type distribution. In streaming this shape runs
+    * per micro-batch inside foreachBatch (a rank over a streaming agg
+    * needs complete-mode output otherwise); the batch twin is the
+    * oracle-checked semantic.
+    */
+  def topkTrending(events: DataFrame): DataFrame = {
+    val counts = events
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val rank = Window.partitionBy(col("w"))
+      .orderBy(col("n_events").desc, col("event_type"))
+    counts.withColumn("rk", row_number().over(rank))
+      .filter(col("rk") <= 3)
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_topk_trending" -> ((s, dir) =>
+      topkTrending(Tables(s, dir, "events"))
+        .orderBy(col("window_start"), col("rk"))),
     "stream_cumulative_users" -> ((s, dir) =>
       cumulativeUsers(Tables(s, dir, "events"))
         .orderBy(col("first_day"))),
@@ -181,6 +205,14 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_topk_trending" ->
+      """SELECT date_trunc('day', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  row_number() OVER (PARTITION BY date_trunc('day', ts)
+        |    ORDER BY count(*) DESC, event_type) AS rk
+        |FROM events GROUP BY 1, 2
+        |QUALIFY rk <= 3
+        |ORDER BY window_start, rk""".stripMargin,
     "stream_cumulative_users" ->
       """WITH f AS (
         |  SELECT user_id, CAST(min(ts) AS DATE) AS first_day

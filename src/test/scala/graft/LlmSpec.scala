@@ -151,6 +151,24 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("count-min sketch never underestimates; eps bound holds") {
+    import org.apache.spark.sql.functions._
+    val rows = SparkEntry.queries("llm_heavy_hitters_cms")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "\\s+"))).count()
+    val bound = math.ceil(0.001 * total).toLong
+    rows.foreach { r =>
+      assert(r.getLong(2) >= r.getLong(1),
+        s"CMS underestimated ${r.getString(0)}: ${r.getLong(2)} < ${r.getLong(1)}")
+    }
+    // Per-query the eps·N bound holds with prob 0.99; demand 90% of
+    // the candidate set to keep the assertion noise-free.
+    val within = rows.count(r => r.getLong(2) - r.getLong(1) <= bound)
+    assert(within >= (rows.length * 9) / 10,
+      s"only $within/${rows.length} within eps*N=$bound")
+  }
+
   test("chunking covers every token exactly once net of overlap") {
     import org.apache.spark.sql.functions._
     val docs = Tables(spark, sf, "documents")
