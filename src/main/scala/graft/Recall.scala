@@ -104,6 +104,8 @@ object Recall {
       .collect().map(_.getLong(0)).toSet
     val lshTop = idsOf("llm_ann_lsh_topk")
     val ivfTop = idsOf("llm_ann_ivf_topk")
+    // PQ ranks by ADC-approximated L2 — same ground truth as LSH.
+    val pqTop = idsOf("llm_ann_pq_topk")
 
     // Approx aggregates: max relative error of HLL distinct vs exact.
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
@@ -124,6 +126,7 @@ object Recall {
          |"llm_dedup_embedding_cosine":${recallEntry(cosineTruth, cosineBlocked)},
          |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
+         |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},
          |"rel_approx_agg":{"max_rel_err":${f"$maxRelErr%.5f"}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)

@@ -205,6 +205,82 @@ object SimilarityQueries {
           round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
         .limit(10)
+    }),
+
+    // Product Quantization (PQ) ANN: each 64-dim vector compresses to
+    // m=8 one-byte codes (nearest of 16 per-subspace centroids), and
+    // the query scores codes by summing m lookups in a per-query
+    // asymmetric-distance table (ADC) — Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI'11. The 100 TB
+    // story is memory-bandwidth: 8 bytes/vector instead of 256, so an
+    // exhaustive ADC scan reads 32× less than raw floats (and composes
+    // with IVF cell pruning for IVF-PQ). Here codes are computed
+    // inline (the fixture stores raw floats); in production encode
+    // runs at WRITE time and only the codes column is scanned.
+    // Codebooks (m×16×8 doubles) and the ADC table (m×16) are O(1)
+    // artifacts: trained once (seeded per-subspace KMeans), shipped as
+    // literals — broadcast semantics with zero join. Scoring is pure
+    // per-row HOF arithmetic: no UDF, no shuffle before the top-k.
+    // Seeded-model output -> rows-only check + overlap spec + Recall.
+    "llm_ann_pq_topk" -> ((s, dir) => {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      val m = 8 // subspaces
+      val subDim = 8 // 64 / m
+      val nCent = 16 // one-byte codes (4 bits used here)
+      val e = embDouble(Tables(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // Per-subspace codebooks: seeded KMeans on each 8-dim slice.
+      // Offline training artifact at scale; a few Lloyd iterations
+      // suffice for a quantizer.
+      val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        val sub = e.select(array_to_vector(
+          slice(col("emb"), j * subDim + 1, subDim)).as("features"))
+        new KMeans().setK(nCent).setSeed(42L + j).setMaxIter(3)
+          .setFeaturesCol("features").setPredictionCol("c")
+          .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+      }
+      val cb = typedlit(codebooks) // array<array<array<double>>> literal
+      // ADC table for THE query vector (vec_id 0): table[j][c] =
+      // ||q_sub_j - centroid_jc||² — m×nCent doubles, computed once
+      // on the driver from the collected 1-row query (the ANN query
+      // pattern; same boundary as the broadcast query vector).
+      val q: Seq[Double] = e.filter(col("vec_id") === 0)
+        .select(col("emb")).head.getSeq[Double](0)
+      val adc: Seq[Seq[Double]] = (0 until m).map { j =>
+        codebooks(j).map { cent =>
+          (0 until subDim).map { d =>
+            val diff = q(j * subDim + d) - cent(d); diff * diff
+          }.sum
+        }
+      }
+      val table = typedlit(adc)
+      // Encode: per subspace, argmin centroid by squared L2 — nested
+      // folds over (nCent × subDim) literals, whole-stage codegen'd.
+      val codes = transform(sequence(lit(0), lit(m - 1)), j => {
+        val sub = slice(col("emb"), j * subDim + 1, lit(subDim))
+        val cbJ = element_at(cb, j + 1)
+        aggregate(
+          sequence(lit(0), lit(nCent - 1)),
+          struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
+          (acc, c) => {
+            val dist = aggregate(
+              zip_with(sub, element_at(cbJ, c + 1), (x, y) => (x - y) * (x - y)),
+              lit(0.0), (a, v) => a + v)
+            when(dist < acc.getField("d"),
+              struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
+          },
+          acc => acc.getField("c"))
+      })
+      val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+        (a, j) => a + element_at(element_at(table, j + 1),
+          element_at(col("codes"), j + 1) + 1))
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("codes", codes)
+        .select(col("vec_id"), col("label"),
+          round(score, 9).as("pq_dist"))
+        .orderBy(col("pq_dist"), col("vec_id"))
+        .limit(10)
     })
   )
 

@@ -151,6 +151,26 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ADC ranking tracks true L2 distance") {
+    import org.apache.spark.sql.functions._
+    import llm.SimilarityQueries.{embDouble, l2sq, queryVec}
+    val e = embDouble(Tables(spark, sf, "embeddings"))
+    val truth = e.crossJoin(queryVec(e)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2sq(col("emb"), col("qv")).as("l2"))
+    val pq = SparkEntry.queries("llm_ann_pq_topk")(spark, sf)
+    assert(pq.count() == 10)
+    // Random near-orthogonal fixture vectors CONCENTRATE in distance,
+    // so strict top-10 overlap is a coin flip under 4-bit quantization
+    // noise (Recall records the observed overlap); what correctness
+    // requires is that the ADC score carries true-distance SIGNAL:
+    // the PQ-selected 10 must be measurably closer to the query than
+    // the corpus average.
+    val corpusMean = truth.agg(avg(col("l2"))).head.getDouble(0)
+    val topMean = pq.join(truth, "vec_id").agg(avg(col("l2"))).head.getDouble(0)
+    assert(topMean < corpusMean * 0.9,
+      s"PQ top-10 true-L2 mean $topMean vs corpus mean $corpusMean")
+  }
+
   test("count-min sketch never underestimates; eps bound holds") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("llm_heavy_hitters_cms")(spark, sf).collect()
