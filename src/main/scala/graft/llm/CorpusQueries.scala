@@ -80,6 +80,33 @@ object CorpusQueries {
     labels
   }
 
+  /** (doc_id, cluster_id) for every document: connected components
+    * over the near-dup pair graph. Only nodes with at least one edge
+    * participate in propagation — near-dup graphs are SPARSE (most
+    * documents are singletons), so the per-round joins handle the
+    * touched minority, not the corpus; singletons rejoin as their own
+    * cluster at the end. The edge set is materialized ONCE (it is the
+    * expensive part — a union of two directed branches would execute
+    * the pair join twice, so both directions come from one explode).
+    */
+  private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupQueries.jaccardPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .localCheckpoint(true)
+    val touched = edges.select(col("src").as("doc_id")).distinct()
+    val nodes = Tables(s, dir, "documents").select(col("doc_id"))
+    val clustered = connectedComponents(touched, edges)
+    val singletons = nodes.join(clustered, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("label"))
+    clustered.union(singletons)
+      .select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** Chunk geometry: 64-token chunks, stride 48 (16-token overlap). A
     * chunk start beyond position 1 must contribute at least one token
     * past the previous chunk's coverage (start + overlap <= n_tokens),
@@ -98,34 +125,8 @@ object CorpusQueries {
     // member names its canonical replacement. DuckDB twin: recursive
     // CTE over the same pair CTEs — a hard (hash-exact) check of an
     // iterative distributed algorithm against a sequential fixpoint.
-    "llm_dedup_cluster" -> ((s, dir) => {
-      val pairs = DedupQueries.jaccardPairs(s, dir)
-        .select(col("doc_a"), col("doc_b"))
-      // The loop touches the edge set every round; materialize the
-      // pair join ONCE (it is the expensive part) so iterations pay
-      // only the tiny label join, not a pair-finding recompute. Both
-      // directions come from a single explode — a union of two
-      // branches would execute the pair join twice before the
-      // checkpoint snapshots it.
-      val edges = pairs
-        .select(explode(array(
-          struct(col("doc_a").as("src"), col("doc_b").as("dst")),
-          struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
-        .select(col("e.src").as("src"), col("e.dst").as("dst"))
-        .localCheckpoint(true)
-      // Only nodes with at least one edge participate in propagation —
-      // near-dup graphs are SPARSE (most documents are singletons), so
-      // the per-round joins handle the touched minority, not the
-      // corpus. Singletons rejoin as their own cluster at the end.
-      val touched = edges.select(col("src").as("doc_id")).distinct()
-      val nodes = Tables(s, dir, "documents").select(col("doc_id"))
-      val clustered = connectedComponents(touched, edges)
-      val singletons = nodes.join(clustered, Seq("doc_id"), "left_anti")
-        .select(col("doc_id"), col("doc_id").as("label"))
-      clustered.union(singletons)
-        .select(col("doc_id"), col("label").as("cluster_id"))
-        .orderBy(col("doc_id"))
-    }),
+    "llm_dedup_cluster" -> ((s, dir) =>
+      clusterLabels(s, dir).orderBy(col("doc_id"))),
 
     // Overlapping token chunking — the pre-training/RAG splitter.
     // Per-row sequence+explode+slice, no shuffle; chunk text leaves
@@ -158,6 +159,35 @@ object CorpusQueries {
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("token"))
         .limit(100)
+    }),
+
+    // END-TO-END CURATION PIPELINE — the composition a pre-training
+    // data run actually executes, as ONE declarative plan: near-dup
+    // survivor selection (connected components over the pair graph,
+    // keep the canonical member) → quality cut (3-gram repetition
+    // ratio ≤ 0.2 in integer form + minimum length) → deterministic
+    // content-hash split → per-(split, lang) corpus accounting. Every
+    // stage reuses the operator the suite verifies in isolation, and
+    // the DuckDB twin composes the same CTEs — so the hash check
+    // covers the COMPOSITION (join order, filter interaction, split
+    // stability), not just the parts.
+    "llm_curate_pipeline" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val survivors = clusterLabels(s, dir)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select(col("doc_id"))
+      val tks = split(lower(col("text")), "\\s+")
+      val total3 = greatest(size(tks) - 2, lit(0))
+      val uniq3 = size(DedupQueries.shingles3(col("text")))
+      docs
+        .join(survivors, Seq("doc_id")) // keep canonical members only
+        .filter(total3 > 0 &&
+          (total3 - uniq3) * 5 <= total3 && // dup-3gram ratio <= 0.2
+          col("n_chars") >= 100)
+        .withColumn("split", PipelineQueries.splitBucket(col("text")))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"), col("lang"))
     }),
 
     // Heavy hitters via a distributed Count-Min sketch — the
@@ -242,6 +272,35 @@ object CorpusQueries {
          |FROM t, unnest(generate_series(1, greatest(len(w), 1), $ChunkStride)) AS u(i)
          |WHERE i = 1 OR i + $ChunkOverlap <= len(w)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "llm_curate_pipeline" ->
+      s"""WITH RECURSIVE ${DedupQueries.ngramPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM good),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |nd AS (SELECT doc_id, count(*) AS n_distinct FROM sh GROUP BY doc_id),
+         |final AS (
+         |  SELECT d.lang, d.n_chars,
+         |    CASE WHEN substr(md5(lower(trim(d.text))), 1, 1) IN ('d','e','f')
+         |         THEN 'eval' ELSE 'train' END AS split
+         |  FROM documents d
+         |  JOIN labels l ON d.doc_id = l.doc_id AND l.cluster_id = d.doc_id
+         |  JOIN t ON d.doc_id = t.doc_id
+         |  LEFT JOIN nd ON d.doc_id = nd.doc_id
+         |  WHERE greatest(len(t.w) - 2, 0) > 0
+         |    AND (greatest(len(t.w) - 2, 0) - coalesce(nd.n_distinct, 0)) * 5
+         |        <= greatest(len(t.w) - 2, 0)
+         |    AND d.n_chars >= 100)
+         |SELECT split, lang, count(*) AS n_docs,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM final GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_vocab_topk" ->
       """SELECT token, count(*) AS cnt
         |FROM (SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
