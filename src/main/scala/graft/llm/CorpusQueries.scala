@@ -177,12 +177,19 @@ object CorpusQueries {
         .filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"))
       val tks = split(lower(col("text")), "\\s+")
-      val total3 = greatest(size(tks) - 2, lit(0))
-      val uniq3 = size(DedupQueries.shingles3(col("text")))
-      docs
+      // Quality stats as a PERSISTED projection: the quality filter
+      // below would otherwise be pushed through the survivor join and
+      // the forCompute repartition onto the single-partition scan,
+      // single-threading the 3-gram evaluation (the same pushdown trap
+      // as the minhash shingle filter — the cache is the barrier).
+      val scored = docs
+        .withColumn("total3", greatest(size(tks) - 2, lit(0)))
+        .withColumn("uniq3", size(DedupQueries.shingles3(col("text"))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      scored
         .join(survivors, Seq("doc_id")) // keep canonical members only
-        .filter(total3 > 0 &&
-          (total3 - uniq3) * 5 <= total3 && // dup-3gram ratio <= 0.2
+        .filter(col("total3") > 0 &&
+          (col("total3") - col("uniq3")) * 5 <= col("total3") && // dup ratio <= 0.2
           col("n_chars") >= 100)
         .withColumn("split", PipelineQueries.splitBucket(col("text")))
         .groupBy(col("split"), col("lang"))

@@ -48,4 +48,38 @@ class StatsCboSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS t_ord")
     }
   }
+
+  test("runtime bloom filter semi-join-reduces a shuffle join's fact side") {
+    // When the dim side can't broadcast (here: forced), Spark can still
+    // build a bloom filter over the dim's join keys and apply it to the
+    // fact SCAN — at 100 TB this semi-join reduction is what keeps a
+    // selective dim join from shuffling the whole fact table. Verify
+    // the optimizer injects it (might_contain over a bloom_filter_agg
+    // subquery) and that results are unchanged.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevApp = spark.conf.get(
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Fixture scans are far below the 10GB default application-side
+      // threshold; at real scale the default gates injection correctly.
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      val li = Tables(spark, sf, "lineitem")
+      val dim = Tables(spark, sf, "part").filter(col("p_size") === 1)
+      val joined = li.join(dim, col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey"), col("l_partkey"), col("p_size"))
+      val opt = joined.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${opt.take(2000)}")
+      val n = joined.count()
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      try assert(n == joined.count(), "bloom filter changed the result")
+      finally spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", prevApp)
+    }
+  }
 }
