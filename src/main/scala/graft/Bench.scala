@@ -132,6 +132,10 @@ object Bench {
       (full, op)
     }
 
+    // Dev-only subset runs (SPARK_GRAFT_ONLY=a,b,c); the driver never
+    // sets it, so round benches always cover the full registry.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+
     // Warm-up: JVM + codegen + parquet footer caches.
     runOnce("rel_filter_project")
     // spark.ml warm-up (class-loading + BLAS probe + fit codegen):
@@ -149,7 +153,11 @@ object Bench {
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
     // scan -> stringify -> keyed-dedup -> partitioned-write pipeline.
-    val writeSecs = {
+    // Skipped in subset probes unless asked for — it is the single
+    // most expensive bench item and would dominate a seconds-long
+    // targeted measurement.
+    val runWrite = only.forall(_.contains("_write_bulk_import")) || only.isEmpty
+    val writeSecs = if (!runWrite) -1.0 else {
       val out = java.nio.file.Files.createTempDirectory("bench_import").toString
       val store = new etl.IndexStore(spark, out)
       val li = Tables(spark, sfDir, "lineitem")
@@ -162,13 +170,10 @@ object Bench {
       dt
     }
 
-    // Dev-only subset runs (SPARK_GRAFT_ONLY=a,b,c); the driver never
-    // sets it, so round benches always cover the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> runOnce(n)) :+
-      ("_write_bulk_import" -> ((writeSecs, writeSecs)))
+      .map(n => n -> runOnce(n)) ++
+      (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil)
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }.mkString("{", ",", "}")

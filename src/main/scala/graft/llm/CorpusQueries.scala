@@ -60,13 +60,19 @@ object CorpusQueries {
     var done = false
     var i = 0
     while (!done && i < maxIters) {
-      // Propagate each node's label one hop, then keep the min per
-      // node. Labels only ever decrease, so the fixpoint is exactly
-      // the per-component min and a no-change round proves global
-      // convergence.
-      val prop = edges.join(labels, edges("src") === labels("doc_id"))
+      // Per round, each node takes the min of: its own label, its
+      // neighbors' labels (one-hop propagation), and its LABEL'S label
+      // (pointer doubling — label chains halve every round, so
+      // convergence is O(log diameter) rounds, not O(diameter); the
+      // labels table is node-sized, making the extra self-join cheap).
+      // Labels only ever decrease, so the fixpoint is exactly the
+      // per-component min and a no-change round proves convergence.
+      val viaEdge = edges.join(labels, edges("src") === labels("doc_id"))
         .select(edges("dst").as("doc_id"), col("label"))
-      val next = labels.union(prop)
+      val viaLabel = labels.as("l1")
+        .join(labels.as("l2"), col("l1.label") === col("l2.doc_id"))
+        .select(col("l1.doc_id").as("doc_id"), col("l2.label").as("label"))
+      val next = labels.union(viaEdge).union(viaLabel)
         .groupBy(col("doc_id")).agg(min(col("label")).as("label"))
         .localCheckpoint(true)
       val changed = next.as("n").join(labels.as("o"), "doc_id")
@@ -77,6 +83,13 @@ object CorpusQueries {
       i += 1
       System.err.println(s"[cc] round $i changed=${changed > 0}")
     }
+    // A silent non-converged result would split components (and let
+    // several "survivors" of one duplicate set through downstream);
+    // with pointer doubling maxIters=25 covers diameters up to ~2^25,
+    // so reaching the cap means something is genuinely wrong.
+    if (!done)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds")
     labels
   }
 
@@ -107,6 +120,23 @@ object CorpusQueries {
       .select(col("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** The exploded corpus token stream (shared tokenizer —
+    * [[DedupQueries.toks]] — so vocab/sketch/quality oracles can never
+    * drift apart).
+    */
+  private def corpusTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.forCompute(s, dir, "documents")
+      .select(explode(DedupQueries.toks(col("text"))).as("token"))
+
+  /** Deterministic token top-100: partial+final hash agg, then
+    * per-partition top-k heaps (TakeOrderedAndProject) under the
+    * (count DESC, token) total order.
+    */
+  private def topTokens(tokens: DataFrame, cntName: String): DataFrame =
+    tokens.groupBy(col("token")).agg(count(lit(1)).as(cntName))
+      .orderBy(col(cntName).desc, col("token"))
+      .limit(100)
+
   /** Chunk geometry: 64-token chunks, stride 48 (16-token overlap). A
     * chunk start beyond position 1 must contribute at least one token
     * past the previous chunk's coverage (start + overlap <= n_tokens),
@@ -132,7 +162,7 @@ object CorpusQueries {
     // Per-row sequence+explode+slice, no shuffle; chunk text leaves
     // the operator as md5 so the comparison surface stays narrow.
     "llm_chunk_docs" -> ((s, dir) => {
-      val w = split(lower(col("text")), "\\s+")
+      val w = DedupQueries.toks(col("text"))
       Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), w.as("w"))
         .select(col("doc_id"), col("w"),
@@ -153,13 +183,8 @@ object CorpusQueries {
     // → per-partition top-k heaps (TakeOrderedAndProject). The
     // deterministic (cnt DESC, token) tiebreak makes the boundary
     // oracle-exact.
-    "llm_vocab_topk" -> ((s, dir) => {
-      Tables.forCompute(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
-        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .orderBy(col("cnt").desc, col("token"))
-        .limit(100)
-    }),
+    "llm_vocab_topk" -> ((s, dir) =>
+      topTokens(corpusTokens(s, dir), "cnt")),
 
     // END-TO-END CURATION PIPELINE — the composition a pre-training
     // data run actually executes, as ONE declarative plan: near-dup
@@ -176,7 +201,7 @@ object CorpusQueries {
       val survivors = clusterLabels(s, dir)
         .filter(col("doc_id") === col("cluster_id"))
         .select(col("doc_id"))
-      val tks = split(lower(col("text")), "\\s+")
+      val tks = DedupQueries.toks(col("text"))
       // Quality stats as a PERSISTED projection: the quality filter
       // below would otherwise be pushed through the survivor join and
       // the forCompute repartition onto the single-partition scan,
@@ -212,15 +237,16 @@ object CorpusQueries {
     // both asserted in LlmSpec; not SQL-expressible -> rows-only.
     "llm_heavy_hitters_cms" -> ((s, dir) => {
       import org.apache.spark.util.sketch.CountMinSketch
-      val toks = Tables.forCompute(s, dir, "documents")
-        .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      // One persisted token stream feeds both the sketch pass and the
+      // exact candidate top-k — the corpus is scanned and exploded
+      // once, not twice.
+      val toks = corpusTokens(s, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val skBytes = toks
         .agg(expr("count_min_sketch(token, CAST(0.001 AS DOUBLE), CAST(0.99 AS DOUBLE), 42)"))
         .head.getAs[Array[Byte]](0)
       val sk = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(skBytes))
-      val top = toks.groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-        .orderBy(col("exact_cnt").desc, col("token"))
-        .limit(100)
+      val top = topTokens(toks, "exact_cnt")
         .collect() // bounded: exactly the 100-row top-k
         .map(r => (r.getString(0), r.getLong(1), sk.estimateCount(r.getString(0))))
       import s.implicits._

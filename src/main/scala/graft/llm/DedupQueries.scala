@@ -39,7 +39,11 @@ object DedupQueries {
     */
   val MaxShingleDf = 50
 
-  private def toks(c: Column): Column = split(lower(c), "\\s+")
+  /** THE whitespace tokenizer — every token-derived operator (shingles,
+    * vocab, chunking, quality ratios) must share one definition or
+    * their oracles drift apart.
+    */
+  private[graft] def toks(c: Column): Column = split(lower(c), "\\s+")
 
   /** Distinct word-3-shingles of the text, as strings (n tokens →
     * n-2 shingles; empty for n<3 — guarded because Spark's `sequence`
@@ -69,17 +73,26 @@ object DedupQueries {
     val docs = Tables.forCompute(s, dir, "documents")
     // Inverted index as PER-SHINGLE POSTING LISTS: one groupBy shuffle
     // of the postings replaces the two-sided equi-self-join (which
-    // shuffles the postings twice and re-sorts both sides). The
-    // stop-shingle cap — a shingle in > MaxShingleDf docs would fan
-    // out up to df² pairs — becomes a plain length filter on the
-    // list, replacing the separate df-count pass + broadcast
-    // anti-join of the join formulation. Persisted because it feeds
-    // both the per-doc sizes and the pair generation (at cluster
-    // scale: a checkpointed table — the standard reusable-index
-    // shape).
-    val lists = postings(docs)
+    // shuffles the postings twice and re-sorts both sides).
+    // The stop-shingle cap (a shingle in > MaxShingleDf docs would fan
+    // out up to df² pairs) is applied BEFORE list materialization:
+    // df is a map-side-combined count, the hot list is tiny by
+    // definition (≤ corpus_shingles / MaxShingleDf) so it broadcasts,
+    // and only capped shingles reach collect_list — a hot shingle must
+    // never build its full posting ArrayBuffer in one aggregation
+    // group (collect_list cannot spill within a group; filtering the
+    // LIST length after the fact would OOM exactly when the cap
+    // matters). Persisted because the lists feed both the per-doc
+    // sizes and the pair generation (at cluster scale: a checkpointed
+    // table — the standard reusable-index shape).
+    val posts = postings(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = posts.groupBy(col("shingle"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxShingleDf)
+      .select(col("shingle"))
+    val lists = posts.join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
-      .filter(size(col("ids")) <= MaxShingleDf)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
