@@ -54,6 +54,42 @@ object SimilarityQueries {
   private[graft] def l2sq(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
+  /** Deterministic engine-owned coarse quantizer: Lloyd on the
+    * collected content-hash sample (bounded by design — quantizer
+    * training never needs the full corpus), id-sorted for
+    * collect-order stability. Replaces spark.ml KMeans fits whose cost
+    * on small per-fit inputs is pure driver stage scheduling.
+    */
+  private[graft] def trainCentroids(e: DataFrame, k: Int,
+                                    sampleMod: Int = 4): Seq[Seq[Double]] = {
+    val sample = e
+      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("emb")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Double](1).toArray)
+    lloyd(sample, k, iters = 5).map(_.toSeq).toSeq
+  }
+
+  /** Index of the nearest centroid (codegen'd HOF argmin over the
+    * broadcast-literal codebook), optionally excluding one cell —
+    * calling it twice yields the two nearest cells without a
+    * centroid join or a per-vector window.
+    */
+  private def nearestCell(emb: Column, cb: Column, k: Int,
+                          excl: Column = lit(-1)): Column =
+    aggregate(
+      sequence(lit(0), lit(k - 1)),
+      struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
+      (acc, c) => {
+        val dist = aggregate(
+          zip_with(emb, element_at(cb, c + 1), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a, v) => a + v)
+        when(c === excl, acc)
+          .otherwise(when(dist < acc.getField("d"),
+            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc))
+      },
+      acc => acc.getField("c"))
+
   /** Deterministic driver-side Lloyd k-means for PQ codebook training
     * over a bounded, id-sorted sample: seeds are k evenly-spaced
     * sample points, then `iters` assign/recompute rounds (an empty
@@ -143,42 +179,31 @@ object SimilarityQueries {
 
     // Embedding-cosine near-dup pairs (the vector-space sibling of
     // MinHash dedup): all pairs with cosine >= threshold. Blocking =
-    // KMeans cells, each vector joining its 2 nearest cells, so the
-    // pair join is within-cell — linear in corpus size, never the
-    // full n^2 — and verification is the exact fused-kernel cosine,
-    // so emitted pairs are never false. Threshold 0.4 is calibrated
-    // to this fixture (near-orthogonal random vectors, max pairwise
-    // cosine ~0.5); a real near-dup corpus runs the same operator at
-    // 0.9+, where blocking recall is also far higher (true dups
-    // land in the same cell). Seeded KMeans -> rows-only check +
-    // recall spec in LlmSpec.
+    // coarse-quantizer cells (engine-owned Lloyd on a bounded sample;
+    // assignment is a codegen'd argmin over the broadcast-literal
+    // codebook — no fit jobs, no centroid join, no per-vector window).
+    // Each vector lands in its 2 nearest cells, so the pair join is
+    // within-cell — linear in corpus size, never the full n², and
+    // cell COUNT scales with corpus size so cell SIZE stays constant
+    // (~2000 vectors; a fixed k would silently revert to quadratic as
+    // the corpus grows). Verification is the exact fused-kernel
+    // cosine, so emitted pairs are never false. Threshold 0.4 is
+    // calibrated to this fixture (near-orthogonal random vectors, max
+    // pairwise cosine ~0.5); a real near-dup corpus runs the same
+    // operator at 0.9+, where blocking recall is also far higher.
+    // Sampled-quantizer output -> rows-only check + recall spec.
     "llm_dedup_embedding_cosine" -> ((s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.array_to_vector
-      val e = embDouble(Tables(s, dir, "embeddings"))
-        .withColumn("features", array_to_vector(col("emb")))
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+        .select(col("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      // Cell COUNT scales with corpus size so cell SIZE stays constant
-      // (~2000 vectors): the within-cell join is then O(n · cellSize)
-      // — genuinely linear — instead of O(n²/k) with a fixed k, which
-      // silently reverts to quadratic as the corpus grows. The count()
-      // materializes the persist the KMeans fit needs anyway.
       val k = math.max(4L, e.count() / 2000L).toInt
-      val km = new KMeans().setK(k).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(e)
-      val centroids = s.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-      ).toDF("c_cell", "centroid")
-      // Each vector joins its 2 nearest cells (own + runner-up).
-      val withCells = model.transform(e)
-        .crossJoin(broadcast(centroids))
-        .withColumn("cdist", l2sq(col("emb"), col("centroid")))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("vec_id")).orderBy(col("cdist"), col("c_cell"))))
-        .filter(col("rk") <= 2)
-        .select(col("vec_id"), col("emb"), col("c_cell").as("cell"))
+      val cb = typedlit(trainCentroids(e, k))
+      val c1 = nearestCell(col("emb"), cb, k)
+      val withCells = e
+        .withColumn("c1", c1)
+        .withColumn("c2", nearestCell(col("emb"), cb, k, excl = col("c1")))
+        .select(col("vec_id"), col("emb"),
+          explode(array(col("c1"), col("c2"))).as("cell"))
       withCells.as("a").join(withCells.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
@@ -210,32 +235,33 @@ object SimilarityQueries {
         .limit(10)
     }),
 
-    // IVF (inverted-file) ANN: KMeans coarse quantizer (nList=16)
-    // partitions the corpus; the query probes its nProbe=4 nearest
-    // cells and brute-forces only those — the classic recall/cost dial.
-    // At 100 TB the assignment is a write-time partition key, so a
-    // probe touches nProbe/nList of the files (partition pruning).
+    // IVF (inverted-file) ANN: a coarse quantizer (nList=16,
+    // engine-owned sampled Lloyd) partitions the corpus; the query
+    // probes its nProbe=4 nearest cells and brute-forces only those —
+    // the classic recall/cost dial. The probe is a PRUNING FILTER on
+    // the assignment column (cells chosen driver-side from the tiny
+    // codebook), not a join: at 100 TB the assignment is a write-time
+    // partition key and this same filter becomes partition pruning —
+    // a scan of nProbe/nList of the files.
     "llm_ann_ivf_topk" -> ((s, dir) => {
-      import org.apache.spark.ml.clustering.KMeans
-      import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-      val e = embDouble(Tables(s, dir, "embeddings"))
-        .withColumn("features", array_to_vector(col("emb")))
+      val nList = 16
+      val nProbe = 4
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val km = new KMeans().setK(16).setSeed(42L).setMaxIter(5)
-        .setFeaturesCol("features").setPredictionCol("cell")
-      val model = km.fit(e)
-      val assigned = model.transform(e)
-      // Query's nProbe nearest cells, via the same centroid table.
-      val centroids = assigned.sparkSession.createDataFrame(
-        model.clusterCenters.zipWithIndex.map { case (c, i) => (i, c.toArray) }
-      ).toDF("cell", "centroid")
-      val probed = queryVec(e).crossJoin(broadcast(centroids))
-        .withColumn("qdist", l2sq(col("qv"), col("centroid")))
-        .orderBy(col("qdist"), col("cell"))
-        .limit(4)
-        .select(col("cell"), col("qv"))
-      assigned.join(broadcast(probed), Seq("cell"))
-        .filter(col("vec_id") =!= 0)
+      val centroids = trainCentroids(e, nList)
+      val cb = typedlit(centroids)
+      // Query's nProbe nearest cells — driver arithmetic over the
+      // bounded codebook (same boundary as training it).
+      val q: Seq[Double] = e.filter(col("vec_id") === 0)
+        .select(col("emb")).head.getSeq[Double](0)
+      val probed: Seq[Int] = centroids.zipWithIndex
+        .map { case (cent, i) =>
+          (cent.zip(q).map { case (c, x) => val d = c - x; d * d }.sum, i)
+        }
+        .sorted.take(nProbe).map(_._2)
+      e.withColumn("cell", nearestCell(col("emb"), cb, nList))
+        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+        .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
           round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
         .orderBy(col("cos_sim").desc, col("vec_id"))
