@@ -172,6 +172,45 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // Okapi BM25 (k1=1.2, b=0.75, Lucene idf) — the ACTUAL scoring
+    // behind the reference's ES `q=` search (indexView.html:13-20);
+    // tf·idf above is the direction, this is the destination. Same
+    // one-broadcast corpus-stats shape (plus avg doc length); every
+    // float subexpression is written with IDENTICAL association in the
+    // DuckDB twin (ln/÷/× are cross-engine bit-stable here — proven by
+    // the tf·idf query), then round(6).
+    "search_topk_bm25" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+        .withColumn("tf_vector", tf("vector"))
+        .withColumn("tf_join", tf("join"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
+        sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
+        sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
+      // Per-term BM25 contribution; constants written literally (2.2 =
+      // k1+1, 0.25 = 1-b) so both engines evaluate the same literals.
+      def part(tfc: Column, dfc: Column): Column =
+        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tfc * lit(2.2)) /
+            (tfc + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          part(col("tf_spark"), col("df_spark")) +
+            part(col("tf_vector"), col("df_vector")) +
+            part(col("tf_join"), col("df_join")), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .limit(10)
+    }),
+
     // Multi-index fan-out — the UI's literal "all index" option
     // (`indexView.html:15-17`): the same keyword searched across every
     // index, results tagged with their index. Each branch is an
@@ -280,6 +319,37 @@ object SearchQueries {
         |WHERE round((tf_spark * ln(n_docs / df_spark)
         |           + tf_vector * ln(n_docs / df_vector)
         |           + tf_join * ln(n_docs / df_join)) / CAST(n_tokens AS DOUBLE), 6) > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_topk_bm25" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+        |        ((tf_vector * 2.2) /
+        |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+        |        ((tf_join * 2.2) /
+        |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, n_tokens, score FROM b
+        |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_all_indexes" ->
       """SELECT * FROM (

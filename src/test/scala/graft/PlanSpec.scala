@@ -114,6 +114,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_dedup_embedding_cosine",
       "llm_cosine_topk_batch", // 5-row query-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
+      "search_topk_bm25", // 1-row corpus-stats broadcast
       "llm_length_trim") // 1-row total-count broadcast
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
