@@ -156,7 +156,7 @@ object Bench {
     // Skipped in subset probes unless asked for — it is the single
     // most expensive bench item and would dominate a seconds-long
     // targeted measurement.
-    val runWrite = only.forall(_.contains("_write_bulk_import")) || only.isEmpty
+    val runWrite = only.forall(_.contains("_write_bulk_import"))
     val writeSecs = if (!runWrite) -1.0 else {
       val out = java.nio.file.Files.createTempDirectory("bench_import").toString
       val store = new etl.IndexStore(spark, out)

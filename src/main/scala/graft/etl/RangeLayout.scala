@@ -61,19 +61,24 @@ object RangeLayout {
     // Out-of-domain keys would ALIAS in the interleave (key 5 and
     // key 2^bits+5 get the same z-value), silently degrading pruning
     // to full scans with no wrong results to notice — fail fast
-    // instead. One metadata-cheap agg against a layout write that is
-    // heavyweight anyway.
-    val Array(lo, hi) = df
-      .select(least(min(a), min(b)).cast("long"), greatest(max(a), max(b)).cast("long"))
-      .head.toSeq.map(_.asInstanceOf[Long]).toArray
-    require(lo >= 0L && hi < (1L << bits),
-      s"z-order keys must lie in [0, 2^$bits): observed [$lo, $hi] — " +
-        "rank-normalize (e.g. ntile) before writeZOrdered")
-    df.withColumn("__z", zValue(a, b, bits))
-      .repartitionByRange(numFiles, col("__z"))
-      .sortWithinPartitions(col("__z"))
-      .drop("__z")
-      .write.mode(SaveMode.Overwrite).parquet(path)
+    // instead. The input is pinned in the cache first so the guard
+    // and the write see THE SAME data (a non-deterministic upstream
+    // could otherwise pass validation and then write different keys)
+    // and the lineage executes once, not twice.
+    val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val Array(lo, hi) = pinned
+        .select(least(min(a), min(b)).cast("long"), greatest(max(a), max(b)).cast("long"))
+        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+      require(lo >= 0L && hi < (1L << bits),
+        s"z-order keys must lie in [0, 2^$bits): observed [$lo, $hi] — " +
+          "rank-normalize (e.g. ntile) before writeZOrdered")
+      pinned.withColumn("__z", zValue(a, b, bits))
+        .repartitionByRange(numFiles, col("__z"))
+        .sortWithinPartitions(col("__z"))
+        .drop("__z")
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    } finally pinned.unpersist()
   }
 
   /** Rows the parquet scan actually surfaced for a predicate —

@@ -249,6 +249,8 @@ object CorpusQueries {
       val top = topTokens(toks, "exact_cnt")
         .collect() // bounded: exactly the 100-row top-k
         .map(r => (r.getString(0), r.getLong(1), sk.estimateCount(r.getString(0))))
+      // Both consumers have executed; the corpus-sized cache is dead.
+      toks.unpersist()
       import s.implicits._
       top.toSeq.toDF("token", "exact_cnt", "cms_cnt")
         .orderBy(col("exact_cnt").desc, col("token"))

@@ -54,40 +54,53 @@ object SimilarityQueries {
   private[graft] def l2sq(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
-  /** Deterministic engine-owned coarse quantizer: Lloyd on the
-    * collected content-hash sample (bounded by design — quantizer
-    * training never needs the full corpus), id-sorted for
-    * collect-order stability. Replaces spark.ml KMeans fits whose cost
-    * on small per-fit inputs is pure driver stage scheduling.
+  /** The bounded, deterministic quantizer-training sample: content-hash
+    * selected (no global sort), id-sorted for collect-order stability.
+    * Shared by PQ codebooks and the coarse quantizers so all of them
+    * train on the SAME sample policy.
     */
-  private[graft] def trainCentroids(e: DataFrame, k: Int,
-                                    sampleMod: Int = 4): Seq[Seq[Double]] = {
-    val sample = e
-      .filter(pmod(xxhash64(col("vec_id")), lit(sampleMod)) === 0)
+  private[graft] def sampleVectors(e: DataFrame, mod: Int): Array[Array[Double]] =
+    e.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
       .select(col("vec_id"), col("emb")).collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
-    lloyd(sample, k, iters = 5).map(_.toSeq).toSeq
-  }
 
-  /** Index of the nearest centroid (codegen'd HOF argmin over the
-    * broadcast-literal codebook), optionally excluding one cell —
-    * calling it twice yields the two nearest cells without a
-    * centroid join or a per-vector window.
+  /** Deterministic engine-owned coarse quantizer: Lloyd on the
+    * collected content-hash sample (bounded by design — quantizer
+    * training never needs the full corpus). Replaces spark.ml KMeans
+    * fits whose cost on small per-fit inputs is pure driver stage
+    * scheduling. Half the corpus (mod=2): blocking recall is
+    * quantizer-quality-sensitive, and the sample is still bounded.
     */
-  private def nearestCell(emb: Column, cb: Column, k: Int,
-                          excl: Column = lit(-1)): Column =
+  private[graft] def trainCentroids(e: DataFrame, k: Int,
+                                    sampleMod: Int = 2): Seq[Seq[Double]] =
+    lloyd(sampleVectors(e, sampleMod), k, iters = 5).map(_.toSeq).toSeq
+
+  /** Squared L2 distance to every centroid of the literal codebook, as
+    * array<double> — each distance fold evaluates ONCE; keep it as its
+    * own projected column and run [[argminCell]] over the attribute
+    * (folding both into one expression would re-evaluate the O(dim)
+    * fold in both the compare and the keep branch of the argmin).
+    */
+  private def cellDistances(emb: Column, cb: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)), c =>
+      aggregate(
+        zip_with(emb, element_at(cb, c + 1), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (a, v) => a + v))
+
+  /** Index of the smallest distance (optionally excluding one cell —
+    * calling it twice on the same distances column yields the two
+    * nearest cells with no centroid join, window, or re-fold).
+    */
+  private def argminCell(dists: Column, k: Int,
+                         excl: Column = lit(-1)): Column =
     aggregate(
       sequence(lit(0), lit(k - 1)),
       struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
-      (acc, c) => {
-        val dist = aggregate(
-          zip_with(emb, element_at(cb, c + 1), (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a, v) => a + v)
-        when(c === excl, acc)
-          .otherwise(when(dist < acc.getField("d"),
-            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc))
-      },
+      (acc, c) =>
+        when(c === excl || element_at(dists, c + 1) >= acc.getField("d"), acc)
+          .otherwise(struct(c.cast("int").as("c"),
+            element_at(dists, c + 1).as("d"))),
       acc => acc.getField("c"))
 
   /** Deterministic driver-side Lloyd k-means for PQ codebook training
@@ -198,10 +211,10 @@ object SimilarityQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = math.max(4L, e.count() / 2000L).toInt
       val cb = typedlit(trainCentroids(e, k))
-      val c1 = nearestCell(col("emb"), cb, k)
       val withCells = e
-        .withColumn("c1", c1)
-        .withColumn("c2", nearestCell(col("emb"), cb, k, excl = col("c1")))
+        .withColumn("__cd", cellDistances(col("emb"), cb, k))
+        .withColumn("c1", argminCell(col("__cd"), k))
+        .withColumn("c2", argminCell(col("__cd"), k, excl = col("c1")))
         .select(col("vec_id"), col("emb"),
           explode(array(col("c1"), col("c2"))).as("cell"))
       withCells.as("a").join(withCells.as("b"),
@@ -259,7 +272,9 @@ object SimilarityQueries {
           (cent.zip(q).map { case (c, x) => val d = c - x; d * d }.sum, i)
         }
         .sorted.take(nProbe).map(_._2)
-      e.withColumn("cell", nearestCell(col("emb"), cb, nList))
+      e.withColumn("__cd", cellDistances(col("emb"), cb, nList))
+        .withColumn("cell", argminCell(col("__cd"), nList))
+        .drop("__cd")
         .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
@@ -299,11 +314,7 @@ object SimilarityQueries {
       // for 8 tiny fits. Same bounded-artifact boundary as collecting
       // a sketch; the distributed work stays where the data is big
       // (the encode+score scan).
-      val sample: Array[Array[Double]] = e
-        .filter(pmod(xxhash64(col("vec_id")), lit(4)) === 0)
-        .select(col("vec_id"), col("emb")).collect()
-        .sortBy(_.getLong(0)) // collect order is partition-dependent
-        .map(_.getSeq[Double](1).toArray)
+      val sample: Array[Array[Double]] = sampleVectors(e, mod = 4)
       val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
         lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
