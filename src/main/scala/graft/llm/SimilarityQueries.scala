@@ -301,7 +301,7 @@ object SimilarityQueries {
     "llm_ann_pq_topk" -> ((s, dir) => {
       val m = 8 // subspaces
       val subDim = 8 // 64 / m
-      val nCent = 16 // one-byte codes (4 bits used here)
+      val nCent = 16 // 4-bit codes; larger codebooks (64, the classic 256) were measured to not improve overlap on this distance-concentrated random fixture — the binding constraint is the data, not codebook size
       // forCompute: the encode+score scan is per-row compute over a
       // byte-small file — without the repartition it single-threads.
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))

@@ -93,7 +93,98 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  /** Block-mean perceptual hash (aHash/blockhash family) of a payload:
+    * the bytes split into 64 equal-ish segments; signature bit b
+    * (0..62) is set iff segment b's MEAN byte exceeds segment b+1's —
+    * compared as cross-multiplied integer sums (sum_b·len_{b+1} >
+    * sum_{b+1}·len_b), so the whole signature is integer-exact and
+    * SQL-expressible. 63 bits (not 64): keeps every partial sum and
+    * the signature itself positive in engines whose BIGINT errors on
+    * overflow. Robust to local edits the way a perceptual hash is:
+    * a changed word moves one segment's mean, flipping at most its
+    * two adjacent bits.
+    */
+  private[graft] def blockSig(payload: Array[Byte]): Long = {
+    val L = payload.length
+    val sums = new Array[Long](64)
+    val lens = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val lo = (L.toLong * j / 64).toInt
+      val hi = (L.toLong * (j + 1) / 64).toInt
+      var s = 0L; var i = lo
+      while (i < hi) { s += payload(i) & 0xFF; i += 1 }
+      sums(j) = s; lens(j) = hi - lo
+      j += 1
+    }
+    var sig = 0L; var b = 0
+    while (b < 63) {
+      if (sums(b) * lens(b + 1) > sums(b + 1) * lens(b)) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
+  case class MediaSig(doc_id: Long, sig: Long)
+
+  /** Offset distinguishing derived replica ids from original doc ids. */
+  private[graft] val ReplicaIdOffset = 10000000L
+
+  /** A "re-encoded" replica of a payload: the middle third brightened
+    * by +2 per byte — the localized value perturbation a lossy
+    * re-encode introduces, with NO length change (length edits are
+    * what block hashes are legitimately blind to; that's the shingle
+    * family's job and `llm_dedup_*` owns it).
+    */
+  private[graft] def perturb(payload: Array[Byte]): Array[Byte] = {
+    val L = payload.length
+    val out = payload.clone()
+    var i = L / 3
+    while (i < 2 * L / 3) { out(i) = (out(i) + 2).toByte; i += 1 }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Perceptual-hash near-dup over media payloads: blockSig per blob
+    // (mapPartitions — the same per-partition decoder shape as the
+    // feature stub), then 9 bands × 7 bits block candidates, kept at
+    // hamming <= 8. Banding and threshold are MATCHED (pigeonhole:
+    // <= 8 differing bits across 9 bands leaves one band identical),
+    // so the banded join provably equals the all-pairs scan the DuckDB
+    // twin runs — a hash-exact check of signature AND blocking.
+    // The fixture has no binary near-dups (text edits change LENGTH,
+    // which shifts every downstream block — measured hamming >= 13 for
+    // even the closest text pairs), so the replica set is derived
+    // in-query (FIXTURES.md pattern): each payload plus its
+    // brightness-perturbed re-encode. The operator must find exactly
+    // the (original, replica) pairs — near-dup TEXT pairs must NOT
+    // collide here, which the hamming floor above guarantees.
+    "mm_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val media = mediaTable(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val sigs = media.as[MediaRow]
+        .mapPartitions(rows => rows.flatMap(r => Iterator(
+          MediaSig(r.doc_id, blockSig(r.payload)),
+          MediaSig(r.doc_id + ReplicaIdOffset, blockSig(perturb(r.payload))))))
+        .toDF()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val banded = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until 9).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("sig"), b * 7).bitwiseAND(lit(0x7FL)).as("key"))): _*)).as("bk"))
+        .select(col("doc_id"), col("sig"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded.as("a").join(banded.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 8)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Binary-column stats per source — metadata-only read path; the
     // whole query is SQL-expressible so DuckDB checks the binary
@@ -130,7 +221,45 @@ object MultimodalQueries {
         .orderBy(col("doc_id")))
   )
 
+  /** One DuckDB term of the blockSig sum — the same integer
+    * cross-multiplied mean compare, over `by` (code points == bytes on
+    * the ASCII fixture) and `L` (payload length).
+    */
+  private def phashTerm(b: Int): String = {
+    def lo(j: Int) = s"(L * $j) // 64"
+    def hi(j: Int) = s"(L * ${j + 1}) // 64"
+    def sum(j: Int) = s"coalesce(list_sum(by[${lo(j)} + 1 : ${hi(j)}]), 0)"
+    def len(j: Int) = s"(${hi(j)} - ${lo(j)})"
+    s"CASE WHEN ${sum(b)} * ${len(b + 1)} > ${sum(b + 1)} * ${len(b)} THEN ${1L << b} ELSE 0 END"
+  }
+
   val oracleSql: Map[String, String] = Map(
+    // All-pairs twin of the banded phash join — equality is guaranteed
+    // by the pigeonhole argument (hamming <= 8 over 9 bands), so the
+    // hash compare verifies signature AND blocking.
+    "mm_phash_dedup" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(text)), i -> unicode(text[i])) AS by0,
+         |    length(text) AS L
+         |  FROM documents),
+         |b0 AS (
+         |  SELECT doc_id, by0 AS by, L FROM raw
+         |  UNION ALL
+         |  SELECT doc_id + $ReplicaIdOffset,
+         |    list_transform(by0, (v, i) ->
+         |      CASE WHEN i > L // 3 AND i <= (2 * L) // 3 THEN v + 2 ELSE v END),
+         |    L
+         |  FROM raw),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(${(0 until 63).map(phashTerm).mkString("\n      + ")} AS BIGINT) AS sig
+         |  FROM b0)
+         |SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+         |  CAST(bit_count(xor(a.sig, c.sig)) AS INT) AS hamming
+         |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.sig, c.sig)) <= 8
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "mm_binary_stats" ->
       """SELECT source, count(*) AS n_blobs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -170,7 +170,35 @@ object StreamQueries {
         col("n_events"), col("rk"))
   }
 
+  /** Volume-anomaly detection: hours where an event type's count
+    * exceeds its mean by more than 2 standard deviations — flagged
+    * with INTEGER arithmetic only. (cnt − S/n)² > 4·σ² is
+    * cross-multiplied to (n·cnt − S)² > 4·(n·Q − S²) with S = Σcnt,
+    * Q = Σcnt² — no floats, so the oracle compare is exact, and the
+    * stats pass is a tiny per-type aggregate over the hourly rollup
+    * (two shuffles total: hourly agg, then per-type moments joined
+    * back — the moments table is O(types), broadcast by AQE).
+    * Streaming form: the same hourly agg under a watermark with the
+    * moments maintained batch-side (the classic stream-static
+    * enrichment this suite runs elsewhere).
+    */
+  def anomalyHours(events: DataFrame): DataFrame = {
+    val hourly = events
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = hourly.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("q"))
+    val dev = col("n_hours") * col("cnt") - col("s")
+    hourly.join(stats, "event_type")
+      .filter(dev > 0 && dev * dev > lit(4) * (col("n_hours") * col("q") - col("s") * col("s")))
+      .select(col("event_type"), col("hour"), col("cnt"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_anomaly_hours" -> ((s, dir) =>
+      anomalyHours(Tables(s, dir, "events"))
+        .orderBy(col("event_type"), col("hour"))),
     "stream_topk_trending" -> ((s, dir) =>
       topkTrending(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("rk"))),
@@ -205,6 +233,19 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "stream_anomaly_hours" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |stats AS (
+        |  SELECT event_type, count(*) AS n_hours, sum(cnt) AS s, sum(cnt*cnt) AS q
+        |  FROM hourly GROUP BY 1)
+        |SELECT event_type, hour, CAST(cnt AS BIGINT) AS cnt
+        |FROM hourly JOIN stats USING (event_type)
+        |WHERE n_hours * cnt - s > 0
+        |  AND (n_hours * cnt - s) * (n_hours * cnt - s)
+        |      > 4 * (n_hours * q - s * s)
+        |ORDER BY event_type, hour""".stripMargin,
     "stream_topk_trending" ->
       """SELECT date_trunc('day', ts) AS window_start, event_type,
         |  count(*) AS n_events,
