@@ -47,4 +47,21 @@ class MultimodalSpec extends AnyFunSuite {
       .filter(col("n_frames") =!= ceil(col("n_bytes") / 8.0).cast("int"))
     assert(bad.isEmpty)
   }
+
+  test("blockSig: perceptual-hash invariances") {
+    import multimodal.MultimodalQueries.{blockSig, perturb}
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).getBytes("UTF-8")
+    // Global brightness shift preserves EVERY mean comparison — the
+    // defining perceptual invariance (cross-multiplied means cancel).
+    val brightened = base.map(b => (b + 5).toByte)
+    assert(blockSig(base) == blockSig(brightened))
+    // A localized perturbation flips only the bits at its region
+    // boundaries — near, not equal, and far from the 63-bit diameter.
+    val h = java.lang.Long.bitCount(blockSig(base) ^ blockSig(perturb(base)))
+    assert(h >= 1 && h <= 8, s"localized edit moved $h/63 bits")
+    // A length edit (content shift) is NOT a near-dup for a block
+    // hash — that's the shingle family's territory.
+    val shifted = ("xxxxx " + new String(base, "UTF-8")).getBytes("UTF-8")
+    assert(java.lang.Long.bitCount(blockSig(base) ^ blockSig(shifted)) > 8)
+  }
 }
