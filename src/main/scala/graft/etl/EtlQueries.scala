@@ -78,6 +78,33 @@ object EtlQueries {
       ).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // SCD Type-2 history — the warehouse extension of the reference's
+    // last-write-wins upsert (#4): instead of keeping only the latest
+    // version, every version gets a validity interval
+    // (valid_from, valid_to] via lead() over the key, and the open
+    // interval marks the current row. The update batch is derived
+    // in-query (FIXTURES.md pattern): a content-hash-selected ~1/3 of
+    // customers receives an account-balance adjustment as version 2.
+    // One window per key over version-compacted rows — at scale this
+    // runs per merge batch, never over full history.
+    "etl_scd2_history" -> ((s, dir) => {
+      val cust = Tables(s, dir, "customer")
+      val isUpdated =
+        substring(md5(col("c_custkey").cast(StringType)), 1, 1)
+          .isin("0", "1", "2", "3", "4")
+      val v1 = cust.select(col("c_custkey"), col("c_acctbal"), lit(1).as("version"))
+      val v2 = cust.filter(isUpdated)
+        .select(col("c_custkey"), (col("c_acctbal") + 100.0).as("c_acctbal"),
+          lit(2).as("version"))
+      val w = Window.partitionBy(col("c_custkey")).orderBy(col("version"))
+      v1.unionByName(v2)
+        .withColumn("valid_to", lead(col("version"), 1).over(w))
+        .select(col("c_custkey"), col("c_acctbal"),
+          col("version").as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current"))
+        .orderBy(col("c_custkey"), col("valid_from"))
+    }),
+
     // #12: count(*) per "index" — the reference's unimplemented
     // getIndexDataCount (ElasticServiceImpl.java:133-136), owned natively.
     "etl_count_tables" -> ((s, dir) => {
@@ -125,6 +152,18 @@ object EtlQueries {
         |           l_suppkey DESC, l_quantity DESC, l_discount DESC,
         |           l_tax DESC, l_returnflag DESC, l_linestatus DESC) = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "etl_scd2_history" ->
+      """WITH v AS (
+        |  SELECT c_custkey, c_acctbal, 1 AS version FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal + 100.0, 2 FROM customer
+        |  WHERE substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)
+        |        IN ('0','1','2','3','4'))
+        |SELECT c_custkey, c_acctbal, version AS valid_from,
+        |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version) AS valid_to,
+        |  lead(version) OVER (PARTITION BY c_custkey ORDER BY version) IS NULL AS is_current
+        |FROM v
+        |ORDER BY c_custkey, valid_from""".stripMargin,
     "etl_count_tables" ->
       ("SELECT 'region' AS tbl, count(*) AS cnt FROM region" +
         Seq("nation", "customer", "supplier", "part", "orders", "lineitem",

@@ -39,6 +39,26 @@ object SqlQueries {
         |ORDER BY revenue DESC, o_orderdate, l_orderkey
         |LIMIT 10""".stripMargin,
 
+    // TPC-H Q7 shape: shipping volume between DISTINCT nation pairs —
+    // the two-role dimension pattern (nation joined twice under
+    // different aliases), a shape Q5's single shared-nation cycle
+    // doesn't exercise.
+    "sql_q7_volume_shipping" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE sn.n_name <> cn.n_name
+        |GROUP BY sn.n_name, cn.n_name
+        |ORDER BY revenue DESC, supp_nation, cust_nation
+        |LIMIT 20""".stripMargin,
+
     // TPC-H Q5 shape: revenue by nation where supplier and customer
     // share the nation (the classic local-supplier join cycle).
     "sql_q5_local_supplier" ->
