@@ -158,6 +158,28 @@ object CorpusQueries {
     "llm_dedup_cluster" -> ((s, dir) =>
       clusterLabels(s, dir).orderBy(col("doc_id"))),
 
+    // Cross-source contamination matrix: how many near-dup pairs span
+    // two DIFFERENT sources — the audit that tells a curation run
+    // which feeds are re-hosting each other's content (within-source
+    // duplication is expected; cross-source duplication changes
+    // dedup-survivor and licensing decisions). Reuses the pair finder;
+    // the per-pair source lookup is a join against the narrow
+    // (doc_id, source) projection, grouped into the source-pair
+    // matrix with a canonical (least, greatest) source ordering.
+    "llm_dedup_cross_source" -> ((s, dir) => {
+      val pairs = DedupQueries.jaccardPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), "doc_b")
+        .filter(col("src_a") =!= col("src_b"))
+        .groupBy(least(col("src_a"), col("src_b")).as("source_1"),
+          greatest(col("src_a"), col("src_b")).as("source_2"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .orderBy(col("source_1"), col("source_2"))
+    }),
+
     // Overlapping token chunking — the pre-training/RAG splitter.
     // Per-row sequence+explode+slice, no shuffle; chunk text leaves
     // the operator as md5 so the comparison surface stays narrow.
@@ -296,6 +318,17 @@ object CorpusQueries {
          |  FROM reach r JOIN edges e ON e.src = r.doc_id)
          |SELECT doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_dedup_cross_source" ->
+      s"""WITH ${DedupQueries.ngramPairsCtes}
+         |SELECT least(sa.source, sb.source) AS source_1,
+         |       greatest(sa.source, sb.source) AS source_2,
+         |       count(*) AS n_pairs
+         |FROM good
+         |JOIN documents sa ON doc_a = sa.doc_id
+         |JOIN documents sb ON doc_b = sb.doc_id
+         |WHERE sa.source <> sb.source
+         |GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "llm_chunk_docs" ->
       s"""WITH t AS (
          |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS w
