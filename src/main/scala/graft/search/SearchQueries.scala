@@ -63,6 +63,21 @@ object SearchQueries {
     // Phrase match: consecutive-token phrase present in the text
     // (ES match_phrase). Normalized-whitespace contains — tokens glued
     // with single spaces on both sides.
+    // Hit snippets — the highlight payload a search UI renders next to
+    // each result (ES returns highlighted fragments for the `q=`
+    // search the reference's indexView displays): first-match position
+    // plus a window of surrounding context. Per-row string ops at scan
+    // speed; identical substring semantics in both engines.
+    "search_snippets" -> ((s, dir) => {
+      val pos = instr(lower(col("text")), "spark")
+      Tables(s, dir, "documents")
+        .withColumn("pos", pos)
+        .filter(col("pos") > 0)
+        .select(col("doc_id"), col("pos"),
+          expr("substring(text, greatest(1, pos - 30), 80)").as("snippet"))
+        .orderBy(col("doc_id"))
+    }),
+
     "search_phrase_match" -> ((s, dir) => {
       val normalized = concat_ws(" ", split(lower(col("text")), "\\s+"))
       Tables(s, dir, "documents")
@@ -320,6 +335,13 @@ object SearchQueries {
         |           + tf_vector * ln(n_docs / df_vector)
         |           + tf_join * ln(n_docs / df_join)) / CAST(n_tokens AS DOUBLE), 6) > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_snippets" ->
+      """SELECT doc_id,
+        |  CAST(strpos(lower(text), 'spark') AS INT) AS pos,
+        |  substr(text, greatest(1, strpos(lower(text), 'spark') - 30), 80) AS snippet
+        |FROM documents
+        |WHERE strpos(lower(text), 'spark') > 0
+        |ORDER BY doc_id""".stripMargin,
     "search_topk_bm25" ->
       """WITH scored AS (
         |  SELECT doc_id,
