@@ -130,17 +130,25 @@ object MultimodalQueries {
   /** Offset distinguishing derived replica ids from original doc ids. */
   private[graft] val ReplicaIdOffset = 10000000L
 
-  /** A "re-encoded" replica of a payload: the middle third brightened
-    * by +2 per byte — the localized value perturbation a lossy
+  /** A "re-encoded" replica of a payload: two regions brightened by
+    * different amounts — the localized value perturbation a lossy
     * re-encode introduces, with NO length change (length edits are
     * what block hashes are legitimately blind to; that's the shingle
-    * family's job and `llm_dedup_*` owns it).
+    * family's job and `llm_dedup_*` owns it). TWO regions with
+    * different deltas: a single uniform shift cancels in the
+    * cross-multiplied mean compares (only region-boundary bits can
+    * flip), which left most replica pairs at hamming 0 — the second
+    * region forces a spread of nonzero distances so the banded join
+    * is actually exercised NEAR its matched threshold, not just at
+    * identity.
     */
   private[graft] def perturb(payload: Array[Byte]): Array[Byte] = {
     val L = payload.length
     val out = payload.clone()
     var i = L / 3
     while (i < 2 * L / 3) { out(i) = (out(i) + 2).toByte; i += 1 }
+    var j = L / 10
+    while (j < L / 5) { out(j) = (out(j) + 6).toByte; j += 1 }
     out
   }
 
@@ -181,8 +189,11 @@ object MultimodalQueries {
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .distinct()
+        // Filter BEFORE the distinct: random band collisions above the
+        // threshold are dropped free instead of riding the dedup
+        // shuffle (their count grows with corpus size).
         .filter(col("hamming") <= 8)
+        .distinct()
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -248,7 +259,8 @@ object MultimodalQueries {
          |  UNION ALL
          |  SELECT doc_id + $ReplicaIdOffset,
          |    list_transform(by0, (v, i) ->
-         |      CASE WHEN i > L // 3 AND i <= (2 * L) // 3 THEN v + 2 ELSE v END),
+         |      CASE WHEN i > L // 3 AND i <= (2 * L) // 3 THEN v + 2 ELSE v END
+         |      + CASE WHEN i > L // 10 AND i <= L // 5 THEN 6 ELSE 0 END),
          |    L
          |  FROM raw),
          |sig AS (

@@ -60,9 +60,6 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
-    // Phrase match: consecutive-token phrase present in the text
-    // (ES match_phrase). Normalized-whitespace contains — tokens glued
-    // with single spaces on both sides.
     // Hit snippets — the highlight payload a search UI renders next to
     // each result (ES returns highlighted fragments for the `q=`
     // search the reference's indexView displays): first-match position
@@ -78,6 +75,9 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Phrase match: consecutive-token phrase present in the text
+    // (ES match_phrase). Normalized-whitespace contains — tokens glued
+    // with single spaces on both sides.
     "search_phrase_match" -> ((s, dir) => {
       val normalized = concat_ws(" ", split(lower(col("text")), "\\s+"))
       Tables(s, dir, "documents")

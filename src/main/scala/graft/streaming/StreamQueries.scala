@@ -189,9 +189,18 @@ object StreamQueries {
     val stats = hourly.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_hours"), sum(col("cnt")).as("s"),
         sum(col("cnt") * col("cnt")).as("q"))
-    val dev = col("n_hours") * col("cnt") - col("s")
+    // The cross-multiplied moments square S and Q: DECIMAL(38,0), not
+    // Long — a type with ≥ 3e9 total events would silently wrap s*s in
+    // Long arithmetic while the oracle's HUGEINT stays exact. Decimal
+    // holds exact through ~1e19 events per type (squares < 1e38),
+    // far past any real stream; both engines stay exact, so the
+    // comparison is still bit-identical.
+    val d38 = DecimalType(38, 0)
+    val dev = col("n_hours").cast(d38) * col("cnt").cast(d38) - col("s").cast(d38)
     hourly.join(stats, "event_type")
-      .filter(dev > 0 && dev * dev > lit(4) * (col("n_hours") * col("q") - col("s") * col("s")))
+      .filter(dev > 0 && dev * dev >
+        lit(4) * (col("n_hours").cast(d38) * col("q").cast(d38) -
+          col("s").cast(d38) * col("s").cast(d38)))
       .select(col("event_type"), col("hour"), col("cnt"))
   }
 
