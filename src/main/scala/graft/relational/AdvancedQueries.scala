@@ -77,6 +77,43 @@ object AdvancedQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // NULL-semantics sweep — the correctness corner every engine must
+    // own: count(*) vs count(col) vs count(DISTINCT col) under nulls,
+    // null-group membership, and the equi-join vs NULL-SAFE (<=>)
+    // join distinction (nulls never match '=', match once under
+    // IS NOT DISTINCT FROM). Nulls are derived in-query (the fixture
+    // columns are dense) via nullif; output is one row of counts —
+    // each a one-line proof of the semantic.
+    "rel_null_semantics" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer")
+        .select(expr("nullif(c_mktsegment, 'BUILDING')").as("seg"))
+      val base = c.agg(
+        count(lit(1)).as("n_rows"),
+        count(col("seg")).as("n_nonnull"),
+        countDistinct(col("seg")).as("n_distinct"),
+        count(when(col("seg").isNull, 1)).as("n_null"))
+      val eqJ = c.as("a").join(c.as("b"), col("a.seg") === col("b.seg"))
+        .agg(count(lit(1)).as("eq_join_rows"))
+      val nsJ = c.as("a").join(c.as("b"), col("a.seg") <=> col("b.seg"))
+        .agg(count(lit(1)).as("nullsafe_join_rows"))
+      base.crossJoin(eqJ).crossJoin(nsJ)
+    }),
+
+    // Native unpivot (melt) — the dual of rel_pivot: wide per-part
+    // numeric columns to long (part, measure, value) form. Spark's
+    // Dataset.unpivot is a zero-shuffle per-row expansion (each input
+    // row emits one row per measure, no exchange — the shape that
+    // matters when un-pivoting a 100-column fact at scale).
+    "rel_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "part")
+        .select(col("p_partkey"), col("p_size").cast(DoubleType).as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")),
+          "measure", "value")
+        .orderBy(col("p_partkey"), col("measure"))
+    }),
+
     // CUBE: all 2^2 grouping-set combinations with exact sums.
     "rel_cube" -> ((s, dir) => {
       Tables(s, dir, "lineitem")
@@ -130,6 +167,23 @@ object AdvancedQueries {
         |  CAST(SUM(CASE WHEN l_linestatus = 'O'
         |       THEN CAST(l_quantity AS DECIMAL(12,2)) END) AS DOUBLE) AS qty_o
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "rel_null_semantics" ->
+      """WITH c AS (
+        |  SELECT nullif(c_mktsegment, 'BUILDING') AS seg FROM customer)
+        |SELECT
+        |  (SELECT count(*) FROM c) AS n_rows,
+        |  (SELECT count(seg) FROM c) AS n_nonnull,
+        |  (SELECT count(DISTINCT seg) FROM c) AS n_distinct,
+        |  (SELECT count(*) FROM c WHERE seg IS NULL) AS n_null,
+        |  (SELECT count(*) FROM c a JOIN c b ON a.seg = b.seg) AS eq_join_rows,
+        |  (SELECT count(*) FROM c a JOIN c b
+        |     ON a.seg IS NOT DISTINCT FROM b.seg) AS nullsafe_join_rows""".stripMargin,
+    "rel_unpivot" ->
+      """SELECT p_partkey, measure, value FROM (
+        |  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part
+        |  UNION ALL
+        |  SELECT p_partkey, 'p_retailprice', p_retailprice FROM part)
+        |ORDER BY p_partkey, measure""".stripMargin,
     "rel_cube" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
