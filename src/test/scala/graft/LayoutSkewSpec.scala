@@ -109,6 +109,40 @@ class LayoutSkewSpec extends AnyFunSuite {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    import spark.implicits._
+    // The AQE-native alternative to manual salting (SkewJoin): one hot
+    // key dominating a sort-merge join partition gets split into
+    // parallel sub-partitions at RUNTIME, no query rewrite. Thresholds
+    // are lowered to fixture scale — at real scale the defaults
+    // (256MB partitions) gate the same mechanism.
+    val confs = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val prev = confs.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // 50k rows on ONE key vs a uniform dim — the pathological shape.
+      val hot = spark.range(50000L).select(lit(1L).as("k"), col("id").as("payload"))
+        .union(spark.range(1000L).select((col("id") % 50 + 2).as("k"), col("id")))
+      val dim = spark.range(60L).select(col("id").as("k2"), (col("id") * 10).as("v"))
+      val joined = hot.join(dim, col("k") === col("k2"))
+      // collect() drives THIS Dataset's QueryExecution (count() would
+      // plan separately and leave `joined`'s adaptive plan unexecuted,
+      // so the skew markers would never appear on it).
+      assert(joined.collect().length == 51000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a runtime skew-split join in:\n${plan.take(2500)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join result == plain join result") {
     val li = Tables(spark, sf, "lineitem")
     val orders = Tables(spark, sf, "orders")
