@@ -92,10 +92,17 @@ object AdvancedQueries {
         count(col("seg")).as("n_nonnull"),
         countDistinct(col("seg")).as("n_distinct"),
         count(when(col("seg").isNull, 1)).as("n_null"))
-      val eqJ = c.as("a").join(c.as("b"), col("a.seg") === col("b.seg"))
-        .agg(count(lit(1)).as("eq_join_rows"))
-      val nsJ = c.as("a").join(c.as("b"), col("a.seg") <=> col("b.seg"))
-        .agg(count(lit(1)).as("nullsafe_join_rows"))
+      // The '=' vs '<=>' join-cardinality probe runs on the PRE-
+      // AGGREGATED (seg, cnt) sides — row counts come out as
+      // sum(cnt_a·cnt_b), identical to joining the raw rows, but the
+      // join is O(distinct²) instead of a quadratic row self-join
+      // (which would be one of those 100 TB dead jobs this suite's
+      // own plan invariants forbid).
+      val segCnt = c.groupBy(col("seg")).agg(count(lit(1)).as("cnt"))
+      val eqJ = segCnt.as("a").join(segCnt.as("b"), col("a.seg") === col("b.seg"))
+        .agg(sum(col("a.cnt") * col("b.cnt")).cast(LongType).as("eq_join_rows"))
+      val nsJ = segCnt.as("a").join(segCnt.as("b"), col("a.seg") <=> col("b.seg"))
+        .agg(sum(col("a.cnt") * col("b.cnt")).cast(LongType).as("nullsafe_join_rows"))
       base.crossJoin(eqJ).crossJoin(nsJ)
     }),
 
@@ -175,9 +182,14 @@ object AdvancedQueries {
         |  (SELECT count(seg) FROM c) AS n_nonnull,
         |  (SELECT count(DISTINCT seg) FROM c) AS n_distinct,
         |  (SELECT count(*) FROM c WHERE seg IS NULL) AS n_null,
-        |  (SELECT count(*) FROM c a JOIN c b ON a.seg = b.seg) AS eq_join_rows,
-        |  (SELECT count(*) FROM c a JOIN c b
-        |     ON a.seg IS NOT DISTINCT FROM b.seg) AS nullsafe_join_rows""".stripMargin,
+        |  (SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT)
+        |     FROM (SELECT seg, count(*) AS cnt FROM c GROUP BY seg) a
+        |     JOIN (SELECT seg, count(*) AS cnt FROM c GROUP BY seg) b
+        |       ON a.seg = b.seg) AS eq_join_rows,
+        |  (SELECT CAST(sum(a.cnt * b.cnt) AS BIGINT)
+        |     FROM (SELECT seg, count(*) AS cnt FROM c GROUP BY seg) a
+        |     JOIN (SELECT seg, count(*) AS cnt FROM c GROUP BY seg) b
+        |       ON a.seg IS NOT DISTINCT FROM b.seg) AS nullsafe_join_rows""".stripMargin,
     "rel_unpivot" ->
       """SELECT p_partkey, measure, value FROM (
         |  SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value FROM part

@@ -110,7 +110,6 @@ class LayoutSkewSpec extends AnyFunSuite {
   }
 
   test("AQE splits a skewed join partition at runtime (skew=true)") {
-    import spark.implicits._
     // The AQE-native alternative to manual salting (SkewJoin): one hot
     // key dominating a sort-merge join partition gets split into
     // parallel sub-partitions at RUNTIME, no query rewrite. Thresholds
