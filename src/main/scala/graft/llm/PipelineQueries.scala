@@ -105,9 +105,17 @@ object PipelineQueries {
         array_distinct(transform(sequence(lit(1), size(t) - 7),
           i => concat_ws(" ", (0 to 7).map(o => element_at(t, i + o)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))
+      // Persist the exploded 8-gram projection: it feeds BOTH the
+      // eval-postings branch and the train probe, and without the
+      // cache barrier each branch re-runs the full scan→split→
+      // transform→explode chain (and the optimizer pushes the split
+      // filter below the repartition, single-threading it — the
+      // persist-before-filter rule, cf. jaccardPairs). This was the
+      // 42 s-vs-2 s outlier in BENCH_r02.
       val docs = Tables.forCompute(s, dir, "documents")
         .withColumn("split", splitBucket(col("text")))
         .select(col("doc_id"), col("split"), explode(grams8).as("g"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val evalG = docs.filter(col("split") === "eval").select(col("g")).distinct()
       docs.filter(col("split") === "train")
         .join(broadcast(evalG), "g")

@@ -54,27 +54,43 @@ object SimilarityQueries {
   private[graft] def l2sq(a: Column, b: Column): Column =
     dot(a, a) + dot(b, b) - lit(2.0) * dot(a, b)
 
-  /** The bounded, deterministic quantizer-training sample: content-hash
-    * selected (no global sort), id-sorted for collect-order stability.
-    * Shared by PQ codebooks and the coarse quantizers so all of them
-    * train on the SAME sample policy.
+  /** Hard cap on the quantizer-training sample. The driver collect is
+    * O(MaxTrainSample) — a fixed ~2 MB of doubles at dim 64 — for ANY
+    * corpus size; SimilaritySampleSpec asserts this on a corpus an
+    * order of magnitude larger than the cap.
     */
-  private[graft] def sampleVectors(e: DataFrame, mod: Int): Array[Array[Double]] =
-    e.filter(pmod(xxhash64(col("vec_id")), lit(mod)) === 0)
-      .select(col("vec_id"), col("emb")).collect()
+  private[graft] val MaxTrainSample = 4096
+
+  /** The bounded, deterministic quantizer-training sample: the `cap`
+    * rows with the smallest `xxhash64(vec_id)` — a content-hash rank,
+    * so the selection is a deterministic pseudo-random subset that is
+    * stable across partitioning, yet the plan is TakeOrderedAndProject
+    * (per-partition top-cap, single merge of cap rows), never a global
+    * sort and never a proportional-to-corpus collect. Id-sorted after
+    * collect for order stability. Shared by PQ codebooks and the
+    * coarse quantizers so all of them train on the SAME sample policy.
+    */
+  private[graft] def sampleVectors(e: DataFrame, cap: Int = MaxTrainSample): Array[Array[Double]] =
+    e.select(col("vec_id"), col("emb"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(cap)
+      .collect()
       .sortBy(_.getLong(0))
       .map(_.getSeq[Double](1).toArray)
 
   /** Deterministic engine-owned coarse quantizer: Lloyd on the
-    * collected content-hash sample (bounded by design — quantizer
-    * training never needs the full corpus). Replaces spark.ml KMeans
-    * fits whose cost on small per-fit inputs is pure driver stage
-    * scheduling. Half the corpus (mod=2): blocking recall is
-    * quantizer-quality-sensitive, and the sample is still bounded.
+    * collected content-hash sample (genuinely bounded — quantizer
+    * training never needs the full corpus, only a fixed-size sample).
+    * Replaces spark.ml KMeans fits whose cost on small per-fit inputs
+    * is pure driver stage scheduling. Training cost is
+    * O(MaxTrainSample · k · dim) driver arithmetic, so k must also be
+    * bounded — callers cap it at [[MaxTrainSample]]/8 (≥8 sample
+    * points per centroid); past that corpus scale the production path
+    * is a two-level quantizer (coarse cells re-split by a second-level
+    * codebook, IVF-style), which composes from this same primitive.
     */
-  private[graft] def trainCentroids(e: DataFrame, k: Int,
-                                    sampleMod: Int = 2): Seq[Seq[Double]] =
-    lloyd(sampleVectors(e, sampleMod), k, iters = 5).map(_.toSeq).toSeq
+  private[graft] def trainCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
+    lloyd(sampleVectors(e), k, iters = 5).map(_.toSeq).toSeq
 
   /** Squared L2 distance to every centroid of the literal codebook, as
     * array<double> — each distance fold evaluates ONCE; keep it as its
@@ -199,7 +215,10 @@ object SimilarityQueries {
     // within-cell — linear in corpus size, never the full n², and
     // cell COUNT scales with corpus size so cell SIZE stays constant
     // (~2000 vectors; a fixed k would silently revert to quadratic as
-    // the corpus grows). Verification is the exact fused-kernel
+    // the corpus grows), capped at MaxTrainSample/8 so single-level
+    // training stays bounded — beyond that, re-split oversized cells
+    // with a second-level codebook (two-level IVF) built from the same
+    // trainCentroids primitive. Verification is the exact fused-kernel
     // cosine, so emitted pairs are never false. Threshold 0.4 is
     // calibrated to this fixture (near-orthogonal random vectors, max
     // pairwise cosine ~0.5); a real near-dup corpus runs the same
@@ -209,7 +228,7 @@ object SimilarityQueries {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .select(col("vec_id"), col("emb"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val k = math.max(4L, e.count() / 2000L).toInt
+      val k = math.min(MaxTrainSample / 8L, math.max(4L, e.count() / 2000L)).toInt
       val cb = typedlit(trainCentroids(e, k))
       val withCells = e
         .withColumn("__cd", cellDistances(col("emb"), cb, k))
@@ -307,14 +326,14 @@ object SimilarityQueries {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Codebook training: PQ quantizers train on a BOUNDED sample by
-      // design (a few thousand vectors regardless of corpus size), so
-      // the sample — selected by content hash, no global sort — is
-      // collected and Lloyd runs on the driver: microseconds of
+      // design (MaxTrainSample vectors regardless of corpus size), so
+      // the sample — selected by content-hash rank, no global sort —
+      // is collected and Lloyd runs on the driver: microseconds of
       // arithmetic vs ~6 s of driver-scheduled spark.ml stage overhead
       // for 8 tiny fits. Same bounded-artifact boundary as collecting
       // a sketch; the distributed work stays where the data is big
       // (the encode+score scan).
-      val sample: Array[Array[Double]] = sampleVectors(e, mod = 4)
+      val sample: Array[Array[Double]] = sampleVectors(e)
       val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
         lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
