@@ -206,4 +206,84 @@ class IndexStore(spark: SparkSession, root: String) {
 
   def read(indexName: String): DataFrame =
     spark.read.parquet(dir(indexName).toString)
+
+  // ---- Derived-artifact materialization -------------------------------
+  //
+  // Expensive derived structures (the near-dup pair graph, posting
+  // lists) are built ONCE PER INGEST and consumed by many queries —
+  // rebuilding them per query is the round-2 bench's ~22 s of repeated
+  // pair-finding. An artifact is a TYPED parquet index (bulkImport's
+  // stringify is the document-import contract; derived artifacts keep
+  // native types) written through the same crash-safe swap, tagged with
+  // a provenance fingerprint of its inputs; readers rebuild only when
+  // the fingerprint no longer matches (ingest happened). The tag lives
+  // in an underscore-prefixed sidecar inside the index dir — invisible
+  // to parquet scans (Hadoop hidden-file filter) and swapped atomically
+  // WITH the data it describes.
+
+  private val MetaFile = "_graft_provenance"
+
+  /** Write a typed artifact + its provenance fingerprint, crash-safe. */
+  def writeArtifact(df: DataFrame, name: String, fingerprint: String,
+                    numShards: Int = 5): Unit =
+    swapIn(name) { tmp =>
+      df.repartition(numShards)
+        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      val out = fs.create(new Path(tmp, MetaFile), true)
+      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** The fingerprint an artifact was built from, if it exists. */
+  def artifactFingerprint(name: String): Option[String] = {
+    val p = new Path(dir(name), MetaFile)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  /** Read an artifact, (re)building it first when absent or stale. */
+  def readOrBuildArtifact(name: String, fingerprint: String)
+                         (build: => DataFrame): DataFrame = {
+    if (!artifactFingerprint(name).contains(fingerprint))
+      writeArtifact(build, name, fingerprint)
+    read(name)
+  }
+}
+
+object IndexStore {
+
+  /** Filesystem-metadata fingerprint of an input path: (path, length,
+    * mtime) of every data file under it — a snapshot/version id read
+    * from directory metadata, never a data scan (the staleness check
+    * must stay O(files), or checking would cost what it saves).
+    */
+  def pathFingerprint(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory) fs.listStatus(st.getPath).toSeq.flatMap(leaves) else Seq(st)
+    val sig = leaves(fs.getFileStatus(p))
+      .map(f => s"${f.getPath}:${f.getLen}:${f.getModificationTime}")
+      .sorted.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  /** Artifact warehouse root for a corpus dir. Local tmp here (the
+    * fixture world is a local FS); on a cluster this is an HDFS/S3
+    * prefix next to the corpus — everything above is FileSystem-API
+    * portable.
+    */
+  def artifactRoot(corpusDir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(corpusDir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString.take(12)
+    new java.io.File(sys.props("java.io.tmpdir"), s"graft_artifacts_$tag").toString
+  }
 }

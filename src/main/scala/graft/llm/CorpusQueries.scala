@@ -103,7 +103,7 @@ object CorpusQueries {
     * the pair join twice, so both directions come from one explode).
     */
   private[graft] def clusterLabels(s: SparkSession, dir: String): DataFrame = {
-    val pairs = DedupQueries.jaccardPairs(s, dir)
+    val pairs = DedupQueries.materializedPairs(s, dir)
       .select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .select(explode(array(
@@ -167,7 +167,7 @@ object CorpusQueries {
     // (doc_id, source) projection, grouped into the source-pair
     // matrix with a canonical (least, greatest) source ordering.
     "llm_dedup_cross_source" -> ((s, dir) => {
-      val pairs = DedupQueries.jaccardPairs(s, dir)
+      val pairs = DedupQueries.materializedPairs(s, dir)
         .select(col("doc_a"), col("doc_b"))
       val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
       pairs

@@ -163,4 +163,34 @@ class IndexStoreSpec extends AnyFunSuite {
     val b = store.read("orders").orderBy(col("o_orderkey")).collect()
     assert(a.sameElements(b), "same input must produce identical surviving docs")
   }
+
+  test("artifact: built once per fingerprint, rebuilt on staleness, typed") {
+    import spark.implicits._
+    val store = newStore
+    var builds = 0
+    def build(v: Int) = { builds += 1; Seq((1L, v)).toDF("id", "v") }
+    // First read builds; a fresh fingerprint re-reads WITHOUT building.
+    val r1 = store.readOrBuildArtifact("pairs", "fp_v1")(build(1))
+    assert(r1.as[(Long, Int)].collect().toSeq == Seq((1L, 1)))
+    store.readOrBuildArtifact("pairs", "fp_v1")(build(99))
+    assert(builds == 1, "fresh artifact must be served from disk")
+    // Types survive the round-trip (artifacts are NOT stringified).
+    assert(r1.schema("v").dataType.typeName == "integer")
+    // A changed fingerprint (new ingest) forces a rebuild.
+    val r2 = store.readOrBuildArtifact("pairs", "fp_v2")(build(2))
+    assert(builds == 2 && r2.as[(Long, Int)].collect().toSeq == Seq((1L, 2)))
+    assert(store.artifactFingerprint("pairs").contains("fp_v2"))
+  }
+
+  test("pathFingerprint tracks file metadata, not path strings only") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
+    val f = tmp.resolve("t.parquet")
+    java.nio.file.Files.write(f, "aaaa".getBytes)
+    val fp1 = etl.IndexStore.pathFingerprint(spark, f.toString)
+    assert(fp1 == etl.IndexStore.pathFingerprint(spark, f.toString),
+      "fingerprint must be deterministic")
+    java.nio.file.Files.write(f, "bbbbbbbb".getBytes) // ingest rewrites
+    assert(fp1 != etl.IndexStore.pathFingerprint(spark, f.toString),
+      "rewritten input must change the fingerprint")
+  }
 }
