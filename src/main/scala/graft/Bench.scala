@@ -48,6 +48,10 @@ object Bench {
       // correct and this override is harmless.
       .config("spark.sql.files.maxPartitionBytes", "1m")
       .config("spark.sql.session.timeZone", "UTC")
+      // FAIR scheduling so the concurrent multi-table import bench
+      // shares executor slots across per-table pools instead of FIFO
+      // head-of-line blocking behind the biggest table.
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -170,10 +174,37 @@ object Bench {
       dt
     }
 
+    // Concurrent whole-database import — the reference's actual
+    // headline scenario (its demo imports every MySQL table in
+    // parallel threads, R/README.md:12). All 10 fixture tables through
+    // bulkImportAll at parallelism 4, FAIR pools per table.
+    val runImportAll = only.forall(_.contains("_write_bulk_import_all"))
+    val importAllSecs = if (!runImportAll) -1.0 else {
+      val out = java.nio.file.Files.createTempDirectory("bench_import_all").toString
+      val store = new etl.IndexStore(spark, out)
+      val keyed = Seq(
+        "region" -> "r_regionkey", "nation" -> "n_nationkey",
+        "customer" -> "c_custkey", "supplier" -> "s_suppkey",
+        "part" -> "p_partkey", "orders" -> "o_orderkey",
+        "lineitem" -> "l_orderkey", "events" -> "event_id",
+        "documents" -> "doc_id", "embeddings" -> "vec_id")
+      val t0 = System.nanoTime()
+      val counts = store.bulkImportAll(
+        keyed.map { case (t, k) => (t, Tables(spark, sfDir, t), k) },
+        parallelism = 4, numShards = 8)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] bulk_import_all: ${counts.size} tables, " +
+        f"${counts.values.sum} docs in $dt%.2fs (${counts.size / dt}%.2f tables/s)")
+      spark.catalog.clearCache()
+      snapShuffle("_write_bulk_import_all")
+      dt
+    }
+
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> runOnce(n)) ++
-      (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil)
+      (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
+      (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }.mkString("{", ",", "}")

@@ -118,6 +118,41 @@ class IndexStore(spark: SparkSession, root: String) {
     count(indexName)
   }
 
+  /** Concurrent multi-table import — the reference's headline tuning:
+    * its demo pipeline imports several MySQL tables in parallel threads
+    * (`R/README.md:12`, demo `R/README.md:145-314`), which is where its
+    * "doubled throughput" number comes from. Spark translation: each
+    * table's import is an independent job (scan → stringify →
+    * dedup-shuffle → write); submitting them from `parallelism` driver
+    * threads lets one table's shuffle/write overlap another's scan, so
+    * the cluster never idles at per-table stage boundaries. Each thread
+    * tags its jobs into its own scheduler pool — under
+    * `spark.scheduler.mode=FAIR` that enforces fair shares so one giant
+    * table cannot starve the small ones; under the default FIFO the
+    * jobs still interleave at free-slot granularity.
+    * Returns index name -> surviving doc count.
+    */
+  def bulkImportAll(tables: Seq[(String, DataFrame, String)],
+                    parallelism: Int = 4, numShards: Int = 5): Map[String, Long] = {
+    require(parallelism >= 1, s"parallelism must be >= 1, got $parallelism")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = tables.map { case (idx, df, idCol) =>
+        scala.concurrent.Future {
+          spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", s"import_${idx.toLowerCase}")
+          try idx.toLowerCase -> bulkImport(df, idx, idCol, numShards)
+          finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf).toMap
+    } finally pool.shutdown()
+  }
+
   /** Incremental upsert: merge a batch of new/updated docs into an
     * existing index — the ES continuous-indexing mode (each bulk
     * request upserts by `_id`). Implementation: union existing +

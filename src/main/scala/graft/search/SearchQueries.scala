@@ -226,6 +226,19 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // The full query-string syntax the reference's search box accepts
+    // (its `q=` goes to ES's query-string parser, indexView.html:13-20):
+    // field scoping, AND/OR/NOT with Lucene precedence, quoted phrases,
+    // trailing-* prefixes — parsed by [[QueryString]] and compiled onto
+    // the same tokenized/phrase/prefix primitives the queries above
+    // verify individually. One scan + one codegen'd predicate.
+    "search_query_string" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.filter(QueryString(d, "lang:en AND (spark OR vector*) NOT \"the lazy dog\""))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Multi-index fan-out — the UI's literal "all index" option
     // (`indexView.html:15-17`): the same keyword searched across every
     // index, results tagged with their index. Each branch is an
@@ -373,6 +386,37 @@ object SearchQueries {
         |SELECT doc_id, n_tokens, score FROM b
         |WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // The exact semantics of the parsed query above, expanded by hand:
+    // unfielded atoms search EVERY column's stringified token stream
+    // (the ES _all behavior); precedence (lang:en AND (spark OR
+    // vector*)) AND NOT <phrase>.
+    "search_query_string" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang, source,
+        |    regexp_split_to_array(lower(CAST(doc_id AS VARCHAR)), '\s+') AS t1,
+        |    regexp_split_to_array(lower(text), '\s+') AS t2,
+        |    regexp_split_to_array(lower(lang), '\s+') AS t3,
+        |    regexp_split_to_array(lower(source), '\s+') AS t4,
+        |    regexp_split_to_array(lower(CAST(n_chars AS VARCHAR)), '\s+') AS t5
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM tok
+        |WHERE coalesce(list_contains(t3, 'en'), false)
+        |  AND (coalesce(list_contains(t1, 'spark'), false)
+        |    OR coalesce(list_contains(t2, 'spark'), false)
+        |    OR coalesce(list_contains(t3, 'spark'), false)
+        |    OR coalesce(list_contains(t4, 'spark'), false)
+        |    OR coalesce(list_contains(t5, 'spark'), false)
+        |    OR coalesce(len(list_filter(t1, x -> starts_with(x, 'vector'))) > 0, false)
+        |    OR coalesce(len(list_filter(t2, x -> starts_with(x, 'vector'))) > 0, false)
+        |    OR coalesce(len(list_filter(t3, x -> starts_with(x, 'vector'))) > 0, false)
+        |    OR coalesce(len(list_filter(t4, x -> starts_with(x, 'vector'))) > 0, false)
+        |    OR coalesce(len(list_filter(t5, x -> starts_with(x, 'vector'))) > 0, false))
+        |  AND NOT (coalesce(contains(array_to_string(t1, ' '), 'the lazy dog'), false)
+        |    OR coalesce(contains(array_to_string(t2, ' '), 'the lazy dog'), false)
+        |    OR coalesce(contains(array_to_string(t3, ' '), 'the lazy dog'), false)
+        |    OR coalesce(contains(array_to_string(t4, ' '), 'the lazy dog'), false)
+        |    OR coalesce(contains(array_to_string(t5, ' '), 'the lazy dog'), false))
+        |ORDER BY doc_id""".stripMargin,
     "search_all_indexes" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS index_name, CAST(c_custkey AS BIGINT) AS doc_key FROM customer

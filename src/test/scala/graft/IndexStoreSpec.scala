@@ -164,6 +164,22 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(a.sameElements(b), "same input must produce identical surviving docs")
   }
 
+  test("bulkImportAll: concurrent imports match serial counts and survive listing") {
+    val (store, _) = newStoreWithRoot
+    val tables = Seq(
+      ("region", "r_regionkey"), ("nation", "n_nationkey"),
+      ("customer", "c_custkey"), ("supplier", "s_suppkey"))
+    val counts = store.bulkImportAll(
+      tables.map { case (t, k) => (t, Tables(spark, sf, t), k) },
+      parallelism = 4)
+    assert(store.listIndexes() == tables.map(_._1).sorted)
+    tables.foreach { case (t, k) =>
+      val expect = Tables(spark, sf, t).select(k).distinct().count()
+      assert(counts(t) == expect, s"$t: concurrent import count")
+      assert(store.count(t) == expect, s"$t: stored count")
+    }
+  }
+
   test("artifact: built once per fingerprint, rebuilt on staleness, typed") {
     import spark.implicits._
     val store = newStore

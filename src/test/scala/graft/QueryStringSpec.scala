@@ -1,0 +1,107 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import search.QueryString
+import search.QueryString._
+
+/** Grammar + semantics sweep for the ES query-string mini-parser
+  * (reference search box syntax, indexView.html:13-20): operator
+  * precedence, implicit OR, Lucene `a NOT b`, field scoping, phrases,
+  * prefixes — against hand-computed results on a controlled corpus.
+  */
+class QueryStringSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, "spark shuffles data across executors", "en", 100L),
+      (2L, "the lazy dog sleeps by the vector index", "en", 200L),
+      (3L, "Spark and vectors make joins fast", "en", 300L),
+      (4L, "der faule Hund schlaeft", "de", 400L),
+      (5L, "spark vectorized reader", "de", 500L),
+      (6L, null, "en", 600L)
+    ).toDF("doc_id", "text", "lang", "n_chars")
+  }
+
+  private def ids(q: String): Set[Long] =
+    df.filter(QueryString(df, q)).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+
+  // ---- parsing ----------------------------------------------------------
+
+  test("precedence: AND binds tighter than OR; adjacency is OR") {
+    // a OR b AND c  ->  Or(a, And(b, c))
+    assert(parse("x OR y AND z") ==
+      Or(Term(None, "x", false), And(Term(None, "y", false), Term(None, "z", false))))
+    // adjacency = OR at the same level
+    assert(parse("x y") == Or(Term(None, "x", false), Term(None, "y", false)))
+  }
+
+  test("parsing: binary NOT is Lucene a-minus-b; unary NOT negates") {
+    assert(parse("x NOT y") ==
+      And(Term(None, "x", false), Not(Term(None, "y", false))))
+    assert(parse("NOT y") == Not(Term(None, "y", false)))
+    assert(parse("NOT NOT y") == Not(Not(Term(None, "y", false))))
+  }
+
+  test("parsing: parens, fields, phrases, prefixes") {
+    assert(parse("a AND (b OR c)") ==
+      And(Term(None, "a", false),
+        Or(Term(None, "b", false), Term(None, "c", false))))
+    assert(parse("lang:en") == Term(Some("lang"), "en", false))
+    assert(parse("spar*") == Term(None, "spar", true))
+    assert(parse("\"the lazy dog\"") == Phrase(None, "the lazy dog"))
+    assert(parse("text:\"lazy dog\"") == Phrase(Some("text"), "lazy dog"))
+  }
+
+  test("parsing: malformed input is rejected loudly") {
+    assert(intercept[IllegalArgumentException](parse("")).getMessage.contains("empty"))
+    assert(intercept[IllegalArgumentException](parse("(a OR b")).getMessage.contains("')'"))
+    assert(intercept[IllegalArgumentException](parse("\"unterminated")).getMessage.contains("quote"))
+    assert(intercept[IllegalArgumentException](parse("a AND")).getMessage.contains("expected clause"))
+    assert(intercept[IllegalArgumentException](parse("lang:")).getMessage.contains("empty term"))
+  }
+
+  // ---- semantics ----------------------------------------------------------
+
+  test("terms are token-equality, all fields, case-insensitive") {
+    // 'spark' as a token: docs 1, 5 (text) and 3 ('Spark' lowercased);
+    // never doc 2 ('vector index' has no spark token).
+    assert(ids("spark") == Set(1L, 3L, 5L))
+    assert(ids("SPARK OR ignored") == ids("spark ignored"), "case-insensitive terms")
+    // unfielded terms search non-text columns too (the _all behavior)
+    assert(ids("de") == Set(4L, 5L))
+    assert(ids("300") == Set(3L))
+  }
+
+  test("field scoping restricts the atom to one column") {
+    assert(ids("lang:en") == Set(1L, 2L, 3L, 6L))
+    assert(ids("lang:spark") == Set.empty, "no 'spark' token in lang")
+    assert(intercept[IllegalArgumentException](ids("bogus:x")).getMessage.contains("unknown field"))
+  }
+
+  test("prefix and phrase atoms") {
+    assert(ids("vector*") == Set(2L, 3L, 5L), "vector, vectors, vectorized")
+    assert(ids("vector") == Set(2L), "exact token only")
+    assert(ids("\"the lazy dog\"") == Set(2L))
+    assert(ids("\"lazy the dog\"") == Set.empty, "phrases are order-sensitive")
+    assert(ids("text:\"the  LAZY dog\"") == Set(2L), "phrase is whitespace-normalized + case-folded")
+  }
+
+  test("boolean combinations and precedence over real rows") {
+    assert(ids("spark AND lang:de") == Set(5L))
+    assert(ids("spark OR dog AND lang:de") == Set(1L, 3L, 5L),
+      "OR(spark, AND(dog, lang:de)): dog matches only doc 2 which is en, so the AND arm is empty")
+    assert(ids("(spark OR dog) AND lang:de") == Set(5L))
+    assert(ids("spark NOT vectorized") == Set(1L, 3L))
+    assert(ids("NOT lang:en") == Set(4L, 5L))
+    // NULL text never matches and never un-matches under NOT
+    assert(ids("lang:en NOT spark") == Set(2L, 6L))
+  }
+
+  test("registered search_query_string returns rows at sf0.001") {
+    assert(SparkEntry.queries("search_query_string")(spark, sf).count() > 0)
+  }
+}
