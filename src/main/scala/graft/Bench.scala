@@ -226,7 +226,7 @@ object Bench {
     // record.
     if (only.isEmpty)
       try java.nio.file.Files.write(
-        java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+        java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")),
         full.getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     println(lean)

@@ -11,12 +11,18 @@ import java.nio.file.{Files, Paths}
   * given SF and writes per-operator recall/overlap to a JSON artifact —
   * turning "rows-only pass" into a number a reviewer can audit.
   *
+  * MEASUREMENT CLI, NOT A QUERY PATH: the brute-force ground truths
+  * here use `collect()` and all-pairs self-joins deliberately — they
+  * are the O(n²) oracles the approximate operators exist to avoid, run
+  * once at small SF to quantify those operators. Nothing in this file
+  * is reachable from SparkEntry.queries.
+  *
   * Usage: Recall <sfDir> <outFile>  (defaults: sf0.01, RECALL.json)
   */
 object Recall {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
-    val outFile = if (args.length > 1) args(1) else "/root/repo/RECALL.json"
+    val outFile = if (args.length > 1) args(1) else "RECALL.json"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -46,7 +52,10 @@ object Recall {
       val hit = truth.count(found.contains)
       val fp = (found -- truth).size
       val recall = if (truth.isEmpty) 1.0 else hit.toDouble / truth.size
-      f"""{"ground_truth_pairs":${truth.size},"found_pairs":${found.size},"true_hits":$hit,"false_positives":$fp,"recall":$recall%.4f}"""
+      // formatLocal: the default-locale f"" would emit comma decimal
+      // separators (invalid JSON) on non-en JVMs — same rule as Bench.
+      val r = "%.4f".formatLocal(java.util.Locale.US, recall)
+      s"""{"ground_truth_pairs":${truth.size},"found_pairs":${found.size},"true_hits":$hit,"false_positives":$fp,"recall":$r}"""
     }
 
     // Ground truth 1: exact n-gram Jaccard >= 0.2 pairs (itself
@@ -127,7 +136,7 @@ object Recall {
          |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},
-         |"rel_approx_agg":{"max_rel_err":${f"$maxRelErr%.5f"}}
+         |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)
     println(json)

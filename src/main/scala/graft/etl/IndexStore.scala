@@ -32,6 +32,36 @@ class IndexStore(spark: SparkSession, root: String) {
 
   private def dir(index: String) = new Path(root, index.toLowerCase)
 
+  /** Crash recovery + GC for swap leftovers. [[swapIn]] can die between
+    * the rename-aside and the rename-in, leaving the live dir absent
+    * and the only copy under `.old_<name>_<id>` — which listIndexes
+    * hides, so the index looks deleted until someone renames it back.
+    * On construction: (1) restore the newest backup of any index whose
+    * live dir is missing; (2) delete dot-dirs older than `maxAgeMs`.
+    * The age guard exists because a CONCURRENT store on the same root
+    * may own in-flight `.tmp_`/`.old_` dirs — only dirs no live swap
+    * can still hold are collected (a swap is seconds, the guard is an
+    * hour).
+    */
+  private[graft] def recoverOrphans(maxAgeMs: Long = 60 * 60 * 1000L): Unit = {
+    val rootPath = new Path(root)
+    if (!fs.exists(rootPath)) return
+    def dotDirs = fs.listStatus(rootPath).filter(e =>
+      e.isDirectory && (e.getPath.getName.startsWith(".old_") ||
+        e.getPath.getName.startsWith(".tmp_")))
+    dotDirs.filter(_.getPath.getName.startsWith(".old_"))
+      .groupBy(_.getPath.getName.stripPrefix(".old_").dropRight(9)) // drop _<8-char id>
+      .foreach { case (name, backups) =>
+        if (name.nonEmpty && !fs.exists(new Path(root, name)))
+          fs.rename(backups.maxBy(_.getModificationTime).getPath,
+            new Path(root, name)) // best effort: false just leaves the backup
+      }
+    val now = System.currentTimeMillis()
+    dotDirs.filter(now - _.getModificationTime > maxAgeMs)
+      .foreach(e => fs.delete(e.getPath, true))
+  }
+  recoverOrphans()
+
   /** Create an empty index (directory). Lowercases the name like the
     * reference; no-op if present (ES create-on-existing just errors —
     * idempotent create is the saner contract and what `df.write` needs).

@@ -67,9 +67,23 @@ object RangeLayout {
     // and the lineage executes once, not twice.
     val pinned = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val Array(lo, hi) = pinned
+      // Integral keys only: cast("long") inside zValue TRUNCATES
+      // doubles, so 5.7 and 5.2 would silently interleave identically
+      // — callers must rank-normalize to integers first.
+      Seq(a, b).foreach { c =>
+        val dt = pinned.select(c).schema.head.dataType
+        require(Seq("byte", "short", "integer", "long").contains(dt.typeName),
+          s"z-order keys must be integral, got ${dt.typeName} — " +
+            "rank-normalize (e.g. ntile) before writeZOrdered")
+      }
+      val stats = pinned
         .select(least(min(a), min(b)).cast("long"), greatest(max(a), max(b)).cast("long"))
-        .head.toSeq.map(_.asInstanceOf[Long]).toArray
+        .head
+      // min/max of an EMPTY input are NULL; the unguarded unbox would
+      // read them as 0 and "pass" the range check vacuously.
+      require(!stats.isNullAt(0) && !stats.isNullAt(1),
+        "writeZOrdered on empty input (min/max undefined) — nothing to lay out")
+      val (lo, hi) = (stats.getLong(0), stats.getLong(1))
       require(lo >= 0L && hi < (1L << bits),
         s"z-order keys must lie in [0, 2^$bits): observed [$lo, $hi] — " +
           "rank-normalize (e.g. ntile) before writeZOrdered")

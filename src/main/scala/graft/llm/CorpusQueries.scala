@@ -81,7 +81,9 @@ object CorpusQueries {
       labels = next
       done = changed == 0L
       i += 1
-      System.err.println(s"[cc] round $i changed=${changed > 0}")
+      // Per-round progress is debug chatter — opt in, keep Verify quiet.
+      if (sys.props.get("graft.cc.verbose").contains("true"))
+        System.err.println(s"[cc] round $i changed=${changed > 0}")
     }
     // A silent non-converged result would split components (and let
     // several "survivors" of one duplicate set through downstream);

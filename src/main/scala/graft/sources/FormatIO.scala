@@ -64,10 +64,10 @@ object FormatIO {
     * `BulkProcessImpl.java:96-100` streams one cursor; Spark instead
     * splits `[lowerBound, upperBound]` on `partitionColumn` into
     * `numPartitions` parallel range queries (no cursor bottleneck, no
-    * driver materialization). Compiles against spark-sql's JDBC
-    * source; needs a live database to execute, which the zero-egress
-    * environment doesn't provide — exercised structurally in
-    * SourcesSpec via the reader's option plumbing.
+    * driver materialization). Exercised LIVE in SourcesSpec against
+    * embedded Derby (on the Spark classpath): range partitioning,
+    * predicate pushdown into the remote query, and dialect round-trip
+    * — MySQL/Postgres swap in by URL in a connected deployment.
     */
   def jdbcReader(spark: SparkSession, url: String, table: String,
                  partitionColumn: String, lowerBound: Long, upperBound: Long,

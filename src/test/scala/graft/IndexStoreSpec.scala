@@ -198,6 +198,28 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.artifactFingerprint("pairs").contains("fp_v2"))
   }
 
+  test("crash recovery: an interrupted swap's backup is restored on construction") {
+    import spark.implicits._
+    val (store, root) = newStoreWithRoot
+    store.bulkImport(Seq((1L, "a")).toDF("id", "v"), "idx", "id")
+    // Simulate dying between rename-aside and rename-in: live dir gone,
+    // data only under the hidden backup name.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(root, "idx"),
+      new org.apache.hadoop.fs.Path(root, ".old_idx_deadbeef")))
+    assert(store.listIndexes().isEmpty, "mid-crash state: index invisible")
+    // A new store on the same root recovers the backup...
+    val recovered = new etl.IndexStore(spark, root)
+    assert(recovered.listIndexes() == Seq("idx"))
+    assert(recovered.count("idx") == 1L)
+    // ...and age-expired swap leftovers are collected.
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, ".tmp_idx_feedf00d"))
+    recovered.recoverOrphans(maxAgeMs = -1L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ".tmp_idx_feedf00d")))
+    assert(recovered.count("idx") == 1L, "live index untouched by GC")
+  }
+
   test("pathFingerprint tracks file metadata, not path strings only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = tmp.resolve("t.parquet")

@@ -65,6 +65,24 @@ class LayoutSkewSpec extends AnyFunSuite {
       grid.filter($"y" < 64).count())
   }
 
+  test("z-order rejects empty input and non-integral keys loudly") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("layout_zguard").toString
+    // Empty input: min/max are NULL — must fail, not unbox to 0 and
+    // "pass" vacuously.
+    val empty = spark.range(0).select(col("id").cast("int").as("x"),
+      col("id").cast("int").as("y"))
+    val e1 = intercept[IllegalArgumentException](
+      etl.RangeLayout.writeZOrdered(empty, out, 4, col("x"), col("y"), bits = 8))
+    assert(e1.getMessage.contains("empty input"))
+    // Double keys: zValue's cast("long") would silently truncate —
+    // must be rejected, not aliased.
+    val doubles = Seq((1.5, 2.0), (1.2, 3.0)).toDF("x", "y")
+    val e2 = intercept[IllegalArgumentException](
+      etl.RangeLayout.writeZOrdered(doubles, out, 4, col("x"), col("y"), bits = 8))
+    assert(e2.getMessage.contains("integral"))
+  }
+
   test("hive-partitioned layout prunes whole directories at plan time") {
     val events = Tables(spark, sf, "events")
     val path = java.nio.file.Files.createTempDirectory("layout_part").toString

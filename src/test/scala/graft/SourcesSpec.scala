@@ -60,12 +60,50 @@ class SourcesSpec extends AnyFunSuite {
   }
 
   test("jdbc reader carries partitioned-range scan options") {
-    // No live DB in this environment — assert the reader is built with
-    // the parallel-range plumbing (the part that replaces the
-    // reference's single streaming cursor).
+    // Structural check against the reference's MySQL URL shape; the
+    // live round-trip below uses embedded Derby.
     val r = sources.FormatIO.jdbcReader(spark, "jdbc:mysql://example/db",
       "lineitem", "l_orderkey", 0L, 1000000L, 32)
     assert(r != null) // construction itself validates option plumbing
+  }
+
+  test("jdbc round-trip (embedded Derby): range partitioning + predicate pushdown") {
+    // The reference's real source is a JDBC table scan
+    // (BulkProcessImpl.java:96-100, one streaming cursor); Spark's
+    // partitioned-range read replaces it with numPartitions parallel
+    // range queries. Derby ships on the Spark classpath, so the full
+    // read path — dialect, range WHERE clauses, filter pushdown — is
+    // exercised live.
+    val home = java.nio.file.Files.createTempDirectory("graft_derby")
+    System.setProperty("derby.system.home", home.toString)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE orders_src (o_key INT NOT NULL, o_val VARCHAR(16))")
+      val ins = conn.prepareStatement("INSERT INTO orders_src VALUES (?, ?)")
+      (1 to 100).foreach { i =>
+        ins.setInt(1, i); ins.setString(2, s"v$i"); ins.addBatch()
+      }
+      ins.executeBatch()
+    } finally conn.close()
+
+    val df = sources.FormatIO.jdbcReader(spark, url, "orders_src",
+      "o_key", 1L, 100L, 4).load()
+    // Range partitioning: numPartitions parallel range queries, every
+    // row exactly once (the boundaries neither drop nor duplicate).
+    assert(df.rdd.getNumPartitions == 4)
+    assert(df.count() == 100)
+    import org.apache.spark.sql.functions.col
+    val filtered = df.filter(col("o_key") > 90)
+    assert(filtered.count() == 10)
+    // Predicate pushdown: the filter must reach the JDBC scan as a
+    // PushedFilters entry, not run Spark-side over a full table pull.
+    val physical = filtered.queryExecution.executedPlan.toString
+    assert(physical.contains("PushedFilters:") && physical.contains("GreaterThan(O_KEY,90)"),
+      s"filter not pushed to JDBC source:\n$physical")
+    // Values survive the dialect round-trip.
+    assert(df.filter(col("o_key") === 7).select("o_val").head.getString(0) == "v7")
   }
 
   test("malformed JSON: PERMISSIVE captures, FAILFAST refuses") {
