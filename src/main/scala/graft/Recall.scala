@@ -113,8 +113,10 @@ object Recall {
       .collect().map(_.getLong(0)).toSet
     val lshTop = idsOf("llm_ann_lsh_topk")
     val ivfTop = idsOf("llm_ann_ivf_topk")
-    // PQ ranks by ADC-approximated L2 — same ground truth as LSH.
+    // PQ and IVFADC rank by ADC-approximated L2 then re-rank exactly —
+    // same ground truth as LSH.
     val pqTop = idsOf("llm_ann_pq_topk")
+    val ivfpqTop = idsOf("llm_ann_ivfpq_topk")
 
     // Approx aggregates: max relative error of HLL distinct vs exact.
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
@@ -136,6 +138,7 @@ object Recall {
          |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},
+         |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)

@@ -121,6 +121,51 @@ object SimilarityQueries {
             element_at(dists, c + 1).as("d"))),
       acc => acc.getField("c"))
 
+  /** PQ encode: per subspace j, the index of the nearest codebook
+    * centroid to `input`'s j-th sub-vector — nested folds over
+    * (nCent × subDim) literals, whole-stage codegen'd. `cb` is the
+    * array<array<array<double>>> codebook literal indexed [j][c][d].
+    */
+  private def pqCodes(input: Column, cb: Column,
+                      m: Int, subDim: Int, nCent: Int): Column =
+    transform(sequence(lit(0), lit(m - 1)), j => {
+      val sub = slice(input, j * subDim + 1, lit(subDim))
+      val cbJ = element_at(cb, j + 1)
+      aggregate(
+        sequence(lit(0), lit(nCent - 1)),
+        struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
+        (acc, c) => {
+          val dist = aggregate(
+            zip_with(sub, element_at(cbJ, c + 1), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)
+          when(dist < acc.getField("d"),
+            struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
+        },
+        acc => acc.getField("c"))
+    })
+
+  /** ADC score: sum of m table lookups — `table` indexed [j][c]. */
+  private def adcScore(codes: Column, table: Column, m: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (a, j) => a + element_at(element_at(table, j + 1),
+        element_at(codes, j + 1) + 1))
+
+  /** Driver-side nearest-centroid assignment (for sample residuals and
+    * query probing — tiny inputs, same arithmetic as [[lloyd]]'s
+    * assign step).
+    */
+  private def nearestOf(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bd = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      while (i < v.length) { val t = v(i) - cents(c)(i); d += t * t; i += 1 }
+      if (d < bd) { bd = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Deterministic driver-side Lloyd k-means for PQ codebook training
     * over a bounded, id-sorted sample: seeds are k evenly-spaced
     * sample points, then `iters` assign/recompute rounds (an empty
@@ -362,26 +407,8 @@ object SimilarityQueries {
         }
       }
       val table = typedlit(adc)
-      // Encode: per subspace, argmin centroid by squared L2 — nested
-      // folds over (nCent × subDim) literals, whole-stage codegen'd.
-      val codes = transform(sequence(lit(0), lit(m - 1)), j => {
-        val sub = slice(col("emb"), j * subDim + 1, lit(subDim))
-        val cbJ = element_at(cb, j + 1)
-        aggregate(
-          sequence(lit(0), lit(nCent - 1)),
-          struct(lit(-1).cast("int").as("c"), lit(Double.MaxValue).as("d")),
-          (acc, c) => {
-            val dist = aggregate(
-              zip_with(sub, element_at(cbJ, c + 1), (x, y) => (x - y) * (x - y)),
-              lit(0.0), (a, v) => a + v)
-            when(dist < acc.getField("d"),
-              struct(c.cast("int").as("c"), dist.as("d"))).otherwise(acc)
-          },
-          acc => acc.getField("c"))
-      })
-      val score = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-        (a, j) => a + element_at(element_at(table, j + 1),
-          element_at(col("codes"), j + 1) + 1))
+      val codes = pqCodes(col("emb"), cb, m, subDim, nCent)
+      val score = adcScore(col("codes"), table, m)
       // SHORTLIST + EXACT RE-RANK — the production PQ architecture
       // (IVFADC's refinement stage): the 32×-cheaper ADC scan selects a
       // k×10 shortlist (TakeOrderedAndProject — each partition forwards
@@ -401,6 +428,90 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"),
           round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2_dist"),
           col("pq_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // IVFADC — the full production ANN composition (Jégou et al.
+    // TPAMI'11 §IV): IVF coarse cells prune the scan to nProbe/nList
+    // of the corpus, PQ codes of the RESIDUAL (vector minus its cell
+    // centroid — residuals concentrate near 0, so the same codebook
+    // bits quantize much finer than on raw vectors) are ADC-scored
+    // with a PER-CELL lookup table (the query's residual differs per
+    // probed cell), and the shortlist re-ranks exactly. At 100 TB:
+    // cell = write-time partition key (the probe filter is partition
+    // pruning), codes column = 8 bytes/vector scanned, raw floats
+    // touched only for the 100-row shortlist. All model artifacts
+    // (coarse codebook nList×64, residual codebooks m×nCent×8, ADC
+    // tables nList×m×nCent) are O(1) literals from the same bounded
+    // sample. Seeded-model output -> rows-only + Recall overlap@10.
+    "llm_ann_ivfpq_topk" -> ((s, dir) => {
+      val nList = 16
+      val nProbe = 4
+      val m = 8
+      val subDim = 8
+      val nCent = 64
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sample = sampleVectors(e)
+      val coarse: Array[Array[Double]] = lloyd(sample, nList, iters = 5)
+      // Residual codebooks: train on what will be encoded — the
+      // sample's residuals under the coarse quantizer.
+      val residuals: Array[Array[Double]] = sample.map { v =>
+        val c = coarse(nearestOf(v, coarse))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
+        val pts = residuals.map(r =>
+          java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
+        lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
+      }
+      val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
+      val cbLit = typedlit(codebooks)
+      // Query-side driver math over the O(1) codebooks: probed cells,
+      // then one ADC table per probed cell from the query's residual
+      // in THAT cell. Unprobed cells keep zero tables (never read —
+      // the cell filter runs first); indexing stays direct [cell].
+      val q: Array[Double] = e.filter(col("vec_id") === 0)
+        .select(col("emb")).head.getSeq[Double](0).toArray
+      val probed: Seq[Int] = coarse.zipWithIndex.map { case (c, i) =>
+        (c.zip(q).map { case (x, y) => val d = x - y; d * d }.sum, i)
+      }.sorted.take(nProbe).map(_._2)
+      val adcAll: Seq[Seq[Seq[Double]]] = (0 until nList).map { cell =>
+        if (!probed.contains(cell)) Seq.fill(m)(Seq.fill(nCent)(0.0))
+        else {
+          val qres = Array.tabulate(q.length)(i => q(i) - coarse(cell)(i))
+          (0 until m).map { j =>
+            codebooks(j).map { cent =>
+              (0 until subDim).map { d =>
+                val diff = qres(j * subDim + d) - cent(d); diff * diff
+              }.sum
+            }
+          }
+        }
+      }
+      val tables = typedlit(adcAll)
+      // Scan: assign cell, PRUNE to probed cells (at write-time layout
+      // this is partition pruning), residual-encode survivors, ADC.
+      val probedRows = e.filter(col("vec_id") =!= 0)
+        .withColumn("__cd", cellDistances(col("emb"), coarseLit, nList))
+        .withColumn("cell", argminCell(col("__cd"), nList))
+        .drop("__cd")
+        .filter(col("cell").isin(probed: _*))
+        .withColumn("res",
+          zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+        .withColumn("codes", pqCodes(col("res"), cbLit, m, subDim, nCent))
+      val shortlist = probedRows
+        .select(col("vec_id"),
+          round(adcScore(col("codes"), element_at(tables, col("cell") + 1), m), 9)
+            .as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(100)
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(queryVec(e))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2_dist"),
+          col("adc_dist"))
         .orderBy(col("l2_dist"), col("vec_id"))
         .limit(10)
     })

@@ -171,6 +171,25 @@ class LlmSpec extends AnyFunSuite {
       s"PQ top-10 true-L2 mean $topMean vs corpus mean $corpusMean")
   }
 
+  test("IVFADC returns exact-ranked near neighbors from the probed cells") {
+    import org.apache.spark.sql.functions._
+    import llm.SimilarityQueries.{embDouble, l2sq, queryVec}
+    val e = embDouble(Tables(spark, sf, "embeddings"))
+    val truth = e.crossJoin(queryVec(e)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), l2sq(col("emb"), col("qv")).as("l2"))
+    val res = SparkEntry.queries("llm_ann_ivfpq_topk")(spark, sf)
+    val rows = res.collect()
+    assert(rows.length == 10)
+    // The exact re-rank means l2_dist must BE the true distance and
+    // rows must come back in that order.
+    val dists = rows.map(_.getDouble(2))
+    assert(dists.sameElements(dists.sorted), "re-ranked output must be L2-ordered")
+    val corpusMean = truth.agg(avg(col("l2"))).head.getDouble(0)
+    val topMean = res.join(truth, "vec_id").agg(avg(col("l2"))).head.getDouble(0)
+    assert(topMean < corpusMean * 0.9,
+      s"IVFADC top-10 true-L2 mean $topMean vs corpus mean $corpusMean")
+  }
+
   test("count-min sketch never underestimates; eps bound holds") {
     import org.apache.spark.sql.functions._
     val rows = SparkEntry.queries("llm_heavy_hitters_cms")(spark, sf).collect()
