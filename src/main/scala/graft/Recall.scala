@@ -117,6 +117,7 @@ object Recall {
     // same ground truth as LSH.
     val pqTop = idsOf("llm_ann_pq_topk")
     val ivfpqTop = idsOf("llm_ann_ivfpq_topk")
+    val indexedTop = idsOf("llm_ann_indexed_topk")
 
     // Approx aggregates: max relative error of HLL distinct vs exact.
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
@@ -139,6 +140,7 @@ object Recall {
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
+         |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)

@@ -288,20 +288,38 @@ class IndexStore(spark: SparkSession, root: String) {
 
   private val MetaFile = "_graft_provenance"
 
-  /** Write a typed artifact + its provenance fingerprint, crash-safe. */
+  /** Write a typed artifact + its provenance fingerprint, crash-safe.
+    *
+    * `partitionCols` makes the artifact a PARTITIONED index (hive
+    * layout): a reader's filter on those columns becomes partition
+    * pruning — directories that never open a footer. This is how the
+    * IVF cell id turns into physical data skipping at query time.
+    * `sidecars` are extra underscore-prefixed metadata files (e.g. a
+    * serialized quantizer model) swapped atomically WITH the data they
+    * describe — invisible to parquet scans like the provenance tag.
+    */
   def writeArtifact(df: DataFrame, name: String, fingerprint: String,
-                    numShards: Int = 5): Unit =
+                    numShards: Int = 5, partitionCols: Seq[String] = Nil,
+                    sidecars: Map[String, String] = Map.empty): Unit =
     swapIn(name) { tmp =>
-      df.repartition(numShards)
-        .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-      val out = fs.create(new Path(tmp, MetaFile), true)
-      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
+      val writer =
+        if (partitionCols.nonEmpty)
+          df.repartition(partitionCols.map(col): _*)
+            .write.partitionBy(partitionCols: _*)
+        else df.repartition(numShards).write
+      writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
+      (sidecars + (MetaFile -> fingerprint)).foreach { case (file, content) =>
+        require(file.startsWith("_"),
+          s"sidecar must be underscore-prefixed (hidden from scans): $file")
+        val out = fs.create(new Path(tmp, file), true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
 
-  /** The fingerprint an artifact was built from, if it exists. */
-  def artifactFingerprint(name: String): Option[String] = {
-    val p = new Path(dir(name), MetaFile)
+  /** A sidecar metadata file of an artifact, if present. */
+  def artifactSidecar(name: String, file: String): Option[String] = {
+    val p = new Path(dir(name), file)
     if (!fs.exists(p)) None
     else {
       val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
@@ -310,6 +328,10 @@ class IndexStore(spark: SparkSession, root: String) {
       Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
     }
   }
+
+  /** The fingerprint an artifact was built from, if it exists. */
+  def artifactFingerprint(name: String): Option[String] =
+    artifactSidecar(name, MetaFile)
 
   /** Read an artifact, (re)building it first when absent or stale. */
   def readOrBuildArtifact(name: String, fingerprint: String)

@@ -166,6 +166,90 @@ object SimilarityQueries {
     best
   }
 
+  /** Trained IVFADC model — coarse quantizer + per-subspace residual
+    * codebooks. O(1) bytes (nList×dim + m×nCent×subDim doubles)
+    * regardless of corpus size: the model is warehouse METADATA, the
+    * codes column is the data.
+    */
+  private[graft] case class IvfPqModel(nList: Int, m: Int, subDim: Int, nCent: Int,
+                                       coarse: Array[Array[Double]],
+                                       codebooks: Array[Array[Array[Double]]]) {
+
+    /** Text serialization for the artifact sidecar. `Double.toString`
+      * round-trips exactly (shortest-repr contract), so a parsed model
+      * scores bit-identically to the trained one.
+      */
+    def serialize: String = {
+      val sb = new StringBuilder
+      sb.append(s"ivfpq $nList $m $subDim $nCent\n")
+      coarse.foreach(c => sb.append(c.mkString(" ")).append('\n'))
+      for (j <- 0 until m; c <- 0 until nCent)
+        sb.append(codebooks(j)(c).mkString(" ")).append('\n')
+      sb.toString
+    }
+  }
+
+  private[graft] object IvfPqModel {
+    def parse(s: String): IvfPqModel = {
+      val lines = s.split('\n')
+      val hdr = lines(0).split(' ')
+      require(hdr(0) == "ivfpq", s"not an ivfpq model: ${lines(0)}")
+      val Array(nList, m, subDim, nCent) = hdr.tail.map(_.toInt)
+      val coarse = Array.tabulate(nList)(i => lines(1 + i).split(' ').map(_.toDouble))
+      val codebooks = Array.tabulate(m, nCent)((j, c) =>
+        lines(1 + nList + j * nCent + c).split(' ').map(_.toDouble))
+      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks)
+    }
+
+    /** Train on the bounded content-hash sample: coarse cells by Lloyd,
+      * then residual codebooks per subspace (residuals concentrate near
+      * 0, so the same bits quantize finer than raw vectors).
+      */
+    def train(e: DataFrame, nList: Int, m: Int, subDim: Int, nCent: Int): IvfPqModel = {
+      val sample = sampleVectors(e)
+      val coarse = lloyd(sample, nList, iters = 5)
+      val residuals = sample.map { v =>
+        val c = coarse(nearestOf(v, coarse))
+        Array.tabulate(v.length)(i => v(i) - c(i))
+      }
+      val codebooks = Array.tabulate(m) { j =>
+        lloyd(residuals.map(r =>
+          java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim)), nCent, iters = 3)
+      }
+      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks)
+    }
+  }
+
+  /** Query-side probe: the nProbe nearest coarse cells — driver
+    * arithmetic over the O(1) codebook.
+    */
+  private def probeCells(q: Array[Double], coarse: Array[Array[Double]],
+                         nProbe: Int): Seq[Int] =
+    coarse.zipWithIndex.map { case (c, i) =>
+      (c.zip(q).map { case (x, y) => val d = x - y; d * d }.sum, i)
+    }.sorted.take(nProbe).map(_._2).toSeq
+
+  /** Per-cell ADC lookup tables for a query: table[cell][j][c] =
+    * ‖(q − coarse(cell))_sub_j − codebook(j)(c)‖². Unprobed cells keep
+    * zero tables (never read — the cell filter runs first); indexing
+    * stays direct [cell].
+    */
+  private def adcTablesPerCell(q: Array[Double], model: IvfPqModel,
+                               probed: Seq[Int]): Seq[Seq[Seq[Double]]] =
+    (0 until model.nList).map { cell =>
+      if (!probed.contains(cell)) Seq.fill(model.m)(Seq.fill(model.nCent)(0.0))
+      else {
+        val qres = Array.tabulate(q.length)(i => q(i) - model.coarse(cell)(i))
+        (0 until model.m).map { j =>
+          model.codebooks(j).map { cent =>
+            (0 until model.subDim).map { d =>
+              val diff = qres(j * model.subDim + d) - cent(d); diff * diff
+            }.sum
+          }.toSeq
+        }
+      }
+    }
+
   /** Deterministic driver-side Lloyd k-means for PQ codebook training
     * over a bounded, id-sorted sample: seeds are k evenly-spaced
     * sample points, then `iters` assign/recompute rounds (an empty
@@ -446,64 +530,71 @@ object SimilarityQueries {
     // tables nList×m×nCent) are O(1) literals from the same bounded
     // sample. Seeded-model output -> rows-only + Recall overlap@10.
     "llm_ann_ivfpq_topk" -> ((s, dir) => {
-      val nList = 16
       val nProbe = 4
-      val m = 8
-      val subDim = 8
-      val nCent = 64
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sample = sampleVectors(e)
-      val coarse: Array[Array[Double]] = lloyd(sample, nList, iters = 5)
-      // Residual codebooks: train on what will be encoded — the
-      // sample's residuals under the coarse quantizer.
-      val residuals: Array[Array[Double]] = sample.map { v =>
-        val c = coarse(nearestOf(v, coarse))
-        Array.tabulate(v.length)(i => v(i) - c(i))
-      }
-      val codebooks: Seq[Seq[Seq[Double]]] = (0 until m).map { j =>
-        val pts = residuals.map(r =>
-          java.util.Arrays.copyOfRange(r, j * subDim, (j + 1) * subDim))
-        lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
-      }
-      val coarseLit = typedlit(coarse.map(_.toSeq).toSeq)
-      val cbLit = typedlit(codebooks)
+      val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
+      val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+      val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
       // Query-side driver math over the O(1) codebooks: probed cells,
       // then one ADC table per probed cell from the query's residual
-      // in THAT cell. Unprobed cells keep zero tables (never read —
-      // the cell filter runs first); indexing stays direct [cell].
+      // in THAT cell.
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray
-      val probed: Seq[Int] = coarse.zipWithIndex.map { case (c, i) =>
-        (c.zip(q).map { case (x, y) => val d = x - y; d * d }.sum, i)
-      }.sorted.take(nProbe).map(_._2)
-      val adcAll: Seq[Seq[Seq[Double]]] = (0 until nList).map { cell =>
-        if (!probed.contains(cell)) Seq.fill(m)(Seq.fill(nCent)(0.0))
-        else {
-          val qres = Array.tabulate(q.length)(i => q(i) - coarse(cell)(i))
-          (0 until m).map { j =>
-            codebooks(j).map { cent =>
-              (0 until subDim).map { d =>
-                val diff = qres(j * subDim + d) - cent(d); diff * diff
-              }.sum
-            }
-          }
-        }
-      }
-      val tables = typedlit(adcAll)
+      val probed = probeCells(q, model.coarse, nProbe)
+      val tables = typedlit(adcTablesPerCell(q, model, probed))
       // Scan: assign cell, PRUNE to probed cells (at write-time layout
-      // this is partition pruning), residual-encode survivors, ADC.
+      // this is partition pruning — llm_ann_indexed_topk IS that
+      // layout), residual-encode survivors, ADC.
       val probedRows = e.filter(col("vec_id") =!= 0)
-        .withColumn("__cd", cellDistances(col("emb"), coarseLit, nList))
-        .withColumn("cell", argminCell(col("__cd"), nList))
+        .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+        .withColumn("cell", argminCell(col("__cd"), model.nList))
         .drop("__cd")
         .filter(col("cell").isin(probed: _*))
         .withColumn("res",
           zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
-        .withColumn("codes", pqCodes(col("res"), cbLit, m, subDim, nCent))
+        .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
       val shortlist = probedRows
         .select(col("vec_id"),
-          round(adcScore(col("codes"), element_at(tables, col("cell") + 1), m), 9)
+          round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
+            .as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(100)
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(queryVec(e))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2_dist"),
+          col("adc_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // MATERIALIZED-index ANN — the production serving shape the other
+    // ANN queries only argue for: the IVFADC index (vec_id, label,
+    // codes) is built ONCE PER INGEST as an IndexStore artifact
+    // PARTITIONED BY the coarse cell, with the trained model in an
+    // atomically-swapped sidecar. Query time touches NO raw floats
+    // until the re-rank: the probe filter on `cell` is genuine hive
+    // PARTITION PRUNING (directories outside the nProbe cells never
+    // open a footer — VecIndexSpec asserts PartitionFilters in the
+    // scan), the pruned scan reads 8-byte codes instead of 256-byte
+    // vectors (the 32× bandwidth argument, now physical), and only the
+    // 100-row shortlist fetches vectors for exact distances. At 100 TB
+    // this is the difference between an ANN *query* (ms — prune, scan
+    // codes, 100 lookups) and an ANN *ingest* (the one-time encode).
+    // Seeded-model output -> rows-only + RECALL overlap@10 + spec.
+    "llm_ann_indexed_topk" -> ((s, dir) => {
+      val nProbe = 4
+      val (idx, model) = materializedVecIndex(s, dir)
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      val q: Array[Double] = e.filter(col("vec_id") === 0)
+        .select(col("emb")).head.getSeq[Double](0).toArray
+      val probed = probeCells(q, model.coarse, nProbe)
+      val tables = typedlit(adcTablesPerCell(q, model, probed))
+      val shortlist = idx
+        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
             .as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(100)
@@ -516,6 +607,45 @@ object SimilarityQueries {
         .limit(10)
     })
   )
+
+  private[graft] val VecIndexName = "vec_ivfpq_index"
+  private[graft] val ModelSidecar = "_graft_ivfpq_model"
+
+  /** The vector index as a first-class warehouse artifact (same
+    * contract as the near-dup pair graph): encode runs at WRITE time,
+    * once per ingest — provenance fingerprint = builder version +
+    * knobs + input-file metadata, so readers rebuild exactly when the
+    * corpus changed. Layout: hive-partitioned by the coarse cell
+    * (partition count = nList, scaling with corpus size under the
+    * cell-count policy), codes column only — the index stores 9 bytes
+    * of payload per vector, not the vector.
+    */
+  private[graft] def materializedVecIndex(s: SparkSession, dir: String): (DataFrame, IvfPqModel) = {
+    val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    val fp = "ivfpq_v1:nList=16:m=8:nCent=64:" +
+      graft.etl.IndexStore.pathFingerprint(s, s"$dir/embeddings.parquet")
+    if (!store.artifactFingerprint(VecIndexName).contains(fp)) {
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
+      val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+      val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val indexed = e
+        .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+        .withColumn("cell", argminCell(col("__cd"), model.nList))
+        .drop("__cd")
+        .withColumn("res",
+          zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+        .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
+        .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+      store.writeArtifact(indexed, VecIndexName, fp,
+        partitionCols = Seq("cell"), sidecars = Map(ModelSidecar -> model.serialize))
+      e.unpersist()
+    }
+    val model = IvfPqModel.parse(store.artifactSidecar(VecIndexName, ModelSidecar)
+      .getOrElse(sys.error(s"vector index $VecIndexName has no model sidecar")))
+    (store.read(VecIndexName), model)
+  }
 
   val oracleSql: Map[String, String] = Map(
     "llm_cosine_topk" ->
