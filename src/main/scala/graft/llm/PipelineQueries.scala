@@ -93,6 +93,64 @@ object PipelineQueries {
         .orderBy(col("lang"), col("doc_id"))
     }),
 
+    // Sequence packing — the last batch-side stage before the trainer:
+    // concatenate documents in a deterministic content-hash order and
+    // cut every B=512 tokens (GPT-style concat-and-chunk packing; a
+    // doc crossing a boundary spans both sequences). Packing runs per
+    // LANGUAGE stream — real mixes pack per domain/language anyway,
+    // and it's what keeps the running sum parallel: one window per
+    // lang partition, never a global single-partition cumsum (at
+    // 100 TB each stream's prefix sum is further split hierarchically:
+    // per-partition subtotals + broadcast prefix offsets — same
+    // arithmetic, two passes). Output: per-sequence fill accounting
+    // (docs beginning in each sequence + their token mass).
+    "llm_pack_sequences" -> ((s, dir) => {
+      val B = 512
+      val nToks = size(split(lower(col("text")), "\\s+"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("__h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), nToks.as("n_toks"),
+          md5(lower(trim(col("text")))).as("__h"))
+        .withColumn("start_tok", sum(col("n_toks")).over(w) - col("n_toks"))
+        .withColumn("seq_id", floor(col("start_tok") / B))
+        .groupBy(col("lang"), col("seq_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("begun_toks"))
+        .orderBy(col("lang"), col("seq_id"))
+    }),
+
+    // Domain-mixture resampling — turn per-source mixture weights into
+    // an epoch-expanded corpus (upsample src0 ×2.5, downsample src2 to
+    // a quarter): every doc repeats floor(w) times, plus once more for
+    // the first frac(w)·n docs by content-hash rank within the source —
+    // deterministic fractional epochs, the standard pre-training
+    // domain-reweighting stage. The expansion is a per-row explode
+    // (shuffle-free); the rank is one window per source partition. At
+    // 100 TB the epoch column also becomes the natural shard key for
+    // writing the mixed corpus.
+    "llm_mixture_resample" -> ((s, dir) => {
+      val weights = Seq("src0" -> 2.5, "src1" -> 2.0, "src2" -> 0.25)
+      val wexpr = weights.foldLeft(lit(1.0)) { case (acc, (src, wt)) =>
+        when(col("source") === src, lit(wt)).otherwise(acc)
+      }
+      val perSrc = Window.partitionBy(col("source"))
+      val rank = perSrc.orderBy(md5(lower(trim(col("text")))), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("w", wexpr)
+        .withColumn("__rn", row_number().over(rank))
+        .withColumn("__cnt", count(lit(1)).over(perSrc))
+        .withColumn("n_copies",
+          (floor(col("w")) +
+            when(col("__rn") <= floor((col("w") - floor(col("w"))) * col("__cnt")), 1)
+              .otherwise(0)).cast("int"))
+        .withColumn("epoch",
+          explode(when(col("n_copies") >= 1, sequence(lit(1), col("n_copies")))
+            .otherwise(array().cast(ArrayType(IntegerType)))))
+        .groupBy(col("source"), col("epoch"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("source"), col("epoch"))
+    }),
+
     // Eval-set decontamination — the op every serious pre-training run
     // needs: find train-split documents sharing any word-8-gram with
     // the eval split (the n-gram-overlap contamination test). Inverted-
@@ -151,6 +209,38 @@ object PipelineQueries {
         |QUALIFY row_number() OVER (PARTITION BY lang
         |  ORDER BY md5(lower(trim(text))), doc_id) <= 20
         |ORDER BY lang, doc_id""".stripMargin,
+    "llm_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_split_to_array(lower(text), '\s+')) AS n_toks,
+        |    md5(lower(trim(text))) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, n_toks,
+        |    sum(n_toks) OVER (PARTITION BY lang ORDER BY h, doc_id
+        |                      ROWS UNBOUNDED PRECEDING) - n_toks AS start_tok
+        |  FROM d)
+        |SELECT lang, CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_id,
+        |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS begun_toks
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_mixture_resample" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CASE source WHEN 'src0' THEN 2.5::DOUBLE WHEN 'src1' THEN 2.0::DOUBLE
+        |                WHEN 'src2' THEN 0.25::DOUBLE ELSE 1.0::DOUBLE END AS w,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY md5(lower(trim(text))), doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS cnt
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(floor(w) + CASE WHEN rn <= floor((w - floor(w)) * cnt)
+        |                         THEN 1 ELSE 0 END AS INT) AS n_copies
+        |  FROM d)
+        |SELECT source, CAST(u.epoch AS INT) AS epoch, count(*) AS n_docs
+        |FROM c, unnest(generate_series(1, n_copies)) AS u(epoch)
+        |WHERE n_copies >= 1
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "llm_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,

@@ -256,6 +256,88 @@ object SearchQueries {
           .select(lit(t).as("index_name"), col(key).cast(LongType).as("doc_key"))
       }.reduce(_.unionByName(_))
         .orderBy(col("index_name"), col("doc_key"))
+    }),
+
+    // Facet aggregations over a query's hit set — ES `terms` bucket
+    // aggregation with a `stats` sub-aggregation (the sidebar counts a
+    // search UI renders next to results). One scan evaluates the hit
+    // predicate, then one partial+final hash agg; buckets ordered by
+    // doc count descending like ES. The avg is a single double
+    // division on aggregated integers (never a float accumulation).
+    "search_facets" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "spark"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("avg_chars",
+          col("sum_chars").cast(DoubleType) / col("doc_count").cast(DoubleType))
+        .orderBy(col("doc_count").desc, col("lang"))
+    }),
+
+    // Significant terms (ES significant_terms): words OVERREPRESENTED
+    // in the hit set vs the whole corpus — "what is this result set
+    // about". Foreground = docs matching 'vector'; the JLH score
+    // (fg% − bg%)·(fg% / bg%) is computed on one aggregated row per
+    // term — per-row double math, never a cross-row float sum. Shape:
+    // one exploded distinct-token projection aggregates to a
+    // term-cardinality table (corpus-independent size at 100 TB), the
+    // two scalar totals broadcast.
+    "search_significant_terms" -> ((s, dir) => {
+      val toksCol = tokens(col("text"))
+      val base = Tables(s, dir, "documents")
+        .withColumn("is_fg", array_contains(toksCol, "vector"))
+        .select(col("doc_id"), col("is_fg"),
+          explode(array_distinct(toksCol)).as("term"))
+      val totals = base.select(col("doc_id"), col("is_fg")).distinct()
+        .agg(sum(when(col("is_fg"), 1L).otherwise(0L)).cast(DoubleType).as("fg_total"),
+          count(lit(1)).cast(DoubleType).as("bg_total"))
+      val perTerm = base.groupBy(col("term"))
+        .agg(sum(when(col("is_fg"), 1L).otherwise(0L)).as("fg_docs"),
+          count(lit(1)).as("bg_docs"))
+        .filter(col("fg_docs") >= 3)
+      perTerm.crossJoin(broadcast(totals))
+        .withColumn("fg_rate", col("fg_docs").cast(DoubleType) / col("fg_total"))
+        .withColumn("bg_rate", col("bg_docs").cast(DoubleType) / col("bg_total"))
+        .withColumn("jlh_raw",
+          (col("fg_rate") - col("bg_rate")) * (col("fg_rate") / col("bg_rate")))
+        .filter(col("jlh_raw") > 0) // pre-round, mirroring the oracle
+        .withColumn("jlh", round(col("jlh_raw"), 9))
+        .select(col("term"), col("fg_docs"), col("bg_docs"), col("jlh"))
+        .orderBy(col("jlh").desc, col("term"))
+        .limit(15)
+    }),
+
+    // More-like-this (ES more_like_this): rank the corpus by
+    // similarity to a SOURCE DOCUMENT — shared-term overlap weighted
+    // by rarity. Weight = ⌊10⁴/df⌋: the integer quantization of 1/df
+    // keeps every product and the cross-term sum in exact integer
+    // arithmetic (a float Σ over a variable term set is
+    // order-dependent and would never hash-compare). Shape: the
+    // (doc, term, tf) postings build once; the source doc's weighted
+    // terms broadcast against them — an inverted-index probe, linear
+    // in corpus size like llm_decontaminate, never doc×doc.
+    "search_more_like_this" -> ((s, dir) => {
+      val srcId = 7L
+      val postings = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .persist() // feeds docfreq, the source terms, and the probe scan
+      val docfreq = postings.groupBy(col("term"))
+        .agg(count(lit(1)).as("docfreq"))
+      val src = postings.filter(col("doc_id") === srcId)
+        .select(col("term"), col("tf").as("src_tf"))
+      val probe = broadcast(src.join(docfreq, "term")
+        .withColumn("wt", floor(lit(10000) / col("docfreq"))))
+      postings.filter(col("doc_id") =!= srcId)
+        .join(probe, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("src_tf") * col("wt")).as("mlt_score"))
+        .orderBy(col("mlt_score").desc, col("doc_id"))
+        .limit(10)
     })
   )
 
@@ -448,6 +530,57 @@ object SearchQueries {
         |  SELECT 'region', CAST(r_regionkey AS BIGINT) FROM region
         |  WHERE contains(CAST(r_regionkey AS VARCHAR), '0000000')
         |     OR contains(r_name, '0000000'))
-        |ORDER BY index_name, doc_key""".stripMargin
+        |ORDER BY index_name, doc_key""".stripMargin,
+    "search_facets" ->
+      """SELECT lang, count(*) AS doc_count,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(n_chars) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_chars
+        |FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')
+        |GROUP BY lang
+        |ORDER BY doc_count DESC, lang""".stripMargin,
+    "search_significant_terms" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    list_contains(regexp_split_to_array(lower(text), '\s+'), 'vector') AS is_fg,
+        |    unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS term
+        |  FROM documents),
+        |totals AS (
+        |  SELECT CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS DOUBLE) AS fg_total,
+        |         CAST(count(*) AS DOUBLE) AS bg_total
+        |  FROM (SELECT DISTINCT doc_id, is_fg FROM base)),
+        |per_term AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_docs,
+        |    count(*) AS bg_docs
+        |  FROM base GROUP BY term
+        |  HAVING sum(CASE WHEN is_fg THEN 1 ELSE 0 END) >= 3),
+        |j AS (
+        |  SELECT term, fg_docs, bg_docs,
+        |    (fg_docs / fg_total - bg_docs / bg_total)
+        |      * ((fg_docs / fg_total) / (bg_docs / bg_total)) AS jlh_raw
+        |  FROM per_term, totals)
+        |SELECT term, fg_docs, bg_docs, round(jlh_raw, 9) AS jlh
+        |FROM j WHERE jlh_raw > 0
+        |ORDER BY jlh DESC, term LIMIT 15""".stripMargin,
+    "search_more_like_this" ->
+      """WITH p AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |        FROM documents)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS docfreq FROM p GROUP BY 1),
+        |src AS (SELECT term, tf AS src_tf FROM p WHERE doc_id = 7),
+        |probe AS (
+        |  SELECT src.term, src_tf,
+        |    CAST(floor(10000 / docfreq) AS BIGINT) AS wt
+        |  FROM src JOIN df USING (term))
+        |SELECT p.doc_id, CAST(sum(p.tf * src_tf * wt) AS BIGINT) AS mlt_score
+        |FROM p JOIN probe USING (term)
+        |WHERE p.doc_id <> 7
+        |GROUP BY 1
+        |ORDER BY mlt_score DESC, doc_id LIMIT 10""".stripMargin
   )
 }

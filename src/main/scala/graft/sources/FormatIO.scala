@@ -8,14 +8,15 @@ import org.apache.spark.sql.types.StructType
   * DataSource V2 surface).
   *
   * Supported here: parquet (columnar, the 100 TB default), orc
-  * (columnar alternative), csv + json (text interchange). CSV/JSON
-  * reads take an explicit schema — schema inference is a full extra
-  * pass over 100 TB and non-deterministic under dirty data, so the
-  * engine treats it as a dev-only convenience.
+  * (columnar alternative), csv + json + xml (text interchange; xml is
+  * Spark 4's built-in spark-xml successor). CSV/JSON/XML reads take an
+  * explicit schema — schema inference is a full extra pass over 100 TB
+  * and non-deterministic under dirty data, so the engine treats it as
+  * a dev-only convenience.
   */
 object FormatIO {
 
-  val formats: Seq[String] = Seq("parquet", "orc", "csv", "json")
+  val formats: Seq[String] = Seq("parquet", "orc", "csv", "json", "xml")
 
   def write(df: DataFrame, format: String, path: String,
             partitions: Int = 0): Unit = {
@@ -23,6 +24,7 @@ object FormatIO {
     val w = out.write.mode(SaveMode.Overwrite).format(format)
     (format match {
       case "csv" => w.option("header", "true")
+      case "xml" => w.option("rootTag", "rows").option("rowTag", "row")
       case _ => w
     }).save(path)
   }
@@ -32,6 +34,7 @@ object FormatIO {
     val r = spark.read.format(format).schema(schema)
     (format match {
       case "csv" => r.option("header", "true")
+      case "xml" => r.option("rowTag", "row")
       case _ => r
     }).load(path)
   }

@@ -116,6 +116,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_cosine_topk_batch", // 5-row query-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
       "search_topk_bm25", // 1-row corpus-stats broadcast
+      "search_significant_terms", // 1-row fg/bg-totals broadcast
       "llm_length_trim", // 1-row total-count broadcast
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
