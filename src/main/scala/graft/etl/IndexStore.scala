@@ -340,6 +340,33 @@ class IndexStore(spark: SparkSession, root: String) {
       writeArtifact(build, name, fingerprint)
     read(name)
   }
+
+  /** Typed artifact merge — the continuous-maintenance path for derived
+    * indexes (e.g. streaming embedding ingest keeping the ANN index
+    * fresh): last-write-wins on `idCol` like [[upsert]], but KEEPING
+    * native types (bulkImport's stringify is the document-import
+    * contract; artifacts are typed), and carrying every existing
+    * sidecar (the quantizer model must survive the swap — incremental
+    * encode uses the FROZEN model; retraining is a rebuild, not an
+    * upsert). Copy-on-write through the same crash-safe swap; at 100 TB
+    * the rewrite shards by the partition columns so only touched
+    * partitions rewrite.
+    */
+  def upsertArtifact(incoming: DataFrame, name: String, idCol: String,
+                     fingerprint: String, partitionCols: Seq[String] = Nil,
+                     numShards: Int = 5): Long = {
+    val carried = fs.listStatus(dir(name))
+      .map(_.getPath.getName)
+      .filter(f => f.startsWith("_") && f != MetaFile && f != "_SUCCESS")
+      .map(f => f -> artifactSidecar(name, f).get).toMap
+    val existing = read(name).withColumn("__gen", lit(0))
+    val next = incoming.withColumn("__gen", lit(1))
+    val merged = dedupByKey(existing.unionByName(next), idCol,
+      ordPrefix = Seq("__gen"))
+    writeArtifact(merged, name, fingerprint,
+      numShards = numShards, partitionCols = partitionCols, sidecars = carried)
+    count(name)
+  }
 }
 
 object IndexStore {

@@ -611,6 +611,23 @@ object SimilarityQueries {
   private[graft] val VecIndexName = "vec_ivfpq_index"
   private[graft] val ModelSidecar = "_graft_ivfpq_model"
 
+  /** IVFADC encode of an embedding frame under a (frozen) model: cell
+    * assignment + residual PQ codes. Used by the index build AND by
+    * incremental maintenance (a streaming micro-batch encodes with the
+    * index's sidecar model — never retrains; retraining is a rebuild).
+    */
+  private[graft] def encodeWithModel(e: DataFrame, model: IvfPqModel): DataFrame = {
+    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    e.withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+      .withColumn("cell", argminCell(col("__cd"), model.nList))
+      .drop("__cd")
+      .withColumn("res",
+        zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+      .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
+      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+  }
+
   /** The vector index as a first-class warehouse artifact (same
     * contract as the near-dup pair graph): encode runs at WRITE time,
     * once per ingest — provenance fingerprint = builder version +
@@ -628,16 +645,7 @@ object SimilarityQueries {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
-      val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-      val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-      val indexed = e
-        .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
-        .withColumn("cell", argminCell(col("__cd"), model.nList))
-        .drop("__cd")
-        .withColumn("res",
-          zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
-        .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
-        .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+      val indexed = encodeWithModel(e, model)
       store.writeArtifact(indexed, VecIndexName, fp,
         partitionCols = Seq("cell"), sidecars = Map(ModelSidecar -> model.serialize))
       e.unpersist()

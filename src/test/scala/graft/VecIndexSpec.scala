@@ -76,6 +76,77 @@ class VecIndexSpec extends AnyFunSuite {
     assert(idx2.count() == 400, "stale index served after corpus changed")
   }
 
+  test("streaming embedding ingest maintains the index under the frozen model") {
+    // Continuous ANN-index maintenance: micro-batches of new embeddings
+    // are encoded with the index's SIDECAR model (never retrained
+    // in-stream — retraining is a rebuild) and merged in via the typed
+    // artifact upsert, which must keep array columns intact, keep the
+    // hive cell layout, carry the model sidecar through the swap, and
+    // stay idempotent under replay.
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_s").toString
+    def corpus(from: Long, until: Long) =
+      spark.range(from, until)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((col("id") * 3 + d) % 23).cast("float")).as("embedding"),
+          (col("id") % 3).cast("string").as("label"))
+    corpus(0, 300).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (idx0, model0) = SimilarityQueries.materializedVecIndex(spark, dir)
+    assert(idx0.count() == 300)
+
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    val srcDir = java.nio.file.Files.createTempDirectory("vecidx_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("vecidx_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(name))
+    }
+    def runPass(): Unit = {
+      val q = spark.readStream.schema(corpus(0, 1).schema)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val model = SimilarityQueries.IvfPqModel.parse(
+            store.artifactSidecar(SimilarityQueries.VecIndexName,
+              SimilarityQueries.ModelSidecar).get)
+          store.upsertArtifact(
+            SimilarityQueries.encodeWithModel(SimilarityQueries.embDouble(batch), model),
+            SimilarityQueries.VecIndexName, "vec_id",
+            fingerprint = "stream-maintained", partitionCols = Seq("cell"))
+          ()
+        }
+        .option("checkpointLocation", srcDir.resolve(".ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+
+    stage(corpus(300, 400), "b1.parquet")
+    runPass()
+    val idx1 = store.read(SimilarityQueries.VecIndexName)
+    assert(idx1.count() == 400, "streamed batch must merge into the index")
+    // Frozen model: sidecar survives the upsert swap byte-for-byte.
+    assert(store.artifactSidecar(SimilarityQueries.VecIndexName,
+      SimilarityQueries.ModelSidecar).contains(model0.serialize))
+    // Streamed rows carry exactly the codes/cells a batch encode under
+    // the same model produces (types intact through the typed merge).
+    val streamed = idx1.filter(col("vec_id") >= 300)
+      .select(col("vec_id"), col("cell"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    val expected = SimilarityQueries.encodeWithModel(
+        SimilarityQueries.embDouble(corpus(300, 400)), model0)
+      .select(col("vec_id"), col("cell"), col("codes")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Int](2))).toSet
+    assert(streamed == expected)
+    // Replay of the same batch (new file, same content) stays idempotent.
+    stage(corpus(300, 400), "b2.parquet")
+    runPass()
+    assert(store.read(SimilarityQueries.VecIndexName).count() == 400,
+      "replayed batch must upsert, not append")
+  }
+
   test("model sidecar serialization round-trips bit-exactly") {
     val e = SimilarityQueries.embDouble(Tables(spark, sf, "embeddings"))
     val m = SimilarityQueries.IvfPqModel.train(e, nList = 4, m = 8, subDim = 8, nCent = 16)
