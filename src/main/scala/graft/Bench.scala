@@ -154,6 +154,44 @@ object Bench {
       new KMeans().setK(2).setSeed(1L).setMaxIter(1).fit(tiny)
     }
 
+    // Derived-artifact builds (the near-dup pair graph, the IVFADC
+    // vector index) are INGEST-time work shared by many queries.
+    // Pre-build them as their own bench entries — artifact deleted
+    // first so the number is always the real build cost — and the
+    // consumer queries below then run against warm artifacts, i.e.
+    // their numbers are steady-state serving cost instead of
+    // whichever consumer ran first silently absorbing the build.
+    def buildArtifact(entry: String, artifactName: String)
+                     (build: => Unit): Double = {
+      val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
+      store.deleteIndex(artifactName)
+      val t0 = System.nanoTime()
+      build
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $entry: $dt%.2f s")
+      spark.catalog.clearCache()
+      snapShuffle(entry)
+      dt
+    }
+    val runPairBuild = only.forall(_.contains("_build_neardup_pairs"))
+    val pairBuildSecs = if (!runPairBuild) -1.0 else
+      buildArtifact("_build_neardup_pairs", "neardup_pairs") {
+        llm.DedupQueries.materializedPairs(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+      }
+    val runVecBuild = only.forall(_.contains("_build_vec_index"))
+    val vecBuildSecs = if (!runVecBuild) -1.0 else
+      buildArtifact("_build_vec_index", llm.SimilarityQueries.VecIndexName) {
+        llm.SimilarityQueries.materializedVecIndex(spark, sfDir)._1.write
+          .format("noop").mode("overwrite").save()
+      }
+    val runPostingsBuild = only.forall(_.contains("_build_text_postings"))
+    val postingsBuildSecs = if (!runPostingsBuild) -1.0 else
+      buildArtifact("_build_text_postings", search.SearchQueries.PostingsName) {
+        search.SearchQueries.materializedPostings(spark, sfDir)._1.write
+          .format("noop").mode("overwrite").save()
+      }
+
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
     // scan -> stringify -> keyed-dedup -> partitioned-write pipeline.
@@ -203,6 +241,9 @@ object Bench {
     val results = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> runOnce(n)) ++
+      (if (runPairBuild) Seq("_build_neardup_pairs" -> ((pairBuildSecs, pairBuildSecs))) else Nil) ++
+      (if (runVecBuild) Seq("_build_vec_index" -> ((vecBuildSecs, vecBuildSecs))) else Nil) ++
+      (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
       (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
 

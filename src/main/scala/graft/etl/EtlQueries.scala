@@ -114,6 +114,35 @@ object EtlQueries {
         .orderBy(col("tbl"))
     }),
 
+    // #2 extended: schema discovery -> CONTENT discovery. The
+    // reference reads ResultSetMetaData per import
+    // (BulkProcessImpl.java:102,113-114); a warehouse also needs the
+    // data profile under the schema — per column: null count, exact
+    // distinct count, min/max (stringified; the reference's value
+    // domain). ONE aggregation pass over the table computes every
+    // column's stats (partial+final hash agg, no per-column rescans),
+    // then the 1-row result unpivots driver-side to a row per column.
+    "etl_profile_table" -> ((s, dir) => {
+      val df = Tables(s, dir, "orders")
+      val aggs = df.columns.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"),
+        countDistinct(col(c)).as(s"nd_$c"),
+        min(col(c)).cast(StringType).as(s"mn_$c"),
+        max(col(c)).cast(StringType).as(s"mx_$c")))
+      val allAggs = count(lit(1)).as("n_rows") +: aggs
+      val row = df.agg(allAggs.head, allAggs.tail: _*)
+      val perCol = df.columns.map(c => struct(
+        lit(c).as("col_name"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"nd_$c").as("n_distinct"),
+        col(s"mn_$c").as("min_str"),
+        col(s"mx_$c").as("max_str")))
+      row.select(explode(array(perCol: _*)).as("p"))
+        .select(col("p.col_name"), col("p.n_null"), col("p.n_distinct"),
+          col("p.min_str"), col("p.max_str"))
+        .orderBy(col("col_name"))
+    }),
+
     // #10: catalog list + system-index filter (leading-dot names dropped,
     // ElasticServiceImpl.java:97-101). Directory listing is a driver-side
     // catalog op (same as spark.catalog.listTables) — not a data scan.
@@ -169,7 +198,18 @@ object EtlQueries {
         Seq("nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings")
           .map(t => s" UNION ALL SELECT '$t', count(*) FROM $t").mkString +
-        " ORDER BY tbl")
+        " ORDER BY tbl"),
+    "etl_profile_table" ->
+      (Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_str,
+             |  CAST(max($c) AS VARCHAR) AS max_str
+             |FROM orders""".stripMargin)
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"))
     // etl_catalog_list: catalog op, no SQL twin — driver rows-only check.
   )
 }

@@ -200,7 +200,14 @@ class IndexStore(spark: SparkSession, root: String) {
     // Same hash-agg last-write-wins as bulkImport, with the recency tag
     // leading the comparison tuple (incoming generation always beats
     // existing; ties within a generation break on the data columns).
-    val merged = dedupByKey(existing.unionByName(next), idCol,
+    // allowMissingColumns = ES dynamic mapping: a batch carrying NEW
+    // fields widens the index schema (old docs read NULL there), and a
+    // batch missing known fields upserts with NULLs — continued ingest
+    // must never be rejected for schema drift, exactly like the
+    // reference's mapping-free bulk path (`BulkProcessImpl.java:66-68`:
+    // index settings only, ES infers fields per document).
+    val merged = dedupByKey(
+      existing.unionByName(next, allowMissingColumns = true), idCol,
       ordPrefix = Seq("__gen"))
     // Write via temp dir then swap: the source of the merge is the
     // index itself, so a direct overwrite would truncate its input.
@@ -294,18 +301,30 @@ class IndexStore(spark: SparkSession, root: String) {
     * layout): a reader's filter on those columns becomes partition
     * pruning — directories that never open a footer. This is how the
     * IVF cell id turns into physical data skipping at query time.
-    * `sidecars` are extra underscore-prefixed metadata files (e.g. a
-    * serialized quantizer model) swapped atomically WITH the data they
-    * describe — invisible to parquet scans like the provenance tag.
+    * `rangeSortCols` instead range-partitions AND sorts the artifact by
+    * the given key — right for HIGH-cardinality keys (a term column
+    * would explode a hive layout into millions of dirs): parquet
+    * min/max row-group stats then skip everything outside a key
+    * filter's range. `sidecars` are extra underscore-prefixed metadata
+    * files (e.g. a serialized quantizer model) swapped atomically WITH
+    * the data they describe — invisible to parquet scans like the
+    * provenance tag.
     */
   def writeArtifact(df: DataFrame, name: String, fingerprint: String,
                     numShards: Int = 5, partitionCols: Seq[String] = Nil,
+                    rangeSortCols: Seq[String] = Nil,
                     sidecars: Map[String, String] = Map.empty): Unit =
     swapIn(name) { tmp =>
+      require(partitionCols.isEmpty || rangeSortCols.isEmpty,
+        "partitionCols and rangeSortCols are alternative layouts")
       val writer =
         if (partitionCols.nonEmpty)
           df.repartition(partitionCols.map(col): _*)
             .write.partitionBy(partitionCols: _*)
+        else if (rangeSortCols.nonEmpty)
+          df.repartitionByRange(numShards, rangeSortCols.map(col): _*)
+            .sortWithinPartitions(rangeSortCols.map(col): _*)
+            .write
         else df.repartition(numShards).write
       writer.mode(SaveMode.Overwrite).parquet(tmp.toString)
       (sidecars + (MetaFile -> fingerprint)).foreach { case (file, content) =>
@@ -354,7 +373,12 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def upsertArtifact(incoming: DataFrame, name: String, idCol: String,
                      fingerprint: String, partitionCols: Seq[String] = Nil,
-                     numShards: Int = 5): Long = {
+                     rangeSortCols: Seq[String] = Nil,
+                     numShards: Int = 5,
+                     sidecars: Map[String, String] = Map.empty): Long = {
+    // Carry existing sidecars through the swap; caller-provided entries
+    // override (e.g. refreshed corpus stats), the rest (e.g. a frozen
+    // quantizer model) survive untouched.
     val carried = fs.listStatus(dir(name))
       .map(_.getPath.getName)
       .filter(f => f.startsWith("_") && f != MetaFile && f != "_SUCCESS")
@@ -364,7 +388,8 @@ class IndexStore(spark: SparkSession, root: String) {
     val merged = dedupByKey(existing.unionByName(next), idCol,
       ordPrefix = Seq("__gen"))
     writeArtifact(merged, name, fingerprint,
-      numShards = numShards, partitionCols = partitionCols, sidecars = carried)
+      numShards = numShards, partitionCols = partitionCols,
+      rangeSortCols = rangeSortCols, sidecars = carried ++ sidecars)
     count(name)
   }
 }

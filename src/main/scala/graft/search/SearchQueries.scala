@@ -35,6 +35,88 @@ object SearchQueries {
   /** Whitespace tokenizer shared by match + rank queries. */
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  private[graft] val PostingsName = "text_postings"
+  private[graft] val PostingsStatsSidecar = "_graft_corpus_stats"
+
+  /** The materialized inverted index — the data structure Elasticsearch
+    * actually keeps for the reference's delegated search, as a
+    * first-class warehouse artifact (same contract as the near-dup pair
+    * graph and the IVFADC vector index): postings (term, doc_id, tf,
+    * n_tokens) built once per ingest, RANGE-SORTED by term so a query's
+    * term filter becomes parquet min/max row-group skipping (a term is
+    * too high-cardinality for hive partitioning), with the two corpus
+    * scalars BM25 needs (doc count, total token count) in a sidecar.
+    * Query cost is then proportional to the probed terms' posting
+    * lists, not the corpus — the ES serving model.
+    */
+  /** The postings projection of a document frame — shared by the index
+    * build and incremental maintenance (a streamed batch's postings
+    * come from the same code).
+    */
+  private[graft] def postingsOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
+        explode(tokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("n_tokens"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** (doc count, total token count) of a document frame. */
+  private[graft] def corpusStatsOf(docs: DataFrame): (Double, Double) = {
+    val r = docs.agg(
+      count(lit(1)).cast(DoubleType).as("n_docs"),
+      sum(size(tokens(col("text")))).cast(DoubleType).as("sum_dl")).head
+    (r.getDouble(0), r.getDouble(1))
+  }
+
+  private[graft] def statsSidecarText(nDocs: Double, sumDl: Double): String =
+    s"$nDocs $sumDl"
+
+  private[graft] def materializedPostings(s: SparkSession, dir: String): (DataFrame, Double, Double) = {
+    val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    val fp = "postings_v1:" +
+      graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
+    if (!store.artifactFingerprint(PostingsName).contains(fp)) {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val (nDocs, sumDl) = corpusStatsOf(docs)
+      store.writeArtifact(postingsOf(docs), PostingsName, fp,
+        rangeSortCols = Seq("term"),
+        sidecars = Map(PostingsStatsSidecar -> statsSidecarText(nDocs, sumDl)))
+    }
+    val Array(nDocs, sumDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
+      .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
+      .split(' ').map(_.toDouble)
+    (store.read(PostingsName), nDocs, sumDl)
+  }
+
+  /** BM25 top-k computed FROM postings (shared by the registered
+    * indexed query and the streaming-maintenance spec, which scores
+    * against a maintained — not rebuilt — index).
+    */
+  private[graft] def bm25FromPostings(postings: DataFrame, nDocs: Double,
+                                      sumDl: Double, terms: Seq[String]): DataFrame = {
+    val pruned = postings.filter(col("term").isin(terms: _*))
+    val dfs: Map[String, Double] = pruned
+      .groupBy(col("term")).agg(count(lit(1)).cast(DoubleType).as("df"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    def tfOf(t: String): Column =
+      coalesce(max(when(col("term") === t, col("tf"))), lit(0L))
+    def part(tfc: Column, df: Double): Column =
+      log(lit(1.0) + (lit(nDocs) - lit(df) + lit(0.5)) / (lit(df) + lit(0.5))) *
+        ((tfc * lit(2.2)) /
+          (tfc + lit(1.2) *
+            (lit(0.25) + lit(0.75) * (col("n_tokens") * lit(nDocs) / lit(sumDl)))))
+    pruned.groupBy(col("doc_id"), col("n_tokens"))
+      .agg(tfOf(terms(0)).as("tf_0"), tfOf(terms(1)).as("tf_1"),
+        tfOf(terms(2)).as("tf_2"))
+      .withColumn("score", round(
+        part(col("tf_0"), dfs.getOrElse(terms(0), 0.0)) +
+          part(col("tf_1"), dfs.getOrElse(terms(1), 0.0)) +
+          part(col("tf_2"), dfs.getOrElse(terms(2), 0.0)), 6))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("score"))
+      .limit(10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // #14: keyword search across every field of the orders "index".
@@ -226,6 +308,23 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // INDEX-SERVED Okapi BM25 — the same scoring as search_topk_bm25
+    // but answered from the materialized inverted index instead of a
+    // corpus scan: the query's terms prune the term-sorted postings
+    // artifact (parquet min/max row-group skipping — the physical form
+    // of an ES term lookup), per-term document frequencies come from a
+    // bounded aggregation of the pruned postings (≤ one row per query
+    // term, collected like the ANN query vector), corpus scalars from
+    // the index sidecar, and the per-doc score is the IDENTICAL float
+    // expression — so this query hash-matches the SCAN-based oracle:
+    // the driver's DuckDB gate proves index-served == scan-computed.
+    // At 100 TB the cost is the probed posting lists + a top-k, never
+    // the corpus — the ES serving model, owned natively.
+    "search_topk_bm25_indexed" -> ((s, dir) => {
+      val (postings, nDocs, sumDl) = materializedPostings(s, dir)
+      bm25FromPostings(postings, nDocs, sumDl, Seq("spark", "vector", "join"))
+    }),
+
     // The full query-string syntax the reference's search box accepts
     // (its `q=` goes to ES's query-string parser, indexView.html:13-20):
     // field scoping, AND/OR/NOT with Lucene precedence, quoted phrases,
@@ -341,6 +440,41 @@ object SearchQueries {
     })
   )
 
+  /** Scan-based BM25 in DuckDB — the oracle for BOTH the scan query
+    * and the index-served query (which must match it byte-for-byte).
+    */
+  private val Bm25OracleSql: String =
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+      |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+      |  FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+      |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+      |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+      |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+      |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+      |  FROM scored),
+      |b AS (
+      |  SELECT doc_id, n_tokens,
+      |    round(
+      |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+      |        ((tf_spark * 2.2) /
+      |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+      |      ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+      |        ((tf_vector * 2.2) /
+      |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+      |      ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+      |        ((tf_join * 2.2) /
+      |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
+      |  FROM scored CROSS JOIN stats)
+      |SELECT doc_id, n_tokens, score FROM b
+      |WHERE score > 0
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "search_keyword_all_fields" ->
       """SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
@@ -437,37 +571,11 @@ object SearchQueries {
         |FROM documents
         |WHERE strpos(lower(text), 'spark') > 0
         |ORDER BY doc_id""".stripMargin,
-    "search_topk_bm25" ->
-      """WITH scored AS (
-        |  SELECT doc_id,
-        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
-        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
-        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
-        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
-        |  FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
-        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
-        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
-        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
-        |  FROM scored),
-        |b AS (
-        |  SELECT doc_id, n_tokens,
-        |    round(
-        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
-        |        ((tf_spark * 2.2) /
-        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
-        |      ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
-        |        ((tf_vector * 2.2) /
-        |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
-        |      ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
-        |        ((tf_join * 2.2) /
-        |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
-        |  FROM scored CROSS JOIN stats)
-        |SELECT doc_id, n_tokens, score FROM b
-        |WHERE score > 0
-        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_topk_bm25" -> Bm25OracleSql,
+    // Same oracle text on purpose: the indexed variant must produce
+    // byte-identical results to the scan-based scoring — the gate
+    // proves the inverted index serves exactly what a scan computes.
+    "search_topk_bm25_indexed" -> Bm25OracleSql,
     // The exact semantics of the parsed query above, expanded by hand:
     // unfielded atoms search EVERY column's stringified token stream
     // (the ES _all behavior); precedence (lang:en AND (spark OR

@@ -60,6 +60,28 @@ class IndexStoreSpec extends AnyFunSuite {
       .filter(col("o_orderkey") === "999999999").count() == 1)
   }
 
+  test("upsert widens the schema on new fields (ES dynamic mapping)") {
+    // The reference's bulk path sets NO mapping (BulkProcessImpl.java:
+    // 66-68) — ES infers fields per document, so continued ingest with
+    // new/missing fields must never be rejected. New fields widen the
+    // index (old docs read NULL); missing known fields upsert as NULL.
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "docs", "id")
+    // Batch with a NEW column and one missing known column.
+    store.upsert(Seq((2L, "lang-en"), (3L, "lang-fr")).toDF("id", "extra"),
+      "docs", "id")
+    val back = store.read("docs")
+    assert(back.columns.toSet == Set("id", "v", "extra"))
+    val byId = back.collect()
+      .map(r => r.getString(back.columns.indexOf("id")) ->
+        (r.getString(back.columns.indexOf("v")),
+          r.getString(back.columns.indexOf("extra")))).toMap
+    assert(byId("1") == (("a", null))) // untouched doc: new field NULL
+    assert(byId("2") == ((null, "lang-en"))) // overwritten: v not in batch
+    assert(byId("3") == ((null, "lang-fr"))) // new doc
+  }
+
   test("delete-by-query removes matching docs, keeps the rest intact") {
     val store = newStore
     val orders = Tables(spark, sf, "orders")

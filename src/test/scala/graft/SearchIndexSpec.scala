@@ -1,0 +1,156 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import search.SearchQueries
+
+/** The materialized inverted index (search_topk_bm25_indexed): the ES
+  * serving model owned natively. Contract: (1) index-served BM25 is
+  * byte-identical to the scan-based scoring (the DuckDB gate enforces
+  * the same via a shared oracle — this pins it in-engine too), (2) the
+  * query's terms reach the postings scan as a pushed In filter over
+  * the range-sort key (row-group skipping), (3) the artifact builds
+  * once and is reused until the corpus changes.
+  */
+class SearchIndexSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("index-served BM25 equals the scan-based scoring exactly") {
+    val scan = SparkEntry.queries("search_topk_bm25")(spark, sf).collect()
+    val idx = SparkEntry.queries("search_topk_bm25_indexed")(spark, sf).collect()
+    assert(scan.map(_.toString).toSeq == idx.map(_.toString).toSeq,
+      s"scan=${scan.mkString("; ")}\nindexed=${idx.mkString("; ")}")
+  }
+
+  test("query terms prune the postings scan (pushed In filter on the sort key)") {
+    val df = SparkEntry.queries("search_topk_bm25_indexed")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains(SearchQueries.PostingsName))
+    assert(scanLine.isDefined, s"no postings scan in:\n$plan")
+    assert(scanLine.get.contains("PushedFilters: [In(term"),
+      s"term filter not pushed: ${scanLine.get}")
+  }
+
+  test("streaming doc ingest maintains the inverted index, scoring stays scan-exact") {
+    // Continuous search-index maintenance — the ES continuous-indexing
+    // story for the SEARCH index: each micro-batch of documents
+    // replaces its docs' posting rows (doc-granular anti-join + union,
+    // so a changed doc can LOSE terms without leaving stale postings),
+    // and the corpus-stats sidecar advances by the batch DELTA — never
+    // a corpus rescan. Proof of correctness: BM25 served from the
+    // MAINTAINED index equals the scan-based scoring over the grown
+    // corpus, byte for byte.
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    val words = Seq("spark", "vector", "join", "table", "fast", "row")
+    def docsDf(from: Long, until: Long) =
+      spark.range(from, until).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          element_at(typedlit(words), ((col("id") + i * 7) % 6 + 1).cast("int"))): _*)
+          .as("text"),
+        lit("en").as("lang"), lit("src0").as("source"), lit(60L).as("n_chars"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft_postings_s").toString
+    docsDf(0, 40).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SearchQueries.materializedPostings(spark, dir)
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+
+    val srcDir = java.nio.file.Files.createTempDirectory("postings_src")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("postings_stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = new java.io.File(tmp.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath, srcDir.resolve(name))
+    }
+    def runPass(): Unit = {
+      val q = spark.readStream.schema(docsDf(0, 1).schema)
+        .parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val existing = store.read(SearchQueries.PostingsName)
+          val ids = batch.select("doc_id").distinct()
+          // Stats delta: subtract replaced docs' old contribution (from
+          // the index itself — one row per doc), add the batch's.
+          val Array(oldN, oldDl) = store.artifactSidecar(
+            SearchQueries.PostingsName, SearchQueries.PostingsStatsSidecar)
+            .get.split(' ').map(_.toDouble)
+          val removed = existing.join(ids, Seq("doc_id"), "left_semi")
+            .select(col("doc_id"), col("n_tokens")).distinct()
+            .agg(coalesce(count(lit(1)), lit(0L)).cast("double"),
+              coalesce(sum(col("n_tokens")), lit(0L)).cast("double")).head
+          val (batchN, batchDl) = SearchQueries.corpusStatsOf(batch)
+          val cleaned = existing.join(ids, Seq("doc_id"), "left_anti")
+          val merged = cleaned.unionByName(
+            SearchQueries.postingsOf(batch).select(cleaned.columns.map(col): _*))
+          store.writeArtifact(merged, SearchQueries.PostingsName,
+            fingerprint = "stream-maintained", rangeSortCols = Seq("term"),
+            sidecars = Map(SearchQueries.PostingsStatsSidecar ->
+              SearchQueries.statsSidecarText(
+                oldN - removed.getDouble(0) + batchN,
+                oldDl - removed.getDouble(1) + batchDl)))
+          ()
+        }
+        .option("checkpointLocation", srcDir.resolve(".ckpt").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(180000)
+    }
+
+    // Batch 1: 15 NEW docs + 5 CHANGED docs (ids 35..39 get new text,
+    // so their old postings must vanish).
+    stage(docsDf(40, 55).unionByName(
+      docsDf(35, 40).withColumn("text", lit("table row fast"))), "b1.parquet")
+    runPass()
+    // The same batch lands in the document index with UPSERT semantics
+    // (doc_id is the `_id`): the corpus after ingest is old∖batch ∪
+    // batch — rewrite documents.parquet to that state so the scan side
+    // sees what an IndexStore.upsert of the batch would produce.
+    docsDf(0, 35)
+      .unionByName(docsDf(35, 40).withColumn("text", lit("table row fast")))
+      .unionByName(docsDf(40, 55))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+    val Array(nDocs, sumDl) = store.artifactSidecar(
+      SearchQueries.PostingsName, SearchQueries.PostingsStatsSidecar)
+      .get.split(' ').map(_.toDouble)
+    assert(nDocs == 55.0, s"stats sidecar nDocs=$nDocs")
+    // Changed docs must have NO stale postings: their term set is now
+    // exactly {table, row, fast}.
+    val staleTerms = store.read(SearchQueries.PostingsName)
+      .filter(col("doc_id") >= 35 && col("doc_id") < 40)
+      .filter(!col("term").isin("table", "row", "fast"))
+      .count()
+    assert(staleTerms == 0, "doc-granular replace left stale postings")
+
+    // THE correctness proof: index-served BM25 over the maintained
+    // index == scan-based BM25 over the grown corpus. The scan query
+    // reads $dir/documents.parquet, which now includes the batch.
+    // NOTE: deliberately NOT materializedPostings here — that would
+    // rebuild from the corpus; the point is the MAINTAINED index.
+    val served = SearchQueries.bm25FromPostings(
+      store.read(SearchQueries.PostingsName), nDocs, sumDl,
+      Seq("spark", "vector", "join")).collect()
+    val scanned = SparkEntry.queries("search_topk_bm25")(spark, dir).collect()
+    assert(served.map(_.toString).toSeq == scanned.map(_.toString).toSeq,
+      s"served=${served.mkString("; ")}\nscanned=${scanned.mkString("; ")}")
+  }
+
+  test("postings artifact builds once, carries corpus stats, and is reused") {
+    SearchQueries.materializedPostings(spark, sf)
+    val root = new java.io.File(
+      graft.etl.IndexStore.artifactRoot(sf), SearchQueries.PostingsName)
+    def listing = root.listFiles().map(_.getName).sorted.toSeq
+    val before = listing
+    assert(before.contains(SearchQueries.PostingsStatsSidecar))
+    val (postings, nDocs, sumDl) = SearchQueries.materializedPostings(spark, sf)
+    assert(listing == before, "unchanged corpus must not rebuild the postings")
+    // Stats sidecar agrees with what the postings themselves say.
+    import org.apache.spark.sql.functions._
+    val fromIndex = postings.select(col("doc_id"), col("n_tokens")).distinct()
+      .agg(count(lit(1)).cast("double"), sum(col("n_tokens")).cast("double"))
+      .head
+    assert(fromIndex.getDouble(0) == nDocs && fromIndex.getDouble(1) == sumDl)
+  }
+}
