@@ -51,13 +51,17 @@ object SearchQueries {
     */
   /** The postings projection of a document frame — shared by the index
     * build and incremental maintenance (a streamed batch's postings
-    * come from the same code).
+    * come from the same code). POSITIONAL: each posting carries the
+    * token's 0-based positions (sorted — deterministic under any
+    * partitioning), which is what lets phrase queries run from the
+    * index (ES stores the same; Lucene's "positions" index option).
     */
   private[graft] def postingsOf(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"),
-        explode(tokens(col("text"))).as("term"))
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
       .groupBy(col("term"), col("doc_id"), col("n_tokens"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
 
   /** (doc count, total token count) of a document frame. */
   private[graft] def corpusStatsOf(docs: DataFrame): (Double, Double) = {
@@ -72,7 +76,7 @@ object SearchQueries {
 
   private[graft] def materializedPostings(s: SparkSession, dir: String): (DataFrame, Double, Double) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    val fp = "postings_v1:" +
+    val fp = "postings_v2_positional:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
     if (!store.artifactFingerprint(PostingsName).contains(fp)) {
       val docs = Tables.forCompute(s, dir, "documents")
@@ -323,6 +327,61 @@ object SearchQueries {
     "search_topk_bm25_indexed" -> ((s, dir) => {
       val (postings, nDocs, sumDl) = materializedPostings(s, dir)
       bm25FromPostings(postings, nDocs, sumDl, Seq("spark", "vector", "join"))
+    }),
+
+    // INDEX-SERVED phrase match — why the postings are POSITIONAL:
+    // "the table" as consecutive tokens is answered by intersecting
+    // two pruned posting lists (pushed In(term) — two tiny scans) and
+    // checking position adjacency with an array overlap on
+    // (positions_of_first + 1) ∩ positions_of_second; the corpus text
+    // is never read. Token-adjacency semantics are also STRICTER than
+    // the scan query's normalized-substring contains (no cross-word
+    // artifacts like 'soothe tables'), so this gets its own
+    // token-level oracle. Generalizes to k-word phrases by chaining
+    // the same adjacency join k-1 times.
+    "search_phrase_indexed" -> ((s, dir) => {
+      val (postings, _, _) = materializedPostings(s, dir)
+      val first = postings.filter(col("term") === "the")
+        .select(col("doc_id"), col("positions").as("pa"))
+      val second = postings.filter(col("term") === "table")
+        .select(col("doc_id"), col("positions").as("pb"))
+      first.join(second, "doc_id")
+        .filter(arrays_overlap(transform(col("pa"), p => p + 1), col("pb")))
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // HYBRID retrieval — the modern ES capability (lexical BM25 +
+    // vector similarity fused by Reciprocal Rank Fusion, Cormack et
+    // al. SIGIR'09; ES exposes it as `rrf`): rank the corpus by the
+    // INDEX-SERVED BM25 arm and by embedding cosine (vec_id == doc_id
+    // in the fixture — document embeddings), then fuse with
+    // 1/(60+rank). Each arm is already a top-k (k rows, corpus-scale
+    // independent), so the fusion join/window touch k+k rows — the
+    // rank windows are single-partition by construction but over ≤10
+    // rows. RRF is rank-only (no score normalization across
+    // incomparable scales), which also keeps it oracle-exact: ranks
+    // are integers, the fused score is two literal divisions in fixed
+    // order. At 100 TB the vector arm swaps to the IVFADC index; here
+    // the exact arm keeps the DuckDB twin hash-exact.
+    "search_hybrid_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 60
+      val lex = queries("search_topk_bm25_indexed")(s, dir)
+        .withColumn("r_lex", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+        .select(col("doc_id"), col("r_lex"))
+      val vec = graft.llm.SimilarityQueries.queries("llm_cosine_topk")(s, dir)
+        .withColumn("r_vec", row_number()
+          .over(Window.orderBy(col("cos_sim").desc, col("vec_id"))).cast(LongType))
+        .select(col("vec_id").as("doc_id"), col("r_vec"))
+      lex.join(vec, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", round(
+          coalesce(lit(1.0) / (lit(K) + col("r_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(K) + col("r_vec")), lit(0.0)), 9))
+        .select(col("doc_id"), col("r_lex"), col("r_vec"), col("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
     }),
 
     // The full query-string syntax the reference's search box accepts
@@ -576,6 +635,44 @@ object SearchQueries {
     // byte-identical results to the scan-based scoring — the gate
     // proves the inverted index serves exactly what a scan computes.
     "search_topk_bm25_indexed" -> Bm25OracleSql,
+    // The lexical arm nests the (LIMIT-10) BM25 oracle verbatim as a
+    // CTE body — both arms are top-10 before fusion, like the engine.
+    "search_hybrid_rrf" ->
+      (s"""WITH lex_top AS (
+          |$Bm25OracleSql
+          |),
+          |lex AS (
+          |  SELECT doc_id,
+          |    row_number() OVER (ORDER BY score DESC, doc_id) AS r_lex
+          |  FROM lex_top),
+          |e AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+          |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+          |vec_top AS (
+          |  SELECT vec_id,
+          |    round(list_dot_product(emb, qv)
+          |          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+          |          9) AS cos_sim
+          |  FROM e, q WHERE vec_id <> 0
+          |  ORDER BY cos_sim DESC, vec_id LIMIT 10),
+          |vec AS (
+          |  SELECT vec_id AS doc_id,
+          |    row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS r_vec
+          |  FROM vec_top)
+          |SELECT COALESCE(lex.doc_id, vec.doc_id) AS doc_id, r_lex, r_vec,
+          |  round(COALESCE(1.0::DOUBLE / (60 + r_lex), 0.0::DOUBLE)
+          |        + COALESCE(1.0::DOUBLE / (60 + r_vec), 0.0::DOUBLE), 9) AS rrf
+          |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
+          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+    "search_phrase_indexed" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents)
+        |SELECT doc_id
+        |FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)
+        |WHERE w[i] = 'the' AND w[i+1] = 'table'
+        |GROUP BY doc_id
+        |ORDER BY doc_id""".stripMargin,
     // The exact semantics of the parsed query above, expanded by hand:
     // unfielded atoms search EVERY column's stringified token stream
     // (the ES _all behavior); precedence (lang:en AND (spark OR
