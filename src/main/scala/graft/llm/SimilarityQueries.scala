@@ -349,7 +349,8 @@ object SimilarityQueries {
     // the corpus grows), capped at MaxTrainSample/8 so single-level
     // training stays bounded — beyond that, re-split oversized cells
     // with a second-level codebook (two-level IVF) built from the same
-    // trainCentroids primitive. Verification is the exact fused-kernel
+    // trainCentroids primitive — implemented as [[twoLevelCells]],
+    // spec'd on a planted-skew corpus. Verification is the exact fused-kernel
     // cosine, so emitted pairs are never false. Threshold 0.4 is
     // calibrated to this fixture (near-orthogonal random vectors, max
     // pairwise cosine ~0.5); a real near-dup corpus runs the same
@@ -610,6 +611,60 @@ object SimilarityQueries {
 
   private[graft] val VecIndexName = "vec_ivfpq_index"
   private[graft] val ModelSidecar = "_graft_ivfpq_model"
+
+  /** Two-level coarse quantization — the documented scale path for
+    * cell blocking past the single-level cap (k1 ≤ MaxTrainSample/8
+    * means cells grow linearly once the corpus passes ~k1·target; a
+    * growing cell silently degrades the within-cell pair join toward
+    * quadratic). Level 1 assigns as usual; cells measured OVERSIZED
+    * (> 4×target — one count() aggregation) get a second-level
+    * codebook trained on a bounded hash-rank sample of THAT CELL's
+    * members (same [[sampleVectors]] policy, so the driver collect
+    * stays O(k2·dim) per oversized cell and the number of oversized
+    * cells is bounded by k1). Composite id = c1·4096 + c2 + 1; cells
+    * already small keep c1·4096. The level-2 assignment is the same
+    * codegen'd argmin, with each row's sub-codebook selected from one
+    * broadcast literal by c1 — no join, no shuffle beyond level 1's.
+    * Returns (vec_id, emb, cell).
+    */
+  private[graft] def twoLevelCells(e: DataFrame, targetCellSize: Int,
+                                   k2: Int = 16,
+                                   k1Cap: Int = (MaxTrainSample / 8).toInt): DataFrame = {
+    val n = e.count()
+    val k1 = math.min(k1Cap.toLong,
+      math.max(4L, n / targetCellSize)).toInt
+    val cb1 = typedlit(trainCentroids(e, k1))
+    val l1 = e.select(col("vec_id"), col("emb"))
+      .withColumn("__cd", cellDistances(col("emb"), cb1, k1))
+      .withColumn("c1", argminCell(col("__cd"), k1))
+      .drop("__cd")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = l1.groupBy(col("c1")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oversized = sizes.filter(_._2 > 4L * targetCellSize).keys.toSeq.sorted
+    if (oversized.isEmpty)
+      return l1.withColumn("cell", col("c1").cast("long") * 4096L).drop("c1")
+    val subCodebooks: Map[Int, Seq[Seq[Double]]] = oversized.map { c =>
+      c -> trainCentroids(l1.filter(col("c1") === c), k2)
+    }.toMap
+    val dim = subCodebooks(oversized.head).head.length
+    // One literal indexed by c1; small cells carry a zero dummy that is
+    // never evaluated (CaseWhen branches evaluate lazily per row).
+    val cb2 = typedlit((0 until k1).map(c =>
+      subCodebooks.getOrElse(c, Seq.fill(k2)(Seq.fill(dim)(0.0)))))
+    // Distances as their own projection (the cellDistances rule: the
+    // O(k2·dim) fold must evaluate once, not in both argmin branches);
+    // small cells get null distances and never read them — the outer
+    // CaseWhen picks the otherwise branch.
+    l1.withColumn("__cd2",
+        when(col("c1").isin(oversized: _*),
+          cellDistances(col("emb"), element_at(cb2, col("c1") + 1), k2)))
+      .withColumn("cell",
+        when(col("c1").isin(oversized: _*),
+          col("c1").cast("long") * 4096L + argminCell(col("__cd2"), k2) + 1L)
+          .otherwise(col("c1").cast("long") * 4096L))
+      .drop("c1", "__cd2")
+  }
 
   /** IVFADC encode of an embedding frame under a (frozen) model: cell
     * assignment + residual PQ codes. Used by the index build AND by

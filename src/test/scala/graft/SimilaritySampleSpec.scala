@@ -49,4 +49,42 @@ class SimilaritySampleSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), s"expected bounded top-k plan:\n$plan")
   }
+
+  test("two-level cells re-split oversized level-1 cells to bounded size") {
+    // The scale cliff twoLevelCells exists for: the corpus has far
+    // more natural micro-clusters than the CAPPED level-1 codebook can
+    // resolve (at 100 TB the cap is the bounded training sample; here
+    // k1Cap = 25 models it), so every level-1 cell aggregates ~20
+    // micro-clusters and blows past the target size. Level 2, trained
+    // per cell on that cell's OWN bounded sample, resolves the
+    // micro-structure level 1 couldn't see.
+    // Corpus: 500 well-separated micro-clusters × 10 points (jitter
+    // 0..16 around centers on a 1000-unit lattice).
+    val dim = 8
+    val e = spark.range(0, 5000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d => {
+        val cluster = col("id") % 500
+        val center = ((cluster * (d + 11) + d * 7) % 101) * 1000L
+        (center + col("id") * (d + 3) % 17).cast("double")
+      }).as("emb"))
+    val assigned = SimilarityQueries.twoLevelCells(e,
+      targetCellSize = 10, k2 = 16, k1Cap = 25)
+    assert(assigned.count() == 5000, "re-split must not drop or duplicate rows")
+    val sizes = assigned.groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // Level 1 alone: 5000 points / 25 cells ≈ 200 per cell. The
+    // composite cells must be far below that.
+    assert(sizes.map(_._2).max < 100,
+      s"oversized cells not re-split: ${sizes.sortBy(-_._2).take(5).toSeq}")
+    // Re-split cells carry a level-2 component (cell % 4096 > 0).
+    val split = sizes.filter(_._1 % 4096 > 0)
+    assert(split.length >= 25, s"expected many sub-cells, got ${split.length}")
+    // Determinism: the same corpus assigns identically on re-run.
+    val again = SimilarityQueries.twoLevelCells(e,
+        targetCellSize = 10, k2 = 16, k1Cap = 25)
+      .groupBy(col("cell")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(again.sortBy(_._1).toSeq == sizes.sortBy(_._1).toSeq)
+  }
 }
