@@ -108,13 +108,14 @@ object SearchQueries {
         ((tfc * lit(2.2)) /
           (tfc + lit(1.2) *
             (lit(0.25) + lit(0.75) * (col("n_tokens") * lit(nDocs) / lit(sumDl)))))
+    val tfCols = terms.indices.map(i => tfOf(terms(i)).as(s"tf_$i"))
     pruned.groupBy(col("doc_id"), col("n_tokens"))
-      .agg(tfOf(terms(0)).as("tf_0"), tfOf(terms(1)).as("tf_1"),
-        tfOf(terms(2)).as("tf_2"))
+      .agg(tfCols.head, tfCols.tail: _*)
+      // Left-to-right sum in `terms` order — the same association the
+      // scan query (and its DuckDB twin) writes out.
       .withColumn("score", round(
-        part(col("tf_0"), dfs.getOrElse(terms(0), 0.0)) +
-          part(col("tf_1"), dfs.getOrElse(terms(1), 0.0)) +
-          part(col("tf_2"), dfs.getOrElse(terms(2), 0.0)), 6))
+        terms.indices.map(i => part(col(s"tf_$i"), dfs.getOrElse(terms(i), 0.0)))
+          .reduce(_ + _), 6))
       .filter(col("score") > 0)
       .orderBy(col("score").desc, col("doc_id"))
       .select(col("doc_id"), col("n_tokens"), col("score"))
@@ -349,6 +350,45 @@ object SearchQueries {
         .filter(arrays_overlap(transform(col("pa"), p => p + 1), col("pb")))
         .select(col("doc_id"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Completion suggest (ES term/completion suggester): prefix →
+    // top completions ranked by document frequency, served from the
+    // postings index — df is just the posting-list length, the prefix
+    // is a pushed StringStartsWith over the range-sorted term key
+    // (row-group skipping), and the corpus is never scanned. The
+    // autocomplete box is an index lookup, as it is in ES.
+    "search_suggest" -> ((s, dir) => {
+      val (postings, _, _) = materializedPostings(s, dir)
+      postings.filter(col("term").startsWith("s"))
+        .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("term"))
+        .limit(5)
+    }),
+
+    // Percolate (ES percolator — reverse search): stored alert queries
+    // are DATA, and each incoming document reports which stored
+    // queries it satisfies (terms_set semantics, all terms required).
+    // The stored-query table broadcasts (4 rows here; at scale the
+    // percolator itself becomes an inverted index over query terms and
+    // this same join keys on term instead — the ES implementation);
+    // matching is a per-row distinct-token intersect, scan-speed.
+    "search_percolate" -> ((s, dir) => {
+      import s.implicits._
+      val stored = Seq(
+        ("q_agg_window_group", Seq("agg", "window", "group")),
+        ("q_slow_scan", Seq("slow", "scan")),
+        ("q_spark_join", Seq("spark", "join")),
+        ("q_vector", Seq("vector")))
+      val queriesDf = broadcast(stored.toDF("query_id", "req_terms"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(tokens(col("text"))).as("toks"))
+        .crossJoin(queriesDf)
+        .filter(size(array_intersect(col("toks"), col("req_terms")))
+          === size(col("req_terms")))
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("n_matched"), min(col("doc_id")).as("first_doc"))
+        .orderBy(col("query_id"))
     }),
 
     // HYBRID retrieval — the modern ES capability (lexical BM25 +
@@ -664,6 +704,29 @@ object SearchQueries {
           |        + COALESCE(1.0::DOUBLE / (60 + r_vec), 0.0::DOUBLE), 9) AS rrf
           |FROM lex FULL OUTER JOIN vec ON lex.doc_id = vec.doc_id
           |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin),
+    "search_suggest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |p AS (SELECT DISTINCT doc_id, term FROM t)
+        |SELECT term, count(*) AS freq FROM p
+        |WHERE starts_with(term, 's')
+        |GROUP BY term ORDER BY freq DESC, term LIMIT 5""".stripMargin,
+    "search_percolate" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(lower(text), '\s+')) AS t
+        |  FROM documents),
+        |q(query_id, req) AS (VALUES
+        |  ('q_agg_window_group', ['agg','window','group']),
+        |  ('q_slow_scan', ['slow','scan']),
+        |  ('q_spark_join', ['spark','join']),
+        |  ('q_vector', ['vector']))
+        |SELECT query_id, count(*) AS n_matched, min(doc_id) AS first_doc
+        |FROM toks, q
+        |WHERE len(list_intersect(t, req)) = len(req)
+        |GROUP BY query_id ORDER BY query_id""".stripMargin,
     "search_phrase_indexed" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w

@@ -118,6 +118,7 @@ class PlanSpec extends AnyFunSuite {
       "search_topk_bm25", // 1-row corpus-stats broadcast
       "search_significant_terms", // 1-row fg/bg-totals broadcast
       "search_hybrid_rrf", // embeds the cosine arm's 1-row query-vector broadcast
+      "search_percolate", // 4-row stored-query broadcast
       "llm_length_trim", // 1-row total-count broadcast
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
