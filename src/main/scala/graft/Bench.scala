@@ -175,7 +175,7 @@ object Bench {
     }
     val runPairBuild = only.forall(_.contains("_build_neardup_pairs"))
     val pairBuildSecs = if (!runPairBuild) -1.0 else
-      buildArtifact("_build_neardup_pairs", "neardup_pairs") {
+      buildArtifact("_build_neardup_pairs", llm.DedupQueries.PairIndexName) {
         llm.DedupQueries.materializedPairs(spark, sfDir).write
           .format("noop").mode("overwrite").save()
       }

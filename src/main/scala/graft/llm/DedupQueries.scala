@@ -125,6 +125,8 @@ object DedupQueries {
     * ([[ngramPairsCtes]]) hash-checks the artifact CONTENT end to end,
     * so the materialization path is itself oracle-verified.
     */
+  private[graft] val PairIndexName = "neardup_pairs"
+
   private[graft] def materializedPairs(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
     // Fingerprint = builder version + knobs + input-file metadata: a
@@ -132,7 +134,7 @@ object DedupQueries {
     // ingest does (the warehouse outlives deployments).
     val fp = s"jaccard_v1:df<=$MaxShingleDf:jac>=0.2:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
-    store.readOrBuildArtifact("neardup_pairs", fp)(jaccardPairs(s, dir))
+    store.readOrBuildArtifact(PairIndexName, fp)(jaccardPairs(s, dir))
   }
 
   /** Shared DuckDB CTE chain producing `good(doc_a, doc_b, inter,

@@ -630,6 +630,11 @@ object SimilarityQueries {
   private[graft] def twoLevelCells(e: DataFrame, targetCellSize: Int,
                                    k2: Int = 16,
                                    k1Cap: Int = (MaxTrainSample / 8).toInt): DataFrame = {
+    require(k2 > 1 && k2 < 4096, s"k2 must fit the composite id space, got $k2")
+    // An oversized cell has > 4·target members, which must cover k2
+    // training points (trainCentroids requires sample >= k).
+    require(4L * targetCellSize >= k2,
+      s"targetCellSize=$targetCellSize too small to train k2=$k2 sub-cells")
     val n = e.count()
     val k1 = math.min(k1Cap.toLong,
       math.max(4L, n / targetCellSize)).toInt
