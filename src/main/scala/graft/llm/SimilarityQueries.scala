@@ -525,7 +525,8 @@ object SimilarityQueries {
     // with a PER-CELL lookup table (the query's residual differs per
     // probed cell), and the shortlist re-ranks exactly. At 100 TB:
     // cell = write-time partition key (the probe filter is partition
-    // pruning), codes column = 8 bytes/vector scanned, raw floats
+    // pruning), codes column ≈ 8 logical bytes/vector scanned
+    // (sub-byte values dictionary/bit-packed by parquet), raw floats
     // touched only for the 100-row shortlist. All model artifacts
     // (coarse codebook nList×64, residual codebooks m×nCent×8, ADC
     // tables nList×m×nCent) are O(1) literals from the same bounded
@@ -578,8 +579,9 @@ object SimilarityQueries {
     // until the re-rank: the probe filter on `cell` is genuine hive
     // PARTITION PRUNING (directories outside the nProbe cells never
     // open a footer — VecIndexSpec asserts PartitionFilters in the
-    // scan), the pruned scan reads 8-byte codes instead of 256-byte
-    // vectors (the 32× bandwidth argument, now physical), and only the
+    // scan), the pruned scan reads ~8-logical-byte codes instead of
+    // 256-byte vectors (the 32× bandwidth argument, physical up to
+    // parquet's dictionary/bit-packing of the sub-byte values), and only the
     // 100-row shortlist fetches vectors for exact distances. At 100 TB
     // this is the difference between an ANN *query* (ms — prune, scan
     // codes, 100 lookups) and an ANN *ingest* (the one-time encode).
@@ -694,8 +696,10 @@ object SimilarityQueries {
     * knobs + input-file metadata, so readers rebuild exactly when the
     * corpus changed. Layout: hive-partitioned by the coarse cell
     * (partition count = nList, scaling with corpus size under the
-    * cell-count policy), codes column only — the index stores 9 bytes
-    * of payload per vector, not the vector.
+    * cell-count policy), codes column only — the payload is 8 sub-byte
+    * codes per vector (array<int> values < 64, which parquet
+    * dictionary/bit-packing stores near the logical 8 bytes; a raw
+    * binary column would pin it exactly), not the 256-byte vector.
     */
   private[graft] def materializedVecIndex(s: SparkSession, dir: String): (DataFrame, IvfPqModel) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
