@@ -91,6 +91,40 @@ object SearchQueries {
     (store.read(PostingsName), nDocs, sumDl)
   }
 
+  /** Incremental postings maintenance for one ingest batch — the ES
+    * continuous-indexing loop for the SEARCH index: the batch's docs
+    * replace their posting rows DOC-GRANULARLY (anti-join + union, so
+    * a changed doc that lost a term leaves no stale posting), and the
+    * corpus-stats sidecar advances by the batch DELTA (removed docs'
+    * contribution comes from the index itself, one distinct row per
+    * doc — never a corpus rescan). Copy-on-write through the same
+    * crash-safe swap; retokenization policy changes are a rebuild
+    * ([[materializedPostings]] fingerprint), not an upsert.
+    */
+  private[graft] def upsertPostings(store: graft.etl.IndexStore,
+                                    batch: DataFrame,
+                                    fingerprint: String = "stream-maintained"): Long = {
+    val existing = store.read(PostingsName)
+    val ids = batch.select(col("doc_id")).distinct()
+    val Array(oldN, oldDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
+      .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
+      .split(' ').map(_.toDouble)
+    val removed = existing.join(ids, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("n_tokens")).distinct()
+      .agg(coalesce(count(lit(1)), lit(0L)).cast(DoubleType),
+        coalesce(sum(col("n_tokens")), lit(0L)).cast(DoubleType)).head
+    val (batchN, batchDl) = corpusStatsOf(batch)
+    val cleaned = existing.join(ids, Seq("doc_id"), "left_anti")
+    val merged = cleaned.unionByName(
+      postingsOf(batch).select(cleaned.columns.map(col): _*))
+    store.writeArtifact(merged, PostingsName, fingerprint,
+      rangeSortCols = Seq("term"),
+      sidecars = Map(PostingsStatsSidecar -> statsSidecarText(
+        oldN - removed.getDouble(0) + batchN,
+        oldDl - removed.getDouble(1) + batchDl)))
+    store.count(PostingsName)
+  }
+
   /** BM25 top-k computed FROM postings (shared by the registered
     * indexed query and the streaming-maintenance spec, which scores
     * against a maintained — not rebuilt — index).

@@ -70,27 +70,7 @@ class SearchIndexSpec extends AnyFunSuite {
         .parquet(srcDir.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val existing = store.read(SearchQueries.PostingsName)
-          val ids = batch.select("doc_id").distinct()
-          // Stats delta: subtract replaced docs' old contribution (from
-          // the index itself — one row per doc), add the batch's.
-          val Array(oldN, oldDl) = store.artifactSidecar(
-            SearchQueries.PostingsName, SearchQueries.PostingsStatsSidecar)
-            .get.split(' ').map(_.toDouble)
-          val removed = existing.join(ids, Seq("doc_id"), "left_semi")
-            .select(col("doc_id"), col("n_tokens")).distinct()
-            .agg(coalesce(count(lit(1)), lit(0L)).cast("double"),
-              coalesce(sum(col("n_tokens")), lit(0L)).cast("double")).head
-          val (batchN, batchDl) = SearchQueries.corpusStatsOf(batch)
-          val cleaned = existing.join(ids, Seq("doc_id"), "left_anti")
-          val merged = cleaned.unionByName(
-            SearchQueries.postingsOf(batch).select(cleaned.columns.map(col): _*))
-          store.writeArtifact(merged, SearchQueries.PostingsName,
-            fingerprint = "stream-maintained", rangeSortCols = Seq("term"),
-            sidecars = Map(SearchQueries.PostingsStatsSidecar ->
-              SearchQueries.statsSidecarText(
-                oldN - removed.getDouble(0) + batchN,
-                oldDl - removed.getDouble(1) + batchDl)))
+          SearchQueries.upsertPostings(store, batch)
           ()
         }
         .option("checkpointLocation", srcDir.resolve(".ckpt").toString)
