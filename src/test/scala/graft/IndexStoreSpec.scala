@@ -136,6 +136,45 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.read("t").filter(col("id") === "2").count() == 1)
   }
 
+  test("snapshot/restore: point-in-time copy survives destructive edits") {
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "docs", "id")
+    val snap = store.snapshot("docs")
+    assert(store.listSnapshots("docs") == Seq(snap))
+    // Destructive edit after the snapshot...
+    store.deleteWhere("docs", col("id").cast("long") <= 50)
+    assert(store.count("docs") == 50)
+    // ...restore brings the full point-in-time state back, and the
+    // snapshot itself stays hidden from the catalog.
+    store.restore("docs", snap)
+    assert(store.count("docs") == 100)
+    assert(store.listIndexes() == Seq("docs"))
+    // Second snapshot gets a distinct id; both restorable.
+    val snap2 = store.snapshot("docs")
+    assert(store.listSnapshots("docs") == Seq(snap, snap2))
+  }
+
+  test("aliases: atomic re-point (the blue/green serving pattern)") {
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport(Seq((1L, "old")).toDF("id", "v"), "docs_v1", "id")
+    store.bulkImport(Seq((1L, "new"), (2L, "new")).toDF("id", "v"), "docs_v2", "id")
+    store.setAlias("live", "docs_v1")
+    assert(store.resolveAlias("live").contains("docs_v1"))
+    assert(store.readByName("live").count() == 1)
+    // Atomic re-point: readers switch from v1 to v2 in one rename.
+    store.setAlias("live", "docs_v2")
+    assert(store.readByName("live").count() == 2)
+    // Aliases are serving metadata, not catalog entries.
+    assert(store.listIndexes() == Seq("docs_v1", "docs_v2"))
+    // Concrete names still resolve through readByName.
+    assert(store.readByName("docs_v1").count() == 1)
+    store.dropAlias("live")
+    assert(store.resolveAlias("live").isEmpty)
+  }
+
   test("copy-on-write swap leaves no tmp/backup residue at the root") {
     val (store, root) = newStoreWithRoot
     val orders = Tables(spark, sf, "orders")
