@@ -38,17 +38,6 @@ object SearchQueries {
   private[graft] val PostingsName = "text_postings"
   private[graft] val PostingsStatsSidecar = "_graft_corpus_stats"
 
-  /** The materialized inverted index — the data structure Elasticsearch
-    * actually keeps for the reference's delegated search, as a
-    * first-class warehouse artifact (same contract as the near-dup pair
-    * graph and the IVFADC vector index): postings (term, doc_id, tf,
-    * n_tokens) built once per ingest, RANGE-SORTED by term so a query's
-    * term filter becomes parquet min/max row-group skipping (a term is
-    * too high-cardinality for hive partitioning), with the two corpus
-    * scalars BM25 needs (doc count, total token count) in a sidecar.
-    * Query cost is then proportional to the probed terms' posting
-    * lists, not the corpus — the ES serving model.
-    */
   /** The postings projection of a document frame — shared by the index
     * build and incremental maintenance (a streamed batch's postings
     * come from the same code). POSITIONAL: each posting carries the
@@ -74,6 +63,18 @@ object SearchQueries {
   private[graft] def statsSidecarText(nDocs: Double, sumDl: Double): String =
     s"$nDocs $sumDl"
 
+  /** The materialized inverted index — the data structure Elasticsearch
+    * actually keeps for the reference's delegated search, as a
+    * first-class warehouse artifact (same contract as the near-dup pair
+    * graph and the IVFADC vector index): positional postings
+    * (term, doc_id, n_tokens, tf, positions) built once per ingest,
+    * RANGE-SORTED by term so a query's term filter becomes parquet
+    * min/max row-group skipping (a term is too high-cardinality for
+    * hive partitioning), with the two corpus scalars BM25 needs
+    * (doc count, total token count) in a sidecar. Query cost is then
+    * proportional to the probed terms' posting lists, not the corpus —
+    * the ES serving model. Returns (postings, nDocs, sumDl).
+    */
   private[graft] def materializedPostings(s: SparkSession, dir: String): (DataFrame, Double, Double) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
     val fp = "postings_v2_positional:" +
