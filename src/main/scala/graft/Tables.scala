@@ -23,17 +23,26 @@ object Tables {
   /** All fixture tables, including the stream + LLM-pipeline extensions. */
   val all: Seq[String] = starSchema ++ Seq("events", "documents", "embeddings")
 
-  /** Like [[apply]], but repartitioned to full parallelism — for
+  /** Like [[apply]], but fanned out to full parallelism — for
     * compute-bound operators over byte-small inputs. Parquet splitting
     * is governed by `maxPartitionBytes`, so a few-MB documents file
     * arrives as ONE partition; shingling/hashing it would then run on
     * one core. One tiny shuffle up front buys full-cluster (here:
-    * 32-thread) parallelism for the expensive narrow stages. At
-    * 100 TB inputs are file-parallel anyway and this repartition is a
-    * no-op cost-wise relative to the compute it spreads.
+    * 32-thread) parallelism for the expensive narrow stages.
+    *
+    * GATED on the scan's actual split count: a table that already
+    * splits into >= cluster parallelism needs no help, and blindly
+    * repartitioning a 100 TB corpus would shuffle the whole corpus
+    * just to rebalance what file-splitting already balanced. The
+    * check reads the planned partition count (plan-time metadata from
+    * the file index — no job runs).
     */
-  def forCompute(spark: SparkSession, dir: String, name: String): DataFrame =
-    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
+  def forCompute(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = apply(spark, dir, name)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism)
+  }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized

@@ -41,6 +41,27 @@ class SparkEntrySpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracleSql without queries: $missing")
   }
 
+  test("forCompute fans out small scans, never reshuffles already-parallel ones") {
+    import org.apache.spark.sql.functions._
+    // Fixture-scale documents arrive as ONE split — must fan out.
+    assert(Tables.forCompute(spark, sf, "documents").rdd.getNumPartitions
+      == spark.sparkContext.defaultParallelism)
+    // A table whose scan already splits >= parallelism must pass
+    // through untouched (at 100 TB the repartition would shuffle the
+    // corpus to rebalance what file-splitting already balanced).
+    val dir = java.nio.file.Files.createTempDirectory("graft_fc").toString
+    spark.range(0, 40000).select(col("id").as("doc_id"),
+        concat_ws(" ", (0 until 8).map(i =>
+          md5(concat(col("id").cast("string"), lit(i)))): _*).as("text"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val wide = Tables.forCompute(spark, dir, "documents")
+    assert(wide.rdd.getNumPartitions >= spark.sparkContext.defaultParallelism,
+      s"test fixture too small: ${wide.rdd.getNumPartitions} splits")
+    assert(!wide.queryExecution.executedPlan.toString.contains("Exchange"),
+      "already-parallel scan must not be reshuffled")
+  }
+
   test("every query runs at sf0.001 and is non-empty") {
     // rel_join_anti may legitimately be empty if every customer ordered;
     // everything else must produce rows.
