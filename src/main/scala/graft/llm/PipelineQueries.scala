@@ -99,10 +99,12 @@ object PipelineQueries {
     // doc crossing a boundary spans both sequences). Packing runs per
     // LANGUAGE stream — real mixes pack per domain/language anyway,
     // and it's what keeps the running sum parallel: one window per
-    // lang partition, never a global single-partition cumsum (at
-    // 100 TB each stream's prefix sum is further split hierarchically:
-    // per-partition subtotals + broadcast prefix offsets — same
-    // arithmetic, two passes). Output: per-sequence fill accounting
+    // lang partition, never a global single-partition cumsum. When one
+    // stream dominates the corpus, its prefix sum splits further via
+    // the two-pass scan implemented in graft.relational.PrefixSum
+    // (per-partition subtotals + broadcast offsets — proven equal to
+    // the window cumsum in PrefixSumSpec). Output: per-sequence fill
+    // accounting
     // (docs beginning in each sequence + their token mass).
     "llm_pack_sequences" -> ((s, dir) => {
       val B = 512
