@@ -46,9 +46,13 @@ class IndexStore(spark: SparkSession, root: String) {
   private[graft] def recoverOrphans(maxAgeMs: Long = 60 * 60 * 1000L): Unit = {
     val rootPath = new Path(root)
     if (!fs.exists(rootPath)) return
+    // .aliastmp_ files are setAlias write-asides orphaned by a crash
+    // before the atomic rename-over — never live state, safe to GC by
+    // age like the swap leftovers.
     def dotDirs = fs.listStatus(rootPath).filter(e =>
-      e.isDirectory && (e.getPath.getName.startsWith(".old_") ||
-        e.getPath.getName.startsWith(".tmp_")))
+      (e.isDirectory && (e.getPath.getName.startsWith(".old_") ||
+        e.getPath.getName.startsWith(".tmp_"))) ||
+        e.getPath.getName.startsWith(".aliastmp_"))
     dotDirs.filter(_.getPath.getName.startsWith(".old_"))
       .groupBy(_.getPath.getName.stripPrefix(".old_").dropRight(9)) // drop _<8-char id>
       .foreach { case (name, backups) =>
@@ -274,32 +278,41 @@ class IndexStore(spark: SparkSession, root: String) {
 
   // ---- Snapshot / restore (ES `_snapshot` API) ------------------------
 
-  /** Point-in-time snapshot of an index: a full copy under a
-    * dot-prefixed name (hidden from listings and scans), taken from
-    * the live dir. ES snapshots are incremental segment-level; at this
-    * layer a parquet index IS its immutable segment set after a swap,
-    * so a copy is the honest equivalent (on a real object store this
-    * is a server-side copy, no data through the client). Returns the
-    * snapshot id.
+  /** Point-in-time snapshot of an index: a full copy under the hidden
+    * `.snap/<index>/<id>` tree (dot-prefixed root, so hidden from
+    * listings and scans), taken from the live dir. The per-index
+    * SUBDIRECTORY makes the namespace unambiguous: a flat
+    * `.snap_<index>_<id>` encoding collides when `_` appears in index
+    * names (`.snap_docs_v1_s1` is snapshot s1 of docs_v1 AND a
+    * plausible "v1_s1" of docs). ES snapshots are incremental
+    * segment-level; at this layer a parquet index IS its immutable
+    * segment set after a swap, so a copy is the honest equivalent (on
+    * a real object store this is a server-side copy, no data through
+    * the client). Returns the snapshot id.
     */
   def snapshot(indexName: String): String = {
     val id = s"s${listSnapshots(indexName).size + 1}"
     val src = dir(indexName)
     require(fs.exists(src), s"no such index: $indexName")
-    val dst = new Path(root, s".snap_${indexName.toLowerCase}_$id")
+    val dst = snapPath(indexName, id)
+    fs.mkdirs(dst.getParent)
     org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, true,
       spark.sparkContext.hadoopConfiguration)
     id
   }
 
+  private def snapDir(indexName: String) =
+    new Path(new Path(root, ".snap"), indexName.toLowerCase)
+
+  private def snapPath(indexName: String, id: String) =
+    new Path(snapDir(indexName), id)
+
   /** Snapshot ids of an index, oldest first. */
   def listSnapshots(indexName: String): Seq[String] = {
-    val prefix = s".snap_${indexName.toLowerCase}_"
-    if (!fs.exists(new Path(root))) Seq.empty
-    else fs.listStatus(new Path(root))
+    val d = snapDir(indexName)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d)
       .map(_.getPath.getName)
-      .filter(_.startsWith(prefix))
-      .map(_.stripPrefix(prefix))
       .toSeq.sortBy(s => (s.length, s))
   }
 
@@ -308,7 +321,7 @@ class IndexStore(spark: SparkSession, root: String) {
     * backup until the restore commits).
     */
   def restore(indexName: String, snapshotId: String): Unit = {
-    val snap = new Path(root, s".snap_${indexName.toLowerCase}_$snapshotId")
+    val snap = snapPath(indexName, snapshotId)
     require(fs.exists(snap), s"no such snapshot: $indexName/$snapshotId")
     swapIn(indexName) { tmp =>
       org.apache.hadoop.fs.FileUtil.copy(fs, snap, fs, tmp, false, true,
@@ -321,9 +334,17 @@ class IndexStore(spark: SparkSession, root: String) {
   private def aliasPath(alias: String) =
     new Path(root, s".alias_${alias.toLowerCase}")
 
-  /** Point `alias` at `indexName` ATOMICALLY (write-aside + rename) —
-    * the ES blue/green pattern: load v2 under a new name, re-point the
-    * serving alias, drop v1; readers never see a half state.
+  /** Point `alias` at `indexName` ATOMICALLY (write-aside + atomic
+    * rename-over) — the ES blue/green pattern: load v2 under a new
+    * name, re-point the serving alias, drop v1; readers never see a
+    * half state. `FileContext.rename(..., Rename.OVERWRITE)` is the
+    * one Hadoop rename with defined overwrite-an-existing-file
+    * semantics on both HDFS and the local FS, so there is NO window
+    * where the alias file is absent (a delete-then-rename has one: a
+    * concurrent [[readByName]] would fall back to the alias name as a
+    * concrete index, and a crash in the window loses the alias). A
+    * crash before the rename leaves only an orphaned `.aliastmp_`
+    * file, GC'd by [[recoverOrphans]].
     */
   def setAlias(alias: String, indexName: String): Unit = {
     require(fs.exists(dir(indexName)), s"no such index: $indexName")
@@ -332,12 +353,9 @@ class IndexStore(spark: SparkSession, root: String) {
     val out = fs.create(tmp, true)
     try out.write(indexName.toLowerCase.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    // rename onto an existing file: remove-then-rename would leave a
-    // window with no alias; HDFS/local rename-over-file semantics vary,
-    // so delete+rename under a fresh unique name and fail loudly.
-    fs.delete(aliasPath(alias), false)
-    if (!fs.rename(tmp, aliasPath(alias)))
-      throw new java.io.IOException(s"alias swap failed: $alias")
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, aliasPath(alias), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** The index an alias points at, if set. */

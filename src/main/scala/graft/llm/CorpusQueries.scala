@@ -397,7 +397,7 @@ object CorpusQueries {
         |top AS (
         |  SELECT token, exact_cnt FROM cnts
         |  ORDER BY exact_cnt DESC, token LIMIT 100)
-        |SELECT t.token, t.exact_cnt, min(c.cell) AS cms_cnt
+        |SELECT t.token, t.exact_cnt, CAST(min(c.cell) AS BIGINT) AS cms_cnt
         |FROM top t
         |CROSS JOIN unnest(generate_series(0, 4)) AS u(i)
         |JOIN cells c ON c.i = u.i

@@ -97,24 +97,31 @@ object PipelineQueries {
     // concatenate documents in a deterministic content-hash order and
     // cut every B=512 tokens (GPT-style concat-and-chunk packing; a
     // doc crossing a boundary spans both sequences). Packing runs per
-    // LANGUAGE stream — real mixes pack per domain/language anyway,
-    // and it's what keeps the running sum parallel: one window per
-    // lang partition, never a global single-partition cumsum. When one
-    // stream dominates the corpus, its prefix sum splits further via
-    // the two-pass scan implemented in graft.relational.PrefixSum
-    // (per-partition subtotals + broadcast offsets — proven equal to
-    // the window cumsum in PrefixSumSpec). Output: per-sequence fill
-    // accounting
+    // LANGUAGE stream, but the running sum itself goes through the
+    // two-pass distributed scan (graft.relational.PrefixSum): a
+    // per-lang window cumsum funnels each language through ONE task,
+    // which is fine until one language dominates the corpus — the
+    // two-pass form splits every stream across range partitions
+    // regardless of skew. Shape: one GLOBAL exclusive prefix in the
+    // total order (lang, hash, doc_id), then each language rebases by
+    // its first row's global prefix (= everything before the language
+    // block) via a tiny per-lang min aggregation broadcast back — so
+    // per-language starts are bit-identical to the per-lang window
+    // cumsum (proven against it in PrefixSumSpec, incl. the
+    // skewed-language case). Output: per-sequence fill accounting
     // (docs beginning in each sequence + their token mass).
     "llm_pack_sequences" -> ((s, dir) => {
       val B = 512
       val nToks = size(split(lower(col("text")), "\\s+"))
-      val w = Window.partitionBy(col("lang"))
-        .orderBy(col("__h"), col("doc_id"))
-      Tables(s, dir, "documents")
+      val tokd = Tables(s, dir, "documents")
         .select(col("doc_id"), col("lang"), nToks.as("n_toks"),
           md5(lower(trim(col("text")))).as("__h"))
-        .withColumn("start_tok", sum(col("n_toks")).over(w) - col("n_toks"))
+      val glob = graft.relational.PrefixSum.exclusivePrefixSum(
+        tokd, Seq(col("lang"), col("__h"), col("doc_id")),
+        col("n_toks"), "__g")
+      val langOffsets = glob.groupBy(col("lang")).agg(min(col("__g")).as("__off"))
+      glob.join(broadcast(langOffsets), "lang")
+        .withColumn("start_tok", col("__g") - col("__off"))
         .withColumn("seq_id", floor(col("start_tok") / B))
         .groupBy(col("lang"), col("seq_id"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_toks")).as("begun_toks"))

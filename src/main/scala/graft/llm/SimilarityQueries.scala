@@ -621,9 +621,10 @@ object SimilarityQueries {
     * quadratic). Level 1 assigns as usual; cells measured OVERSIZED
     * (> 4×target — one count() aggregation) get a second-level
     * codebook trained on a bounded hash-rank sample of THAT CELL's
-    * members (same [[sampleVectors]] policy, so the driver collect
-    * stays O(k2·dim) per oversized cell and the number of oversized
-    * cells is bounded by k1). Composite id = c1·4096 + c2 + 1; cells
+    * members (same content-hash policy as [[sampleVectors]], ranked
+    * per cell by ONE window in ONE job — the collect is bounded by
+    * max(MaxTrainSample, 8·k2·|oversized|) rows total regardless of
+    * how many cells oversize). Composite id = c1·4096 + c2 + 1; cells
     * already small keep c1·4096. The level-2 assignment is the same
     * codegen'd argmin, with each row's sub-codebook selected from one
     * broadcast literal by c1 — no join, no shuffle beyond level 1's.
@@ -641,19 +642,42 @@ object SimilarityQueries {
     val k1 = math.min(k1Cap.toLong,
       math.max(4L, n / targetCellSize)).toInt
     val cb1 = typedlit(trainCentroids(e, k1))
+    // Eager local checkpoint, not persist: the level-1 assignment feeds
+    // the size count, the sub-codebook sample, and the final level-2
+    // projection — computed once, and the ContextCleaner frees the
+    // checkpointed partitions when the returned frame is dropped (a
+    // cache entry would leak: library callers never see l1).
     val l1 = e.select(col("vec_id"), col("emb"))
       .withColumn("__cd", cellDistances(col("emb"), cb1, k1))
       .withColumn("c1", argminCell(col("__cd"), k1))
       .drop("__cd")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sizes = l1.groupBy(col("c1")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val oversized = sizes.filter(_._2 > 4L * targetCellSize).keys.toSeq.sorted
     if (oversized.isEmpty)
       return l1.withColumn("cell", col("c1").cast("long") * 4096L).drop("c1")
-    val subCodebooks: Map[Int, Seq[Seq[Double]]] = oversized.map { c =>
-      c -> trainCentroids(l1.filter(col("c1") === c), k2)
-    }.toMap
+    // ALL sub-codebook samples in ONE job (not one Spark job per
+    // oversized cell — at the k1Cap that was up to 512 serial jobs of
+    // driver-orchestration latency): a window ranked by the same
+    // content-hash policy as [[sampleVectors]] takes the top rows PER
+    // CELL, one collect bounded by max(MaxTrainSample, 8·k2·|oversized|)
+    // rows total (the per-cell cap shrinks as cells multiply, never
+    // below the ≥8-points-per-centroid training floor), then per-cell
+    // Lloyd runs as driver arithmetic on the grouped sample.
+    val perCellCap = math.max(8 * k2, MaxTrainSample / math.max(1, oversized.size))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c1")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val sampled = l1.filter(col("c1").isin(oversized: _*))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= perCellCap)
+      .select(col("c1"), col("vec_id"), col("emb"))
+      .collect()
+    val subCodebooks: Map[Int, Seq[Seq[Double]]] =
+      sampled.groupBy(_.getInt(0)).map { case (c, rows) =>
+        c -> lloyd(rows.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray),
+          k2, iters = 5).map(_.toSeq).toSeq
+      }
     val dim = subCodebooks(oversized.head).head.length
     // One literal indexed by c1; small cells carry a zero dummy that is
     // never evaluated (CaseWhen branches evaluate lazily per row).

@@ -40,11 +40,17 @@ object PrefixSum {
                          numPartitions: Int = 0): DataFrame = {
     val p = if (numPartitions > 0) numPartitions
       else df.sparkSession.sparkContext.defaultParallelism
+    // Eager local checkpoint, not persist: the stamped __pid must be
+    // stable between the subtotal collect and the final window (a
+    // recompute could re-sample range boundaries), and a cache entry
+    // would leak — library callers never see the frame to unpersist
+    // it. Checkpointed partitions are freed by the ContextCleaner once
+    // the returned frame (whose lineage pins them) is dropped.
     val sorted = df
       .repartitionByRange(p, orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // P subtotal rows to the driver — bounded by partition count.
     val subtotals = sorted.groupBy(col("__pid"))
       .agg(sum(valueCol).as("__sub"))

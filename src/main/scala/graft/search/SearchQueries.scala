@@ -496,7 +496,9 @@ object SearchQueries {
     // search UI renders next to results). One scan evaluates the hit
     // predicate, then one partial+final hash agg; buckets ordered by
     // doc count descending like ES. The avg is a single double
-    // division on aggregated integers (never a float accumulation).
+    // division on aggregated integers (never a float accumulation),
+    // rounded to 9 decimals on BOTH sides per the repo's
+    // float-discipline for hash-compared queries.
     "search_facets" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .filter(array_contains(tokens(col("text")), "spark"))
@@ -506,7 +508,7 @@ object SearchQueries {
           max(col("n_chars")).as("max_chars"),
           sum(col("n_chars")).as("sum_chars"))
         .withColumn("avg_chars",
-          col("sum_chars").cast(DoubleType) / col("doc_count").cast(DoubleType))
+          round(col("sum_chars").cast(DoubleType) / col("doc_count").cast(DoubleType), 9))
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
@@ -558,7 +560,12 @@ object SearchQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        .persist() // feeds docfreq, the source terms, and the probe scan
+        // Eager local checkpoint (not persist): feeds docfreq, the
+        // source terms, and the probe scan — computed once, and freed
+        // by the ContextCleaner when the result frame is dropped (a
+        // cache entry would outlive the query: callers can't unpersist
+        // what they never see).
+        .localCheckpoint(true)
       val docfreq = postings.groupBy(col("term"))
         .agg(count(lit(1)).as("docfreq"))
       val src = postings.filter(col("doc_id") === srcId)
@@ -838,7 +845,7 @@ object SearchQueries {
       """SELECT lang, count(*) AS doc_count,
         |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-        |  CAST(sum(n_chars) AS BIGINT)::DOUBLE / count(*)::DOUBLE AS avg_chars
+        |  round(CAST(sum(n_chars) AS BIGINT)::DOUBLE / count(*)::DOUBLE, 9) AS avg_chars
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')
         |GROUP BY lang

@@ -156,6 +156,49 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listSnapshots("docs") == Seq(snap, snap2))
   }
 
+  test("snapshot namespace: underscore-overlapping index names don't collide") {
+    import spark.implicits._
+    val store = newStore
+    // "docs" is a proper prefix of "docs_v1" — a flat .snap_<index>_<id>
+    // encoding would let docs_v1's snapshots leak into docs' listing
+    // (and a restore would silently pull another index's data).
+    store.bulkImport(Seq((1L, "base")).toDF("id", "v"), "docs", "id")
+    store.bulkImport((1L to 9L).map(i => (i, "v1")).toDF("id", "v"),
+      "docs_v1", "id")
+    val sV1 = store.snapshot("docs_v1")
+    assert(store.listSnapshots("docs").isEmpty,
+      "docs_v1's snapshot must not appear under docs")
+    val sDocs = store.snapshot("docs")
+    assert(store.listSnapshots("docs") == Seq(sDocs))
+    assert(store.listSnapshots("docs_v1") == Seq(sV1))
+    // Cross-restore must be rejected, and the right restore still works.
+    intercept[IllegalArgumentException](store.restore("docs", "nope"))
+    store.deleteWhere("docs", col("id").cast("long") === 1)
+    store.restore("docs", sDocs)
+    assert(store.count("docs") == 1)
+    assert(store.count("docs_v1") == 9)
+  }
+
+  test("alias swap leaves no window and orphaned aliastmp files are GC'd") {
+    import spark.implicits._
+    val (store, root) = newStoreWithRoot
+    store.bulkImport(Seq((1L, "a")).toDF("id", "v"), "v1", "id")
+    store.bulkImport(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), "v2", "id")
+    store.setAlias("live", "v1")
+    store.setAlias("live", "v2") // atomic rename-over an EXISTING alias file
+    assert(store.resolveAlias("live").contains("v2"))
+    // A crash between write-aside and rename leaves only a .aliastmp_
+    // orphan; recoverOrphans collects it without touching the live alias.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(root, ".aliastmp_live_deadbeef")
+    val out = fs.create(orphan, true)
+    try out.write("v1".getBytes) finally out.close()
+    store.recoverOrphans(maxAgeMs = -1L)
+    assert(!fs.exists(orphan), "orphaned aliastmp must be GC'd")
+    assert(store.resolveAlias("live").contains("v2"), "live alias untouched")
+  }
+
   test("aliases: atomic re-point (the blue/green serving pattern)") {
     import spark.implicits._
     val store = newStore

@@ -44,6 +44,32 @@ class PrefixSumSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("skewed-language rebase == per-lang window cumsum (pack_sequences path)") {
+    // 95% of the corpus is one language — the case the two-pass form
+    // exists for (a per-lang window would funnel it through one task).
+    // The global prefix over (lang, h, id) rebased by each language's
+    // first global prefix must equal the per-lang cumsum exactly.
+    val docs = spark.range(0, 20000).select(
+      col("id"),
+      when(col("id") % 20 === 0, "fr").otherwise("en").as("lang"),
+      md5(col("id").cast("string")).as("h"),
+      (col("id") % 53 + 1).as("v"))
+    val expected = docs
+      .withColumn("pfx", sum(col("v")).over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("id"))) - col("v"))
+      .select(col("id"), col("pfx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val glob = PrefixSum.exclusivePrefixSum(
+      docs, Seq(col("lang"), col("h"), col("id")), col("v"), "g",
+      numPartitions = 11)
+    val offsets = glob.groupBy(col("lang")).agg(min(col("g")).as("off"))
+    val got = glob.join(broadcast(offsets), "lang")
+      .select(col("id"), (col("g") - col("off")).as("pfx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == expected.size)
+    assert(got == expected)
+  }
+
   test("empty partitions and skewed values keep offsets correct") {
     // More partitions than distinct order-key values forces empty
     // ranges; the offset chain must skip them without drift.

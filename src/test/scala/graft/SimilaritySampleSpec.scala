@@ -87,4 +87,38 @@ class SimilaritySampleSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(again.sortBy(_._1).toSeq == sizes.sortBy(_._1).toSeq)
   }
+
+  test("sub-codebook training is O(1) Spark jobs, not one per oversized cell") {
+    // 40 level-1 cells, ALL oversized (4000 points, target 10): the old
+    // per-cell trainCentroids loop ran one sample-collect JOB per cell
+    // (up to k1Cap=512 serial jobs at the cap); the windowed sample
+    // must keep the job count a small constant regardless.
+    val dim = 4
+    val e = spark.range(0, 4000).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        (((col("id") % 40) * (d + 5) % 97) * 1000L +
+          col("id") * (d + 3) % 13).cast("double")).as("emb"))
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val assigned = SimilarityQueries.twoLevelCells(e,
+        targetCellSize = 10, k2 = 8, k1Cap = 40)
+      assert(assigned.count() == 4000)
+      // Listener delivery is async; wait until the count stabilizes.
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 20) {
+        last = jobs; Thread.sleep(200); spins += 1
+      }
+      // count + trainCentroids(k1) + checkpoint + sizes + windowed
+      // sample + the assert's count, plus AQE sub-jobs — far below one
+      // job per oversized cell (40 here).
+      assert(jobs <= 15, s"expected O(1) jobs, saw $jobs for 40 oversized cells")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }
