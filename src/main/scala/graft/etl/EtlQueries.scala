@@ -209,7 +209,15 @@ object EtlQueries {
              |  CAST(min($c) AS VARCHAR) AS min_str,
              |  CAST(max($c) AS VARCHAR) AS max_str
              |FROM orders""".stripMargin)
-        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name"))
-    // etl_catalog_list: catalog op, no SQL twin — driver rows-only check.
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY col_name")),
+    // The catalog op's twin: the driver populates the fixture dir
+    // deterministically from the TABLES set, so the expected listing is
+    // a VALUES literal of graft.Tables.all — an exact-match check on
+    // the catalog contents instead of the weaker rows-only check.
+    "etl_catalog_list" ->
+      Tables.all.map(_.toLowerCase).sorted
+        .map(n => s"('$n')")
+        .mkString("SELECT index_name FROM (VALUES ", ", ",
+          ") AS t(index_name) ORDER BY index_name")
   )
 }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.functions._
   *   orExpr  := andExpr ((OR | ε) andExpr)*        ε = adjacency, ES
   *                                                 default_operator=OR
   *   andExpr := notExpr ((AND | NOT) notExpr)*     a NOT b ≡ a AND NOT b
-  *   notExpr := NOT notExpr | '(' orExpr ')' | atom
-  *   atom    := [field ':'] ( '"' phrase '"' | word['*'] )
+  *   notExpr := NOT notExpr
+  *            | '(' orExpr ')' ['^' number]
+  *            | atom
+  *   atom    := [field ':'] ( '"' phrase '"' | word['*'] ) ['^' number]
   * }}}
   *
   * Precedence NOT > AND > OR, left-associative — Lucene's "classic"
@@ -32,6 +34,12 @@ import org.apache.spark.sql.functions._
   *                (`search_phrase_match` shape)
   *  - no field  — disjunction over every column, like the ES `_all`
   *                search the reference delegates to
+  *  - `x^2.5`   — Lucene boost on a term, phrase, or parenthesized
+  *                group: no effect on MATCHING (boost-transparent
+  *                predicate), multiplies the clause's SCORE
+  *                contribution; nested boosts multiply
+  *                (`(a^2 b)^3` scores a at 6). [[boostedTerms]] hands
+  *                the per-term weights to the BM25 scorer.
   *
   * Everything compiles to one codegen'd per-row predicate: a scan +
   * filter with no shuffle — the query-string front end costs nothing
@@ -46,6 +54,7 @@ object QueryString {
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(n: Node) extends Node
+  final case class Boost(n: Node, boost: Double) extends Node
 
   // ---- Tokenizer ---------------------------------------------------------
   private sealed trait Tok
@@ -56,6 +65,11 @@ object QueryString {
   private case object NotT extends Tok
   private final case class PhraseT(field: Option[String], s: String) extends Tok
   private final case class WordT(field: Option[String], s: String, prefix: Boolean) extends Tok
+  private final case class CaretT(boost: Double) extends Tok // `^2.5` after ')' or '"'
+
+  /** A Lucene boost literal: a positive number after `^`. */
+  private def parseBoost(s: String): Option[Double] =
+    s.toDoubleOption.filter(b => b > 0 && !b.isInfinite)
 
   private def tokenize(q: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -86,16 +100,31 @@ object QueryString {
           case "AND" => out += AndT
           case "OR"  => out += OrT
           case "NOT" => out += NotT
+          // A standalone `^2` follows a ')' or closing '"' (the boost
+          // of a group/phrase lands in its own token because both
+          // delimiters cut the word scan).
+          case _ if w.startsWith("^") && parseBoost(w.drop(1)).isDefined =>
+            out += CaretT(parseBoost(w.drop(1)).get)
           case _ =>
-            val (field, rest) = w.indexOf(':') match {
-              case -1 => (None, w)
-              case p  => (Some(w.substring(0, p)), w.substring(p + 1))
+            // Trailing `^boost` on a bare word (`spark^2`,
+            // `field:term^0.5`, `app*^3` — Lucene puts boost last).
+            val (body, boost) = w.lastIndexOf('^') match {
+              case -1 => (w, None)
+              case p => parseBoost(w.substring(p + 1)) match {
+                case some @ Some(_) => (w.substring(0, p), some)
+                case None => (w, None)
+              }
+            }
+            val (field, rest) = body.indexOf(':') match {
+              case -1 => (None, body)
+              case p  => (Some(body.substring(0, p)), body.substring(p + 1))
             }
             val (word, pre) =
               if (rest.endsWith("*")) (rest.dropRight(1), true) else (rest, false)
             if (word.isEmpty) throw new IllegalArgumentException(
               s"query_string: empty term <$w> in <$q>")
             out += WordT(field, word, pre)
+            boost.foreach(b => out += CaretT(b))
         }
       }
     }
@@ -131,6 +160,12 @@ object QueryString {
       }
       n
     }
+    // A caret binds to the clause just parsed (term, phrase, group) —
+    // tighter than NOT/AND/OR, like Lucene.
+    def withBoost(n: Node): Node = peek match {
+      case Some(CaretT(b)) => next(); Boost(n, b)
+      case _ => n
+    }
     def parseNot(): Node = peek match {
       case Some(NotT) => next(); Not(parseNot())
       case Some(LP) =>
@@ -138,9 +173,9 @@ object QueryString {
         val n = parseOr()
         if (peek.contains(RP)) next()
         else throw new IllegalArgumentException(s"query_string: missing ')' in <$q>")
-        n
-      case Some(w: WordT)   => next(); Term(w.field, w.s, w.prefix)
-      case Some(p: PhraseT) => next(); Phrase(p.field, p.s)
+        withBoost(n)
+      case Some(w: WordT)   => next(); withBoost(Term(w.field, w.s, w.prefix))
+      case Some(p: PhraseT) => next(); withBoost(Phrase(p.field, p.s))
       case t => throw new IllegalArgumentException(
         s"query_string: expected clause, found $t in <$q>")
     }
@@ -186,14 +221,36 @@ object QueryString {
         df.columns.map(fieldMatch(df, _, atom)).reduce(_ || _)
     }
 
-  /** Compile a parsed query to one boolean `Column` over `df`. */
+  /** Compile a parsed query to one boolean `Column` over `df`.
+    * Boost is scoring metadata — transparent to matching, like Lucene.
+    */
   def compile(df: DataFrame, node: Node): Column = node match {
     case t @ Term(f, _, _)   => atomMatch(df, f, t)
     case p @ Phrase(f, _)    => atomMatch(df, f, p)
     case And(l, r)           => compile(df, l) && compile(df, r)
     case Or(l, r)            => compile(df, l) || compile(df, r)
     case Not(n)              => !compile(df, n)
+    case Boost(n, _)         => compile(df, n)
   }
+
+  /** The query's scoring terms with their effective weights: every
+    * non-prefix [[Term]] under AND/OR, its weight the product of the
+    * boosts enclosing it (`(a^2 b)^3` → a at 6.0, b at 3.0). NOT
+    * subtrees contribute nothing (ES `must_not` clauses filter, never
+    * score); prefix terms and phrases are match-only here (ES scores
+    * them constant-score/rewritten — out of scope for the BM25 path).
+    * Order is query order, so a scorer's float sum is deterministic.
+    */
+  def boostedTerms(node: Node, mult: Double = 1.0): Seq[(Option[String], String, Double)] =
+    node match {
+      case Term(f, w, false) => Seq((f, w.toLowerCase, mult))
+      case Term(_, _, true)  => Seq.empty
+      case Phrase(_, _)      => Seq.empty
+      case And(l, r)         => boostedTerms(l, mult) ++ boostedTerms(r, mult)
+      case Or(l, r)          => boostedTerms(l, mult) ++ boostedTerms(r, mult)
+      case Not(_)            => Seq.empty
+      case Boost(n, b)       => boostedTerms(n, mult * b)
+    }
 
   /** One-call front end: `df.filter(QueryString(df, q))`. */
   def apply(df: DataFrame, q: String): Column = compile(df, parse(q))

@@ -472,6 +472,45 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Boosted query-string scoring — the `term^boost` / `field:term^2`
+    // syntax of ES's query_string grammar (the relevance-tuning knob a
+    // user of the reference's `q=` box reaches for first): the parsed
+    // boosts become per-term WEIGHTS on the same Okapi BM25 parts as
+    // search_topk_bm25 (weight × part, summed in query order — one
+    // literal multiplication per term, float-discipline identical in
+    // the DuckDB twin). Same scan + one-broadcast-stats shape; boosts
+    // change no plan, only the scoring expression.
+    "search_query_string_boosted" -> ((s, dir) => {
+      val node = QueryString.parse("text:spark^2 OR text:vector^0.5 OR text:join")
+      val terms = QueryString.boostedTerms(node)
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val withTf = terms.foldLeft(
+        Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(tokens(col("text"))))) {
+        case (d, (_, t, _)) => d.withColumn(s"tf_$t", tf(t))
+      }
+      val aggs = Seq(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl")) ++
+        terms.map { case (_, t, _) =>
+          sum((col(s"tf_$t") > 0).cast(LongType)).cast(DoubleType).as(s"df_$t") }
+      val stats = withTf.agg(aggs.head, aggs.tail: _*)
+      def part(tfc: Column, dfc: Column): Column =
+        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tfc * lit(2.2)) /
+            (tfc + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          terms.map { case (_, t, w) =>
+            lit(w) * part(col(s"tf_$t"), col(s"df_$t")) }.reduce(_ + _), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .limit(10)
+    }),
+
     // Multi-index fan-out — the UI's literal "all index" option
     // (`indexView.html:15-17`): the same keyword searched across every
     // index, results tagged with their index. Each branch is an
@@ -510,6 +549,42 @@ object SearchQueries {
         .withColumn("avg_chars",
           round(col("sum_chars").cast(DoubleType) / col("doc_count").cast(DoubleType), 9))
         .orderBy(col("doc_count").desc, col("lang"))
+    }),
+
+    // Date-histogram facet (ES date_histogram bucket agg — its
+    // most-used bucket aggregation after `terms`): the hit set bucketed
+    // by calendar day with a stats sub-agg. Same one-scan partial+final
+    // hash-agg shape as search_facets; `date_trunc` IS the
+    // calendar_interval — at 100 TB the bucket count is bounded by the
+    // time span, never the corpus. The value sum goes through
+    // DECIMAL(18,6) (exact accumulation, order-independent) and casts
+    // to double only at the end, per the repo's float discipline.
+    "search_facets_date_histogram" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+        .orderBy(col("day"))
+    }),
+
+    // Numeric-range facet (ES `range` bucket agg): fixed bucket edges
+    // over a numeric field of the hit set — the "price/size bands"
+    // sidebar. The bucket label is a per-row CASE (codegen'd, no
+    // lookup join); one partial+final agg like every facet. Buckets
+    // with no hits are simply absent, matching ES.
+    "search_facets_range" -> ((s, dir) => {
+      val bucket = when(col("n_chars") < 100, "0-99")
+        .when(col("n_chars") < 250, "100-249")
+        .when(col("n_chars") < 400, "250-399")
+        .otherwise("400+")
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "data"))
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket"))
     }),
 
     // Significant terms (ES significant_terms): words OVERREPRESENTED
@@ -809,6 +884,41 @@ object SearchQueries {
         |    OR coalesce(contains(array_to_string(t4, ' '), 'the lazy dog'), false)
         |    OR coalesce(contains(array_to_string(t5, ' '), 'the lazy dog'), false))
         |ORDER BY doc_id""".stripMargin,
+    // The boosted twin: Bm25OracleSql's parts with each term's parsed
+    // boost as a literal multiplier, summed in query order (2.0·spark +
+    // 0.5·vector + 1.0·join) — the SQL mirror of boostedTerms feeding
+    // the scorer.
+    "search_query_string_boosted" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id, n_tokens,
+        |    round(
+        |      2.0 * (ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl))))) +
+        |      0.5 * (ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+        |        ((tf_vector * 2.2) /
+        |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl))))) +
+        |      1.0 * (ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+        |        ((tf_join * 2.2) /
+        |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl))))), 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, n_tokens, score FROM b
+        |WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_all_indexes" ->
       """SELECT * FROM (
         |  SELECT 'customer' AS index_name, CAST(c_custkey AS BIGINT) AS doc_key FROM customer
@@ -850,6 +960,22 @@ object SearchQueries {
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')
         |GROUP BY lang
         |ORDER BY doc_count DESC, lang""".stripMargin,
+    "search_facets_date_histogram" ->
+      """SELECT date_trunc('day', ts) AS day, count(*) AS doc_count,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |WHERE event_type IN ('click', 'purchase')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_range" ->
+      """SELECT CASE WHEN n_chars < 100 THEN '0-99'
+        |            WHEN n_chars < 250 THEN '100-249'
+        |            WHEN n_chars < 400 THEN '250-399'
+        |            ELSE '400+' END AS bucket,
+        |  count(*) AS doc_count,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_significant_terms" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -23,25 +23,29 @@ object TwsCounter {
 
   case class Seen(user_id: Long, n_events: Long, sum_value: Double)
 
-  /** Per-key running (count, sum) emitted every batch the key appears. */
-  class RunningTotals
+  /** Per-key running (count, sum) emitted every batch the key appears.
+    * `ttl` is the production state-reclamation knob: an expired key's
+    * value is invisible to `exists()`/`get()` and physically cleaned by
+    * the store, so an abandoned key re-counts from zero if it ever
+    * returns — what keeps per-key state bounded on a 100 TB/day
+    * firehose. TTL requires TimeMode.ProcessingTime, under which the
+    * engine schedules batches CONTINUOUSLY to service time-based state
+    * (a busy loop under Trigger.ProcessingTime(0): `processAllAvailable`
+    * never quiesces — observed at ~16k empty micro-batches — and even
+    * Trigger.AvailableNow does not self-terminate). A long-running
+    * production stream doesn't care; a bounded driver (spec, backfill)
+    * polls the sink for the expected emission and stops the query —
+    * how TwsSpec drives expiry deterministically.
+    */
+  class RunningTotals(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[Long, StatefulSession.Event, Seen] {
     @transient private var totals: org.apache.spark.sql.streaming.ValueState[(Long, Double)] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-      // In production this state carries a TTL (e.g. 30 days) so an
-      // abandoned key's state is reclaimed — which requires
-      // TimeMode.ProcessingTime, under which the engine schedules
-      // batches CONTINUOUSLY to service time-based state (a busy loop
-      // under Trigger.ProcessingTime(0), and `processAllAvailable`
-      // never quiesces — observed at ~16k empty micro-batches). The
-      // deterministic spec therefore runs TimeMode.None + no TTL; the
-      // TTL line is one argument away:
-      // TTLConfig(java.time.Duration.ofDays(30)) + TimeMode.ProcessingTime.
       totals = getHandle.getValueState[(Long, Double)](
         "totals",
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble),
-        TTLConfig.NONE)
+        ttl)
 
     override def handleInputRows(
         key: Long,
@@ -58,11 +62,18 @@ object TwsCounter {
 
   /** Wire the processor into a (streaming or batch) typed Dataset.
     * Requires the RocksDB state store provider in streaming mode —
-    * see TwsSpec for the session conf.
+    * see TwsSpec for the session conf. With `ttl` set the state runs
+    * under TimeMode.ProcessingTime (required for TTL) and each key's
+    * value expires `ttl` after its last update.
     */
-  def runningTotals(events: Dataset[StatefulSession.Event]): Dataset[Seen] = {
+  def runningTotals(events: Dataset[StatefulSession.Event],
+                    ttl: Option[java.time.Duration] = None): Dataset[Seen] = {
     import events.sparkSession.implicits._
+    val (cfg, mode) = ttl match {
+      case Some(d) => (TTLConfig(d), TimeMode.ProcessingTime())
+      case None    => (TTLConfig.NONE, TimeMode.None())
+    }
     events.groupByKey(_.user_id)
-      .transformWithState(new RunningTotals(), TimeMode.None(), OutputMode.Update())
+      .transformWithState(new RunningTotals(cfg), mode, OutputMode.Update())
   }
 }

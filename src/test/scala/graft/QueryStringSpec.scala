@@ -101,7 +101,48 @@ class QueryStringSpec extends AnyFunSuite {
     assert(ids("lang:en NOT spark") == Set(2L, 6L))
   }
 
+  test("boost parsing: terms, fields, phrases, groups, prefixes") {
+    assert(parse("spark^2") == Boost(Term(None, "spark", false), 2.0))
+    assert(parse("text:spark^0.5") == Boost(Term(Some("text"), "spark", false), 0.5))
+    assert(parse("app*^3") == Boost(Term(None, "app", true), 3.0))
+    assert(parse("\"lazy dog\"^1.5") == Boost(Phrase(None, "lazy dog"), 1.5))
+    assert(parse("(a OR b)^4") ==
+      Boost(Or(Term(None, "a", false), Term(None, "b", false)), 4.0))
+    // Caret binds tighter than AND/OR/NOT (Lucene).
+    assert(parse("a^2 AND b") ==
+      And(Boost(Term(None, "a", false), 2.0), Term(None, "b", false)))
+    assert(parse("NOT a^2") == Not(Boost(Term(None, "a", false), 2.0)))
+    // A word that merely contains '^' without a numeric tail is a term.
+    assert(parse("a^b") == Term(None, "a^b", false))
+  }
+
+  test("boostedTerms: nested boosts multiply, NOT/prefix/phrase excluded") {
+    assert(boostedTerms(parse("text:spark^2 OR text:vector^0.5 OR text:join")) ==
+      Seq((Some("text"), "spark", 2.0), (Some("text"), "vector", 0.5),
+        (Some("text"), "join", 1.0)))
+    assert(boostedTerms(parse("(a^2 b)^3")) ==
+      Seq((None, "a", 6.0), (None, "b", 3.0)))
+    assert(boostedTerms(parse("a NOT b^9")) == Seq((None, "a", 1.0)),
+      "must_not clauses filter, never score")
+    assert(boostedTerms(parse("pre*^2 \"a phrase\"^2 plain")) ==
+      Seq((None, "plain", 1.0)))
+    assert(boostedTerms(parse("MiXeD^2")) == Seq((None, "mixed", 2.0)),
+      "scoring terms are lowercased like the match side")
+  }
+
+  test("boost is transparent to matching") {
+    assert(ids("spark^9") == ids("spark"))
+    assert(ids("(spark OR dog)^2 AND lang:de") == ids("(spark OR dog) AND lang:de"))
+  }
+
   test("registered search_query_string returns rows at sf0.001") {
     assert(SparkEntry.queries("search_query_string")(spark, sf).count() > 0)
+  }
+
+  test("registered search_query_string_boosted ranks by weighted BM25 at sf0.001") {
+    val r = SparkEntry.queries("search_query_string_boosted")(spark, sf).collect()
+    assert(r.nonEmpty)
+    val scores = r.map(_.getAs[Double]("score")).toSeq
+    assert(scores == scores.sorted.reverse, "descending by weighted score")
   }
 }

@@ -48,4 +48,63 @@ class TwsSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("TTL'd state expires: an abandoned key re-counts from zero") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("tws_ttl").toString
+      val input = MemoryStream[Event](spark, 1)
+      // TTL requires TimeMode.ProcessingTime, under which the engine
+      // schedules batches continuously to service time-based state:
+      // processAllAvailable never quiesces and even AvailableNow does
+      // not self-terminate. The deterministic drive is therefore
+      // poll-the-sink-then-stop: each step starts a query off the same
+      // checkpoint, waits until the expected emission appears, stops.
+      // Sink is foreachBatch (the memory sink refuses checkpoint
+      // recovery) collecting into a shared buffer.
+      val got = new java.util.concurrent.ConcurrentLinkedQueue[TwsCounter.Seen]()
+      def drainUntil(ttl: java.time.Duration, what: String)
+                    (pred: TwsCounter.Seen => Boolean): Unit = {
+        val q = TwsCounter.runningTotals(input.toDS(), ttl = Some(ttl))
+          .writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[TwsCounter.Seen], _: Long) =>
+            batch.collect().foreach(got.add)
+          }
+          .option("checkpointLocation", ckpt)
+          .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+        try {
+          val deadline = System.currentTimeMillis() + 60000
+          def seen() = { import scala.jdk.CollectionConverters._; got.asScala.toSeq }
+          while (!seen().exists(pred) && System.currentTimeMillis() < deadline)
+            Thread.sleep(200)
+          assert(seen().exists(pred), s"$what: got ${seen()}")
+        } finally q.stop()
+      }
+      // Generous TTL: state survives the (sub-TTL) restart boundary.
+      input.addData(Event(1, ts(0), 2.0))
+      drainUntil(java.time.Duration.ofDays(1), "first event counts")(
+        r => r.user_id == 1 && r.n_events == 1 && r.sum_value == 2.0)
+      input.addData(Event(1, ts(1), 3.0))
+      drainUntil(java.time.Duration.ofDays(1), "state accumulates within TTL")(
+        r => r.user_id == 1 && r.n_events == 2 && r.sum_value == 5.0)
+      // Re-arm the key's state under a tiny TTL (prior value, written
+      // with the 1-day TTL, is still live here)...
+      input.addData(Event(1, ts(2), 7.0))
+      drainUntil(java.time.Duration.ofSeconds(2), "pre-expiry state still live")(
+        r => r.user_id == 1 && r.n_events == 3 && r.sum_value == 12.0)
+      // ...then outwait it: the key's state is reclaimed and the next
+      // event re-counts from zero.
+      Thread.sleep(3000)
+      input.addData(Event(1, ts(3), 5.0))
+      drainUntil(java.time.Duration.ofSeconds(2), "TTL-expired key re-counts from zero")(
+        r => r.user_id == 1 && r.n_events == 1 && r.sum_value == 5.0)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
