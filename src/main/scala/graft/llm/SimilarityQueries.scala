@@ -386,6 +386,13 @@ object SimilarityQueries {
     // BucketedRandomProjectionLSH; approxSimilarityJoin of the 1-row
     // query dataset against the corpus (bucket join — only colliding
     // buckets compared). Fixed seed; rows-only check + recall spec.
+    // numHashTables=10 is the recall dial (OR-amplification: a
+    // candidate surfaces if ANY table collides — spark.ml has no
+    // multi-probe, so more tables is the bounded-cost equivalent):
+    // swept at sf0.01, 6-8 tables measure overlap@10 = 9 (one stubborn
+    // neighbor misses every bucket at any bucketLength 2-4), 10 tables
+    // restore 10/10 at +2/3 signature/join cost — still 10 small
+    // integers per vector, linear in the corpus.
     "llm_ann_lsh_topk" -> ((s, dir) => {
       import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
       import org.apache.spark.ml.functions.array_to_vector
@@ -394,7 +401,7 @@ object SimilarityQueries {
       val q = e.filter(col("vec_id") === 0)
       val lsh = new BucketedRandomProjectionLSH()
         .setInputCol("features").setOutputCol("sig")
-        .setBucketLength(2.0).setNumHashTables(6).setSeed(42L)
+        .setBucketLength(2.0).setNumHashTables(10).setSeed(42L)
       val model = lsh.fit(e)
       model.approxSimilarityJoin(e, q, 10.0, "l2_dist")
         .filter(col("datasetA.vec_id") =!= 0)
