@@ -146,6 +146,77 @@ object TextQueries {
           (col("n_chars") / 100).cast(IntegerType).as("len_bucket"),
           element_at(toks(col("text")), 1).as("first_token"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-level boilerplate detection (the C4 "remove lines seen in
+    // many documents" rule, at n-gram granularity since the fixture
+    // docs are single-line): a word-3-gram occurring in >= 5 DISTINCT
+    // documents is boilerplate (headers, licence blurbs, templated
+    // snippets — at corpus scale no organic 3-gram repeats across
+    // unrelated docs). Per-doc output: how much of the doc is made of
+    // corpus-common material. Shape: ONE exploded distinct-gram
+    // projection (localCheckpoint — feeds both the corpus-df agg and
+    // the per-doc probe, computed once), gram-df aggregation, then an
+    // equi-join back on the gram — linear in corpus size, never
+    // doc×doc; AQE broadcasts the boilerplate side when it is small.
+    "llm_boilerplate_ngrams" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val grams = when(size(t) >= 3,
+        array_distinct(transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val docGrams = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(grams).as("g"))
+        .localCheckpoint()
+      val boiler = docGrams.groupBy(col("g"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 5)
+      docGrams.join(boiler, "g")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_boiler_grams"),
+          max(col("df")).as("max_gram_df"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // N-gram language-model quality score — the KenLM-perplexity stage
+    // of a pre-training pipeline, re-expressed in exact integer
+    // arithmetic so it hash-compares across engines: train an add-one-
+    // smoothed bigram model ON the corpus itself, then score each doc
+    // by its mean bigram probability (low mean = surprising/atypical =
+    // quality-suspect). The float-determinism trick (same family as
+    // more_like_this's ⌊10⁴/df⌋): quantize each conditional
+    // probability to q = (c₂+1)·10⁹ DIV (c₁+V) — integer division of
+    // exact integer counts — so the per-doc Σq is exact and the only
+    // float op is one final division, rounded. Shape: one bigram
+    // explode (localCheckpoint — feeds counts AND probe), two equi-
+    // join probes against the count tables (bigram counts c₂, prefix
+    // counts c₁ = Σ_w₂ c₂), one per-doc agg — every stage linear in
+    // corpus size, the LM tables shuffle-partitioned by their key at
+    // 100 TB exactly like any dimension join.
+    "llm_ngram_lm_quality" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val bigrams = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val bg = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(bigrams).as("g"))
+        .withColumn("w1", split(col("g"), " ").getItem(0))
+        .localCheckpoint()
+      val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = c1.agg(count(lit(1))).head.getLong(0)
+      bg.join(c2, "g").join(c1, "w1")
+        .withColumn("q",
+          expr(s"((c2 + 1) * 1000000000) DIV (c1 + $vocab)"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
+        .withColumn("mean_qprob",
+          round(col("sum_q").cast(DoubleType) / col("n_bigrams").cast(DoubleType), 6))
+        .select(col("doc_id"), col("n_bigrams"), col("mean_qprob"))
+        .orderBy(col("mean_qprob"), col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -213,6 +284,36 @@ object TextQueries {
       s"""SELECT doc_id, md5(lower(trim(text))) AS content_fp,
          |  CAST(n_chars // 100 AS INT) AS len_bucket,
          |  $toksSql[1] AS first_token
-         |FROM documents ORDER BY doc_id""".stripMargin
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_boilerplate_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)),
+        |d AS (
+        |  SELECT g, count(*) AS df FROM g GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT a.doc_id, count(*) AS n_boiler_grams,
+        |  CAST(max(d.df) AS BIGINT) AS max_gram_df
+        |FROM g a JOIN d USING (g)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "llm_ngram_lm_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS g, w[i] AS w1
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)),
+        |c2 AS (SELECT g, count(*) AS c2 FROM b GROUP BY 1),
+        |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+        |v AS (SELECT count(*) AS vocab FROM c1),
+        |q AS (
+        |  SELECT b.doc_id, ((c2.c2 + 1) * 1000000000) // (c1.c1 + v.vocab) AS q
+        |  FROM b JOIN c2 USING (g) JOIN c1 USING (w1), v)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6) AS mean_qprob
+        |FROM q GROUP BY 1
+        |ORDER BY mean_qprob, doc_id LIMIT 20""".stripMargin
   )
 }

@@ -587,6 +587,90 @@ object SearchQueries {
         .orderBy(col("bucket"))
     }),
 
+    // Top-hits sub-aggregation (ES `top_hits` inside a `terms` bucket):
+    // the "best N documents per facet bucket" a search UI shows when a
+    // facet expands. Rank within each bucket = term frequency of the
+    // query word (integer — exact), tie-broken by doc_id; the filter
+    // sits DIRECTLY on the row_number so Spark's WindowGroupLimit
+    // pushdown keeps only k rows per bucket per partition before the
+    // window shuffle — per-bucket top-k, never a global sort. At
+    // 100 TB the shuffle carries k rows per (bucket, partition), not
+    // the hit set.
+    "search_facets_top_hits" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = size(filter(tokens(col("text")), t => t === lit("merge")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("tf").desc, col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("tf", tf)
+        .filter(col("tf") > 0)
+        .withColumn("hit_rank", row_number().over(w))
+        .filter(col("hit_rank") <= 2)
+        .select(col("source"), col("hit_rank"), col("doc_id"), col("tf"))
+        .orderBy(col("source"), col("hit_rank"))
+    }),
+
+    // Nested bucket aggregation (ES `terms` inside `terms` — the
+    // two-level drill-down sidebar): the hit set bucketed by source,
+    // each source bucket sub-bucketed by lang, children carrying their
+    // parent's total so the UI can render "source (N) > lang (n)".
+    // ONE partial+final hash agg on the composite key; the parent
+    // total is a window sum over the AGGREGATED frame (bucket-count
+    // rows, corpus-independent — the window is cheap because it runs
+    // after the reduction, the same order ES computes sub-aggs).
+    "search_facets_nested" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "filter"))
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).as("sum_chars"))
+        .withColumn("source_doc_count",
+          sum(col("doc_count")).over(Window.partitionBy(col("source"))))
+        .orderBy(col("source_doc_count").desc, col("source"),
+          col("doc_count").desc, col("lang"))
+    }),
+
+    // Two-phase rescoring (ES `rescore`): a CHEAP first-pass ranking
+    // (raw tf of the primary term — one integer per row, no stats
+    // needed) selects a candidate window of 50 via
+    // TakeOrderedAndProject, and only those 50 rows get the full
+    // multi-term Okapi BM25 treatment (index-wide df/corpus stats,
+    // like ES rescore which uses index statistics). This is THE
+    // serving-cost lever at 100 TB: the expensive scorer runs on a
+    // constant-size window, the corpus pays only a scan + top-k merge
+    // of the cheap integer score. Same literal BM25 arithmetic and
+    // 6-decimal rounding as search_topk_bm25, so the DuckDB twin is
+    // hash-exact.
+    "search_rescore" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val base = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_table", tf("table"))
+        .withColumn("tf_scan", tf("scan"))
+      val stats = base.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_table") > 0).cast(LongType)).cast(DoubleType).as("df_table"),
+        sum((col("tf_scan") > 0).cast(LongType)).cast(DoubleType).as("df_scan"))
+      val window50 = base.filter(col("tf_table") > 0)
+        .orderBy(col("tf_table").desc, col("doc_id"))
+        .limit(50)
+      def part(tfc: Column, dfc: Column): Column =
+        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+          ((tfc * lit(2.2)) /
+            (tfc + lit(1.2) *
+              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
+      window50.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          part(col("tf_table"), col("df_table")) +
+            part(col("tf_scan"), col("df_scan")), 6))
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("tf_table"), col("score"))
+        .limit(10)
+    }),
+
     // Significant terms (ES significant_terms): words OVERREPRESENTED
     // in the hit set vs the whole corpus — "what is this result set
     // about". Foreground = docs matching 'vector'; the JLH score
@@ -976,6 +1060,58 @@ object SearchQueries {
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_top_hits" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                    t -> t = 'merge')) AS tf
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(row_number() OVER (PARTITION BY source
+        |                          ORDER BY tf DESC, doc_id) AS INT) AS hit_rank,
+        |  doc_id, CAST(tf AS INT) AS tf
+        |FROM h WHERE tf > 0
+        |QUALIFY hit_rank <= 2
+        |ORDER BY source, hit_rank""".stripMargin,
+    "search_facets_nested" ->
+      """WITH b AS (
+        |  SELECT source, lang, count(*) AS doc_count,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |  FROM documents
+        |  WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'filter')
+        |  GROUP BY 1, 2)
+        |SELECT source, lang, doc_count, sum_chars,
+        |  CAST(sum(doc_count) OVER (PARTITION BY source) AS BIGINT) AS source_doc_count
+        |FROM b
+        |ORDER BY source_doc_count DESC, source, doc_count DESC, lang""".stripMargin,
+    "search_rescore" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(text), '\s+')) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                    t -> t = 'table')) AS tf_table,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |                    t -> t = 'scan')) AS tf_scan
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_table,
+        |    CAST(sum(CASE WHEN tf_scan > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_scan
+        |  FROM base),
+        |win AS (
+        |  SELECT * FROM base WHERE tf_table > 0
+        |  ORDER BY tf_table DESC, doc_id LIMIT 50)
+        |SELECT doc_id, CAST(tf_table AS INT) AS tf_table,
+        |  round(
+        |    ln(1.0 + (n_docs - df_table + 0.5) / (df_table + 0.5)) *
+        |      ((tf_table * 2.2) / (tf_table + 1.2 *
+        |        (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |    ln(1.0 + (n_docs - df_scan + 0.5) / (df_scan + 0.5)) *
+        |      ((tf_scan * 2.2) / (tf_scan + 1.2 *
+        |        (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
+        |FROM win, stats
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_significant_terms" ->
       """WITH base AS (
         |  SELECT doc_id,

@@ -69,6 +69,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("search_facets_top_hits: per-bucket top-k is a partial WindowGroupLimit") {
+    val p = planOf("search_facets_top_hits")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("search_rescore: both phases are top-k (no global sort anywhere)") {
+    val p = planOf("search_rescore")
+    // Phase 1 (cheap tf window of 50) and phase 2 (BM25 top 10) must
+    // each be TakeOrderedAndProject — a global sort in either phase
+    // defeats the whole point of rescoring at 100 TB.
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("llm_ngram_lm_quality: LM probe joins are shuffles, result is top-k") {
+    val p = planOf("llm_ngram_lm_quality")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("llm_stratified_sample pushes partial per-partition top-k (WindowGroupLimit)") {
     val p = planOf("llm_stratified_sample")
     // rank <= k directly on a row_number window lets Spark keep only k
@@ -116,6 +136,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_cosine_topk_batch", // 5-row query-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
       "search_topk_bm25", // 1-row corpus-stats broadcast
+      "search_query_string_boosted", // 1-row corpus-stats broadcast
+      "search_rescore", // 1-row corpus-stats broadcast on the 50-row window
       "search_significant_terms", // 1-row fg/bg-totals broadcast
       "search_hybrid_rrf", // embeds the cosine arm's 1-row query-vector broadcast
       "search_percolate", // 4-row stored-query broadcast
