@@ -94,6 +94,20 @@ object Recall {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     spark.catalog.clearCache()
 
+    // SemDeDup's pruning decision, measured as an ID set: brute-force
+    // dropped = every vector with ANY lower-id cosine>=0.4 neighbor
+    // (the min-id rule applied to the all-pairs truth); the query's
+    // dropped set differs only by pairs the KMeans-cell blocking
+    // missed. Reuses cosineTruth — the rule is pure set arithmetic.
+    val semdedupTruthDropped: Set[(Long, Long)] =
+      cosineTruth.groupBy(_._2).iterator.map { case (b, ps) =>
+        (ps.map(_._1).min, b) }.toSet
+    val semdedupDropped: Set[(Long, Long)] =
+      SparkEntry.queries("llm_semdedup")(spark, sfDir)
+        .select(col("rep_id"), col("vec_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.catalog.clearCache()
+
     // Ground truth 4: exact top-10 in EACH index's own metric — IVF
     // ranks by cosine (vs the exact cosine top-10), but the LSH query
     // ranks by L2 distance, so its ground truth is the exact L2 top-10
@@ -136,6 +150,7 @@ object Recall {
          |"llm_dedup_minhash_banded":${recallEntry(exactJaccard, minhashBanded)},
          |"llm_dedup_simhash":${recallEntry(simhashTruth, simhashBanded)},
          |"llm_dedup_embedding_cosine":${recallEntry(cosineTruth, cosineBlocked)},
+         |"llm_semdedup":${recallEntry(semdedupTruthDropped, semdedupDropped)},
          |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},

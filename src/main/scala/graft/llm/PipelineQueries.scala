@@ -160,6 +160,40 @@ object PipelineQueries {
         .orderBy(col("source"), col("epoch"))
     }),
 
+    // Curriculum sharding — order the corpus by a quality signal and
+    // cut it into N shards so training can schedule easy/clean shards
+    // first (curriculum learning's data-side half). The quality
+    // signal is the type-token ratio quantized to exact integer ppm
+    // (distinct_tokens·10⁶ DIV tokens — no float anywhere), and the
+    // GLOBAL quality rank comes from the distributed two-pass prefix
+    // sum over ones (graft.relational.PrefixSum) — a global
+    // row_number window would funnel the whole corpus through one
+    // task; the two-pass scan range-partitions the order instead
+    // (same scale path llm_pack_sequences rides). shard =
+    // rank·N DIV total: equal-size bands, deterministic under any
+    // partitioning. Output: per-shard doc counts + quality band
+    // edges, all exact integers.
+    "llm_curriculum_shards" -> ((s, dir) => {
+      val NShards = 8
+      val t = split(lower(col("text")), "\\s+")
+      val docs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("CAST(1 AS BIGINT)").as("__one"),
+          size(array_distinct(t)).cast(LongType).as("__nd"),
+          size(t).cast(LongType).as("__nt"))
+        .withColumn("q", expr("(__nd * 1000000) DIV __nt"))
+        .withColumn("__qneg", -col("q"))
+      val n = docs.count()
+      graft.relational.PrefixSum.exclusivePrefixSum(
+          docs, Seq(col("__qneg"), col("doc_id")), col("__one"), "__rank")
+        .withColumn("shard", expr(s"CAST((__rank * $NShards) DIV $n AS INT)"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("q")).as("best_q"),
+          min(col("q")).as("worst_q"))
+        .orderBy(col("shard"))
+    }),
+
     // Eval-set decontamination — the op every serious pre-training run
     // needs: find train-split documents sharing any word-8-gram with
     // the eval split (the n-gram-overlap contamination test). Inverted-
@@ -250,6 +284,20 @@ object PipelineQueries {
         |FROM c, unnest(generate_series(1, n_copies)) AS u(epoch)
         |WHERE n_copies >= 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "llm_curriculum_shards" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    (len(list_distinct(regexp_split_to_array(lower(text), '\s+'))) * 1000000)
+        |      // len(regexp_split_to_array(lower(text), '\s+')) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT q,
+        |    row_number() OVER (ORDER BY q DESC, doc_id) - 1 AS rnk,
+        |    count(*) OVER () AS n
+        |  FROM d)
+        |SELECT CAST((rnk * 8) // n AS INT) AS shard, count(*) AS n_docs,
+        |  CAST(max(q) AS BIGINT) AS best_q, CAST(min(q) AS BIGINT) AS worst_q
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "llm_decontaminate" ->
       """WITH t AS (
         |  SELECT doc_id,

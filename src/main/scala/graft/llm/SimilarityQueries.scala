@@ -382,6 +382,32 @@ object SimilarityQueries {
         .orderBy(col("vec_a"), col("vec_b"))
     }),
 
+    // SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    // deduplication by embedding clustering — cluster the corpus in
+    // embedding space, find intra-cluster ε-neighbors, and PRUNE each
+    // duplicate neighborhood to one representative. The candidate
+    // pairs come from the same multi-probe KMeans-cell blocking as
+    // llm_dedup_embedding_cosine (this query composes on it — the
+    // recall-measured pair finder IS SemDeDup's clustering step); the
+    // pruning decision is the deterministic min-id rule: a vector is
+    // DROPPED iff some lower-id vector sits within cosine >= 0.4, and
+    // its representative is its lowest-id such neighbor (one-step rule
+    // as published — representatives are not chased transitively;
+    // chain resolution is llm_dedup_cluster's connected components).
+    // Output: the pruned vectors with their representatives. Shape on
+    // top of the pair finder: one groupBy(vec_b) — linear in the pair
+    // count. Rows-only check (seeded KMeans blocking is engine-
+    // specific); Recall.scala measures the dropped set against the
+    // brute-force all-pairs rule.
+    "llm_semdedup" -> ((s, dir) => {
+      queries("llm_dedup_embedding_cosine")(s, dir)
+        .groupBy(col("vec_b").as("vec_id"))
+        .agg(min(col("vec_a")).as("rep_id"),
+          count(lit(1)).as("n_dup_neighbors"),
+          max(col("cos_sim")).as("max_cos"))
+        .orderBy(col("vec_id"))
+    }),
+
     // LSH-bucketed ANN: random-hyperplane signatures via spark.ml
     // BucketedRandomProjectionLSH; approxSimilarityJoin of the 1-row
     // query dataset against the corpus (bucket join — only colliding
