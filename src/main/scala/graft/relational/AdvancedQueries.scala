@@ -141,10 +141,47 @@ object AdvancedQueries {
           approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
           approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // Aggregate pushdown to parquet FOOTER STATISTICS: with the DSv2
+    // read path + spark.sql.parquet.aggregatePushdown, global
+    // COUNT/MIN/MAX compile to `PushedAggregation` on the scan and
+    // the job reads row-group metadata only — at 100 TB this answers
+    // from a few KB of footers per file instead of scanning the
+    // corpus (the same reason `count(*)` on a warehouse table is
+    // instant). Timestamp min/max is deliberately absent (parquet
+    // timestamp stats are not pushable; including one silently
+    // disables the whole pushdown). The v1/v2 source conf is restored
+    // after the plan materializes under v2 — bucketed reads elsewhere
+    // need the v1 path; PlanSpec asserts the pushed plan.
+    "rel_agg_pushdown" -> ((s, dir) => {
+      val v1Prev = s.conf.get("spark.sql.sources.useV1SourceList")
+      val pushPrev = s.conf.get("spark.sql.parquet.aggregatePushdown")
+      try {
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        s.conf.set("spark.sql.sources.useV1SourceList",
+          v1Prev.split(",").filterNot(_ == "parquet").mkString(","))
+        val df = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_orderkey"),
+            max(col("l_orderkey")).as("max_orderkey"),
+            min(col("l_quantity")).as("min_qty"),
+            max(col("l_quantity")).as("max_qty"))
+        df.queryExecution.executedPlan // plan NOW, under the v2 confs
+        df
+      } finally {
+        s.conf.set("spark.sql.sources.useV1SourceList", v1Prev)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", pushPrev)
+      }
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+        |FROM lineitem""".stripMargin,
     "rel_asof_join" ->
       """WITH tagged AS (
         |  SELECT user_id % 8 AS k, ts, 0 AS side,

@@ -157,7 +157,26 @@ object SqlQueries {
         |  first_value(o_orderkey) OVER w AS best_order
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
-        |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin,
+
+    // Recursive CTE (Spark 4's UnionLoop execution; SPARK-24497):
+    // iterative hierarchy walk — every supplier climbs an implicit
+    // binary-tree ancestry (parent = ⌊node/2⌋) to the root, the
+    // textbook WITH RECURSIVE reachability shape. Each loop iteration
+    // is a full distributed step (scan of the previous frontier +
+    // filter), so depth-k recursion is k narrow passes, never a
+    // driver loop. The division is written floor(x/2.0) so the
+    // identical text is exact integer math in BOTH dialects (Spark
+    // DIV vs DuckDB // would diverge).
+    "sql_recursive_cte" ->
+      """WITH RECURSIVE anc AS (
+        |  SELECT s_suppkey AS node, s_suppkey AS cur, 0 AS depth FROM supplier
+        |  UNION ALL
+        |  SELECT node, CAST(floor(cur / 2.0) AS BIGINT) AS cur, depth + 1 AS depth
+        |  FROM anc WHERE cur > 1
+        |)
+        |SELECT depth, count(*) AS n_nodes, min(node) AS min_node, max(node) AS max_node
+        |FROM anc GROUP BY depth ORDER BY depth""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] =

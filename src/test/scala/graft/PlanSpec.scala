@@ -69,6 +69,21 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("rel_agg_pushdown: COUNT/MIN/MAX served from parquet footer stats") {
+    val p = planOf("rel_agg_pushdown")
+    assert(p.contains("PushedAggregation: [COUNT(*)"), p)
+    assert(p.contains("MIN(l_orderkey)") && p.contains("MAX(l_quantity)"), p)
+  }
+
+  test("sql_recursive_cte executes via UnionLoop (distributed recursion)") {
+    val df = SparkEntry.queries("sql_recursive_cte")(spark, sf)
+    // The logical plan must carry the recursive loop operator — a
+    // rewrite to a driver-side loop would not.
+    assert(df.queryExecution.optimizedPlan.toString.contains("UnionLoop"),
+      df.queryExecution.optimizedPlan.toString)
+    assert(df.collect().map(_.getLong(1)).sum > 0)
+  }
+
   test("search_facets_top_hits: per-bucket top-k is a partial WindowGroupLimit") {
     val p = planOf("search_facets_top_hits")
     assert(p.contains("WindowGroupLimit"), p)
