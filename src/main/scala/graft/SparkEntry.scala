@@ -34,6 +34,7 @@ object SparkEntry {
       llm.CorpusQueries.queries ++
       llm.SimilarityQueries.queries ++
       llm.PipelineQueries.queries ++
+      llm.BpeQueries.queries ++
       streaming.StreamQueries.queries ++
       multimodal.MultimodalQueries.queries
 
@@ -55,6 +56,7 @@ object SparkEntry {
       llm.CorpusQueries.oracleSql ++
       llm.SimilarityQueries.oracleSql ++
       llm.PipelineQueries.oracleSql ++
+      llm.BpeQueries.oracleSql ++
       streaming.StreamQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,150 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016, ACL —
+  * arXiv:1508.07909): the merge-learning loop a pre-training pipeline
+  * runs before anything else touches tokens.
+  *
+  * The scale design is the classic one: train on the WORD-TYPE table
+  * (distinct word, occurrence count), never the token stream — at
+  * 100 TB the corpus has trillions of tokens but a bounded distinct-
+  * word vocabulary (~10⁷), so every BPE iteration is one narrow map +
+  * one pair-count aggregation over that small table. Per iteration the
+  * driver sees exactly ONE row (the argmax pair — same bounded-collect
+  * discipline as the ANN query vector); the merge application is a
+  * codegen'd string `replace` on the space-delimited symbol
+  * representation (" l o w " → " lo w "), whose left-to-right
+  * non-overlapping semantics is exactly BPE's greedy merge order.
+  *
+  * Determinism: counts are exact integers; argmax ties break
+  * lexicographically on the pair — the learned merge table is
+  * identical under any partitioning (LlmSpec proves the distributed
+  * trainer equals a sequential reference implementation).
+  */
+object BpeQueries {
+
+  /** Word-type table of the documents corpus: one row per distinct
+    * word with its corpus frequency, the word pre-segmented to
+    * space-delimited characters with sentinel spaces (" l o w ").
+    */
+  private[graft] def wordTable(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(split(lower(col("text")), "\\s+")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("seg",
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" ")))
+
+  /** Adjacent-symbol pairs of a seg column, space-joined ("l o"). */
+  private[graft] def adjacentPairs(seg: Column): Column = {
+    val syms = split(trim(seg), " ")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => concat_ws(" ", element_at(syms, i), element_at(syms, i + 1))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  /** One learned merge: rank, the two symbols, the merged symbol, and
+    * the weighted pair count that won the argmax.
+    */
+  private[graft] case class Merge(merge_rank: Int, left: String,
+                                  right: String, merged: String,
+                                  pair_count: Long)
+
+  /** The BPE training loop: k iterations of distributed pair-count →
+    * 1-row argmax collect → distributed merge application. Returns the
+    * learned merge table and the final word table (for segmentation
+    * stats). The word table is localCheckpointed every few iterations
+    * so lineage stays shallow across the loop.
+    */
+  private[graft] def trainMerges(words0: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
+    var words = words0
+    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+    for (rank <- 1 to k) {
+      val top = words
+        .select(col("freq"), explode(adjacentPairs(col("seg"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val Array(a, b) = top(0).getString(0).split(" ", 2)
+        merges += Merge(rank, a, b, a + b, top(0).getLong(1))
+        words = words.withColumn("seg",
+          replace(col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
+        if (rank % 4 == 0) words = words.localCheckpoint()
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  private val NMerges = 12
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The inner loop of BPE training, oracle-checked: weighted
+    // adjacent-character pair counts over the word-type table (what
+    // iteration 1 of the trainer aggregates), top 20. One explode +
+    // one partial+final agg + top-k — the per-iteration cost shape.
+    "llm_bpe_pair_counts" -> ((s, dir) => {
+      wordTable(Tables.forCompute(s, dir, "documents"))
+        .select(col("freq"), explode(adjacentPairs(col("seg"))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // The full trainer: the first 12 learned merges with their
+    // winning counts. The loop is not single-SQL-expressible (each
+    // iteration's argmax feeds the next iteration's segmentation), so
+    // the gate check is rows-only; LlmSpec proves the trainer equals
+    // a sequential reference BPE bit-for-bit on a known corpus.
+    "llm_bpe_train" -> ((s, dir) => {
+      val (merges, _) = trainMerges(
+        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
+      s.createDataFrame(merges).orderBy(col("merge_rank"))
+    }),
+
+    // Segmentation with the learned vocabulary — the apply side of
+    // the trainer, as corpus statistics: token counts per word type
+    // before (chars) and after the 12 merges, frequency-weighted.
+    // At scale this is the scan-speed tokenize pass every training
+    // run does; here it reports the compression the merges bought.
+    "llm_bpe_segment" -> ((s, dir) => {
+      val (_, words) = trainMerges(
+        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
+      words
+        .withColumn("toks_after", size(split(trim(col("seg")), " ")).cast(LongType))
+        .withColumn("chars", length(col("word")).cast(LongType))
+        .agg(
+          sum(col("freq")).as("total_words"),
+          sum(col("chars") * col("freq")).as("total_symbols_before"),
+          sum(col("toks_after") * col("freq")).as("total_tokens_after"),
+          round(sum(col("chars") * col("freq")).cast(DoubleType) /
+            sum(col("toks_after") * col("freq")).cast(DoubleType), 6)
+            .as("compression"))
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_bpe_pair_counts" ->
+      """WITH w AS (
+        |  SELECT word, count(*) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1),
+        |c AS (SELECT regexp_split_to_array(word, '') AS ch, freq FROM w),
+        |p AS (
+        |  SELECT ch[i] || ' ' || ch[i+1] AS pair, freq
+        |  FROM c, unnest(generate_series(1, len(ch) - 1)) AS u(i)
+        |  WHERE len(ch) >= 2)
+        |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+  )
+}

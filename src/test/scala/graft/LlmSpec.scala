@@ -232,4 +232,56 @@ class LlmSpec extends AnyFunSuite {
         s"doc $id n=$n: got ($nChunks, $tokSum), want (${starts.size}, $expected)")
     }
   }
+
+  test("distributed BPE trainer equals the sequential reference merge-for-merge") {
+    import spark.implicits._
+    // Sequential reference BPE (Sennrich et al.): word-type freqs,
+    // argmax adjacent pair by (count desc, pair lex asc), greedy
+    // left-to-right merge, repeat.
+    def referenceBpe(corpus: Seq[String], k: Int): Seq[(Int, String, String, Long)] = {
+      var words: Map[List[String], Long] = corpus
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          w.map(_.toString).toList -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+      for (rank <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        for ((syms, f) <- words; p <- syms.zip(syms.tail))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.toSeq.minBy { case ((x, y), n) => (-n, x, y) }
+          out += ((rank, a, b, c))
+          def mergeSyms(s: List[String]): List[String] = s match {
+            case x :: y :: rest if x == a && y == b => (a + b) :: mergeSyms(rest)
+            case x :: rest => x :: mergeSyms(rest)
+            case Nil => Nil
+          }
+          words = words.toSeq.map { case (s, f) => mergeSyms(s) -> f }
+            .groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    // Toy corpus chosen so multi-char merges occur within k=8 (the
+    // "lower/lowest newer newest" classic) — exercises merged symbols
+    // re-entering the pair table.
+    val corpus = Seq.fill(6)("low lower lowest") ++ Seq.fill(5)("new newer newest") ++
+      Seq.fill(3)("wider wide widest")
+    val expected = referenceBpe(corpus, 8)
+    val words = llm.BpeQueries.wordTable(corpus.toDF("text"))
+    val (merges, _) = llm.BpeQueries.trainMerges(words, 8)
+    assert(merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count)) == expected,
+      s"distributed=$merges expected=$expected")
+  }
+
+  test("BPE segmentation never crosses word boundaries and conserves characters") {
+    val (_, words) = llm.BpeQueries.trainMerges(
+      llm.BpeQueries.wordTable(Tables.forCompute(spark, sf, "documents")), 12)
+    val bad = words
+      .withColumn("rejoined", org.apache.spark.sql.functions.replace(
+        org.apache.spark.sql.functions.trim(col("seg")), lit(" "), lit("")))
+      .filter(col("rejoined") =!= col("word"))
+      .count()
+    assert(bad == 0, s"$bad word types lost or gained characters through merging")
+  }
 }
