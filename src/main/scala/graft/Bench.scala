@@ -191,6 +191,17 @@ object Bench {
         search.SearchQueries.materializedPostings(spark, sfDir)._1.write
           .format("noop").mode("overwrite").save()
       }
+    val runBpeBuild = only.forall(_.contains("_build_bpe"))
+    val bpeBuildSecs = if (!runBpeBuild) -1.0 else {
+      // Two artifacts share one training run; delete both so the
+      // timed build is the full k-iteration loop.
+      val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
+      store.deleteIndex(llm.BpeQueries.WordsName)
+      buildArtifact("_build_bpe", llm.BpeQueries.MergesName) {
+        llm.BpeQueries.materializedBpe(spark, sfDir)._1.write
+          .format("noop").mode("overwrite").save()
+      }
+    }
 
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
@@ -244,6 +255,7 @@ object Bench {
       (if (runPairBuild) Seq("_build_neardup_pairs" -> ((pairBuildSecs, pairBuildSecs))) else Nil) ++
       (if (runVecBuild) Seq("_build_vec_index" -> ((vecBuildSecs, vecBuildSecs))) else Nil) ++
       (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
+      (if (runBpeBuild) Seq("_build_bpe" -> ((bpeBuildSecs, bpeBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
       (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
 

@@ -85,6 +85,33 @@ object BpeQueries {
 
   private val NMerges = 12
 
+  /** The trained tokenizer as warehouse ARTIFACTS (same contract as
+    * the near-dup pair graph / postings / vector index): the merge
+    * table and the merged word-type table are built once per ingest —
+    * fingerprint = trainer version + k + input-file metadata — and
+    * every consumer (the merge-table query, segmentation stats, and
+    * at scale the tokenize pass itself) reads the artifact instead of
+    * re-training. A tokenizer that retrained per query would also be
+    * WRONG at scale, not just slow: token ids must be stable across
+    * the whole corpus ingest.
+    */
+  private[graft] val MergesName = "bpe_merges"
+  private[graft] val WordsName = "bpe_words"
+
+  private[graft] def materializedBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    val fp = s"bpe_v1:k=$NMerges:" +
+      graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
+    if (!store.artifactFingerprint(MergesName).contains(fp) ||
+        !store.artifactFingerprint(WordsName).contains(fp)) {
+      val (merges, words) = trainMerges(
+        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
+      store.writeArtifact(s.createDataFrame(merges), MergesName, fp, numShards = 1)
+      store.writeArtifact(words, WordsName, fp)
+    }
+    (store.read(MergesName), store.read(WordsName))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The inner loop of BPE training, oracle-checked: weighted
@@ -100,14 +127,13 @@ object BpeQueries {
     }),
 
     // The full trainer: the first 12 learned merges with their
-    // winning counts. The loop is not single-SQL-expressible (each
-    // iteration's argmax feeds the next iteration's segmentation), so
-    // the gate check is rows-only; LlmSpec proves the trainer equals
-    // a sequential reference BPE bit-for-bit on a known corpus.
+    // winning counts, served from the per-ingest artifact. The loop
+    // is not single-SQL-expressible (each iteration's argmax feeds
+    // the next iteration's segmentation), so the gate check is
+    // rows-only; LlmSpec proves the trainer equals a sequential
+    // reference BPE bit-for-bit on a known corpus.
     "llm_bpe_train" -> ((s, dir) => {
-      val (merges, _) = trainMerges(
-        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
-      s.createDataFrame(merges).orderBy(col("merge_rank"))
+      materializedBpe(s, dir)._1.orderBy(col("merge_rank"))
     }),
 
     // Segmentation with the learned vocabulary — the apply side of
@@ -116,9 +142,7 @@ object BpeQueries {
     // At scale this is the scan-speed tokenize pass every training
     // run does; here it reports the compression the merges bought.
     "llm_bpe_segment" -> ((s, dir) => {
-      val (_, words) = trainMerges(
-        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
-      words
+      materializedBpe(s, dir)._2
         .withColumn("toks_after", size(split(trim(col("seg")), " ")).cast(LongType))
         .withColumn("chars", length(col("word")).cast(LongType))
         .agg(
