@@ -322,6 +322,33 @@ object SimilarityQueries {
         .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
     }),
 
+    // Contrastive hard-negative mining — the training-data op behind
+    // every embedding-model fine-tune (triplet/InfoNCE batches need,
+    // per anchor, the most-similar vectors with a DIFFERENT label:
+    // maximally confusing negatives). Same broadcast-anchors ×
+    // corpus-scan shape as llm_cosine_topk_batch with the label
+    // inequality fused into the scan filter; per-anchor top-3 via the
+    // rank-filter WindowGroupLimit. At 100 TB the anchor set rides
+    // along any corpus scan — cost is anchors × corpus row-local
+    // math, shuffle only the k survivors per partition.
+    "llm_hard_negatives" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      val anchors = broadcast(e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+          col("emb").as("qv")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("vec_id"))
+      e.filter(col("vec_id") >= 5)
+        .crossJoin(anchors)
+        .filter(col("label") =!= col("q_label"))
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"),
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("q_label"), col("vec_id"), col("label"), col("cos_sim"))
+        .orderBy(col("q_id"), col("cos_sim").desc, col("vec_id"))
+    }),
+
     // Embedding corpus audit: per label, count + L2-norm statistics.
     // Per-row norm is row-local double math; the cross-row mean goes
     // through round(9) so both engines sum identical values — and the
@@ -804,6 +831,23 @@ object SimilarityQueries {
         |SELECT q_id, vec_id, label, cos_sim FROM scored
         |QUALIFY row_number() OVER (PARTITION BY q_id
         |                           ORDER BY cos_sim DESC, vec_id) <= 5
+        |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
+    "llm_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, emb AS qv
+        |      FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q_id, q_label, e.vec_id, e.label,
+        |    round(list_dot_product(emb, qv)
+        |          / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |          9) AS cos_sim
+        |  FROM e, q WHERE e.vec_id >= 5 AND e.label <> q_label)
+        |SELECT q_id, q_label, vec_id, label, cos_sim FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY q_id
+        |                           ORDER BY cos_sim DESC, vec_id) <= 3
         |ORDER BY q_id, cos_sim DESC, vec_id""".stripMargin,
     "llm_embedding_stats" ->
       """WITH e AS (

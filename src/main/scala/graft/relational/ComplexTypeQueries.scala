@@ -44,6 +44,30 @@ object ComplexTypeQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // VARIANT (Spark 4's semi-structured type; the parquet variant
+    // shredding story at warehouse scale): parse the JSON props
+    // column ONCE into the binary variant encoding, then typed
+    // variant_get extraction — vs re-parsing the string per accessor
+    // (get_json_object). Missing paths extract as NULL, exercised by
+    // $.missing. At 100 TB variant columns shred into parquet
+    // subcolumns at write, making the typed extraction a plain
+    // columnar read — the plan already carries the
+    // PushedVariantExtractions slot.
+    "rel_variant_json" -> ((s, dir) => {
+      val v = parse_json(col("props"))
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          variant_get(v, "$.k", "long").as("k"),
+          variant_get(v, "$.missing", "long").as("missing"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("missing")).as("n_missing_present"))
+        .orderBy(col("event_type"))
+    }),
+
     // Schema-evolution union: two projections with different column
     // sets, unioned by NAME with nulls for the missing side — the
     // operation every long-lived 100 TB table needs when schemas
@@ -78,6 +102,13 @@ object ComplexTypeQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_variant_json" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(props->>'k' AS BIGINT)) AS min_k,
+        |  max(CAST(props->>'k' AS BIGINT)) AS max_k,
+        |  count(CAST(props->>'missing' AS BIGINT)) AS n_missing_present
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "rel_map_funcs" ->
       """SELECT o_orderkey,
         |  m['status'][1] AS status_val,

@@ -149,6 +149,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_pq_topk", "llm_ann_ivfpq_topk", "llm_ann_indexed_topk", // 1-row query vector for the exact re-rank
       "llm_dedup_embedding_cosine",
       "llm_cosine_topk_batch", // 5-row query-set broadcast
+      "llm_hard_negatives", // 5-row anchor-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
       "search_topk_bm25", // 1-row corpus-stats broadcast
       "search_query_string_boosted", // 1-row corpus-stats broadcast
