@@ -159,6 +159,80 @@ object SqlQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
         |ORDER BY o_custkey, price_rank, o_orderkey""".stripMargin,
 
+    // TPC-H Q13 shape: customer order-count distribution — the LEFT
+    // JOIN + double aggregation (per-customer count, then histogram of
+    // counts) that checks outer-join null handling under aggregation.
+    // (The original's o_comment NOT LIKE filter maps to an
+    // o_orderpriority exclusion; the fixture has no comment column.)
+    "sql_q13_custdist" ->
+      """WITH c_orders AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders
+        |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist
+        |FROM c_orders
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    // TPC-H Q15: top supplier by quarterly revenue — the
+    // view-plus-scalar-subquery shape where the outer query compares
+    // against max() over the same derived table (evaluated once,
+    // broadcast). DECIMAL end-to-end so the max-equality is exact in
+    // both engines; DOUBLE only at the output boundary.
+    "sql_q15_top_supplier" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    // TPC-H Q4 shape: priority count of orders with at least one late
+    // line — EXISTS decorrelated to a left-semi join, then aggregated.
+    // ("Late" = shipped >30 days after order date; the fixture has no
+    // commit/receipt dates.)
+    "sql_q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem
+        |    WHERE l_orderkey = o_orderkey
+        |      AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+
+    // TPC-H Q22 shape: high-balance customers with no URGENT orders —
+    // the uncorrelated scalar average + NOT EXISTS anti-join
+    // combination. (The original's "no orders at all" is vacuous on
+    // this fixture, where nearly every customer has orders; the
+    // priority-scoped anti-join keeps the identical plan shape with a
+    // non-trivial result.) The above-average threshold is the repo's
+    // cross-multiplied exact form (balance·count > sum, DECIMAL — no
+    // float division), same discipline as
+    // sql_correlated_above_brand_avg.
+    "sql_q22_idle_customers" ->
+      """SELECT c_mktsegment, count(*) AS numcust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS totacctbal
+        |FROM customer
+        |WHERE CAST(c_acctbal AS DECIMAL(12,2))
+        |      * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0.0)
+        |      > (SELECT SUM(CAST(c_acctbal AS DECIMAL(12,2))) FROM customer
+        |         WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     // Recursive CTE (Spark 4's UnionLoop execution; SPARK-24497):
     // iterative hierarchy walk — every supplier climbs an implicit
     // binary-tree ancestry (parent = ⌊node/2⌋) to the root, the
