@@ -244,7 +244,7 @@ object DedupQueries {
     // blocking are matched: <=3 differing bits across 4 bands leaves
     // at least one band identical (pigeonhole), so the band join has
     // GUARANTEED 100% recall at this threshold (measured in
-    // RECALL_r03.json) while staying linear in corpus size, never
+    // RECALL_r04.json) while staying linear in corpus size, never
     // pairwise. xxhash64 has no DuckDB twin -> rows-only check +
     // property tests in LlmSpec.
     "llm_dedup_simhash" -> ((s, dir) => {

@@ -561,7 +561,7 @@ object SimilarityQueries {
       // exact distances. At 100 TB the codes scan never touches raw
       // floats and the re-rank is 100 point lookups; quantization noise
       // then costs recall only past rank 100, not rank 10 (overlap@10
-      // measured 4/10 ADC-only → re-ranked recovery measured in RECALL_r03 on this
+      // measured 4/10 ADC-only → re-ranked recovery measured in RECALL_r04 on this
       // distance-concentrated fixture).
       val shortlist = e.filter(col("vec_id") =!= 0)
         .withColumn("codes", codes)
