@@ -136,6 +136,32 @@ object BpeQueries {
       materializedBpe(s, dir)._1.orderBy(col("merge_rank"))
     }),
 
+    // Encoding to token ids — the final step of the tokenizer story:
+    // assign each vocabulary symbol (post-merge, so base characters
+    // plus the k learned merges) a dense deterministic id (lex order —
+    // stable across partitioning and engines), then produce the
+    // corpus token histogram. The histogram comes straight off the
+    // word-TYPE table weighted by frequency — the corpus text is
+    // never re-scanned; at 100 TB the actual "encode the corpus"
+    // pass is the same equi-join of corpus words against this
+    // (word → ids) dictionary. The id-assignment window is a single
+    // partition over V rows, which is correct: V is bounded by
+    // |alphabet| + k, not the corpus.
+    "llm_bpe_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = materializedBpe(s, dir)._2
+        .select(col("freq"), split(trim(col("seg")), " ").as("syms"))
+      val sym = words.select(explode(col("syms")).as("symbol"), col("freq"))
+      val vocab = sym.select(col("symbol")).distinct()
+        .withColumn("token_id",
+          (row_number().over(Window.orderBy(col("symbol"))) - 1).cast(LongType))
+      sym.groupBy(col("symbol")).agg(sum(col("freq")).as("n_occurrences"))
+        .join(vocab, "symbol")
+        .select(col("token_id"), col("symbol"), col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("token_id"))
+        .limit(20)
+    }),
+
     // Segmentation with the learned vocabulary — the apply side of
     // the trainer, as corpus statistics: token counts per word type
     // before (chars) and after the 12 merges, frequency-weighted.
