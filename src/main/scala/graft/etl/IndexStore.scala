@@ -307,8 +307,32 @@ class IndexStore(spark: SparkSession, root: String) {
   private def snapPath(indexName: String, id: String) =
     new Path(snapDir(indexName), id)
 
+  /** Read-side migration of pre-`.snap/<index>/<id>` snapshots: a
+    * store written under the old flat `.snap_<index>_<id>` encoding
+    * would otherwise lose its committed snapshots to the new layout
+    * (unlisted, unrestorable, never GC'd). The tail anchored on
+    * `_s<digits>$` is unambiguous even with `_` in index names —
+    * `.snap_docs_v1_s1` migrates for index docs_v1 (tail "s1"), never
+    * for docs (tail "v1_s1" fails the anchor). Renames are per-
+    * directory atomic; a crash mid-migration leaves the remainder
+    * flat, picked up on the next call.
+    */
+  private def migrateLegacySnapshots(indexName: String): Unit = {
+    val prefix = s".snap_${indexName.toLowerCase}_"
+    val tail = "^s\\d+$".r
+    fs.listStatus(new Path(root)).map(_.getPath)
+      .filter(p => p.getName.startsWith(prefix) &&
+        tail.matches(p.getName.drop(prefix.length)))
+      .foreach { p =>
+        val id = p.getName.drop(prefix.length)
+        fs.mkdirs(snapDir(indexName))
+        fs.rename(p, snapPath(indexName, id))
+      }
+  }
+
   /** Snapshot ids of an index, oldest first. */
   def listSnapshots(indexName: String): Seq[String] = {
+    migrateLegacySnapshots(indexName)
     val d = snapDir(indexName)
     if (!fs.exists(d)) Seq.empty
     else fs.listStatus(d)
@@ -321,6 +345,7 @@ class IndexStore(spark: SparkSession, root: String) {
     * backup until the restore commits).
     */
   def restore(indexName: String, snapshotId: String): Unit = {
+    migrateLegacySnapshots(indexName)
     val snap = snapPath(indexName, snapshotId)
     require(fs.exists(snap), s"no such snapshot: $indexName/$snapshotId")
     swapIn(indexName) { tmp =>

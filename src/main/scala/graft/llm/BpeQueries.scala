@@ -16,10 +16,10 @@ import graft.Tables
   * word vocabulary (~10⁷), so every BPE iteration is one narrow map +
   * one pair-count aggregation over that small table. Per iteration the
   * driver sees exactly ONE row (the argmax pair — same bounded-collect
-  * discipline as the ANN query vector); the merge application is a
-  * codegen'd string `replace` on the space-delimited symbol
-  * representation (" l o w " → " lo w "), whose left-to-right
-  * non-overlapping semantics is exactly BPE's greedy merge order.
+  * discipline as the ANN query vector); the merge application is
+  * [[mergePair]], a codegen'd greedy left-to-right fold over the
+  * symbol array (" l o w " → " lo w ") with exact BPE merge-step
+  * semantics including back-to-back pair occurrences.
   *
   * Determinism: counts are exact integers; argmax ties break
   * lexicographically on the pair — the learned merge table is
@@ -57,6 +57,37 @@ object BpeQueries {
                                   right: String, merged: String,
                                   pair_count: Long)
 
+  /** Greedy left-to-right application of ONE merge (a,b)→ab to a
+    * symbol array — the exact semantics of BPE's merge step
+    * (Sennrich's reference walks the list and restarts AFTER each
+    * merged token). A string `replace` of " a b "→" ab " is NOT
+    * equivalent: back-to-back occurrences share their delimiter
+    * space, so non-overlapping replace misses every second one
+    * ("a b a b" → "ab a b", where greedy BPE gives "ab ab").
+    * Implemented as a codegen'd fold: accumulator = (emitted symbols,
+    * one pending symbol); a pending `a` followed by `b` emits the
+    * merged token and clears the pending slot, so the merged token
+    * can never left-participate in another merge of the same pass.
+    */
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column = {
+    val emptyArr = array().cast(ArrayType(StringType))
+    aggregate(
+      syms,
+      struct(emptyArr.as("out"), lit("").as("pend")),
+      (acc, s) => {
+        val out = acc.getField("out")
+        val pend = acc.getField("pend")
+        when(pend === lit(a) && s === lit(b),
+          struct(concat(out, array(lit(a + b))).as("out"), lit("").as("pend")))
+          .when(pend === lit(""),
+            struct(out.as("out"), s.as("pend")))
+          .otherwise(
+            struct(concat(out, array(pend)).as("out"), s.as("pend")))
+      },
+      acc => when(acc.getField("pend") === lit(""), acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("pend")))))
+  }
+
   /** The BPE training loop: k iterations of distributed pair-count →
     * 1-row argmax collect → distributed merge application. Returns the
     * learned merge table and the final word table (for segmentation
@@ -76,7 +107,9 @@ object BpeQueries {
         val Array(a, b) = top(0).getString(0).split(" ", 2)
         merges += Merge(rank, a, b, a + b, top(0).getLong(1))
         words = words.withColumn("seg",
-          replace(col("seg"), lit(s" $a $b "), lit(s" $a$b ")))
+          concat(lit(" "),
+            array_join(mergePair(split(trim(col("seg")), " "), a, b), " "),
+            lit(" ")))
         if (rank % 4 == 0) words = words.localCheckpoint()
       }
     }
@@ -100,7 +133,10 @@ object BpeQueries {
 
   private[graft] def materializedBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    val fp = s"bpe_v1:k=$NMerges:" +
+    // v2: merge application moved from string replace to the greedy
+    // mergePair fold (back-to-back pair occurrences) — the artifact
+    // must rebuild even on an unchanged corpus.
+    val fp = s"bpe_v2:k=$NMerges:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
     if (!store.artifactFingerprint(MergesName).contains(fp) ||
         !store.artifactFingerprint(WordsName).contains(fp)) {

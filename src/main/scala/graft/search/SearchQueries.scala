@@ -35,6 +35,20 @@ object SearchQueries {
   /** Whitespace tokenizer shared by match + rank queries. */
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  /** One term's Okapi BM25 contribution (k1=1.2, b=0.75, Lucene idf) —
+    * the ONE copy of the scoring arithmetic shared by the scan query,
+    * the boosted query-string scorer, and the rescorer (their DuckDB
+    * twins mirror this exact text, so the three must stay
+    * bit-identical). Constants written literally (2.2 = k1+1,
+    * 0.25 = 1−b) so both engines evaluate the same literals.
+    */
+  private def bm25Part(tfc: Column, dfc: Column, nToks: Column,
+                       nDocs: Column, sumDl: Column): Column =
+    log(lit(1.0) + (nDocs - dfc + lit(0.5)) / (dfc + lit(0.5))) *
+      ((tfc * lit(2.2)) /
+        (tfc + lit(1.2) *
+          (lit(0.25) + lit(0.75) * (nToks * nDocs / sumDl))))
+
   private[graft] val PostingsName = "text_postings"
   private[graft] val PostingsStatsSidecar = "_graft_corpus_stats"
 
@@ -330,13 +344,8 @@ object SearchQueries {
         sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
         sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
         sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
-      // Per-term BM25 contribution; constants written literally (2.2 =
-      // k1+1, 0.25 = 1-b) so both engines evaluate the same literals.
       def part(tfc: Column, dfc: Column): Column =
-        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
-          ((tfc * lit(2.2)) /
-            (tfc + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
+        bm25Part(tfc, dfc, col("n_tokens"), col("n_docs"), col("sum_dl"))
       scored.crossJoin(broadcast(stats))
         .withColumn("score", round(
           part(col("tf_spark"), col("df_spark")) +
@@ -482,32 +491,38 @@ object SearchQueries {
     // change no plan, only the scoring expression.
     "search_query_string_boosted" -> ((s, dir) => {
       val node = QueryString.parse("text:spark^2 OR text:vector^0.5 OR text:join")
+      // Each parsed (field, term, weight) routes tf, document length,
+      // and df to ITS OWN field (an unfielded term defaults to text),
+      // so per-field BM25 stays correct if the query string gains a
+      // lang:/source: clause — the field component of boostedTerms is
+      // never discarded.
       val terms = QueryString.boostedTerms(node)
-      def tf(term: String): Column =
-        size(filter(tokens(col("text")), t => t === lit(term)))
-      val withTf = terms.foldLeft(
-        Tables(s, dir, "documents")
-          .withColumn("n_tokens", size(tokens(col("text"))))) {
-        case (d, (_, t, _)) => d.withColumn(s"tf_$t", tf(t))
+        .map { case (f, t, w) => (f.getOrElse("text"), t, w) }
+      val fields = terms.map(_._1).distinct
+      def tfCol(f: String, t: String) = s"tf_${f}_$t"
+      val base = fields.foldLeft(Tables(s, dir, "documents")) {
+        case (d, f) => d.withColumn(s"n_toks_$f", size(tokens(col(f))))
       }
-      val aggs = Seq(
-        count(lit(1)).cast(DoubleType).as("n_docs"),
-        sum(col("n_tokens")).cast(DoubleType).as("sum_dl")) ++
-        terms.map { case (_, t, _) =>
-          sum((col(s"tf_$t") > 0).cast(LongType)).cast(DoubleType).as(s"df_$t") }
+      val withTf = terms.foldLeft(base) {
+        case (d, (f, t, _)) => d.withColumn(tfCol(f, t),
+          size(filter(tokens(col(f)), x => x === lit(t))))
+      }
+      val aggs = Seq(count(lit(1)).cast(DoubleType).as("n_docs")) ++
+        fields.map(f =>
+          sum(col(s"n_toks_$f")).cast(DoubleType).as(s"sum_dl_$f")) ++
+        terms.map { case (f, t, _) =>
+          sum((col(tfCol(f, t)) > 0).cast(LongType)).cast(DoubleType)
+            .as(s"df_${f}_$t") }
       val stats = withTf.agg(aggs.head, aggs.tail: _*)
-      def part(tfc: Column, dfc: Column): Column =
-        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
-          ((tfc * lit(2.2)) /
-            (tfc + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
       withTf.crossJoin(broadcast(stats))
         .withColumn("score", round(
-          terms.map { case (_, t, w) =>
-            lit(w) * part(col(s"tf_$t"), col(s"df_$t")) }.reduce(_ + _), 6))
+          terms.map { case (f, t, w) =>
+            lit(w) * bm25Part(col(tfCol(f, t)), col(s"df_${f}_$t"),
+              col(s"n_toks_$f"), col("n_docs"), col(s"sum_dl_$f")) }
+            .reduce(_ + _), 6))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))
-        .select(col("doc_id"), col("n_tokens"), col("score"))
+        .select(col("doc_id"), col("n_toks_text").as("n_tokens"), col("score"))
         .limit(10)
     }),
 
@@ -658,10 +673,7 @@ object SearchQueries {
         .orderBy(col("tf_table").desc, col("doc_id"))
         .limit(50)
       def part(tfc: Column, dfc: Column): Column =
-        log(lit(1.0) + (col("n_docs") - dfc + lit(0.5)) / (dfc + lit(0.5))) *
-          ((tfc * lit(2.2)) /
-            (tfc + lit(1.2) *
-              (lit(0.25) + lit(0.75) * (col("n_tokens") * col("n_docs") / col("sum_dl")))))
+        bm25Part(tfc, dfc, col("n_tokens"), col("n_docs"), col("sum_dl"))
       window50.crossJoin(broadcast(stats))
         .withColumn("score", round(
           part(col("tf_table"), col("df_table")) +

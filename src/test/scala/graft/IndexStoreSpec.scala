@@ -179,6 +179,36 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.count("docs_v1") == 9)
   }
 
+  test("legacy flat-layout snapshots migrate on read instead of leaking") {
+    import spark.implicits._
+    val (store, root) = newStoreWithRoot
+    store.bulkImport((1L to 20L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "docs_v1", "id")
+    // Simulate a store written before the .snap/<index>/<id> layout:
+    // a full copy under the old flat .snap_docs_v1_s1 root entry.
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.hadoop.fs.FileUtil.copy(
+      fs, new org.apache.hadoop.fs.Path(root, "docs_v1"),
+      fs, new org.apache.hadoop.fs.Path(root, ".snap_docs_v1_s1"),
+      false, true, spark.sparkContext.hadoopConfiguration)
+    // An underscore-ambiguous name is NOT claimed by the wrong index
+    // (checked while the flat dir still exists): for index "docs" the
+    // tail "v1_s1" fails the _s<digits> anchor, so nothing migrates.
+    assert(store.listSnapshots("docs").isEmpty)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(root, ".snap_docs_v1_s1")))
+    // The owning index's listing surfaces it (migrated into the new
+    // layout), the next id doesn't collide, and the legacy snapshot
+    // restores.
+    assert(store.listSnapshots("docs_v1") == Seq("s1"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root, ".snap_docs_v1_s1")))
+    val s2 = store.snapshot("docs_v1")
+    assert(s2 == "s2")
+    store.deleteWhere("docs_v1", col("id").cast("long") > 1)
+    store.restore("docs_v1", "s1")
+    assert(store.count("docs_v1") == 20)
+  }
+
   test("alias swap leaves no window and orphaned aliastmp files are GC'd") {
     import spark.implicits._
     val (store, root) = newStoreWithRoot

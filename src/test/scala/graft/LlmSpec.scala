@@ -264,14 +264,32 @@ class LlmSpec extends AnyFunSuite {
     }
     // Toy corpus chosen so multi-char merges occur within k=8 (the
     // "lower/lowest newer newest" classic) — exercises merged symbols
-    // re-entering the pair table.
+    // re-entering the pair table — plus words with BACK-TO-BACK
+    // occurrences of winning pairs (papa/dodo/banana): greedy merge
+    // must take the 1st and 3rd occurrence of an overlapping chain,
+    // the case a string-replace implementation gets wrong.
     val corpus = Seq.fill(6)("low lower lowest") ++ Seq.fill(5)("new newer newest") ++
-      Seq.fill(3)("wider wide widest")
+      Seq.fill(3)("wider wide widest") ++ Seq.fill(7)("papa dodo banana papapa")
     val expected = referenceBpe(corpus, 8)
     val words = llm.BpeQueries.wordTable(corpus.toDF("text"))
     val (merges, _) = llm.BpeQueries.trainMerges(words, 8)
     assert(merges.map(m => (m.merge_rank, m.left, m.right, m.pair_count)) == expected,
       s"distributed=$merges expected=$expected")
+  }
+
+  test("mergePair: greedy left-to-right semantics on overlapping chains") {
+    import spark.implicits._
+    val df = Seq("a b a b", "a a a", "a a a a", "x a b y", "b a b").toDF("s")
+    val got = df.select(
+      org.apache.spark.sql.functions.array_join(
+        llm.BpeQueries.mergePair(split(col("s"), " "), "a", "b"), " ").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == Seq("ab ab", "a a a", "a a a a", "x ab y", "b ab"), got)
+    val aa = df.select(
+      org.apache.spark.sql.functions.array_join(
+        llm.BpeQueries.mergePair(split(col("s"), " "), "a", "a"), " ").as("m"))
+      .collect().map(_.getString(0)).toSeq
+    assert(aa == Seq("a b a b", "aa a", "aa aa", "x a b y", "b a b"), aa)
   }
 
   test("BPE segmentation never crosses word boundaries and conserves characters") {
