@@ -292,6 +292,34 @@ class LlmSpec extends AnyFunSuite {
     assert(aa == Seq("a b a b", "aa a", "aa aa", "x a b y", "b a b"), aa)
   }
 
+  test("mergePair equals the sequential reference on randomized symbol chains") {
+    import spark.implicits._
+    // Seeded random sweep over the input space the fixtures never
+    // cover: long runs of repeated symbols, pairs of equal symbols
+    // (a,a), and chains where matches overlap arbitrarily — the class
+    // of input the string-replace implementation got wrong.
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c", "ab")
+    def refMerge(s: List[String], a: String, b: String): List[String] = s match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+      case x :: rest => x :: refMerge(rest, a, b)
+      case Nil => Nil
+    }
+    val pairs = Seq(("a", "b"), ("a", "a"), ("b", "a"), ("ab", "a"))
+    for ((a, b) <- pairs) {
+      val seqs = (1 to 100).map { _ =>
+        List.fill(1 + rnd.nextInt(12))(alphabet(rnd.nextInt(alphabet.size)))
+      }
+      val got = seqs.toDF("syms")
+        .select(org.apache.spark.sql.functions.array_join(
+          llm.BpeQueries.mergePair(col("syms"), a, b), " "))
+        .collect().map(_.getString(0)).toSeq
+      val want = seqs.map(s => refMerge(s, a, b).mkString(" "))
+      assert(got == want, s"pair ($a,$b): first diff at " +
+        got.zip(want).zipWithIndex.find { case ((g, w), _) => g != w })
+    }
+  }
+
   test("BPE segmentation never crosses word boundaries and conserves characters") {
     val (_, words) = llm.BpeQueries.trainMerges(
       llm.BpeQueries.wordTable(Tables.forCompute(spark, sf, "documents")), 12)
