@@ -160,6 +160,35 @@ object CorpusQueries {
     "llm_dedup_cluster" -> ((s, dir) =>
       clusterLabels(s, dir).orderBy(col("doc_id"))),
 
+    // Dedup survivor selection — the decision the cluster resolution
+    // exists to serve: which copy of each duplicate cluster to KEEP.
+    // Policy: highest quality wins (integer-ppm type-token ratio, the
+    // same exact-arithmetic signal llm_curriculum_shards ranks by),
+    // doc_id as the tie-break — a real curation run keeps the
+    // best-quality copy, not the lowest id. Shape: cluster labels
+    // (pair-artifact connected components) equi-join the narrow
+    // quality projection, then ONE per-cluster window; only
+    // multi-document clusters surface (singletons need no decision).
+    "llm_dedup_survivors" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = DedupQueries.toks(col("text"))
+      val docs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"),
+          size(array_distinct(t)).cast("long").as("__nd"),
+          size(t).cast("long").as("__nt"))
+        .withColumn("q", expr("(__nd * 1000000) DIV __nt"))
+        .select(col("doc_id"), col("q"))
+      val perCluster = Window.partitionBy(col("cluster_id"))
+      val rank = perCluster.orderBy(col("q").desc, col("doc_id"))
+      clusterLabels(s, dir).join(docs, "doc_id")
+        .withColumn("__rn", row_number().over(rank))
+        .withColumn("n_docs", count(lit(1)).over(perCluster))
+        .filter(col("n_docs") >= 2 && col("__rn") === 1)
+        .select(col("cluster_id"), col("n_docs"),
+          col("doc_id").as("survivor_id"), col("q").as("survivor_q"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // Cross-source contamination matrix: how many near-dup pairs span
     // two DIFFERENT sources — the audit that tells a curation run
     // which feeds are re-hosting each other's content (within-source
@@ -330,6 +359,34 @@ object CorpusQueries {
          |  FROM reach r JOIN edges e ON e.src = r.doc_id)
          |SELECT doc_id, min(label) AS cluster_id
          |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "llm_dedup_survivors" ->
+      s"""WITH RECURSIVE ${DedupQueries.ngramPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM good),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id),
+         |labels AS (
+         |  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+         |quality AS (
+         |  SELECT doc_id,
+         |    (len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) * 1000000)
+         |      // len(regexp_split_to_array(lower(text), '\\s+')) AS q
+         |  FROM documents),
+         |ranked AS (
+         |  SELECT l.cluster_id, q.doc_id, q.q,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |                       ORDER BY q.q DESC, q.doc_id) AS rn,
+         |    count(*) OVER (PARTITION BY l.cluster_id) AS n_docs
+         |  FROM labels l JOIN quality q USING (doc_id))
+         |SELECT cluster_id, CAST(n_docs AS BIGINT) AS n_docs,
+         |       doc_id AS survivor_id, CAST(q AS BIGINT) AS survivor_q
+         |FROM ranked WHERE n_docs >= 2 AND rn = 1
+         |ORDER BY cluster_id""".stripMargin,
     "llm_dedup_cross_source" ->
       s"""WITH ${DedupQueries.ngramPairsCtes}
          |SELECT least(sa.source, sb.source) AS source_1,
