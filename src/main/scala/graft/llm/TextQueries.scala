@@ -217,6 +217,41 @@ object TextQueries {
         .select(col("doc_id"), col("n_bigrams"), col("mean_qprob"))
         .orderBy(col("mean_qprob"), col("doc_id"))
         .limit(20)
+    }),
+
+    // Per-document keyword extraction: each doc's top-3 distinguishing
+    // terms by tf·idf — the topic-tagging / cluster-labeling feature a
+    // curation pipeline attaches to every document. Both shuffles are
+    // vocabulary-shaped, never corpus²: (1) the exploded (doc, term)
+    // tf aggregation (map-side combine collapses repeats before the
+    // exchange), (2) the per-term document-frequency rollup derived
+    // from tf itself, joined back ON TERM as a shuffle join — at
+    // 100 TB the vocabulary is many millions of terms, so broadcast is
+    // wrong here and the equi-join is the scale path. The corpus size
+    // N is the only broadcast (one row). Per-doc top-3 is a window
+    // with the rank filter directly on row_number → WindowGroupLimit
+    // keeps 3 rows per doc per partition before the exchange. Scoring
+    // orders by the ROUNDED score (term asc tie-break) so both engines
+    // rank identical values.
+    "llm_keyword_extract" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("term"))
+        .agg(count(lit(1)).cast(DoubleType).as("df"))
+      val n = Tables.forCompute(s, dir, "documents")
+        .agg(count(lit(1)).cast(DoubleType).as("n_docs"))
+      val rank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(df, "term").crossJoin(broadcast(n))
+        .withColumn("score",
+          round(col("tf").cast(DoubleType) * log(col("n_docs") / col("df")), 6))
+        .withColumn("rk", row_number().over(rank))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
+        .orderBy(col("doc_id"), col("rk"))
     })
   )
 
@@ -314,6 +349,26 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_bigrams,
         |  round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6) AS mean_qprob
         |FROM q GROUP BY 1
-        |ORDER BY mean_qprob, doc_id LIMIT 20""".stripMargin
+        |ORDER BY mean_qprob, doc_id LIMIT 20""".stripMargin,
+    "llm_keyword_extract" ->
+      """WITH tf AS (
+        |  SELECT doc_id, u.term, count(*) AS tf
+        |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) AS u(term)
+        |  GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf,
+        |    round(CAST(tf AS DOUBLE) * ln(n_docs / df.df), 6) AS score
+        |  FROM tf JOIN df USING (term), n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rk AS INT) AS rk, term,
+        |       CAST(tf AS BIGINT) AS tf, score
+        |FROM ranked WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin
   )
 }

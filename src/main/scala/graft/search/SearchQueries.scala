@@ -357,6 +357,47 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // ES bool-should with minimum_should_match=2 (the `bool` query's
+    // precision knob — ES docs: "Minimum Should Match"): a doc
+    // qualifies only when at least 2 of the 3 should term-clauses
+    // match; the score is unchanged BM25 — clauses that don't match
+    // contribute exactly 0 (tf=0 zeroes the part), so the constraint
+    // is purely a recall/precision filter, not a scoring change.
+    // Plan shape is identical to search_topk_bm25 (one broadcast
+    // corpus-stats row, scan-speed match-count predicate,
+    // TakeOrderedAndProject top-k) — minimum_should_match costs
+    // nothing extra at any scale.
+    "search_min_should_match" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+        .withColumn("tf_vector", tf("vector"))
+        .withColumn("tf_join", tf("join"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
+        sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
+        sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
+      def part(tfc: Column, dfc: Column): Column =
+        bm25Part(tfc, dfc, col("n_tokens"), col("n_docs"), col("sum_dl"))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("n_matched",
+          (col("tf_spark") > 0).cast(IntegerType) +
+            (col("tf_vector") > 0).cast(IntegerType) +
+            (col("tf_join") > 0).cast(IntegerType))
+        .filter(col("n_matched") >= 2)
+        .withColumn("score", round(
+          part(col("tf_spark"), col("df_spark")) +
+            part(col("tf_vector"), col("df_vector")) +
+            part(col("tf_join"), col("df_join")), 6))
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_matched"), col("score"))
+        .limit(10)
+    }),
+
     // INDEX-SERVED Okapi BM25 — the same scoring as search_topk_bm25
     // but answered from the materialized inverted index instead of a
     // corpus scan: the query's terms prune the term-sorted postings
@@ -884,6 +925,42 @@ object SearchQueries {
         |WHERE strpos(lower(text), 'spark') > 0
         |ORDER BY doc_id""".stripMargin,
     "search_topk_bm25" -> Bm25OracleSql,
+    // Bm25OracleSql's scoring verbatim plus the match-count predicate —
+    // minimum_should_match filters, never rescores.
+    "search_min_should_match" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id,
+        |    CAST((CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) +
+        |         (CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS INT) AS n_matched,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+        |        ((tf_vector * 2.2) /
+        |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+        |        ((tf_join * 2.2) /
+        |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, n_matched, score FROM b
+        |WHERE n_matched >= 2
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     // Same oracle text on purpose: the indexed variant must produce
     // byte-identical results to the scan-based scoring — the gate
     // proves the inverted index serves exactly what a scan computes.

@@ -152,12 +152,15 @@ class PlanSpec extends AnyFunSuite {
       "llm_hard_negatives", // 5-row anchor-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
       "search_topk_bm25", // 1-row corpus-stats broadcast
+      "search_min_should_match", // 1-row corpus-stats broadcast
       "search_query_string_boosted", // 1-row corpus-stats broadcast
       "search_rescore", // 1-row corpus-stats broadcast on the 50-row window
       "search_significant_terms", // 1-row fg/bg-totals broadcast
       "search_hybrid_rrf", // embeds the cosine arm's 1-row query-vector broadcast
       "search_percolate", // 4-row stored-query broadcast
       "llm_length_trim", // 1-row total-count broadcast
+      "llm_keyword_extract", // 1-row corpus-size broadcast
+
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = planOf(name)
