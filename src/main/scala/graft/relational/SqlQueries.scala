@@ -233,6 +233,85 @@ object SqlQueries {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
 
+    // TPC-H Q10: returned-item reporting — revenue lost to returns per
+    // customer, top 20. The classic 4-table snowflake agg with a
+    // broadcast nation dim and a TakeOrderedAndProject top-k.
+    "sql_q10_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    // TPC-H Q14: promo revenue share — conditional aggregation as an
+    // indicator-weighted sum (both branches DECIMAL end-to-end; the
+    // only float op is ONE division of two exact decimals, identical
+    // in both engines, then round(9) per repo float discipline).
+    "sql_q14_promo_effect" ->
+      """SELECT
+        |  CAST(SUM((CASE WHEN p_type = 'PROMO' THEN CAST(1 AS DECIMAL(12,2))
+        |            ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |           * CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS promo_revenue,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS total_revenue,
+        |  round(CAST(SUM((CASE WHEN p_type = 'PROMO' THEN CAST(100 AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+        |        9) AS promo_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
+
+    // TPC-H Q17 shape: revenue from small-quantity lines of a part
+    // family — the correlated per-part average threshold, written in
+    // the repo's cross-multiplied exact form (qty < avg/5 ⟺
+    // 5·qty·cnt < sum, DECIMAL — no float division). Catalyst
+    // decorrelates both scalar subqueries into one per-part aggregate
+    // joined back; the part-family filter prunes before the join.
+    // (The original's p_container maps to a p_size band; the fixture
+    // has no container column.)
+    "sql_q17_small_quantity" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND p_size <= 10
+        |  AND CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+        |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+        |         WHERE l2.l_partkey = p_partkey)""".stripMargin,
+
+    // TPC-H Q19 shape: the three-armed disjunctive predicate spanning
+    // both join sides — the optimizer test for OR handling: the
+    // part-side disjunction (brand, size) must still reach the part
+    // scan as a pushed filter (CNF extraction of the common
+    // conjuncts), and the mixed (brand × quantity) arms evaluate
+    // post-join without turning the equi-join into a nested loop.
+    "sql_q19_disjunctive" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity >= 1 AND l_quantity <= 11)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity >= 10 AND l_quantity <= 20)
+        |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
+
     // Recursive CTE (Spark 4's UnionLoop execution; SPARK-24497):
     // iterative hierarchy walk — every supplier climbs an implicit
     // binary-tree ancestry (parent = ⌊node/2⌋) to the root, the
