@@ -130,6 +130,7 @@ object Recall {
     // PQ and IVFADC rank by ADC-approximated L2 then re-rank exactly —
     // same ground truth as LSH.
     val pqTop = idsOf("llm_ann_pq_topk")
+    val sq8Top = idsOf("llm_ann_sq8_topk")
     val ivfpqTop = idsOf("llm_ann_ivfpq_topk")
     val indexedTop = idsOf("llm_ann_indexed_topk")
 
@@ -154,6 +155,7 @@ object Recall {
          |"llm_ann_lsh_topk":{"overlap_at_10":${(exactL2Top & lshTop).size}},
          |"llm_ann_ivf_topk":{"overlap_at_10":${(exactTop & ivfTop).size}},
          |"llm_ann_pq_topk":{"overlap_at_10":${(exactL2Top & pqTop).size}},
+         |"llm_ann_sq8_topk":{"overlap_at_10":${(exactL2Top & sq8Top).size}},
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}}

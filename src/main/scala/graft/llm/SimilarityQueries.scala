@@ -577,6 +577,61 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // Scalar quantization (SQ8) ANN — the QT_8bit scheme of faiss's
+    // ScalarQuantizer: each dimension maps to ONE byte via a per-dim
+    // affine [min,max] range learned from the same bounded sample as
+    // every other quantizer here. No codebook at all — the model is
+    // 2×dim doubles (min, scale), the cheapest quantizer to train,
+    // and encode is a pure per-dim affine map, so write-time encoding
+    // costs one multiply-add per value. 64 code bytes/vector vs 256
+    // float bytes = 4× scan bandwidth (PQ's 32× costs codebook
+    // training; SQ8 is the no-training point on that curve). Scoring
+    // is asymmetric (exact query against the decoded corpus byte);
+    // out-of-range values clamp to the byte edges — standard SQ
+    // saturation. Same shortlist + exact-re-rank refinement as PQ:
+    // quantization noise costs recall only past rank 100.
+    // Seeded-model output -> rows-only check + Recall overlap@10.
+    "llm_ann_sq8_topk" -> ((s, dir) => {
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sample = sampleVectors(e)
+      val dim = sample.head.length
+      val vmin = (0 until dim).map(j => sample.map(_(j)).min)
+      val vmax = (0 until dim).map(j => sample.map(_(j)).max)
+      // A constant dimension would divide by zero; its scale is moot
+      // (code 0 decodes to vmin exactly), so pin it to 1.
+      val scale = (0 until dim).map { j =>
+        val s0 = (vmax(j) - vmin(j)) / 255.0; if (s0 == 0.0) 1.0 else s0
+      }
+      val minLit = typedlit(vmin)
+      val scaleLit = typedlit(scale)
+      val q: Seq[Double] = e.filter(col("vec_id") === 0)
+        .select(col("emb")).head.getSeq[Double](0)
+      val qLit = typedlit(q)
+      val codes = transform(col("emb"), (x, i) =>
+        least(lit(255.0), greatest(lit(0.0),
+          round((x - element_at(minLit, i + 1)) / element_at(scaleLit, i + 1), 0))))
+      val dist = aggregate(
+        transform(col("codes"), (c, i) => {
+          val dec = element_at(minLit, i + 1) + c * element_at(scaleLit, i + 1)
+          val d = element_at(qLit, i + 1) - dec
+          d * d
+        }),
+        lit(0.0), (acc, x) => acc + x)
+      val shortlist = e.filter(col("vec_id") =!= 0)
+        .withColumn("codes", codes)
+        .select(col("vec_id"), round(dist, 9).as("sq_dist"))
+        .orderBy(col("sq_dist"), col("vec_id"))
+        .limit(100)
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(queryVec(e))
+        .select(col("vec_id"), col("label"),
+          round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2_dist"),
+          col("sq_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
     // IVFADC — the full production ANN composition (Jégou et al.
     // TPAMI'11 §IV): IVF coarse cells prune the scan to nProbe/nList
     // of the corpus, PQ codes of the RESIDUAL (vector minus its cell
