@@ -643,6 +643,27 @@ object SearchQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ES composite aggregation — the keyset-paginated bucket iterator
+    // (the ONLY ES agg designed to export ALL buckets of a large
+    // cardinality space): buckets ordered by their composite key
+    // (lang, source), resumed strictly AFTER the previous page's last
+    // key, page size 5. Same scale argument as search_page_after but
+    // for aggregations: every page is the same groupBy + keyset
+    // predicate + TakeOrderedAndProject plan, cost independent of the
+    // page number — OFFSET over a 10⁹-bucket space would re-aggregate
+    // and skip the whole prefix; composite never does.
+    "search_facets_composite" -> ((s, dir) => {
+      val (afterLang, afterSource) = ("de", "src12") // previous page's last bucket
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .filter(col("lang") > afterLang ||
+          (col("lang") === afterLang && col("source") > afterSource))
+        .orderBy(col("lang"), col("source"))
+        .limit(5)
+    }),
+
     // Top-hits sub-aggregation (ES `top_hits` inside a `terms` bucket):
     // the "best N documents per facet bucket" a search UI shows when a
     // facet expands. Rank within each bucket = term frequency of the
@@ -1149,6 +1170,13 @@ object SearchQueries {
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_composite" ->
+      """SELECT lang, source, count(*) AS doc_count,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY lang, source
+        |HAVING lang > 'de' OR (lang = 'de' AND source > 'src12')
+        |ORDER BY lang, source LIMIT 5""".stripMargin,
     "search_facets_top_hits" ->
       """WITH h AS (
         |  SELECT source, doc_id,

@@ -320,6 +320,31 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup survivors: the max-quality member wins every multi-doc cluster") {
+    val surv = SparkEntry.queries("llm_dedup_survivors")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val members = SparkEntry.queries("llm_dedup_cluster")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_id)
+    // Independent quality recompute (same integer-ppm type-token ratio).
+    val qual = Tables(spark, sf, "documents")
+      .select(col("doc_id"), expr(
+        "(size(array_distinct(split(lower(text), '\\\\s+'))) * 1000000L)" +
+          " DIV size(split(lower(text), '\\\\s+'))").as("q"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val multi = members.groupBy(_._2).filter(_._2.length >= 2)
+      .view.mapValues(_.map(_._1)).toMap
+    assert(surv.map(_._1).toSet == multi.keySet,
+      "exactly the multi-doc clusters surface a survivor decision")
+    for ((cid, nDocs, survivorId, survivorQ) <- surv) {
+      val docs = multi(cid)
+      assert(nDocs == docs.length, s"cluster $cid size")
+      val maxQ = docs.map(qual).max
+      assert(survivorQ == maxQ, s"cluster $cid: survivor quality not maximal")
+      assert(survivorId == docs.filter(d => qual(d) == maxQ).min,
+        s"cluster $cid: doc_id tie-break violated")
+    }
+  }
+
   test("BPE segmentation never crosses word boundaries and conserves characters") {
     val (_, words) = llm.BpeQueries.trainMerges(
       llm.BpeQueries.wordTable(Tables.forCompute(spark, sf, "documents")), 12)

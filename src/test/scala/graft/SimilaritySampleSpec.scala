@@ -121,4 +121,20 @@ class SimilaritySampleSpec extends AnyFunSuite {
       assert(jobs <= 15, s"expected O(1) jobs, saw $jobs for 40 oversized cells")
     } finally spark.sparkContext.removeSparkListener(listener)
   }
+
+  test("SQ8 shortlist + exact re-rank recovers the exact-L2 top-10") {
+    import SimilarityQueries.{embDouble, l2sq, queryVec}
+    val got = SparkEntry.queries("llm_ann_sq8_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val e = embDouble(Tables(spark, sf, "embeddings"))
+    val truth = e.crossJoin(queryVec(e)).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    // The 100-row shortlist absorbs byte-quantization noise; allow one
+    // boundary miss so a reseeded fixture can't flake the suite.
+    assert((got & truth).size >= 9,
+      s"overlap@10 = ${(got & truth).size}, got=$got truth=$truth")
+  }
 }
