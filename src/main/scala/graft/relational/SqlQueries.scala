@@ -312,6 +312,53 @@ object SqlQueries {
         |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
 
+    // TPC-H Q16 shape: supplier diversity per part family — NOT IN
+    // (null-free key ⇒ plain anti-join, no null-aware penalty),
+    // multi-key GROUP BY, count(DISTINCT) over a join. (The
+    // original's comment-based supplier exclusion maps to a negative
+    // account balance; the fixture has no comment column.)
+    "sql_q16_part_suppliers" ->
+      """SELECT p_brand, p_type, p_size,
+        |  count(DISTINCT s_suppkey) AS supplier_cnt
+        |FROM part
+        |JOIN lineitem ON l_partkey = p_partkey
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE p_brand <> 'Brand#13'
+        |  AND p_size IN (1, 5, 9, 14, 19, 23)
+        |  AND s_suppkey NOT IN (
+        |    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+        |LIMIT 20""".stripMargin,
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    // waiting — the hardest subquery composition in the suite: one
+    // EXISTS (another supplier participated) AND one NOT EXISTS (no
+    // OTHER supplier was also late) both correlated to the same outer
+    // row, the NOT EXISTS additionally referencing the outer join's
+    // o_orderdate. Catalyst plans this as semi + anti join against
+    // the same lineitem scan. ("Late" = shipped >60 days after the
+    // order date; the fixture has no commit/receipt dates.)
+    "sql_q21_waiting_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+
     // Recursive CTE (Spark 4's UnionLoop execution; SPARK-24497):
     // iterative hierarchy walk — every supplier climbs an implicit
     // binary-tree ancestry (parent = ⌊node/2⌋) to the root, the
