@@ -105,6 +105,55 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-stream LEFT OUTER interval join emits watermark-expired null rows") {
+    // The hard half of stream-stream joins: an unmatched left row may
+    // only emit its null-padded result once the global watermark
+    // (min of both sides' watermarks) passes its join-window deadline
+    // — before that the engine must hold it in state because a match
+    // could still arrive. AvailableNow's trailing no-data micro-batch
+    // advances the watermark to (max seen − delay) and flushes the
+    // expired state, so the expectation is exactly: every inner pair,
+    // plus a null row for each unmatched click whose deadline
+    // (click_ts + 30 min) the final watermark passed. Clicks younger
+    // than that stay in state at termination and emit nothing.
+    val joinCond = (c: DataFrame, p: DataFrame) => c.join(p,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "left_outer")
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val streamed = runToMemory(
+      joinCond(clicks, purchases).select("click_id", "purchase_id"),
+      "t_ss_left", "append")
+
+    val ev = Tables(spark, sf, "events")
+    val bc = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val bp = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"))
+    val maxC = bc.agg(max(col("click_ts"))).head.getTimestamp(0).getTime
+    val maxP = bp.agg(max(col("purchase_ts"))).head.getTimestamp(0).getTime
+    val finalWm = new java.sql.Timestamp(math.min(maxC, maxP) - 3600L * 1000)
+    val batchOuter = joinCond(bc, bp)
+    val expected = batchOuter
+      .filter(col("purchase_id").isNotNull ||
+        col("click_ts") + expr("INTERVAL 30 MINUTES") < lit(finalWm))
+      .select("click_id", "purchase_id")
+    assert(streamed.count() == expected.count(),
+      s"stream=${streamed.count()} expected=${expected.count()}")
+    assert(streamed.exceptAll(expected).isEmpty &&
+      expected.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup within watermark keeps one row per event_id") {
     val deduped = runToMemory(
       eventsStream.withWatermark("ts", "1 hour").dropDuplicates("event_id"),
