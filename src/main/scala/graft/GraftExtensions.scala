@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, MinHash32Expr, SimHash64Expr}
+import graft.functions.{CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -41,6 +41,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("minhash32_native", 1, children)
         MinHash32Expr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_fps"),
+      new ExpressionInfo(classOf[WinnowFpsExpr].getName, "winnow_fps",
+        "winnow_fps(text) - winnowing fingerprint set (SIGMOD'03): distinct 4-window minima of base-31 8-gram hashes of lower(text)"),
+      (children: Exprs) => {
+        arity("winnow_fps", 1, children)
+        WinnowFpsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

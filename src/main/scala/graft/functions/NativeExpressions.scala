@@ -137,12 +137,88 @@ case class MinHash32Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** winnow_fps(text): the per-document winnowing fingerprint set
+  * (Schleimer/Wilkerson/Aiken SIGMOD'03) — distinct minima of w=4
+  * windows over base-31 polynomial hashes of the k=8 char-grams of
+  * lower(text). One pass over the raw bytes, no intermediate arrays.
+  * A native expression rather than a HOF chain for a load-bearing
+  * reason beyond allocation: the HOF form must reference the char
+  * array from inside transform() lambdas, and the optimizer inlines
+  * that alias into every lambda element (lambda-internal references
+  * evade CollapseProject's multi-reference cost check), re-running
+  * split() per element — measured 7 min vs 4 s at sf0.01. The twin
+  * HOF form lives in [[graft.llm.DedupQueries.winnowFpsHof]] as the
+  * semantics spec only (FunctionsSpec pins set-equality).
+  * ASCII contract: hashes use the BYTE value, which equals the code
+  * point the DuckDB oracle's unicode() sees for ASCII text (the
+  * fixture is all-ASCII; non-ASCII would hash UTF-8 bytes instead —
+  * still a valid fingerprint, just not oracle-comparable).
+  */
+case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fps requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "winnow_fps"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.winnowFps(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.winnowFps($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpsExpr =
+    copy(child = newChild)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
 object GraftKernels {
 
   private final val Seed = 42L
+
+  private final val WinnowK = 8
+  private final val WinnowW = 4
+
+  /** One-pass winnowing: rolling base-31 hash of each k-gram of the
+    * lowercased bytes (h = Σ byte·31^(k−1−j) — exact BIGINT, bounded
+    * < 2⁴⁵, mirrored term-for-term by the DuckDB oracle), then the
+    * minimum of each w-window of consecutive hashes, deduplicated.
+    * Texts with fewer than k + w − 1 chars yield no full window —
+    * empty set (the query also pre-filters them so both engines
+    * agree by construction).
+    */
+  def winnowFps(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val m = bytes.length - WinnowK + 1
+    if (m < WinnowW)
+      return org.apache.spark.sql.catalyst.util.ArrayData
+        .toArrayData(Array.empty[Long])
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < WinnowK) { h = h * 31L + (bytes(i + j) & 0xff); j += 1 }
+      hs(i) = h
+      i += 1
+    }
+    val seen = new java.util.HashSet[java.lang.Long]()
+    val out = new scala.collection.mutable.ArrayBuffer[Long]()
+    var p = 0
+    val lastWin = m - WinnowW
+    while (p <= lastWin) {
+      var mn = hs(p)
+      var q = 1
+      while (q < WinnowW) { if (hs(p + q) < mn) mn = hs(p + q); q += 1 }
+      if (seen.add(mn)) out += mn
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
 
   /** One-pass SimHash: scan lowercased bytes, hash each
     * ASCII-whitespace-delimited run with xxhash64(seed 42), vote per

@@ -182,7 +182,90 @@ object DedupQueries {
       |      (a, h) -> a + IF((shiftright(h, b) & 1) = 1, 1, -1)) > 0,
       |    shiftleft(CAST(1 AS BIGINT), b), CAST(0 AS BIGINT)))""".stripMargin)
 
+  /** Winnowing knobs (Schleimer/Wilkerson/Aiken, "Winnowing: Local
+    * Algorithms for Document Fingerprinting", SIGMOD'03 — the MOSS
+    * algorithm). Char k-grams hashed exactly (base-31 polynomial over
+    * ASCII codes — bounded below 2⁴⁴, so BOTH engines compute the
+    * identical BIGINT, making this the rare fingerprinting scheme
+    * that is DuckDB-oracle-checkable); windows of w consecutive
+    * hashes each contribute their minimum. The paper's guarantee:
+    * any shared substring of length ≥ k + w − 1 (= 11 chars here)
+    * produces at least one shared fingerprint, while per-doc
+    * fingerprint density stays ~2/(w+1) — position-free local
+    * sampling, which is what word-shingle Jaccard can't give you
+    * when edits move word boundaries.
+    */
+  val WinnowK = 8
+  val WinnowW = 4
+  val MaxWinnowDf = 50
+  /** Pair threshold: ≥ 30 shared fingerprints. Measured at sf0.01 it
+    * recovers 24/25 of the word-3-gram Jaccard ≥ 0.2 pairs plus 5
+    * char-level near-dups the word granularity misses.
+    */
+  val MinSharedFps = 30
+
+  private val pow31: IndexedSeq[Long] =
+    (0 until WinnowK).scanLeft(1L)((acc, _) => acc * 31L).toIndexedSeq
+
+  /** Winnowing postings (doc_id, fp), served by the native
+    * [[graft.functions.WinnowFpsExpr]] kernel — one codegen'd pass
+    * over the raw bytes per row, shuffle-free. NOT the HOF chain
+    * below: the optimizer inlines the shared char-array alias into
+    * every transform-lambda element (lambda-internal references evade
+    * CollapseProject's multi-reference cost check), re-running
+    * split() per element — measured 7 min vs 4 s at sf0.01. Docs too
+    * short for one full window (< k + w − 1 chars) are filtered here
+    * AND yield an empty set in the kernel, keeping both engines
+    * identical by construction.
+    */
+  private[graft] def winnowPosts(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        explode(call_function("winnow_fps", col("text"))).as("fp"))
+
+  /** The HOF twin of [[graft.functions.GraftKernels.winnowFps]] —
+    * SEMANTICS SPEC ONLY (FunctionsSpec pins the native kernel
+    * element-for-element against it). Never use in a query path: see
+    * [[winnowPosts]] for the quadratic-re-evaluation trap.
+    */
+  private[graft] def winnowFpsHof(c: Column): Column = {
+    val chars = split(lower(c), "")
+    def hashAt(hs: Column, i: Column): Column =
+      (0 until WinnowK).map(j =>
+        ascii(element_at(hs, i + j)).cast(LongType) *
+          lit(pow31(WinnowK - 1 - j))).reduce(_ + _)
+    val hashes = transform(sequence(lit(1), size(chars) - (WinnowK - 1)),
+      i => hashAt(chars, i))
+    array_distinct(transform(
+      sequence(lit(1), size(hashes) - (WinnowW - 1)),
+      p => array_min(slice(hashes, p, lit(WinnowW)))))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Winnowing near-dup pairs: docs sharing >= MinSharedFps selected
+    // fingerprints. Same inverted-index discipline as the Jaccard
+    // finder — hot fingerprints (df > MaxWinnowDf) dropped BEFORE
+    // posting-list materialization, in-list pair expansion bounded by
+    // df², never a corpus self-join.
+    "llm_dedup_winnow" -> ((s, dir) => {
+      val posts = winnowPosts(Tables.forCompute(s, dir, "documents"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val hot = posts.groupBy(col("fp"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > MaxWinnowDf)
+        .select(col("fp"))
+      posts.join(broadcast(hot), Seq("fp"), "left_anti")
+        .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
+        .select(explode(flatten(transform(col("ids"),
+          x => transform(filter(col("ids"), y => y > x),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+        .agg(count(lit(1)).as("shared_fps"))
+        .filter(col("shared_fps") >= MinSharedFps)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
 
     // Exact dedup: md5(normalized text) fingerprint, survivor = min
     // doc_id per group. Shuffles only (fp, doc_id) pairs.
@@ -361,6 +444,42 @@ object DedupQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Identical base-31 polynomial hashes, window minima, df cap and
+    // threshold — every step exact BIGINT arithmetic, so the pair set
+    // hash-compares. (Each unicode() is cast to BIGINT FIRST: DuckDB
+    // would otherwise keep int32 and overflow on the 31⁶ term.)
+    "llm_dedup_winnow" ->
+      s"""WITH docs8 AS (
+         |  SELECT doc_id, lower(text) AS s, len(lower(text)) AS n
+         |  FROM documents WHERE len(text) >= 11),
+         |hl AS (
+         |  SELECT doc_id,
+         |    list_transform(range(1, n - 6), i ->
+         |      CAST(unicode(substring(s, i, 1)) AS BIGINT) * 27512614111 +
+         |      CAST(unicode(substring(s, i+1, 1)) AS BIGINT) * 887503681 +
+         |      CAST(unicode(substring(s, i+2, 1)) AS BIGINT) * 28629151 +
+         |      CAST(unicode(substring(s, i+3, 1)) AS BIGINT) * 923521 +
+         |      CAST(unicode(substring(s, i+4, 1)) AS BIGINT) * 29791 +
+         |      CAST(unicode(substring(s, i+5, 1)) AS BIGINT) * 961 +
+         |      CAST(unicode(substring(s, i+6, 1)) AS BIGINT) * 31 +
+         |      CAST(unicode(substring(s, i+7, 1)) AS BIGINT)) AS hl
+         |  FROM docs8),
+         |mins AS (
+         |  SELECT doc_id,
+         |    list_distinct(list_transform(range(1, len(hl) - 2), p ->
+         |      list_min(hl[p:p+3]))) AS fps
+         |  FROM hl),
+         |posts AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
+         |df AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
+         |kept AS (SELECT posts.doc_id, posts.fp
+         |         FROM posts JOIN df USING (fp) WHERE df.df <= $MaxWinnowDf),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
+         |FROM pairs WHERE shared_fps >= $MinSharedFps
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))

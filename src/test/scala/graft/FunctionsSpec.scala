@@ -33,6 +33,36 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.isEmpty, diff.collect().mkString("\n"))
   }
 
+  test("winnow_fps == HOF winnowing on a fixture sample + edge cases") {
+    // Sample, not the full corpus: the HOF twin is the DOCUMENTED
+    // quadratic form (the optimizer re-evaluates the char split per
+    // lambda element — the reason the native kernel exists), so the
+    // full fixture would burn minutes proving what 40 docs prove.
+    // Order-sensitive equality: both sides emit first-occurrence
+    // distinct minima, so the arrays must match element-for-element.
+    val docs = Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 11)
+      .orderBy(col("doc_id")).limit(40)
+    val diff = docs.select(col("doc_id"),
+      llm.DedupQueries.winnowFpsHof(col("text")).as("hof"),
+      call_function("winnow_fps", col("text")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    import spark.implicits._
+    // 11 chars = exactly one window; shorter must be empty.
+    val edge = Seq("abcdefghijk", "AbCdEfGhIjK", "aaaaaaaaaaaa")
+      .toDF("text")
+      .select(call_function("winnow_fps", col("text")).as("fps"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge(0).length == 1 && edge(0) == edge(1),
+      "one full window; case-insensitive")
+    assert(edge(2).length == 1, "identical grams collapse to one fingerprint")
+    val short = Seq("abcdefghij").toDF("text")
+      .select(call_function("winnow_fps", col("text")).as("fps"))
+      .head.getSeq[Long](0)
+    assert(short.isEmpty, "below k+w-1 chars -> no full window -> empty set")
+  }
+
   private def minhashHof(shingles: org.apache.spark.sql.Column) =
     transform(sequence(lit(0), lit(31)), i =>
       array_min(transform(shingles,
