@@ -312,6 +312,49 @@ object SqlQueries {
         |   OR (p_brand = 'Brand#7' AND p_size BETWEEN 1 AND 15
         |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin,
 
+    // TPC-H Q6: the forecasting-revenue-change scan — pure
+    // filter + aggregate on the fact table, zero joins. The optimizer
+    // test is that ALL three predicates reach the parquet scan as
+    // pushed filters and the plan is one whole-stage-codegen'd
+    // partial+final agg over the pruned scan.
+    "sql_q6_forecast_revenue" ->
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * CAST(l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.04
+        |  AND l_quantity < 24""".stripMargin,
+
+    // TPC-H Q8 shape: national market share — the target nation's
+    // revenue as a fraction of total per order-year, over the
+    // 6-table snowflake with nation in two roles (supplier nation =
+    // the share dimension, customer region = the market filter).
+    // Indicator-weighted DECIMAL sums; ONE rounded division at the
+    // output boundary, per repo float discipline.
+    "sql_q8_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        |  round(CAST(SUM((CASE WHEN sn.n_name = 'NATION_7'
+        |              THEN CAST(1 AS DECIMAL(12,2))
+        |              ELSE CAST(0 AS DECIMAL(12,2)) END)
+        |             * CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE)
+        |        / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |             * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE),
+        |        9) AS mkt_share,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY year(o_orderdate)
+        |ORDER BY o_year""".stripMargin,
+
     // TPC-H Q16 shape: supplier diversity per part family — NOT IN
     // (null-free key ⇒ plain anti-join, no null-aware penalty),
     // multi-key GROUP BY, count(DISTINCT) over a join. (The
