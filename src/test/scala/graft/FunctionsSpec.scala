@@ -34,18 +34,23 @@ class FunctionsSpec extends AnyFunSuite {
   }
 
   test("winnow_fps == HOF winnowing on a fixture sample + edge cases") {
-    // Sample, not the full corpus: the HOF twin is the DOCUMENTED
-    // quadratic form (the optimizer re-evaluates the char split per
-    // lambda element — the reason the native kernel exists), so the
-    // full fixture would burn minutes proving what 40 docs prove.
+    // Truncated sample, not the full corpus: the HOF twin is the
+    // DOCUMENTED cubic-ish form (the optimizer re-evaluates the char
+    // split per nested-lambda element — the reason the native kernel
+    // exists), so its cost explodes with text length; 120-char
+    // prefixes of real fixture text exercise identical semantics
+    // (hashing, window minima, first-occurrence dedup) in seconds
+    // where full-length docs burn ~20 min of suite time.
     // Order-sensitive equality: both sides emit first-occurrence
     // distinct minima, so the arrays must match element-for-element.
     val docs = Tables(spark, sf, "documents")
       .filter(length(col("text")) >= 11)
       .orderBy(col("doc_id")).limit(40)
+      .select(col("doc_id"), substring(col("text"), 1, 120).as("t"))
+      .repartition(40)
     val diff = docs.select(col("doc_id"),
-      llm.DedupQueries.winnowFpsHof(col("text")).as("hof"),
-      call_function("winnow_fps", col("text")).as("native"))
+      llm.DedupQueries.winnowFpsHof(col("t")).as("hof"),
+      call_function("winnow_fps", col("t")).as("native"))
       .filter(col("hof") =!= col("native"))
     assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
     import spark.implicits._
