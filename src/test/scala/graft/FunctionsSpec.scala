@@ -134,7 +134,8 @@ class FunctionsSpec extends AnyFunSuite {
 
   test("native expressions run inside whole-stage codegen") {
     val docs = Tables(spark, sf, "documents")
-      .select(call_function("simhash64_native", col("text")).as("sh"))
+      .select(call_function("simhash64_native", col("text")).as("sh"),
+        size(call_function("winnow_fps", col("text"))).as("nfp"))
     docs.collect()
     val plan = docs.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"not codegen'd:\n$plan")
