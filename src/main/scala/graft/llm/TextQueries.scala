@@ -252,6 +252,44 @@ object TextQueries {
         .filter(col("rk") <= 3)
         .select(col("doc_id"), col("rk"), col("term"), col("tf"), col("score"))
         .orderBy(col("doc_id"), col("rk"))
+    }),
+
+    // Collocation extraction: the corpus's top-20 word bigrams by PMI
+    // — pointwise mutual information, the statistic behind
+    // merge-into-one-token decisions in vocabulary construction
+    // (word2vec's phrase pass, SentencePiece seeding). PMI's monotone
+    // core P(ab)/(P(a)P(b)) = c₂·N/(c₁ₐ·c₁ᵦ) is ranked in exact
+    // integer arithmetic (×10⁶ DIV — no log needed for ordering; the
+    // product stays < 2⁶³ up to ~10⁹-token corpora, past which the
+    // same expression moves to DECIMAL(38)). Two vocabulary-shaped
+    // aggregations (bigram + unigram counts) joined on the words —
+    // shuffle joins, never broadcast, because a 100 TB vocabulary
+    // isn't; min-support c₂ ≥ 5 prunes the hapax tail before the
+    // joins. N is the only broadcast (one row).
+    "llm_collocations_pmi" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val words = Tables.forCompute(s, dir, "documents")
+        .select(explode(t).as("w"))
+      val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
+      val n = words.agg(count(lit(1)).as("n_tokens"))
+      val bigrams = Tables.forCompute(s, dir, "documents")
+        .select(explode(when(size(t) >= 2,
+          transform(sequence(lit(1), size(t) - 1),
+            i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+          .otherwise(array().cast(ArrayType(StructType(Seq(
+            StructField("w1", StringType), StructField("w2", StringType))))))).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .filter(col("c2") >= 5)
+      bigrams
+        .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
+        .crossJoin(broadcast(n))
+        .withColumn("pmi_ppm",
+          expr("(c2 * n_tokens * 1000000) DIV (c1a * c1b)"))
+        .select(col("w1"), col("w2"), col("c2"), col("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+        .limit(20)
     })
   )
 
@@ -369,6 +407,25 @@ object TextQueries {
         |SELECT doc_id, CAST(rk AS INT) AS rk, term,
         |       CAST(tf AS BIGINT) AS tf, score
         |FROM ranked WHERE rk <= 3
-        |ORDER BY doc_id, rk""".stripMargin
+        |ORDER BY doc_id, rk""".stripMargin,
+    "llm_collocations_pmi" ->
+      """WITH w AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |uni AS (SELECT w, count(*) AS c1 FROM w GROUP BY w),
+        |n AS (SELECT count(*) AS n_tokens FROM w),
+        |t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |bg AS (
+        |  SELECT tk[i] AS w1, tk[i+1] AS w2, count(*) AS c2
+        |  FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
+        |  CAST((c2 * n_tokens * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_ppm
+        |FROM bg
+        |JOIN uni a ON bg.w1 = a.w
+        |JOIN uni b ON bg.w2 = b.w, n
+        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20""".stripMargin
   )
 }

@@ -160,6 +160,7 @@ class PlanSpec extends AnyFunSuite {
       "search_percolate", // 4-row stored-query broadcast
       "llm_length_trim", // 1-row total-count broadcast
       "llm_keyword_extract", // 1-row corpus-size broadcast
+      "llm_collocations_pmi", // 1-row token-count broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
