@@ -318,6 +318,7 @@ class IndexStore(spark: SparkSession, root: String) {
     * flat, picked up on the next call.
     */
   private def migrateLegacySnapshots(indexName: String): Unit = {
+    if (!fs.exists(new Path(root))) return // fresh store: nothing to migrate
     val prefix = s".snap_${indexName.toLowerCase}_"
     val tail = "^s\\d+$".r
     fs.listStatus(new Path(root)).map(_.getPath)

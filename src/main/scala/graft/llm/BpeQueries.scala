@@ -50,6 +50,21 @@ object BpeQueries {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
+  /** Adjacent-symbol pairs as (l, r) structs — the trainer's form.
+    * The argmax tie-break must order on the TUPLE, not the
+    * space-joined string: symbols may contain characters below
+    * 0x20 that sort before the delimiter space, so ("a", x) vs
+    * ("a", y) order differently under the two schemes.
+    */
+  private[graft] def adjacentPairsLR(seg: Column): Column = {
+    val syms = split(trim(seg), " ")
+    when(size(syms) >= 2,
+      transform(sequence(lit(1), size(syms) - 1),
+        i => struct(element_at(syms, i).as("l"), element_at(syms, i + 1).as("r"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("l", StringType), StructField("r", StringType))))))
+  }
+
   /** One learned merge: rank, the two symbols, the merged symbol, and
     * the weighted pair count that won the argmax.
     */
@@ -99,13 +114,14 @@ object BpeQueries {
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     for (rank <- 1 to k) {
       val top = words
-        .select(col("freq"), explode(adjacentPairs(col("seg"))).as("pair"))
-        .groupBy(col("pair")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair"))
+        .select(col("freq"), explode(adjacentPairsLR(col("seg"))).as("pr"))
+        .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
         .limit(1).collect()
       if (top.nonEmpty) {
-        val Array(a, b) = top(0).getString(0).split(" ", 2)
-        merges += Merge(rank, a, b, a + b, top(0).getLong(1))
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += Merge(rank, a, b, a + b, top(0).getLong(2))
         words = words.withColumn("seg",
           concat(lit(" "),
             array_join(mergePair(split(trim(col("seg")), " "), a, b), " "),
@@ -133,10 +149,11 @@ object BpeQueries {
 
   private[graft] def materializedBpe(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    // v2: merge application moved from string replace to the greedy
-    // mergePair fold (back-to-back pair occurrences) — the artifact
-    // must rebuild even on an unchanged corpus.
-    val fp = s"bpe_v2:k=$NMerges:" +
+    // v3: argmax tie-break moved from the space-joined pair string to
+    // the (left, right) tuple (symbols may contain chars < 0x20 that
+    // sort below the delimiter) — the artifact must rebuild even on an
+    // unchanged corpus.
+    val fp = s"bpe_v3:k=$NMerges:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
     if (!store.artifactFingerprint(MergesName).contains(fp) ||
         !store.artifactFingerprint(WordsName).contains(fp)) {
@@ -164,10 +181,13 @@ object BpeQueries {
 
     // The full trainer: the first 12 learned merges with their
     // winning counts, served from the per-ingest artifact. The loop
-    // is not single-SQL-expressible (each iteration's argmax feeds
-    // the next iteration's segmentation), so the gate check is
-    // rows-only; LlmSpec proves the trainer equals a sequential
-    // reference BPE bit-for-bit on a known corpus.
+    // is not SINGLE-statement-SQL-expressible (each iteration's
+    // argmax feeds the next iteration's segmentation), but the
+    // trainer is deterministic exact-integer arithmetic with a lex
+    // tuple tie-break — so the 12 iterations unroll into 12 CTE
+    // levels ([[bpeChainSql]]) and the whole chain hash-checks
+    // against DuckDB. LlmSpec additionally proves the trainer equals
+    // a sequential reference BPE bit-for-bit on a known corpus.
     "llm_bpe_train" -> ((s, dir) => {
       materializedBpe(s, dir)._1.orderBy(col("merge_rank"))
     }),
@@ -217,6 +237,44 @@ object BpeQueries {
     })
   )
 
+  /** The trainer's k iterations unrolled as DuckDB CTE levels: per
+    * level, a 1-row argmax CTE (cnt DESC, l, r — the tuple tie-break)
+    * and the greedy merge application as a `list_reduce` fold. The
+    * fold carries the space-joined merged-so-far string; "pending
+    * symbol == l" is exactly "acc ends with ' '||l (or is l)" since
+    * symbols never contain spaces, and a freshly merged token l||r can
+    * never satisfy it (r is non-empty), which reproduces mergePair's
+    * restart-after-merge greedy semantics. `AS MATERIALIZED` is
+    * load-bearing: DuckDB 1.0 inlines single-referenced CTEs, and the
+    * chain references each level twice — inlined, the plan is 2^k
+    * scans.
+    */
+  private def bpeChainSql(k: Int): String = {
+    val base =
+      """WITH w0 AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        |    FROM documents)
+        |  WHERE len(word) > 0 GROUP BY 1),
+        |s0 AS MATERIALIZED (
+        |  SELECT word, freq, regexp_split_to_array(word, '') AS syms FROM w0)""".stripMargin
+    val iters = (1 to k).map { n =>
+      s"""m$n AS MATERIALIZED (
+         |  SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+         |    SELECT syms[i] AS l, syms[i+1] AS r, freq
+         |    FROM s${n - 1}, unnest(generate_series(1, len(syms) - 1)) AS u(i)
+         |    WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |s$n AS MATERIALIZED (
+         |  SELECT word, freq,
+         |    str_split(list_reduce(syms, (acc, x) -> CASE
+         |      WHEN x = mr AND (acc = ml OR ends_with(acc, ' ' || ml))
+         |      THEN acc || x ELSE acc || ' ' || x END), ' ') AS syms
+         |  FROM s${n - 1}, (SELECT l AS ml, r AS mr FROM m$n) m)""".stripMargin
+    }
+    (base +: iters).mkString(",\n")
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_bpe_pair_counts" ->
       """WITH w AS (
@@ -231,6 +289,34 @@ object BpeQueries {
         |  WHERE len(ch) >= 2)
         |SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt
         |FROM p GROUP BY 1
-        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin,
+
+    "llm_bpe_train" ->
+      (bpeChainSql(NMerges) + "\n" +
+        (1 to NMerges).map { n =>
+          s"""SELECT $n AS merge_rank, l AS "left", r AS "right", l || r AS merged, cnt AS pair_count FROM m$n"""
+        }.mkString("\nUNION ALL ") +
+        "\nORDER BY merge_rank"),
+
+    "llm_bpe_encode" ->
+      (bpeChainSql(NMerges) +
+        s""",
+           |sym AS (SELECT unnest(syms) AS symbol, freq FROM s$NMerges),
+           |vocab AS (
+           |  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) - 1 AS BIGINT) AS token_id
+           |  FROM (SELECT DISTINCT symbol FROM sym))
+           |SELECT v.token_id, s.symbol, CAST(sum(s.freq) AS BIGINT) AS n_occurrences
+           |FROM sym s JOIN vocab v USING (symbol)
+           |GROUP BY 1, 2 ORDER BY n_occurrences DESC, token_id LIMIT 20""".stripMargin),
+
+    "llm_bpe_segment" ->
+      (bpeChainSql(NMerges) +
+        s"""
+           |SELECT CAST(sum(freq) AS BIGINT) AS total_words,
+           |       CAST(sum(len(word) * freq) AS BIGINT) AS total_symbols_before,
+           |       CAST(sum(len(syms) * freq) AS BIGINT) AS total_tokens_after,
+           |       round(CAST(sum(len(word) * freq) AS DOUBLE) /
+           |             CAST(sum(len(syms) * freq) AS DOUBLE), 6) AS compression
+           |FROM s$NMerges""".stripMargin)
   )
 }

@@ -154,11 +154,15 @@ object TextQueries {
     // documents is boilerplate (headers, licence blurbs, templated
     // snippets — at corpus scale no organic 3-gram repeats across
     // unrelated docs). Per-doc output: how much of the doc is made of
-    // corpus-common material. Shape: ONE exploded distinct-gram
-    // projection (localCheckpoint — feeds both the corpus-df agg and
-    // the per-doc probe, computed once), gram-df aggregation, then an
-    // equi-join back on the gram — linear in corpus size, never
-    // doc×doc; AQE broadcasts the boilerplate side when it is small.
+    // corpus-common material. Shape: the exploded distinct-gram
+    // projection feeds both the corpus-df agg and the per-doc probe
+    // and is RECOMPUTED per consumer — deliberately: the (doc, gram)
+    // frame is ~50× the corpus, and materializing it (cache /
+    // localCheckpoint at replication 1) at 100 TB is petabytes of
+    // unreplicated executor disk where one lost executor kills the
+    // job. Two scans of a columnar source are the cheap path. Both
+    // aggregations are linear in corpus size, never doc×doc; AQE
+    // broadcasts the boilerplate side when it is small.
     "llm_boilerplate_ngrams" -> ((s, dir) => {
       val t = toks(col("text"))
       val grams = when(size(t) >= 3,
@@ -167,7 +171,6 @@ object TextQueries {
         .otherwise(array().cast(ArrayType(StringType)))
       val docGrams = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), explode(grams).as("g"))
-        .localCheckpoint()
       val boiler = docGrams.groupBy(col("g"))
         .agg(count(lit(1)).as("df"))
         .filter(col("df") >= 5)
@@ -187,12 +190,17 @@ object TextQueries {
     // more_like_this's ⌊10⁴/df⌋): quantize each conditional
     // probability to q = (c₂+1)·10⁹ DIV (c₁+V) — integer division of
     // exact integer counts — so the per-doc Σq is exact and the only
-    // float op is one final division, rounded. Shape: one bigram
-    // explode (localCheckpoint — feeds counts AND probe), two equi-
-    // join probes against the count tables (bigram counts c₂, prefix
-    // counts c₁ = Σ_w₂ c₂), one per-doc agg — every stage linear in
-    // corpus size, the LM tables shuffle-partitioned by their key at
-    // 100 TB exactly like any dimension join.
+    // float op is one final division, rounded. Shape: the bigram
+    // explode feeds the two count tables AND the probe and is
+    // RECOMPUTED per consumer — the exploded (doc, bigram) frame is
+    // corpus-sized×expansion, so materializing it (replication-1
+    // localCheckpoint) at 100 TB is petabytes of executor-local disk
+    // with no recompute path on executor loss; extra columnar scans
+    // are the scale-safe trade. Then two equi-join probes against the
+    // count tables (bigram counts c₂, prefix counts c₁ = Σ_w₂ c₂) and
+    // one per-doc agg — every stage linear in corpus size, the LM
+    // tables shuffle-partitioned by their key at 100 TB exactly like
+    // any dimension join.
     "llm_ngram_lm_quality" -> ((s, dir) => {
       val t = toks(col("text"))
       val bigrams = when(size(t) >= 2,
@@ -203,7 +211,6 @@ object TextQueries {
         .select(col("doc_id"),
           explode(bigrams).as("g"))
         .withColumn("w1", split(col("g"), " ").getItem(0))
-        .localCheckpoint()
       val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
       val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
       val vocab = c1.agg(count(lit(1))).head.getLong(0)
@@ -259,9 +266,9 @@ object TextQueries {
     // merge-into-one-token decisions in vocabulary construction
     // (word2vec's phrase pass, SentencePiece seeding). PMI's monotone
     // core P(ab)/(P(a)P(b)) = c₂·N/(c₁ₐ·c₁ᵦ) is ranked in exact
-    // integer arithmetic (×10⁶ DIV — no log needed for ordering; the
-    // product stays < 2⁶³ up to ~10⁹-token corpora, past which the
-    // same expression moves to DECIMAL(38)). Two vocabulary-shaped
+    // integer arithmetic (×10⁶ integral divide — no log needed for
+    // ordering) carried in DECIMAL(38,0): see [[PmiExpr]]. Two
+    // vocabulary-shaped
     // aggregations (bigram + unigram counts) joined on the words —
     // shuffle joins, never broadcast, because a 100 TB vocabulary
     // isn't; min-support c₂ ≥ 5 prunes the hapax tail before the
@@ -285,13 +292,25 @@ object TextQueries {
         .join(uni.select(col("w").as("w1"), col("c1").as("c1a")), "w1")
         .join(uni.select(col("w").as("w2"), col("c1").as("c1b")), "w2")
         .crossJoin(broadcast(n))
-        .withColumn("pmi_ppm",
-          expr("(c2 * n_tokens * 1000000) DIV (c1a * c1b)"))
+        .withColumn("pmi_ppm", expr(PmiExpr))
         .select(col("w1"), col("w2"), col("c2"), col("pmi_ppm"))
         .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
         .limit(20)
     })
   )
+
+  /** PMI's exact-integer ranking core. The naive int64 form
+    * `c2 * n_tokens * 1000000` wraps at ~10⁹ corpus tokens (a 100 TB
+    * corpus is ~10¹³: under ANSI the query dies, without it the
+    * ranking is silent garbage), so the products are carried in
+    * DECIMAL(38,0) — worst case c2·N·10⁶ ≈ 10³² fits — and the
+    * integral divide of decimals lands back in BIGINT (the quotient is
+    * bounded by N·10⁶ / min_support < 2⁶³). The DuckDB twin rides
+    * HUGEINT (int128) to the same exact quotient; LlmSpec proves both
+    * forms against BigInt at counts where int64 wraps.
+    */
+  private[graft] val PmiExpr =
+    "(CAST(c2 AS DECIMAL(38,0)) * n_tokens * 1000000) DIV (CAST(c1a AS DECIMAL(38,0)) * c1b)"
 
   private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
   private def hitsSql(words: Seq[String]): String =
@@ -422,7 +441,8 @@ object TextQueries {
         |  FROM t, unnest(generate_series(1, greatest(len(tk) - 1, 0))) AS g(i)
         |  GROUP BY 1, 2 HAVING count(*) >= 5)
         |SELECT w1, w2, CAST(c2 AS BIGINT) AS c2,
-        |  CAST((c2 * n_tokens * 1000000) // (a.c1 * b.c1) AS BIGINT) AS pmi_ppm
+        |  CAST(CAST(c2 AS HUGEINT) * n_tokens * 1000000
+        |       // (CAST(a.c1 AS HUGEINT) * b.c1) AS BIGINT) AS pmi_ppm
         |FROM bg
         |JOIN uni a ON bg.w1 = a.w
         |JOIN uni b ON bg.w2 = b.w, n

@@ -151,28 +151,24 @@ object AdvancedQueries {
     // corpus (the same reason `count(*)` on a warehouse table is
     // instant). Timestamp min/max is deliberately absent (parquet
     // timestamp stats are not pushable; including one silently
-    // disables the whole pushdown). The v1/v2 source conf is restored
-    // after the plan materializes under v2 — bucketed reads elsewhere
-    // need the v1 path; PlanSpec asserts the pushed plan.
+    // disables the whole pushdown). The v2-source confs are set on a
+    // CLONED session (`newSession`: same SparkContext and cache, own
+    // SQLConf) — bucketed reads elsewhere need the v1 path, and a
+    // session-global set/restore window would silently flip any query
+    // planned concurrently on the shared session (the FAIR-pool
+    // bulkImportAll pattern); PlanSpec asserts the pushed plan.
     "rel_agg_pushdown" -> ((s, dir) => {
-      val v1Prev = s.conf.get("spark.sql.sources.useV1SourceList")
-      val pushPrev = s.conf.get("spark.sql.parquet.aggregatePushdown")
-      try {
-        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-        s.conf.set("spark.sql.sources.useV1SourceList",
-          v1Prev.split(",").filterNot(_ == "parquet").mkString(","))
-        val df = s.read.parquet(s"$dir/lineitem.parquet")
-          .agg(count(lit(1)).as("n_rows"),
-            min(col("l_orderkey")).as("min_orderkey"),
-            max(col("l_orderkey")).as("max_orderkey"),
-            min(col("l_quantity")).as("min_qty"),
-            max(col("l_quantity")).as("max_qty"))
-        df.queryExecution.executedPlan // plan NOW, under the v2 confs
-        df
-      } finally {
-        s.conf.set("spark.sql.sources.useV1SourceList", v1Prev)
-        s.conf.set("spark.sql.parquet.aggregatePushdown", pushPrev)
-      }
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      s2.conf.set("spark.sql.sources.useV1SourceList",
+        s2.conf.get("spark.sql.sources.useV1SourceList")
+          .split(",").filterNot(_ == "parquet").mkString(","))
+      s2.read.parquet(s"$dir/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_orderkey"),
+          max(col("l_orderkey")).as("max_orderkey"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"))
     })
   )
 

@@ -540,6 +540,11 @@ object SearchQueries {
       val terms = QueryString.boostedTerms(node)
         .map { case (f, t, w) => (f.getOrElse("text"), t, w) }
       val fields = terms.map(_._1).distinct
+      // Reported length column = the FIRST term's field, not a
+      // hardcoded text: a query string fielded entirely to lang:/
+      // source: must not reference a never-computed text-length
+      // column.
+      val primaryField = terms.head._1
       def tfCol(f: String, t: String) = s"tf_${f}_$t"
       val base = fields.foldLeft(Tables(s, dir, "documents")) {
         case (d, f) => d.withColumn(s"n_toks_$f", size(tokens(col(f))))
@@ -563,7 +568,7 @@ object SearchQueries {
             .reduce(_ + _), 6))
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))
-        .select(col("doc_id"), col("n_toks_text").as("n_tokens"), col("score"))
+        .select(col("doc_id"), col(s"n_toks_$primaryField").as("n_tokens"), col("score"))
         .limit(10)
     }),
 
@@ -793,12 +798,15 @@ object SearchQueries {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
-        // Eager local checkpoint (not persist): feeds docfreq, the
-        // source terms, and the probe scan — computed once, and freed
-        // by the ContextCleaner when the result frame is dropped (a
-        // cache entry would outlive the query: callers can't unpersist
-        // what they never see).
-        .localCheckpoint(true)
+      // The postings frame feeds docfreq, the source terms, and the
+      // probe scan, and is RECOMPUTED per consumer: it is corpus-
+      // content-sized (every distinct term of every doc), so a
+      // replication-1 localCheckpoint at 100 TB is unreplicated
+      // executor disk at corpus scale with no recompute path on
+      // executor loss. Re-running the scan+agg is the scale-safe
+      // trade; the serving path for repeated MLT queries is the
+      // materialized postings artifact (search_topk_bm25_indexed),
+      // not an in-query cache.
       val docfreq = postings.groupBy(col("term"))
         .agg(count(lit(1)).as("docfreq"))
       val src = postings.filter(col("doc_id") === srcId)

@@ -156,6 +156,15 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listSnapshots("docs") == Seq(snap, snap2))
   }
 
+  test("listSnapshots on a fresh store (root dir absent) is empty, not an error") {
+    // Nothing imported yet → the store root doesn't exist on disk; the
+    // legacy-layout migration sweep must not listStatus a missing root.
+    val root = java.nio.file.Files.createTempDirectory("graft_idx").toString + "/never_written"
+    val store = new etl.IndexStore(spark, root)
+    assert(store.listSnapshots("docs").isEmpty)
+    intercept[IllegalArgumentException](store.restore("docs", "s1"))
+  }
+
   test("snapshot namespace: underscore-overlapping index names don't collide") {
     import spark.implicits._
     val store = newStore

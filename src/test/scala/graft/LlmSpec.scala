@@ -233,6 +233,32 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("PMI decimal arithmetic is exact where int64 products wrap") {
+    import spark.implicits._
+    // Adversarial counts: c2·N·10⁶ far past 2⁶³ (the 100 TB regime —
+    // N ~ 10¹³ tokens, head words with ~10⁹ occurrences), plus
+    // boundary and small-count sanity cases. The DECIMAL(38,0) form
+    // must equal BigInt reference division exactly; the legacy int64
+    // form provably wraps on the large cases (guards against a
+    // refactor quietly reverting the cast).
+    val cases = Seq(
+      (5L, 5L, 5L, 5L),
+      (5L, 10000000000000L, 5L, 5L),                       // quotient 2e18, near Long.Max
+      (Int.MaxValue.toLong, 10000000000000L, Int.MaxValue.toLong, 5L),
+      (3000000000L, 10000000000000L, 3000000000L, 2999999999L),
+      (1L << 40, 1L << 43, 1L << 41, 1L << 31))
+    val got = cases.toDF("c2", "n_tokens", "c1a", "c1b")
+      .selectExpr(s"${llm.TextQueries.PmiExpr} AS pmi")
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (c2, n, a, b) =>
+      ((BigInt(c2) * BigInt(n) * 1000000) / (BigInt(a) * BigInt(b))).toLong }
+    assert(got == want, s"got=$got want=$want")
+    // The int64 products genuinely wrap on the adversarial rows — the
+    // decimal carry is load-bearing, not belt-and-braces.
+    assert(cases.drop(2).exists { case (c2, n, _, _) =>
+      BigInt(c2) * BigInt(n) * 1000000 > BigInt(Long.MaxValue) })
+  }
+
   test("distributed BPE trainer equals the sequential reference merge-for-merge") {
     import spark.implicits._
     // Sequential reference BPE (Sennrich et al.): word-type freqs,

@@ -174,6 +174,36 @@ class PlanSpec extends AnyFunSuite {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("localCheckpoint call sites stay in the documented bounded set") {
+    // Scale invariant, enforced at the source level: localCheckpoint
+    // materializes at replication 1 to executor-local disk AND
+    // truncates lineage — for a corpus-sized (or content-exploded)
+    // frame at 100 TB that is petabytes of unreplicated disk with no
+    // recompute path when an executor dies. Only frames bounded by
+    // something much smaller than the corpus may checkpoint. Growing
+    // this map requires the same justification as a BNLJ exception
+    // above.
+    val allowed = Map(
+      "relational/PrefixSum.scala" -> 1,      // O(numPartitions) subtotal frame
+      "llm/SimilarityQueries.scala" -> 1,     // KMeans cell-stats table, O(cells)
+      "llm/BpeQueries.scala" -> 1,            // word-TYPE table, vocabulary-bounded
+      "llm/CorpusQueries.scala" -> 3)         // CC labels ×2 (two longs per doc id) +
+                                              // sparse pair-graph edges; iterative
+                                              // lineage truncation is load-bearing there
+    val root = java.nio.file.Paths.get("src/main/scala/graft")
+    val call = "\\.localCheckpoint\\(".r
+    val found = scala.collection.mutable.Map.empty[String, Int]
+    java.nio.file.Files.walk(root).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val n = call.findAllIn(
+          new String(java.nio.file.Files.readAllBytes(p), "UTF-8")).size
+        if (n > 0) found(root.relativize(p).toString) = n
+      }
+    }
+    assert(found.toMap == allowed,
+      s"localCheckpoint sites drifted: found=${found.toMap} allowed=$allowed")
+  }
+
   test("rel_q1_pricing_summary runs inside whole-stage codegen") {
     val df = SparkEntry.queries("rel_q1_pricing_summary")(spark, sf)
     df.collect() // finalize the adaptive plan
