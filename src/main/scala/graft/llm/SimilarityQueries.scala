@@ -383,10 +383,16 @@ object SimilarityQueries {
     // pairwise cosine ~0.5); a real near-dup corpus runs the same
     // operator at 0.9+, where blocking recall is also far higher.
     // Sampled-quantizer output -> rows-only check + recall spec.
+    // No persist on the embeddings frame here (or in any ANN query):
+    // the driver-side artifacts (row count, capped training sample,
+    // query vector) are each ONE bounded action over the columnar
+    // source, and a query-path cache entry is never released — a
+    // library caller would leak one per call (CacheSpec asserts the
+    // cache manager stays empty). At 100 TB caching the full corpus
+    // frame to serve three bounded actions is the wrong trade anyway.
     "llm_dedup_embedding_cosine" -> ((s, dir) => {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .select(col("vec_id"), col("emb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k = math.min(MaxTrainSample / 8L, math.max(4L, e.count() / 2000L)).toInt
       val cb = typedlit(trainCentroids(e, k))
       // Each vector lands in its 3 nearest cells — the recall/cost
@@ -476,7 +482,6 @@ object SimilarityQueries {
       val nList = 16
       val nProbe = 4
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val centroids = trainCentroids(e, nList)
       val cb = typedlit(centroids)
       // Query's nProbe nearest cells — driver arithmetic over the
@@ -523,7 +528,6 @@ object SimilarityQueries {
       // forCompute: the encode+score scan is per-row compute over a
       // byte-small file — without the repartition it single-threads.
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Codebook training: PQ quantizers train on a BOUNDED sample by
       // design (MaxTrainSample vectors regardless of corpus size), so
       // the sample — selected by content-hash rank, no global sort —
@@ -593,7 +597,6 @@ object SimilarityQueries {
     // Seeded-model output -> rows-only check + Recall overlap@10.
     "llm_ann_sq8_topk" -> ((s, dir) => {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sample = sampleVectors(e)
       val dim = sample.head.length
       val vmin = (0 until dim).map(j => sample.map(_(j)).min)
@@ -649,7 +652,6 @@ object SimilarityQueries {
     "llm_ann_ivfpq_topk" -> ((s, dir) => {
       val nProbe = 4
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
       val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
       val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)

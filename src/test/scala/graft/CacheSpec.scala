@@ -1,0 +1,37 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Library-hygiene contract: no registered query leaks a cache entry.
+  *
+  * A `.persist` inside a query path is invisible to the caller — the
+  * returned frame gives them nothing to unpersist, so every invocation
+  * leaks one cache entry for the life of the session (Verify/Bench
+  * used to paper over this with `clearCache()`). The similarity/dedup
+  * family is the historical offender (five persisted embeddings
+  * frames); this spec pins the fixed behavior for the whole family,
+  * plus the artifact-building ingest paths which are allowed to
+  * persist DURING the build but must release before returning.
+  */
+class CacheSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val family = Seq(
+    "llm_dedup_embedding_cosine",
+    "llm_semdedup",
+    "llm_ann_ivf_topk",
+    "llm_ann_pq_topk",
+    "llm_ann_sq8_topk",
+    "llm_ann_ivfpq_topk",
+    "llm_ann_indexed_topk",
+    "llm_cosine_topk")
+
+  test("similarity/dedup queries leave the cache manager empty after materializing") {
+    spark.sharedState.cacheManager.clearCache()
+    for (name <- family) {
+      SparkEntry.queries(name)(spark, sf).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name left a cache entry behind — a library caller can never release it")
+    }
+  }
+}
