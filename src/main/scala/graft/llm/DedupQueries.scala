@@ -204,6 +204,15 @@ object DedupQueries {
     */
   val MinSharedFps = 30
 
+  /** Exact-substring dedup knobs: report verbatim shared spans of at
+    * least SpanK chars (the Lee et al. 2022 50-token idea at char
+    * granularity — the fixture's spans are char-verbatim); anchor
+    * grams present in more than MaxSpanGramDf distinct docs are
+    * boilerplate and never pair.
+    */
+  val SpanK = 50
+  val MaxSpanGramDf = 20
+
   private val pow31: IndexedSeq[Long] =
     (0 until WinnowK).scanLeft(1L)((acc, _) => acc * 31L).toIndexedSeq
 
@@ -264,6 +273,62 @@ object DedupQueries {
         .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
         .agg(count(lit(1)).as("shared_fps"))
         .filter(col("shared_fps") >= MinSharedFps)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    // Data Makes Language Models Better", arXiv:2107.06499): find doc
+    // pairs sharing a VERBATIM substring of >= SpanK chars and report
+    // the maximal shared spans — the exact-span complement of the
+    // winnowing SAMPLER above (winnow tells you "these docs share
+    // material"; this op tells you exactly how much, for span-level
+    // cutting). The distributed shape is anchor + diagonal extension,
+    // the MapReduce-able equivalent of the paper's suffix array:
+    //  1. every k-char gram keyed by md5 (16 bytes — the shuffle
+    //     carries fixed-width keys, never 50-char strings),
+    //  2. df-capped (> MaxSpanGramDf distinct docs = boilerplate,
+    //     dropped before any pairing — the same hot-key guard as every
+    //     pair finder here, keeping the join linear, never corpus²),
+    //  3. anchor equi-join on the gram key,
+    //  4. runs of consecutive anchors on a pair's alignment DIAGONAL
+    //     (pa − pb) merge into maximal spans via one gaps-and-islands
+    //     window: m consecutive anchors = a span of m + k − 1 chars.
+    // Every step is exact integer/string arithmetic -> hash-checked
+    // against DuckDB end to end (the rare pair finder where that
+    // holds, like llm_dedup_winnow). Recall vs the sampler: every
+    // substring pair with a span past winnow's detection floor is a
+    // winnow pair too (LlmSpec pins this), while spans near 50 chars
+    // fall below winnow's MinSharedFps=30 vote — the two operators
+    // are complements, not rivals.
+    "llm_dedup_substring" -> ((s, dir) => {
+      val k = SpanK
+      val posGrams = Tables.forCompute(s, dir, "documents")
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), length(col("text")) - (k - 1)),
+          i => struct(i.as("pos"), md5(col("text").substr(i, lit(k))).as("gh")))).as("g"))
+        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+      val hot = posGrams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("d"))
+        .filter(col("d") > MaxSpanGramDf)
+        .select(col("gh"))
+      // The gram frame feeds the df guard and both join sides —
+      // recomputed per consumer (content-exploded frame: never
+      // cached/checkpointed, same policy as the boilerplate/LM grams).
+      val g = posGrams.join(broadcast(hot), Seq("gh"), "left_anti")
+      val pairs = g.as("a").join(g.as("b"), Seq("gh"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"))
+      val diagW = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+        .orderBy(col("pa"))
+      pairs
+        .withColumn("diag", col("pa") - col("pb"))
+        .withColumn("island", col("pa") - row_number().over(diagW))
+        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+        .agg((count(lit(1)) + lit(k - 1)).as("span_len"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
@@ -448,6 +513,30 @@ object DedupQueries {
     // threshold — every step exact BIGINT arithmetic, so the pair set
     // hash-compares. (Each unicode() is cast to BIGINT FIRST: DuckDB
     // would otherwise keep int32 and overflow on the 31⁶ term.)
+    "llm_dedup_substring" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos, md5(substring(text, i, $SpanK)) AS gh
+         |  FROM documents, unnest(generate_series(1, len(text) - ${SpanK - 1})) AS u(i)
+         |  WHERE len(text) >= $SpanK),
+         |hot AS (
+         |  SELECT gh FROM (
+         |    SELECT gh, count(DISTINCT doc_id) AS d FROM g GROUP BY gh) t
+         |  WHERE d > $MaxSpanGramDf),
+         |gg AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM gg a JOIN gg b USING (gh) WHERE a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+         |  FROM p),
+         |spans AS (
+         |  SELECT doc_a, doc_b, diag, island, count(*) + ${SpanK - 1} AS span_len
+         |  FROM isl GROUP BY 1, 2, 3, 4)
+         |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+         |  CAST(max(span_len) AS BIGINT) AS max_span
+         |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "llm_dedup_winnow" ->
       s"""WITH docs8 AS (
          |  SELECT doc_id, lower(text) AS s, len(lower(text)) AS n

@@ -233,6 +233,57 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("exact-substring spans: verbatim, maximal, and covered by the winnow sampler") {
+    val spans = SparkEntry.queries("llm_dedup_substring")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(spans.nonEmpty, "fixture must contain exact shared spans")
+    assert(spans.values.forall(_ >= llm.DedupQueries.SpanK))
+    // Ground-truth check on the longest reported span: the claimed
+    // span must exist VERBATIM in both docs (the whole point of the
+    // exact operator vs the samplers).
+    val ((da, db), len) = spans.maxBy(_._2)
+    val texts = graft.Tables(spark, sf, "documents")
+      .filter(col("doc_id").isin(da, db))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val k = llm.DedupQueries.SpanK
+    val gramsA = (0 to texts(da).length - k).map(i => texts(da).substring(i, i + k))
+    val shared = gramsA.toSet.intersect(
+      (0 to texts(db).length - k).map(i => texts(db).substring(i, i + k)).toSet)
+    assert(shared.nonEmpty, s"pair ($da,$db): no verbatim $k-gram found")
+    // Longest true common substring of the pair (grown from shared
+    // grams) must equal the reported max_span.
+    def longestCommon: Int = {
+      val b = texts(db)
+      gramsA.indices.flatMap { i =>
+        if (shared.contains(texts(da).substring(i, i + k))) {
+          var j = b.indexOf(texts(da).substring(i, i + k))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+          while (j >= 0) {
+            var l = k
+            while (i + l < texts(da).length && j + l < b.length &&
+              texts(da)(i + l) == b(j + l)) l += 1
+            out += l
+            j = b.indexOf(texts(da).substring(i, i + k), j + 1)
+          }
+          out
+        } else Nil
+      }.max
+    }
+    assert(longestCommon == len.toInt,
+      s"pair ($da,$db): reported max_span $len != true longest common substring $longestCommon")
+    // Recall note vs the winnowing sampler: winnow votes with
+    // MinSharedFps=30 shared fingerprints at density ~2/(w+1), so any
+    // span comfortably past ~100 chars MUST also be a winnow pair —
+    // the exact op refines the sampler, it doesn't contradict it.
+    // (Spans near 50 chars legitimately fall below winnow's vote.)
+    val winnowPairs = SparkEntry.queries("llm_dedup_winnow")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val longPairs = spans.filter(_._2 >= 150).keySet
+    assert(longPairs.nonEmpty && longPairs.subsetOf(winnowPairs),
+      s"long-span pairs missing from winnow: ${longPairs.diff(winnowPairs)}")
+  }
+
   test("PMI decimal arithmetic is exact where int64 products wrap") {
     import spark.implicits._
     // Adversarial counts: c2·N·10⁶ far past 2⁶³ (the 100 TB regime —
