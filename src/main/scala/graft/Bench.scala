@@ -33,9 +33,28 @@ object Bench {
       case _ => None
     }
 
+  /** 1-minute load average from /proc, -1 where unavailable. Recorded
+    * at run start/end in the bench record: identical runs on this host
+    * have differed ±18% and a CPU-saturating co-process produces a
+    * uniform multi-× distortion across every query — a record that
+    * carries its own load context is self-evidently valid or not,
+    * instead of needing an after-the-fact re-run to adjudicate.
+    */
+  private def loadAvg(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cores = Runtime.getRuntime.availableProcessors()
+    val loadStart = loadAvg()
+    if (loadStart > 0.5 * cores)
+      System.err.println(f"[bench] WARNING: host 1-min load $loadStart%.1f exceeds " +
+        f"half of $cores cores at start — this record is contention-distorted; " +
+        "re-run on an idle host before comparing per-query numbers")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -267,12 +286,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalOp = results.map(_._2._2).filter(_ >= 0).sum
+    val loadEnd = loadAvg()
+    val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},"cores":$cores}"""
     // Two emissions: the full record (per-query op times + shuffle) goes
     // to a committed file; stdout gets a LEAN driver-contract line —
     // round 1's full line was truncated by the driver's stdout capture,
     // which zeroed the per-query record (`parsed: null`).
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"load":$loadJson,"sf":"$sfDir"}"""
     val lean =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"sf":"$sfDir"}"""
     // Subset runs are dev probes — don't clobber the committed full

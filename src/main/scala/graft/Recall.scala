@@ -144,6 +144,23 @@ object Recall {
         .cast(DoubleType) / col("exact_parts")).as("e"))
       .collect()(0).getDouble(0)
 
+    // Per-bucket cardinality facet: max relative error of the HLL
+    // sub-aggregation vs exact distinct, across buckets and both
+    // measured fields.
+    val cardApprox = SparkEntry.queries("search_facets_cardinality")(spark, sfDir)
+    val cardExact = Tables(spark, sfDir, "documents")
+      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(md5(col("text"))).as("exact_contents"),
+        countDistinct(col("source")).as("exact_sources"))
+    val cardErr = cardApprox.join(cardExact, "lang")
+      .select(max(greatest(
+        abs(col("approx_unique_contents") - col("exact_contents"))
+          .cast(DoubleType) / col("exact_contents"),
+        abs(col("approx_unique_sources") - col("exact_sources"))
+          .cast(DoubleType) / col("exact_sources"))).as("e"))
+      .collect()(0).getDouble(0)
+
     val json =
       s"""{
          |"sf":"$sfDir",
@@ -158,7 +175,8 @@ object Recall {
          |"llm_ann_sq8_topk":{"overlap_at_10":${(exactL2Top & sq8Top).size}},
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
-         |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}}
+         |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}},
+         |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)
     println(json)

@@ -246,6 +246,29 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Fuzzy match at ES fuzziness=2 with prefix_length=1 — the knob a
+    // user reaches for when distance 1 misses (ES AUTO resolves to
+    // distance 2 past 5 chars). prefix_length is what makes distance-2
+    // viable at scale: candidates must share the query's first char
+    // EXACTLY, so a cheap codegen'd prefix test prunes the token set
+    // before any edit-distance work (ES prunes its term dictionary the
+    // same way), and the banded 3-arg levenshtein (threshold = 2)
+    // early-exits instead of filling the full O(|s|·|t|) matrix.
+    // Output adds the best (minimum) distance per doc — the field ES
+    // exposes as the fuzzy match's score input.
+    "search_fuzzy_edit2" -> ((s, dir) => {
+      val q = "spork"
+      val matched = filter(array_distinct(tokens(col("text"))),
+        t => t.startsWith(q.substring(0, 1)) && levenshtein(t, lit(q), 2) >= 0)
+      Tables(s, dir, "documents")
+        .withColumn("n_fuzzy", size(matched))
+        .withColumn("min_dist",
+          array_min(transform(matched, t => levenshtein(t, lit(q)))))
+        .filter(col("n_fuzzy") > 0)
+        .select(col("doc_id"), col("n_fuzzy"), col("min_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Relevance-ranked top-k (the ES BM25 top-10 role): deterministic
     // tf-weighted score. tf(t) = exact token-equality count (not
     // substring), score = 3*tf(spark) + 2*tf(vector) + tf(join),
@@ -612,6 +635,26 @@ object SearchQueries {
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
+    // ES `cardinality` sub-aggregation inside a terms facet — the
+    // approx-distinct count a search UI shows per bucket ("1.2k unique
+    // sources"). HLL++ (rsd 0.02) is the 100 TB path exactly as in
+    // rel_approx_agg: a mergeable O(1)-per-bucket sketch through the
+    // partial+final agg, where exact distinct would shuffle every
+    // (bucket, value) pair. Two cardinalities per bucket: distinct
+    // content fingerprints (high-cardinality) and distinct sources
+    // (low-cardinality — HLL must stay exact-ish there too).
+    // Engine-specific sketch -> rows-only gate + ≤5% drift spec
+    // (LlmSpec) + RECALL entry.
+    "search_facets_cardinality" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "spark"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          approx_count_distinct(md5(col("text")), 0.02).as("approx_unique_contents"),
+          approx_count_distinct(col("source"), 0.02).as("approx_unique_sources"))
+        .orderBy(col("doc_count").desc, col("lang"))
+    }),
+
     // Date-histogram facet (ES date_histogram bucket agg — its
     // most-used bucket aggregation after `terms`): the hit set bucketed
     // by calendar day with a stats sub-agg. Same one-scan partial+final
@@ -896,6 +939,16 @@ object SearchQueries {
         |WHERE len(list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
         |                      t -> levenshtein(t, 'spork') <= 1)) > 0
         |ORDER BY doc_id""".stripMargin,
+    "search_fuzzy_edit2" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |      t -> starts_with(t, 's') AND levenshtein(t, 'spork') <= 2) AS mt
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(mt) AS INT) AS n_fuzzy,
+        |  CAST(list_min(list_transform(mt, t -> levenshtein(t, 'spork'))) AS INT) AS min_dist
+        |FROM m WHERE len(mt) > 0 ORDER BY doc_id""".stripMargin,
     "search_topk_relevance" ->
       """WITH scored AS (
         |  SELECT doc_id,

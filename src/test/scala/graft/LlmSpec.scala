@@ -115,6 +115,22 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isEmpty, "HLL(rsd=0.02) drifted >5% from exact distinct")
   }
 
+  test("cardinality facet lands within tolerance of exact per-bucket distincts") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("search_facets_cardinality")(spark, sf)
+    val exact = Tables(spark, sf, "documents")
+      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(md5(col("text"))).as("exact_contents"),
+        countDistinct(col("source")).as("exact_sources"))
+    val bad = approx.join(exact, "lang")
+      .filter(abs(col("approx_unique_contents") - col("exact_contents"))
+          > col("exact_contents") * 0.05 ||
+        abs(col("approx_unique_sources") - col("exact_sources"))
+          > col("exact_sources") * 0.05)
+    assert(bad.isEmpty, "per-bucket HLL(rsd=0.02) drifted >5% from exact distinct")
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("llm_dedup_exact")(spark, sf)
     assert(once.count() == once.dropDuplicates("content_fp").count())
