@@ -173,11 +173,14 @@ object SimilarityQueries {
     */
   private[graft] case class IvfPqModel(nList: Int, m: Int, subDim: Int, nCent: Int,
                                        coarse: Array[Array[Double]],
-                                       codebooks: Array[Array[Array[Double]]]) {
+                                       codebooks: Array[Array[Array[Double]]],
+                                       sub: Map[Int, Array[Array[Double]]] = Map.empty) {
 
     /** Text serialization for the artifact sidecar. `Double.toString`
       * round-trips exactly (shortest-repr contract), so a parsed model
-      * scores bit-identically to the trained one.
+      * scores bit-identically to the trained one. Level-2 codebooks
+      * (when present) append as `sub <c1> <k2>` sections — absent for
+      * a one-level model, so old sidecars parse unchanged.
       */
     def serialize: String = {
       val sb = new StringBuilder
@@ -185,6 +188,10 @@ object SimilarityQueries {
       coarse.foreach(c => sb.append(c.mkString(" ")).append('\n'))
       for (j <- 0 until m; c <- 0 until nCent)
         sb.append(codebooks(j)(c).mkString(" ")).append('\n')
+      for ((c1, cb2) <- sub.toSeq.sortBy(_._1)) {
+        sb.append(s"sub $c1 ${cb2.length}\n")
+        cb2.foreach(cent => sb.append(cent.mkString(" ")).append('\n'))
+      }
       sb.toString
     }
   }
@@ -198,7 +205,15 @@ object SimilarityQueries {
       val coarse = Array.tabulate(nList)(i => lines(1 + i).split(' ').map(_.toDouble))
       val codebooks = Array.tabulate(m, nCent)((j, c) =>
         lines(1 + nList + j * nCent + c).split(' ').map(_.toDouble))
-      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks)
+      var idx = 1 + nList + m * nCent
+      val sub = scala.collection.mutable.Map.empty[Int, Array[Array[Double]]]
+      while (idx < lines.length && lines(idx).startsWith("sub ")) {
+        val Array(_, c1s, k2s) = lines(idx).split(' ')
+        val k2 = k2s.toInt
+        sub(c1s.toInt) = Array.tabulate(k2)(c => lines(idx + 1 + c).split(' ').map(_.toDouble))
+        idx += 1 + k2
+      }
+      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks, sub.toMap)
     }
 
     /** Train on the bounded content-hash sample: coarse cells by Lloyd,
@@ -710,11 +725,32 @@ object SimilarityQueries {
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray
       val probed = probeCells(q, model.coarse, nProbe)
+      // Two-level layout: each probed level-1 cell expands to its
+      // composite partition values — a SPLIT cell contributes only the
+      // query's IdxSubProbe nearest sub-cells (driver arithmetic over
+      // the O(1) sidecar sub-codebook), so the pruning that used to
+      // stop at 1/nList of the corpus now prunes INSIDE oversized
+      // cells at directory granularity. ADC scoring is untouched:
+      // codes are level-1 residuals, the per-row table lookup just
+      // recovers c1 = cell DIV 4096.
+      val probedParts: Seq[Int] =
+        if (model.sub.isEmpty) probed
+        else probed.flatMap { c1 =>
+          model.sub.get(c1) match {
+            case None => Seq(c1 * 4096)
+            case Some(cb2) =>
+              probeCells(q, cb2, math.min(IdxSubProbe, cb2.length))
+                .map(c2 => c1 * 4096 + c2 + 1)
+          }
+        }
+      val rowC1 =
+        if (model.sub.isEmpty) col("cell")
+        else (col("cell") / 4096).cast(org.apache.spark.sql.types.IntegerType)
       val tables = typedlit(adcTablesPerCell(q, model, probed))
       val shortlist = idx
-        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+        .filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
+          round(adcScore(col("codes"), element_at(tables, rowC1 + 1), model.m), 9)
             .as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
         .limit(100)
@@ -818,17 +854,44 @@ object SimilarityQueries {
     * assignment + residual PQ codes. Used by the index build AND by
     * incremental maintenance (a streaming micro-batch encodes with the
     * index's sidecar model — never retrains; retraining is a rebuild).
+    *
+    * With a two-level model (`model.sub` non-empty) the emitted cell is
+    * the COMPOSITE id `c1·4096 + c2 + 1` (plain cells keep `c1·4096`):
+    * the ADC codes are still residuals against the LEVEL-1 centroid —
+    * level 2 refines only the partition LAYOUT, never the scoring — so
+    * a one- and two-level index carry identical codes and differ only
+    * in how finely the probe can prune directories.
     */
   private[graft] def encodeWithModel(e: DataFrame, model: IvfPqModel): DataFrame = {
     val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
     val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    e.withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
-      .withColumn("cell", argminCell(col("__cd"), model.nList))
+    val enc = e.withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+      .withColumn("c1", argminCell(col("__cd"), model.nList))
       .drop("__cd")
       .withColumn("res",
-        zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
+        zip_with(col("emb"), element_at(coarseLit, col("c1") + 1), (x, y) => x - y))
       .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
-      .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+    if (model.sub.isEmpty)
+      enc.select(col("vec_id"), col("label"), col("codes"), col("c1").as("cell"))
+    else {
+      val k2 = model.sub.head._2.length
+      val dim = model.coarse(0).length
+      val splitCells = model.sub.keys.toSeq.sorted
+      // One literal indexed by c1; unsplit cells carry a zero dummy
+      // that is never evaluated (CaseWhen branches evaluate lazily).
+      val cb2 = typedlit((0 until model.nList).map(c =>
+        model.sub.get(c).map(_.map(_.toSeq).toSeq)
+          .getOrElse(Seq.fill(k2)(Seq.fill(dim)(0.0)))))
+      enc
+        .withColumn("__cd2",
+          when(col("c1").isin(splitCells: _*),
+            cellDistances(col("emb"), element_at(cb2, col("c1") + 1), k2)))
+        .withColumn("cell",
+          when(col("c1").isin(splitCells: _*),
+            col("c1") * 4096 + argminCell(col("__cd2"), k2) + 1)
+            .otherwise(col("c1") * 4096))
+        .select(col("vec_id"), col("label"), col("codes"), col("cell"))
+    }
   }
 
   /** The vector index as a first-class warehouse artifact (same
@@ -842,14 +905,73 @@ object SimilarityQueries {
     * dictionary/bit-packing stores near the logical 8 bytes; a raw
     * binary column would pin it exactly), not the 256-byte vector.
     */
+  /** Serving-cell budget for the materialized index: a level-1 cell
+    * whose membership exceeds 4× this target gets a second-level
+    * codebook, so probe cost stays bounded per cell even though nList
+    * is a fixed model knob — at any corpus size past nList·4·target
+    * (the capped-quantizer regime: nList can't grow without retraining)
+    * EVERY cell crosses the bar and the whole layout goes composite.
+    * Without the split an "nProbe/nList of the corpus" probe silently
+    * degrades to reading corpus-sized directories.
+    */
+  private[graft] val IdxTargetCellSize = 100
+  private[graft] val IdxSubK = 16
+  /** Sub-cells probed per split level-1 cell — the second level's
+    * recall/cost dial. Measured at sf0.1 (composite layout active,
+    * 625-member cells split 16 ways): probing 8/16 sub-cells returns
+    * the IDENTICAL top-10 to scanning all 16 — the second level loses
+    * nothing on this corpus while halving the files read inside every
+    * probed cell. (The one neighbor the indexed query misses vs exact
+    * at sf0.1 — overlap@10 9 — falls outside the 4 probed LEVEL-1
+    * cells; that is the pre-existing nProbe dial, untouched here.)
+    */
+  private[graft] val IdxSubProbe = 8
+
+  /** Level-2 codebooks for every oversized level-1 cell, trained on a
+    * bounded per-cell content-hash sample — ALL cells sampled in ONE
+    * job (a window ranked per cell; the collect is bounded by
+    * max(MaxTrainSample, 8·k2·|oversized|) rows total), same policy as
+    * [[twoLevelCells]]. The level-1 assignment is recomputed for the
+    * size count and the sample (two bounded-output passes over the
+    * columnar source — never cached; same recompute policy as every
+    * query path here).
+    */
+  private def trainSubCodebooks(e: DataFrame, model: IvfPqModel): Map[Int, Array[Array[Double]]] = {
+    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    def l1 = e.select(col("vec_id"), col("emb"))
+      .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+      .withColumn("c1", argminCell(col("__cd"), model.nList))
+      .drop("__cd")
+    val sizes = l1.groupBy(col("c1")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val oversized = sizes.filter(_._2 > 4L * IdxTargetCellSize).keys.toSeq.sorted
+    if (oversized.isEmpty) return Map.empty
+    val perCellCap = math.max(8 * IdxSubK, MaxTrainSample / oversized.size)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("c1")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    val sampled = l1.filter(col("c1").isin(oversized: _*))
+      .withColumn("__rk", row_number().over(rankW))
+      .filter(col("__rk") <= perCellCap)
+      .select(col("c1"), col("vec_id"), col("emb"))
+      .collect()
+    sampled.groupBy(_.getInt(0)).map { case (c, rows) =>
+      c -> lloyd(rows.sortBy(_.getLong(1)).map(_.getSeq[Double](2).toArray),
+        IdxSubK, iters = 5)
+    }
+  }
+
   private[graft] def materializedVecIndex(s: SparkSession, dir: String): (DataFrame, IvfPqModel) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    val fp = "ivfpq_v1:nList=16:m=8:nCent=64:" +
+    // v2: two-level layout — oversized level-1 cells split into
+    // composite sub-cells (c1·4096 + c2 + 1) so the probe prunes at
+    // file granularity inside them too.
+    val fp = s"ivfpq_v2:nList=16:m=8:nCent=64:target=$IdxTargetCellSize:k2=$IdxSubK:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/embeddings.parquet")
     if (!store.artifactFingerprint(VecIndexName).contains(fp)) {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
+      val model0 = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
+      val model = model0.copy(sub = trainSubCodebooks(e, model0))
       val indexed = encodeWithModel(e, model)
       store.writeArtifact(indexed, VecIndexName, fp,
         partitionCols = Seq("cell"), sidecars = Map(ModelSidecar -> model.serialize))

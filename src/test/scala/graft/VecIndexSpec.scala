@@ -147,6 +147,63 @@ class VecIndexSpec extends AnyFunSuite {
       "replayed batch must upsert, not append")
   }
 
+  test("two-level layout: past the capped-quantizer regime probes prune inside cells") {
+    // 8000 genuinely-varied vectors at nList=16 is ~500 members per
+    // cell — past 4×IdxTargetCellSize, the capped-quantizer regime
+    // where the corpus outgrew the fixed coarse cell count (nList
+    // cannot grow without retraining every code). The build must give
+    // every oversized cell a level-2 codebook, lay the index out on
+    // composite cell ids, prune the probe on those composite values,
+    // and still serve the exact brute-force answer after the re-rank.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_2l").toString
+    spark.range(0, 8000)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (((col("id") * 37 + d * 11) % 101).cast("float") / lit(10.0f))).as("embedding"),
+        (col("id") % 3).cast("string").as("label"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (idx, model) = SimilarityQueries.materializedVecIndex(spark, dir)
+    assert(model.sub.nonEmpty, "oversized cells must get level-2 codebooks")
+    assert(idx.count() == 8000)
+    // Hive layout carries composite ids (c1·4096 [+ c2 + 1]).
+    val root = new java.io.File(
+      graft.etl.IndexStore.artifactRoot(dir), SimilarityQueries.VecIndexName)
+    def cellDirs(f: java.io.File): Seq[Long] =
+      if (!f.isDirectory) Nil
+      else f.listFiles().toSeq.flatMap(cellDirs) ++
+        f.listFiles().toSeq.filter(_.getName.startsWith("cell="))
+          .map(_.getName.stripPrefix("cell=").toLong)
+    val cells = cellDirs(root).distinct
+    // Composite space: unsplit cells sit at c1·4096 (c1=0 encodes to
+    // 0), split cells add c2+1 < 4096; every sub-cell id must belong
+    // to a level-1 cell that actually has a sub-codebook.
+    assert(cells.nonEmpty && cells.forall(c =>
+      c % 4096 == 0 || model.sub.contains((c / 4096).toInt)),
+      s"layout not composite: $cells")
+    assert(cells.exists(_ % 4096 != 0), s"no split sub-cells present: $cells")
+    // The probe reaches the scan as PartitionFilters on composite ids.
+    val df = SparkEntry.queries("llm_ann_indexed_topk")(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: ["))
+      .find(_.contains("cell"))
+    assert(pf.isDefined, s"no PartitionFilters on cell in:\n$plan")
+    // Served answer == exact brute-force L2 top-10 (same rounding and
+    // tie-break as the query).
+    val got = df.collect().map(_.getLong(0)).toSeq
+    val e = SimilarityQueries.embDouble(Tables(spark, dir, "embeddings"))
+    val exact = e.crossJoin(
+        broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(sqrt(
+          aggregate(zip_with(col("emb"), col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)), 6).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact,
+      s"two-level probe lost exactness: got=$got exact=$exact")
+  }
+
   test("model sidecar serialization round-trips bit-exactly") {
     val e = SimilarityQueries.embDouble(Tables(spark, sf, "embeddings"))
     val m = SimilarityQueries.IvfPqModel.train(e, nList = 4, m = 8, subDim = 8, nCent = 16)
