@@ -62,14 +62,14 @@ object DedupQueries {
   private def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
 
-  /** Near-dup pairs (Jaccard >= 0.2 on word-3-shingles) via the
-    * inverted-index self-join — the pair finder behind
-    * `llm_dedup_ngram_jaccard`, reused by the cluster/survivor stage
-    * ([[CorpusQueries]]). Columns: doc_a < doc_b, inter, union_sz
-    * (all integers — oracle-exact). Unordered; callers add their own
-    * presentation sort.
+  /** All co-shingle document pairs with their intersection size and
+    * per-doc shingle counts (doc_a < doc_b, inter, n_a, n_b — all
+    * integers). The shared pair finder behind BOTH similarity
+    * measures ([[jaccardPairs]], containment) — the expensive part
+    * (postings, df cap, in-list pair generation) is measure-agnostic;
+    * the measures differ only in the final integer predicate.
     */
-  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+  private def scoredPairs(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.forCompute(s, dir, "documents")
     // Inverted index as PER-SHINGLE POSTING LISTS: one groupBy shuffle
     // of the postings replaces the two-sided equi-self-join (which
@@ -111,9 +111,20 @@ object DedupQueries {
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), col("inter"),
-        (col("sa.n_shingles") + col("sb.n_shingles") - col("inter")).as("union_sz"))
-      .filter(col("inter") * 5 >= col("union_sz")) // jaccard >= 0.2
+        col("sa.n_shingles").as("n_a"), col("sb.n_shingles").as("n_b"))
   }
+
+  /** Near-dup pairs (Jaccard >= 0.2 on word-3-shingles) — the pair
+    * finder behind `llm_dedup_ngram_jaccard`, reused by the cluster/
+    * survivor stage ([[CorpusQueries]]). Columns: doc_a < doc_b,
+    * inter, union_sz (all integers — oracle-exact). Unordered;
+    * callers add their own presentation sort.
+    */
+  private[graft] def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    scoredPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 5 >= col("union_sz")) // jaccard >= 0.2
 
   /** The near-dup pair graph as a MATERIALIZED index: in a production
     * corpus the pair finder runs once per ingest, and every downstream
@@ -121,27 +132,50 @@ object DedupQueries {
     * pair report itself) reads the artifact — never re-derives it per
     * query. Staleness is a filesystem-metadata fingerprint of the
     * documents table (an ingest rewrites the files), checked in
-    * O(files); [[jaccardPairs]] stays the builder and its DuckDB twin
-    * ([[ngramPairsCtes]]) hash-checks the artifact CONTENT end to end,
-    * so the materialization path is itself oracle-verified.
+    * O(files). The artifact stores every pair passing EITHER measure
+    * (Jaccard >= 0.2 OR containment >= 0.8) with the raw integer
+    * evidence (inter, n_a, n_b) — ONE pair-finder pass per ingest
+    * serves both similarity views; each query filters its own
+    * predicate back out, and both views are oracle-checked end to end
+    * (the twins re-derive the same measures from scratch), so the
+    * materialization path is itself hash-verified.
     */
   private[graft] val PairIndexName = "neardup_pairs"
 
-  private[graft] def materializedPairs(s: SparkSession, dir: String): DataFrame = {
+  private def materializedScoredPairs(s: SparkSession, dir: String): DataFrame = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
     // Fingerprint = builder version + knobs + input-file metadata: a
     // code/knob change must invalidate the artifact exactly like an
     // ingest does (the warehouse outlives deployments).
-    val fp = s"jaccard_v1:df<=$MaxShingleDf:jac>=0.2:" +
+    val fp = s"pairs_v2:df<=$MaxShingleDf:jac>=0.2|cont>=0.8:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
-    store.readOrBuildArtifact(PairIndexName, fp)(jaccardPairs(s, dir))
+    store.readOrBuildArtifact(PairIndexName, fp)(
+      scoredPairs(s, dir).filter(
+        col("inter") * 5 >= col("n_a") + col("n_b") - col("inter") ||
+          col("inter") * 5 >= lit(4) * least(col("n_a"), col("n_b"))))
   }
+
+  /** Jaccard view of the pair artifact (doc_a, doc_b, inter, union_sz). */
+  private[graft] def materializedPairs(s: SparkSession, dir: String): DataFrame =
+    materializedScoredPairs(s, dir)
+      .select(col("doc_a"), col("doc_b"), col("inter"),
+        (col("n_a") + col("n_b") - col("inter")).as("union_sz"))
+      .filter(col("inter") * 5 >= col("union_sz"))
+
+  /** Containment view of the pair artifact (inter/min >= 0.8). */
+  private[graft] def materializedContainment(s: SparkSession, dir: String): DataFrame =
+    materializedScoredPairs(s, dir)
+      .filter(col("inter") * 5 >= lit(4) * least(col("n_a"), col("n_b")))
 
   /** Shared DuckDB CTE chain producing `good(doc_a, doc_b, inter,
     * union_sz)` — the SQL twin of [[jaccardPairs]], composed into both
     * the pair query's oracle and the recursive cluster oracle.
     */
-  private[graft] val ngramPairsCtes: String =
+  /** Shared DuckDB CTE prefix — shingling, df cap, pair intersection
+    * and per-doc sizes — mirrored from [[scoredPairs]]; each measure's
+    * twin appends its own integer predicate.
+    */
+  private[graft] val ngramBaseCtes: String =
     """t AS (
       |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
       |  FROM documents),
@@ -156,15 +190,19 @@ object DedupQueries {
       |pairs AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
       |  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
-      |good AS (
-      |  SELECT doc_a, doc_b, inter,
-      |         sa.n_shingles + sb.n_shingles - inter AS union_sz
-      |  FROM pairs
-      |  JOIN sizes sa ON doc_a = sa.doc_id
-      |  JOIN sizes sb ON doc_b = sb.doc_id
-      |  WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter)""".stripMargin
+      |  GROUP BY 1, 2)""".stripMargin
       .replace("<MAX_DF>", MaxShingleDf.toString) // single knob, both engines
+
+  private[graft] val ngramPairsCtes: String =
+    ngramBaseCtes +
+      """,
+        |good AS (
+        |  SELECT doc_a, doc_b, inter,
+        |         sa.n_shingles + sb.n_shingles - inter AS union_sz
+        |  FROM pairs
+        |  JOIN sizes sa ON doc_a = sa.doc_id
+        |  JOIN sizes sb ON doc_b = sb.doc_id
+        |  WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter)""".stripMargin
 
   /** 64-bit SimHash of a text column named `text`: for each bit b, sum
     * +1/-1 votes from every token's xxhash64 bit b; result bit b is set
@@ -354,6 +392,28 @@ object DedupQueries {
     // ingest) — its oracle therefore hash-checks the ARTIFACT content.
     "llm_dedup_ngram_jaccard" -> ((s, dir) =>
       materializedPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // CONTAINMENT dedup — the asymmetric measure Jaccard misses: a
+    // short document wholly embedded in a long one (quote, excerpt,
+    // concatenated shard) has tiny Jaccard (inter/union is diluted by
+    // the long doc) but containment inter/min(|A|,|B|) ≈ 1. The
+    // standard complement to Jaccard in corpus curation (Broder's
+    // containment, cf. Lee et al. 2022 §4). Same inverted-index pair
+    // finder, same df cap, same linear shuffle — only the final
+    // integer predicate differs: inter*5 >= 4*min (containment >=
+    // 0.8). The contained side is named: doc_small is the doc whose
+    // shingle set is (mostly) inside doc_big's. Served from the same
+    // materialized pair artifact as the Jaccard view — one pair-finder
+    // pass per ingest feeds both measures.
+    "llm_dedup_containment" -> ((s, dir) =>
+      materializedContainment(s, dir)
+        .select(
+          when(col("n_a") <= col("n_b"), col("doc_a")).otherwise(col("doc_b"))
+            .as("doc_small"),
+          when(col("n_a") <= col("n_b"), col("doc_b")).otherwise(col("doc_a"))
+            .as("doc_big"),
+          col("inter"), least(col("n_a"), col("n_b")).as("n_small"))
+        .orderBy(col("doc_small"), col("doc_big"))),
 
     // Incremental (batch-vs-corpus) near-dup dedup — the op a LIVE
     // 100 TB pipeline actually runs daily: admit a new batch only where
@@ -578,6 +638,21 @@ object DedupQueries {
       s"""WITH $ngramPairsCtes
          |SELECT doc_a, doc_b, inter, union_sz FROM good
          |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_containment" ->
+      s"""WITH $ngramBaseCtes,
+         |scored AS (
+         |  SELECT doc_a, doc_b, inter,
+         |         sa.n_shingles AS n_a, sb.n_shingles AS n_b
+         |  FROM pairs
+         |  JOIN sizes sa ON doc_a = sa.doc_id
+         |  JOIN sizes sb ON doc_b = sb.doc_id
+         |  WHERE inter * 5 >= 4 * least(sa.n_shingles, sb.n_shingles))
+         |SELECT
+         |  CASE WHEN n_a <= n_b THEN doc_a ELSE doc_b END AS doc_small,
+         |  CASE WHEN n_a <= n_b THEN doc_b ELSE doc_a END AS doc_big,
+         |  inter, least(n_a, n_b) AS n_small
+         |FROM scored
+         |ORDER BY doc_small, doc_big""".stripMargin,
     "llm_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w

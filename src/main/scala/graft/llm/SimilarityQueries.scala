@@ -314,6 +314,25 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // RANGE (radius) search — the vector-DB twin of top-k: ALL vectors
+    // with cosine >= threshold, not the nearest k. The right primitive
+    // when the answer set size is semantic (near-dup audit, recall-
+    // complete retrieval) rather than presentational. Cheaper than
+    // top-k at scale: a pure codegen'd filter after the broadcast —
+    // no global TakeOrdered, no shuffle at all until the presentation
+    // sort; output is bounded by selectivity, and with the IVF cell
+    // layout the same predicate prunes cells whose centroid similarity
+    // upper-bound falls below the threshold.
+    "llm_cosine_range" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      e.crossJoin(queryVec(e))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"),
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.25)
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+    }),
+
     // BATCHED cosine top-k — the retrieval workhorse shape (N query
     // vectors at once, per-query top-k): broadcast the query set, one
     // corpus scan scores all queries, per-query rank via row_number —
@@ -995,6 +1014,21 @@ object SimilarityQueries {
         |        9) AS cos_sim
         |FROM e, q WHERE vec_id <> 0
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_cosine_range" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(emb, qv)
+        |        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |        9) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0
+        |  AND round(list_dot_product(emb, qv)
+        |        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |        9) >= 0.25
+        |ORDER BY cos_sim DESC, vec_id""".stripMargin,
     "llm_cosine_topk_batch" ->
       """WITH e AS (
         |  SELECT vec_id, label,

@@ -34,6 +34,25 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
+    // Text normalization — the stage every corpus run applies BEFORE
+    // fingerprinting/dedup (casefold, control chars → space, whitespace
+    // runs collapsed, trimmed): normalization differences otherwise
+    // masquerade as content differences and deflate dedup recall.
+    // Pure per-row codegen'd string expressions — scan speed, zero
+    // shuffle beyond the presentation sort; at 100 TB this runs fused
+    // into the ingest scan. (Unicode NFKC would slot in here as a
+    // native expression; the fixture is ASCII so casefold+cntrl+ws IS
+    // the full normalization.)
+    "llm_normalize_text" -> ((s, dir) => {
+      val norm = trim(regexp_replace(
+        regexp_replace(lower(col("text")), "\\p{Cntrl}", " "),
+        "\\s+", " "))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), norm.as("norm_text"),
+          length(norm).cast(LongType).as("n_chars_norm"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus statistics per language/source cell: doc counts, exact
     // char/token sums (map-side partial agg → final), type-token info.
     "llm_text_stats" -> ((s, dir) => {
@@ -317,6 +336,13 @@ object TextQueries {
     s"len(list_filter($toksSql, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
 
   val oracleSql: Map[String, String] = Map(
+    "llm_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+        |                      '\s+', ' ', 'g')) AS norm_text,
+        |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
+        |                               '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "llm_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

@@ -691,6 +691,41 @@ object SearchQueries {
         .orderBy(col("bucket"))
     }),
 
+    // ES `histogram` aggregation — fixed-interval numeric buckets
+    // (interval=50 on n_chars), the length-distribution panel. The
+    // bucket key is arithmetic (floor-div × interval) — codegen'd, no
+    // CASE ladder, unbounded bucket space handled by the same
+    // partial+final agg as any groupBy; empty buckets absent (ES
+    // min_doc_count=1 semantics, so no driver-side densify).
+    "search_facets_histogram" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "data"))
+        .groupBy((expr("n_chars DIV 50") * 50).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .orderBy(col("bucket"))),
+
+    // ES `filters` aggregation + `global`/`missing` semantics — N named
+    // predicate buckets counted in ONE scan via conditional aggregation
+    // (count_if per bucket), not N scans: the named-segments dashboard
+    // row. At 100 TB this is the difference between one pass and one
+    // pass per segment; buckets may overlap (a doc can match several),
+    // which a groupBy-CASE cannot express. `everything` is the ES
+    // `global` bucket (ignores nothing here — hit-set = corpus);
+    // `other` is the unmatched remainder (ES other_bucket=true).
+    "search_facets_filters" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val isShort = col("n_chars") < 150
+      val isEn = col("lang") === "en"
+      val hasData = array_contains(tokens(col("text")), "data")
+      docs.agg(
+        count(lit(1)).as("everything"),
+        count_if(isShort).as("short_docs"),
+        count_if(isEn).as("english"),
+        count_if(hasData).as("mentions_data"),
+        count_if(!(isShort || isEn || hasData)).as("other"))
+    }),
+
     // ES composite aggregation — the keyset-paginated bucket iterator
     // (the ONLY ES agg designed to export ALL buckets of a large
     // cardinality space): buckets ordered by their composite key
@@ -1231,6 +1266,23 @@ object SearchQueries {
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_histogram" ->
+      """SELECT (n_chars // 50) * 50 AS bucket,
+        |  count(*) AS doc_count,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_filters" ->
+      """SELECT count(*) AS everything,
+        |  count(*) FILTER (n_chars < 150) AS short_docs,
+        |  count(*) FILTER (lang = 'en') AS english,
+        |  count(*) FILTER (list_contains(regexp_split_to_array(lower(text), '\s+'),
+        |                                 'data')) AS mentions_data,
+        |  count(*) FILTER (NOT (n_chars < 150 OR lang = 'en'
+        |    OR list_contains(regexp_split_to_array(lower(text), '\s+'),
+        |                     'data'))) AS other
+        |FROM documents""".stripMargin,
     "search_facets_composite" ->
       """SELECT lang, source, count(*) AS doc_count,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars

@@ -145,7 +145,7 @@ class PlanSpec extends AnyFunSuite {
     // the similarity queries).
     // Allowed: build side is a broadcast of O(1) rows (a single query
     // vector or a handful of KMeans centroids).
-    val bnljAllowed = Set("llm_cosine_topk", "llm_ann_ivf_topk",
+    val bnljAllowed = Set("llm_cosine_topk", "llm_cosine_range", "llm_ann_ivf_topk",
       "llm_ann_pq_topk", "llm_ann_sq8_topk", "llm_ann_ivfpq_topk", "llm_ann_indexed_topk", // 1-row query vector for the exact re-rank
       "llm_dedup_embedding_cosine",
       "llm_cosine_topk_batch", // 5-row query-set broadcast
