@@ -53,6 +53,42 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget truncation — clip every document to its first 32
+    // tokens (the context-window prep step before packing/batching;
+    // cf. `llm_pack_sequences` which packs the SURVIVING lengths).
+    // Per-row array slice + rejoin: codegen'd, shuffle-free, scan
+    // speed at 100 TB.
+    "llm_truncate_to_budget" -> ((s, dir) => {
+      val t = toks(col("text"))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(t).cast(LongType).as("n_toks"),
+        least(size(t), lit(32)).cast(LongType).as("n_kept"),
+        concat_ws(" ", slice(t, 1, 32)).as("trunc_text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Out-of-vocabulary rate per document against the corpus's own
+    // top-10 token vocabulary — the tokenizer-health metric that flags
+    // documents a fixed vocab would shred into rare pieces (cf. BPE
+    // fertility audits). Two passes: a bounded vocab agg (top-k by
+    // frequency, lexicographic tie-break — 10 rows however large the
+    // corpus), then one explode + broadcast-vocab probe + per-doc agg.
+    // The OOV rate is exact integer ppm — oracle-checkable.
+    "llm_oov_rate" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val tok = docs.select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+      val vocab = tok.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(10)
+        .select(col("tok").as("v_tok"))
+      tok.join(broadcast(vocab), col("tok") === col("v_tok"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"),
+          count_if(col("v_tok").isNull).as("n_oov"))
+        .withColumn("oov_ppm", expr("n_oov * 1000000 DIV n_toks"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Corpus statistics per language/source cell: doc counts, exact
     // char/token sums (map-side partial agg → final), type-token info.
     "llm_text_stats" -> ((s, dir) => {
@@ -343,6 +379,26 @@ object TextQueries {
         |  CAST(len(trim(regexp_replace(regexp_replace(lower(text), '[[:cntrl:]]', ' ', 'g'),
         |                               '\s+', ' ', 'g'))) AS BIGINT) AS n_chars_norm
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_truncate_to_budget" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_split_to_array(lower(text), '\s+')) AS BIGINT) AS n_toks,
+        |  CAST(least(len(regexp_split_to_array(lower(text), '\s+')), 32) AS BIGINT) AS n_kept,
+        |  array_to_string(regexp_split_to_array(lower(text), '\s+')[1:32], ' ') AS trunc_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_oov_rate" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(lower(text), '\s+')) AS tok
+        |  FROM documents),
+        |v AS (
+        |  SELECT tok FROM t GROUP BY tok
+        |  ORDER BY count(*) DESC, tok LIMIT 10)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_toks,
+        |  CAST(count(*) FILTER (tok NOT IN (SELECT tok FROM v)) AS BIGINT) AS n_oov,
+        |  CAST((count(*) FILTER (tok NOT IN (SELECT tok FROM v)) * 1000000)
+        |       // count(*) AS BIGINT) AS oov_ppm
+        |FROM t GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "llm_text_stats" ->
       s"""SELECT lang, count(*) AS n_docs,
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars,

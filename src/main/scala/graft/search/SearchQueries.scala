@@ -726,6 +726,74 @@ object SearchQueries {
         count_if(!(isShort || isEn || hasData)).as("other"))
     }),
 
+    // ES PIPELINE aggregations — `cumulative_sum`, `derivative`, and
+    // `moving_fn(sum)` chained onto a date_histogram: the trend panel
+    // (running total, day-over-day delta, trailing-3-day volume).
+    // Pipeline aggs are second-stage arithmetic over the BUCKET frame,
+    // not the corpus: the scan+agg produces B rows (bounded by the time
+    // span), then one window pass over those B rows — the single
+    // partition WindowExec here holds ~days-of-history rows at ANY
+    // corpus size, which is why ES computes these on the coordinating
+    // node. All outputs are integer counts — exact.
+    "search_pipeline_aggs" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val buckets = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+      val w = Window.orderBy(col("day"))
+      buckets
+        .withColumn("cum_count",
+          sum(col("doc_count")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("deriv", col("doc_count") - lag(col("doc_count"), 1).over(w))
+        .withColumn("moving3_sum",
+          sum(col("doc_count")).over(w.rowsBetween(-2, Window.currentRow)))
+        .orderBy(col("day"))
+    }),
+
+    // ES `adjacency_matrix` aggregation — for N named filters, the hit
+    // count of every filter AND every pairwise intersection, in ONE
+    // conditional-aggregation scan (the co-occurrence heatmap behind
+    // segment-overlap dashboards). Same one-pass count_if discipline as
+    // `search_facets_filters`; the output is N + N·(N−1)/2 counters —
+    // O(N²) state per partition, independent of corpus size.
+    "search_adjacency_matrix" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val isShort = col("n_chars") < 150
+      val isEn = col("lang") === "en"
+      val hasData = array_contains(tokens(col("text")), "data")
+      docs.agg(
+        count_if(isShort).as("short_docs"),
+        count_if(isEn).as("english"),
+        count_if(hasData).as("mentions_data"),
+        count_if(isShort && isEn).as("short_docs_x_english"),
+        count_if(isShort && hasData).as("short_docs_x_mentions_data"),
+        count_if(isEn && hasData).as("english_x_mentions_data"))
+    }),
+
+    // ES `rare_terms` aggregation — the LONG-TAIL counterpart of
+    // `terms`/`significant_terms`: buckets whose document frequency is
+    // AT MOST max_doc_count (here 2), the "what almost never appears"
+    // audit. Over word-3-shingles (the word field's vocabulary in this
+    // fixture is too small to have a tail). terms ordered ascending by
+    // df then key, exactly ES's rare-first presentation. One explode +
+    // one agg — the same linear shuffle as the terms facet; ES needs a
+    // CuckooFilter approximation for this, a distributed engine just
+    // aggregates exactly.
+    "search_rare_terms" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val t = tokens(col("text"))
+      val sh = when(size(t) >= 3,
+        transform(sequence(lit(1), size(t) - 2),
+          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+        .otherwise(array().cast(ArrayType(StringType)))
+      docs.select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+        .groupBy(col("shingle"))
+        .agg(count(lit(1)).as("doc_count"))
+        .filter(col("doc_count") <= 2)
+        .orderBy(col("doc_count"), col("shingle"))
+    }),
+
     // ES composite aggregation — the keyset-paginated bucket iterator
     // (the ONLY ES agg designed to export ALL buckets of a large
     // cardinality space): buckets ordered by their composite key
@@ -1283,6 +1351,42 @@ object SearchQueries {
         |    OR list_contains(regexp_split_to_array(lower(text), '\s+'),
         |                     'data'))) AS other
         |FROM documents""".stripMargin,
+    "search_pipeline_aggs" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+        |  FROM events
+        |  WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT day, doc_count,
+        |  CAST(sum(doc_count) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_count,
+        |  doc_count - lag(doc_count) OVER (ORDER BY day) AS deriv,
+        |  CAST(sum(doc_count) OVER (ORDER BY day
+        |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS moving3_sum
+        |FROM b ORDER BY day""".stripMargin,
+    "search_adjacency_matrix" ->
+      """SELECT
+        |  count(*) FILTER (n_chars < 150) AS short_docs,
+        |  count(*) FILTER (lang = 'en') AS english,
+        |  count(*) FILTER (list_contains(regexp_split_to_array(lower(text), '\s+'),
+        |                                 'data')) AS mentions_data,
+        |  count(*) FILTER (n_chars < 150 AND lang = 'en') AS short_docs_x_english,
+        |  count(*) FILTER (n_chars < 150 AND list_contains(
+        |    regexp_split_to_array(lower(text), '\s+'), 'data')) AS short_docs_x_mentions_data,
+        |  count(*) FILTER (lang = 'en' AND list_contains(
+        |    regexp_split_to_array(lower(text), '\s+'), 'data')) AS english_x_mentions_data
+        |FROM documents""".stripMargin,
+    "search_rare_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i))
+        |SELECT shingle, count(*) AS doc_count
+        |FROM sh GROUP BY 1
+        |HAVING count(*) <= 2
+        |ORDER BY doc_count, shingle""".stripMargin,
     "search_facets_composite" ->
       """SELECT lang, source, count(*) AS doc_count,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
