@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("winnow_fps", 1, children)
         WinnowFpsExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunksExpr].getName, "cdc_chunks",
+        "cdc_chunks(text) - content-defined chunks (SOSP'01 LBFS): cut after every byte whose trailing base-31 8-gram hash of lower(text) is 0 mod 64"),
+      (children: Exprs) => {
+        arity("cdc_chunks", 1, children)
+        CdcChunksExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

@@ -173,6 +173,39 @@ case class WinnowFpsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cdc_chunks(text): content-defined chunking (the LBFS/rsync cut-point
+  * scheme, Muthitacharoen et al. SOSP'01) of lower(text) — a cut after
+  * every byte position whose trailing 8-gram base-31 hash ≡ 0 (mod 64),
+  * giving ~64-byte expected chunks whose boundaries move WITH the
+  * content: an insertion resynchronizes at the next unchanged gram,
+  * unlike fixed-size blocks where one insert shifts every later block.
+  * Cut decisions depend only on the local gram (no min/max-length
+  * guards), so the boundary set is position-independent and the DuckDB
+  * oracle mirrors it term-for-term in exact BIGINT arithmetic. Texts
+  * shorter than one gram are a single chunk. Same one-pass /
+  * no-intermediate-arrays / ASCII-contract rationale as
+  * [[WinnowFpsExpr]] (the HOF form would hit the same lambda-inlining
+  * trap).
+  */
+case class CdcChunksExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"cdc_chunks requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.cdcChunks(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.cdcChunks($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunksExpr =
+    copy(child = newChild)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
@@ -218,6 +251,43 @@ object GraftKernels {
       p += 1
     }
     org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out.toArray)
+  }
+
+  private final val CdcK = 8
+  private final val CdcMask = 64L
+
+  /** One-pass content-defined chunking of the lowercased bytes: rolling
+    * base-31 hash of each k-gram (h = Σ byte·31^(k−1−j), exact BIGINT,
+    * < 2⁴⁵ — mirrored term-for-term by the DuckDB oracle); a gram whose
+    * hash ≡ 0 (mod 64) cuts the chunk after the gram's LAST byte. Cut
+    * ends are strictly increasing, so chunks partition the text; a text
+    * shorter than k is one chunk.
+    */
+  def cdcChunks(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val n = bytes.length
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String]()
+    if (n < CdcK) {
+      out += UTF8String.fromBytes(bytes, 0, n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        out.toArray[Any])
+    }
+    var start = 0
+    var i = 0
+    val m = n - CdcK + 1
+    while (i < m) {
+      var h = 0L
+      var j = 0
+      while (j < CdcK) { h = h * 31L + (bytes(i + j) & 0xff); j += 1 }
+      if (h % CdcMask == 0L) {
+        val end = i + CdcK
+        out += UTF8String.fromBytes(bytes, start, end - start)
+        start = end
+      }
+      i += 1
+    }
+    if (start < n) out += UTF8String.fromBytes(bytes, start, n - start)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray[Any])
   }
 
   /** One-pass SimHash: scan lowercased bytes, hash each

@@ -415,6 +415,31 @@ object DedupQueries {
           col("inter"), least(col("n_a"), col("n_b")).as("n_small"))
         .orderBy(col("doc_small"), col("doc_big"))),
 
+    // CONTENT-DEFINED CHUNKING dedup — the storage-level dedup
+    // primitive (LBFS/rsync lineage, Muthitacharoen et al. SOSP'01):
+    // cut every doc into ~64-byte chunks at content-determined
+    // boundaries (trailing 8-gram hash ≡ 0 mod 64 — the `cdc_chunks`
+    // native kernel), then find chunks recurring across documents.
+    // Because boundaries move WITH the content, an insertion changes
+    // only the chunk it lands in — shared runs re-align at the next
+    // boundary, so cross-doc shared spans surface as shared chunk
+    // hashes without any pairwise comparison: the join key IS the
+    // chunk digest, one linear shuffle, corpus² never materializes.
+    // Complements winnow (samples shared spans) and substring (exact
+    // span extents): CDC is the form a dedup STORE uses — chunk store
+    // + per-doc chunk manifest. Grouped by md5 digest (not chunk
+    // text), so the shuffle carries 32-byte keys at 100 TB.
+    "llm_dedup_cdc" -> ((s, dir) =>
+      Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(call_function("cdc_chunks", col("text"))).as("chunk"))
+        .groupBy(md5(col("chunk")).as("chunk_md5"))
+        .agg(min(length(col("chunk"))).cast(LongType).as("chunk_len"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("n_docs").desc, col("chunk_md5"))),
+
     // Incremental (batch-vs-corpus) near-dup dedup — the op a LIVE
     // 100 TB pipeline actually runs daily: admit a new batch only where
     // it has no near-dup (Jaccard >= 0.2 on word-3-shingles) already in
@@ -653,6 +678,44 @@ object DedupQueries {
          |  inter, least(n_a, n_b) AS n_small
          |FROM scored
          |ORDER BY doc_small, doc_big""".stripMargin,
+    // Term-for-term mirror of GraftKernels.cdcChunks: cuts at 1-based
+    // gram starts i where Σ ascii·31^(7−j) ≡ 0 mod 64 (exact BIGINT),
+    // chunk ends = i+7, chunks sliced between consecutive ends.
+    "llm_dedup_cdc" ->
+      """WITH t AS (
+        |  SELECT doc_id, lower(text) AS s FROM documents),
+        |b AS (
+        |  SELECT doc_id, s, len(s) AS l,
+        |    CASE WHEN len(s) < 8 THEN CAST([] AS BIGINT[])
+        |    ELSE list_filter(range(1, len(s) - 6), i ->
+        |      (CAST(ascii(s[i]) AS BIGINT) * 27512614111 +
+        |       CAST(ascii(s[i+1]) AS BIGINT) * 887503681 +
+        |       CAST(ascii(s[i+2]) AS BIGINT) * 28629151 +
+        |       CAST(ascii(s[i+3]) AS BIGINT) * 923521 +
+        |       CAST(ascii(s[i+4]) AS BIGINT) * 29791 +
+        |       CAST(ascii(s[i+5]) AS BIGINT) * 961 +
+        |       CAST(ascii(s[i+6]) AS BIGINT) * 31 +
+        |       CAST(ascii(s[i+7]) AS BIGINT)) % 64 = 0) END AS cuts
+        |  FROM t),
+        |e AS (
+        |  SELECT doc_id, s, l,
+        |    CASE WHEN l < 8 THEN [CAST(0 AS BIGINT), l]
+        |    ELSE list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(cuts, i -> i + 7)) ||
+        |      CASE WHEN len(cuts) > 0 AND cuts[-1] + 7 = l
+        |           THEN CAST([] AS BIGINT[]) ELSE [l] END
+        |    END AS ends
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, s[ends[j] + 1 : ends[j + 1]] AS chunk
+        |  FROM e, unnest(range(1, len(ends))) AS u(j))
+        |SELECT md5(chunk) AS chunk_md5,
+        |  CAST(min(len(chunk)) AS BIGINT) AS chunk_len,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM ch GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY n_docs DESC, chunk_md5""".stripMargin,
     "llm_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w

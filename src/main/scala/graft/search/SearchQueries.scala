@@ -726,6 +726,44 @@ object SearchQueries {
         count_if(!(isShort || isEn || hasData)).as("other"))
     }),
 
+    // ES `collapse` — field collapsing: the ranked hit list with AT
+    // MOST ONE hit per value of a field (here `lang`), the
+    // one-result-per-domain/site dedup every search UI applies. Same
+    // scan + one-broadcast-stats BM25 as `search_topk_bm25`, then a
+    // per-group rank-1 via row_number — Spark plans it as
+    // WindowGroupLimit, a PARTIAL per-group top-1 before the shuffle,
+    // so the exchange carries one row per (partition, group), never the
+    // full hit list. Group count bounds the output, corpus size doesn't.
+    "search_collapse_field" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+        .withColumn("tf_vector", tf("vector"))
+        .withColumn("tf_join", tf("join"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
+        sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
+        sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
+      def part(tfc: Column, dfc: Column): Column =
+        bm25Part(tfc, dfc, col("n_tokens"), col("n_docs"), col("sum_dl"))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          part(col("tf_spark"), col("df_spark")) +
+            part(col("tf_vector"), col("df_vector")) +
+            part(col("tf_join"), col("df_join")), 6))
+        .filter(col("score") > 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select(col("lang"), col("doc_id"), col("n_tokens"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+    }),
+
     // ES PIPELINE aggregations — `cumulative_sum`, `derivative`, and
     // `moving_fn(sum)` chained onto a date_histogram: the trend panel
     // (running total, day-over-day delta, trailing-3-day volume).
@@ -1351,6 +1389,40 @@ object SearchQueries {
         |    OR list_contains(regexp_split_to_array(lower(text), '\s+'),
         |                     'data'))) AS other
         |FROM documents""".stripMargin,
+    // Bm25OracleSql's scoring carrying the collapse field, then the
+    // per-group rank-1 via QUALIFY — the SQL mirror of ES collapse.
+    "search_collapse_field" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_vector + 0.5) / (df_vector + 0.5)) *
+        |        ((tf_vector * 2.2) /
+        |         (tf_vector + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_join + 0.5) / (df_join + 0.5)) *
+        |        ((tf_join * 2.2) /
+        |         (tf_join + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT lang, doc_id, n_tokens, score FROM b
+        |WHERE score > 0
+        |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) = 1
+        |ORDER BY score DESC, doc_id""".stripMargin,
     "search_pipeline_aggs" ->
       """WITH b AS (
         |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count

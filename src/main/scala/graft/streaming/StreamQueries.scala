@@ -23,6 +23,25 @@ import graft.Tables
   */
 object StreamQueries {
 
+  /** Stream-static enrichment — each event joined to its user's row in
+    * a STATIC dimension (the customer table), then tumbling 1-hour
+    * counts + exact value sums per market segment. The production
+    * enrich-then-aggregate shape: the dim side is broadcast (re-read
+    * per micro-batch by the engine, so a dim refresh is picked up
+    * without restarting the query), the stream side never shuffles
+    * before the windowed agg's partial. Inner join — events without a
+    * dim row are dropped, ES-ingest-style.
+    */
+  def enrichSegments(events: DataFrame, customers: DataFrame): DataFrame =
+    events
+      .join(broadcast(customers.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast(DoubleType).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("c_mktsegment"),
+        col("n_events"), col("sum_value"))
+
   /** Tumbling 1-hour windows per event_type: count + exact value sum. */
   def tumblingCounts(events: DataFrame): DataFrame =
     events
@@ -223,6 +242,9 @@ object StreamQueries {
     "stream_gap_fill" -> ((s, dir) =>
       gapFill(Tables(s, dir, "events"))
         .orderBy(col("user_id"), col("hour"))),
+    "stream_enrich_static" -> ((s, dir) =>
+      enrichSegments(Tables(s, dir, "events"), Tables(s, dir, "customer"))
+        .orderBy(col("window_start"), col("c_mktsegment"))),
     "stream_tumbling_counts" -> ((s, dir) =>
       tumblingCounts(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
@@ -315,6 +337,12 @@ object StreamQueries {
         |FROM grid g LEFT JOIN hourly h
         |  ON g.user_id = h.user_id AND g.hour = h.hour
         |ORDER BY g.user_id, g.hour""".stripMargin,
+    "stream_enrich_static" ->
+      """SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "stream_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,

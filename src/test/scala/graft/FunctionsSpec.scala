@@ -68,6 +68,43 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty, "below k+w-1 chars -> no full window -> empty set")
   }
 
+  /** Sequential reference for cdc_chunks — independent plain-Scala
+    * implementation of the SOSP'01 cut rule (every position whose
+    * trailing base-31 8-gram hash ≡ 0 mod 64 cuts after the gram).
+    */
+  private def cdcRef(text: String): Seq[String] = {
+    val s = text.toLowerCase
+    if (s.length < 8) return Seq(s)
+    val cuts = (0 to s.length - 8).filter { i =>
+      s.substring(i, i + 8).foldLeft(0L)((h, c) => h * 31L + c.toLong) % 64L == 0L
+    }.map(_ + 8)
+    val ends = 0 +: cuts ++: (if (cuts.lastOption.contains(s.length)) Nil else Seq(s.length))
+    ends.sliding(2).map { case Seq(a, b) => s.substring(a, b) }.toSeq
+  }
+
+  test("cdc_chunks == sequential reference; chunks partition the text") {
+    import spark.implicits._
+    val docs = Tables(spark, sf, "documents")
+      .orderBy(col("doc_id")).limit(60)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.map { case (id, t) => (id, cdcRef(t)) }.toMap
+    val got = docs.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("cdc_chunks", col("text")).as("ch"))
+      .collect().map(r => (r.getLong(0), r.getSeq[String](1))).toMap
+    assert(got.keySet == expected.keySet)
+    for ((id, exp) <- expected)
+      assert(got(id) == exp, s"doc $id: ${got(id)} != $exp")
+    // Reassembly invariant: chunks concatenate back to lower(text).
+    for ((id, t) <- docs)
+      assert(got(id).mkString == t.toLowerCase, s"doc $id reassembly")
+    // Edge cases: short text is one chunk; empty is one empty chunk.
+    val edge = Seq("abcdefg", "", "MiXeD").toDF("text")
+      .select(call_function("cdc_chunks", col("text")).as("ch"))
+      .collect().map(_.getSeq[String](0))
+    assert(edge(0) == Seq("abcdefg") && edge(1) == Seq("") && edge(2) == Seq("mixed"))
+  }
+
   private def minhashHof(shingles: org.apache.spark.sql.Column) =
     transform(sequence(lit(0), lit(31)), i =>
       array_min(transform(shingles,
@@ -135,7 +172,8 @@ class FunctionsSpec extends AnyFunSuite {
   test("native expressions run inside whole-stage codegen") {
     val docs = Tables(spark, sf, "documents")
       .select(call_function("simhash64_native", col("text")).as("sh"),
-        size(call_function("winnow_fps", col("text"))).as("nfp"))
+        size(call_function("winnow_fps", col("text"))).as("nfp"),
+        size(call_function("cdc_chunks", col("text"))).as("nch"))
     docs.collect()
     val plan = docs.queryExecution.executedPlan.toString
     assert(plan.contains("*("), s"not codegen'd:\n$plan")

@@ -152,6 +152,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_hard_negatives", // 5-row anchor-set broadcast
       "search_topk_tfidf", // 1-row corpus-stats broadcast
       "search_topk_bm25", // 1-row corpus-stats broadcast
+      "search_collapse_field", // 1-row corpus-stats broadcast
       "search_min_should_match", // 1-row corpus-stats broadcast
       "search_query_string_boosted", // 1-row corpus-stats broadcast
       "search_rescore", // 1-row corpus-stats broadcast on the 50-row window

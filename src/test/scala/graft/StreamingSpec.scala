@@ -79,6 +79,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("stream-static enrichment (shared transform): streaming == batch") {
+    // The registered stream_enrich_static transform through the real
+    // engine, with the REAL customer dim as the static side.
+    val dim = Tables(spark, sf, "customer")
+    val streamed = runToMemory(
+      streaming.StreamQueries.enrichSegments(
+        eventsStream.withWatermark("ts", "1 hour"), dim),
+      "t_enrich", "complete")
+    val batch = streaming.StreamQueries.enrichSegments(
+      Tables(spark, sf, "events"), dim)
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("stream-stream interval join == batch interval join") {
     // True stream-stream join through the real engine: clicks joined
     // with purchases of the same user within 30 min, both sides
