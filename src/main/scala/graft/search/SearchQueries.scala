@@ -222,6 +222,30 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Sloppy phrase (ES match_phrase with slop=2): "the ... table" with
+    // at most 2 intervening tokens, in order — the proximity query
+    // between exact-phrase and bag-of-words. Positions via one
+    // posexplode + per-term filters + an equi-join on doc_id with the
+    // distance predicate — the position-list intersection the
+    // positional postings index does at serving time
+    // (`search_phrase_indexed`), here in scan form: per-doc position
+    // lists are tf-sized, so the join is linear in term occurrences,
+    // never in tokens². Reports the tightest span and the pair count.
+    "search_phrase_slop" -> ((s, dir) => {
+      val pos = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+      val a = pos.filter(col("tok") === "the")
+        .select(col("doc_id"), col("p").as("p1"))
+      val b = pos.filter(col("tok") === "table")
+        .select(col("doc_id").as("d2"), col("p").as("p2"))
+      a.join(b, col("doc_id") === col("d2") &&
+          col("p2") > col("p1") && col("p2") - col("p1") <= lit(3))
+        .groupBy(col("doc_id"))
+        .agg(min(col("p2") - col("p1")).cast(LongType).as("best_dist"),
+          count(lit(1)).as("n_pairs"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Prefix match (ES prefix / wildcard 'spar*'): any token starts
     // with the prefix.
     "search_prefix_match" -> ((s, dir) => {
@@ -1064,6 +1088,20 @@ object SearchQueries {
         |WHERE contains(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' '),
         |               'the table')
         |ORDER BY doc_id""".stripMargin,
+    "search_phrase_slop" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i AS p, w[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |a AS (SELECT doc_id, p AS p1 FROM p WHERE tok = 'the'),
+        |b AS (SELECT doc_id, p AS p2 FROM p WHERE tok = 'table')
+        |SELECT a.doc_id,
+        |  CAST(min(p2 - p1) AS BIGINT) AS best_dist,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM a JOIN b ON a.doc_id = b.doc_id AND p2 > p1 AND p2 - p1 <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_prefix_match" ->
       """SELECT doc_id,
         |  CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'),
