@@ -293,6 +293,27 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ES wildcard query — 'sc?n*' ('?' exactly one char, '*' any run)
+    // compiled to an anchored token regex. ES runs the pattern as an
+    // automaton over its term dictionary; the scan-speed equivalent is
+    // one codegen'd RLIKE per DISTINCT token (array_distinct first, so
+    // a token repeated 50× in a doc is tested once). Leading-wildcard
+    // patterns are the known scale trap in ES for the same reason they
+    // are here — nothing prunes — so the demonstrated pattern anchors
+    // a literal prefix, and at scale the materialized postings
+    // artifact serves it by range-pruning on that prefix exactly like
+    // search_suggest's StringStartsWith pushdown.
+    "search_wildcard" -> ((s, dir) => {
+      val matched = filter(array_distinct(tokens(col("text"))),
+        t => t.rlike("^sc.n.*$"))
+      Tables(s, dir, "documents")
+        .withColumn("n_wild", size(matched))
+        .withColumn("first_match", array_min(matched))
+        .filter(col("n_wild") > 0)
+        .select(col("doc_id"), col("n_wild"), col("first_match"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Relevance-ranked top-k (the ES BM25 top-10 role): deterministic
     // tf-weighted score. tf(t) = exact token-equality count (not
     // substring), score = 3*tf(spark) + 2*tf(vector) + tf(join),
@@ -616,6 +637,92 @@ object SearchQueries {
         .filter(col("score") > 0)
         .orderBy(col("score").desc, col("doc_id"))
         .select(col("doc_id"), col(s"n_toks_$primaryField").as("n_tokens"), col("score"))
+        .limit(10)
+    }),
+
+    // ES multi_match type=best_fields — the dis_max combiner (ES docs:
+    // best_fields "runs a match query on each field and wraps them in
+    // a dis_max"): every query term is analyzed against EVERY field,
+    // each field scored independently with the same Okapi arithmetic
+    // on its OWN statistics (source is a one-token keyword field, so
+    // its length norm and df differ completely from text's), and the
+    // document's score is the best field's score plus tie_breaker ×
+    // the sum of the other fields' scores. The query "spark src3"
+    // finds term matches in different fields per doc — exactly the
+    // case dis_max exists for (take the strongest field, don't let
+    // weak-field noise accumulate as bool-should would). Plan shape is
+    // the one scan + 1-row stats broadcast + TakeOrderedAndProject of
+    // every other scorer here; extra fields add codegen'd columns,
+    // never passes.
+    "search_dis_max" -> ((s, dir) => {
+      val fields = Seq("text", "source")
+      val qTerms = Seq("spark", "src3")
+      val tieBreaker = 0.3
+      def tfCol(f: String, t: String) = s"tf_${f}_$t"
+      val base = fields.foldLeft(Tables(s, dir, "documents")) {
+        case (d, f) => d.withColumn(s"n_toks_$f", size(tokens(col(f))))
+      }
+      val withTf = fields.foldLeft(base) { case (d0, f) =>
+        qTerms.foldLeft(d0) { case (d, t) =>
+          d.withColumn(tfCol(f, t),
+            size(filter(tokens(col(f)), x => x === lit(t))))
+        }
+      }
+      val aggs = Seq(count(lit(1)).cast(DoubleType).as("n_docs")) ++
+        fields.map(f =>
+          sum(col(s"n_toks_$f")).cast(DoubleType).as(s"sum_dl_$f")) ++
+        fields.flatMap(f => qTerms.map(t =>
+          sum((col(tfCol(f, t)) > 0).cast(LongType)).cast(DoubleType)
+            .as(s"df_${f}_$t")))
+      val stats = withTf.agg(aggs.head, aggs.tail: _*)
+      def fieldScore(f: String): Column =
+        qTerms.map(t => bm25Part(col(tfCol(f, t)), col(s"df_${f}_$t"),
+          col(s"n_toks_$f"), col("n_docs"), col(s"sum_dl_$f")))
+          .reduce(_ + _)
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("s_text", fieldScore("text"))
+        .withColumn("s_source", fieldScore("source"))
+        .withColumn("best", greatest(col("s_text"), col("s_source")))
+        .withColumn("score", round(
+          col("best") + lit(tieBreaker) *
+            (col("s_text") + col("s_source") - col("best")), 6))
+        .withColumn("best_field",
+          when(col("s_text") >= col("s_source"), lit("text"))
+            .otherwise(lit("source")))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("best_field"), col("score"))
+        .limit(10)
+    }),
+
+    // ES function_score with boost_mode=multiply — the score-shaping
+    // wrapper around a relevance query: base _score is the one-term
+    // BM25 of the match, multiplied by field_value_factor(field=
+    // n_chars, modifier=log1p, factor=0.01) — a document-length boost
+    // sublinear in length, the classic popularity/size signal — and a
+    // constant weight of 1.2. The functions are per-row codegen'd
+    // arithmetic on columns the scan already reads, so score shaping
+    // is FREE at any scale: same one scan + 1-row stats broadcast +
+    // top-k plan as the unshaped query. (ES decay functions slot in
+    // the same way — another per-row factor.)
+    "search_function_score" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          bm25Part(col("tf_spark"), col("df_spark"), col("n_tokens"),
+            col("n_docs"), col("sum_dl")) *
+            log(lit(1.0) + lit(0.01) * col("n_chars")) * lit(1.2), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("score"))
         .limit(10)
     }),
 
@@ -1128,6 +1235,86 @@ object SearchQueries {
         |  CAST(len(mt) AS INT) AS n_fuzzy,
         |  CAST(list_min(list_transform(mt, t -> levenshtein(t, 'spork'))) AS INT) AS min_dist
         |FROM m WHERE len(mt) > 0 ORDER BY doc_id""".stripMargin,
+    "search_wildcard" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |      t -> regexp_matches(t, '^sc.n.*$')) AS mt
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(mt) AS INT) AS n_wild, list_min(mt) AS first_match
+        |FROM m WHERE len(mt) > 0 ORDER BY doc_id""".stripMargin,
+    // dis_max twin: per-field Okapi parts verbatim from Bm25OracleSql's
+    // arithmetic (each field on its OWN n_toks/sum_dl/df statistics),
+    // then best + tie_breaker × rest, mirroring the Spark combiner's
+    // exact evaluation order (best computed once in its own CTE).
+    "search_dis_max" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_toks_text,
+        |    CAST(len(regexp_split_to_array(lower(source), '\s+')) AS INT) AS n_toks_source,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_text_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'src3')) AS tf_text_src3,
+        |    len(list_filter(regexp_split_to_array(lower(source), '\s+'), t -> t = 'spark')) AS tf_source_spark,
+        |    len(list_filter(regexp_split_to_array(lower(source), '\s+'), t -> t = 'src3')) AS tf_source_src3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_toks_text) AS DOUBLE) AS sum_dl_text,
+        |    CAST(sum(n_toks_source) AS DOUBLE) AS sum_dl_source,
+        |    CAST(sum(CASE WHEN tf_text_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_text_spark,
+        |    CAST(sum(CASE WHEN tf_text_src3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_text_src3,
+        |    CAST(sum(CASE WHEN tf_source_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_source_spark,
+        |    CAST(sum(CASE WHEN tf_source_src3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_source_src3
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id,
+        |    ln(1.0 + (n_docs - df_text_spark + 0.5) / (df_text_spark + 0.5)) *
+        |      ((tf_text_spark * 2.2) /
+        |       (tf_text_spark + 1.2 * (0.25 + 0.75 * (n_toks_text * n_docs / sum_dl_text)))) +
+        |    ln(1.0 + (n_docs - df_text_src3 + 0.5) / (df_text_src3 + 0.5)) *
+        |      ((tf_text_src3 * 2.2) /
+        |       (tf_text_src3 + 1.2 * (0.25 + 0.75 * (n_toks_text * n_docs / sum_dl_text)))) AS s_text,
+        |    ln(1.0 + (n_docs - df_source_spark + 0.5) / (df_source_spark + 0.5)) *
+        |      ((tf_source_spark * 2.2) /
+        |       (tf_source_spark + 1.2 * (0.25 + 0.75 * (n_toks_source * n_docs / sum_dl_source)))) +
+        |    ln(1.0 + (n_docs - df_source_src3 + 0.5) / (df_source_src3 + 0.5)) *
+        |      ((tf_source_src3 * 2.2) /
+        |       (tf_source_src3 + 1.2 * (0.25 + 0.75 * (n_toks_source * n_docs / sum_dl_source)))) AS s_source
+        |  FROM scored CROSS JOIN stats),
+        |b2 AS (
+        |  SELECT doc_id, s_text, s_source,
+        |         greatest(s_text, s_source) AS best FROM b),
+        |b3 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN s_text >= s_source THEN 'text' ELSE 'source' END AS best_field,
+        |    round(best + 0.3 * (s_text + s_source - best), 6) AS score
+        |  FROM b2)
+        |SELECT doc_id, best_field, score FROM b3 WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // function_score twin: the one-term Okapi part verbatim, multiplied
+    // by the log1p field_value_factor and the constant weight in the
+    // same left-to-right order as the Spark column expression.
+    "search_function_score" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) *
+        |      ln(1.0 + 0.01 * n_chars) * 1.2, 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, n_chars, score FROM b WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_topk_relevance" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -162,6 +162,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_length_trim", // 1-row total-count broadcast
       "llm_keyword_extract", // 1-row corpus-size broadcast
       "llm_collocations_pmi", // 1-row token-count broadcast
+      "search_dis_max", // 1-row per-field corpus-stats broadcast
+      "search_function_score", // 1-row corpus-stats broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
