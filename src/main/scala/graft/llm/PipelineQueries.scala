@@ -223,6 +223,49 @@ object PipelineQueries {
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_shared_8grams"))
         .orderBy(col("doc_id"))
+    }),
+
+    // DSIR data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling"): rank raw documents
+    // by the importance weight log p_target(x)/p_raw(x) under two
+    // add-one-smoothed bag-of-words unigram models — target = the
+    // lang='en' slice standing in for the wanted domain, raw = the
+    // whole corpus. The scale discipline is in WHERE the log runs:
+    // once per VOCABULARY term (the per-term micro-nat log-ratio
+    // table, O(V) ln calls), never per corpus token; each term's
+    // ratio is rounded to integer micro-nats there, so the per-doc
+    // weight Σ tf·r is pure BIGINT arithmetic — exact, order-free,
+    // hash-oracle-checked. Joins are term-keyed shuffles (a 100 TB
+    // vocabulary is not broadcastable); the only broadcast is the
+    // 1-row totals frame. Three passes over the token stream (raw
+    // counts, target counts, per-doc tf) — recomputed rather than
+    // checkpointed, per the no-corpus-sized-materialization rule.
+    "llm_dsir_weights" -> ((s, dir) => {
+      val toksOf = split(lower(col("text")), "\\s+")
+      def stream(s2: SparkSession) = Tables.forCompute(s2, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(toksOf).as("term"))
+      val raw = stream(s).groupBy(col("term")).agg(count(lit(1)).as("c_r"))
+      val tgt = stream(s).filter(col("lang") === "en")
+        .groupBy(col("term")).agg(count(lit(1)).as("c_t"))
+      val vocab = raw.join(tgt, Seq("term"), "left")
+        .withColumn("c_t", coalesce(col("c_t"), lit(0L)))
+      val tot = vocab.agg(
+        count(lit(1)).cast(DoubleType).as("v"),
+        sum(col("c_r")).cast(DoubleType).as("n_r"),
+        sum(col("c_t")).cast(DoubleType).as("n_t"))
+      val lr = vocab.crossJoin(broadcast(tot))
+        .withColumn("r_unats",
+          round(log(((col("c_t") + lit(1.0)) * (col("n_r") + col("v"))) /
+            ((col("c_r") + lit(1.0)) * (col("n_t") + col("v")))) *
+            lit(1000000), 0).cast(LongType))
+        .select(col("term"), col("r_unats"))
+      val tf = stream(s).groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      tf.join(lr, "term")
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("r_unats")).as("dsir_unats"))
+        .orderBy(col("dsir_unats").desc, col("doc_id"))
+        .limit(100)
     })
   )
 
@@ -315,6 +358,36 @@ object PipelineQueries {
         |FROM sh a JOIN ev ON a.g = ev.g
         |WHERE a.split = 'train'
         |GROUP BY a.doc_id
-        |ORDER BY a.doc_id""".stripMargin
+        |ORDER BY a.doc_id""".stripMargin,
+    // DSIR twin: the per-term log-ratio is the only float — computed
+    // once per vocab term with the identical operand order, rounded to
+    // micro-nats there; the doc weight is an exact BIGINT Σ tf·r.
+    "llm_dsir_weights" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |raw AS (SELECT term, count(*) AS c_r FROM toks GROUP BY term),
+        |tgt AS (SELECT term, count(*) AS c_t FROM toks
+        |        WHERE lang = 'en' GROUP BY term),
+        |vocab AS (
+        |  SELECT r.term, r.c_r, COALESCE(t.c_t, 0) AS c_t
+        |  FROM raw r LEFT JOIN tgt t USING (term)),
+        |tot AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v,
+        |         CAST(sum(c_r) AS DOUBLE) AS n_r,
+        |         CAST(sum(c_t) AS DOUBLE) AS n_t
+        |  FROM vocab),
+        |lr AS (
+        |  SELECT term,
+        |    CAST(round(ln(((c_t + 1.0) * (n_r + v)) /
+        |                  ((c_r + 1.0) * (n_t + v))) * 1000000, 0) AS BIGINT) AS r_unats
+        |  FROM vocab CROSS JOIN tot),
+        |tf AS (SELECT doc_id, term, count(*) AS tf
+        |       FROM toks GROUP BY doc_id, term)
+        |SELECT doc_id, CAST(sum(tf * r_unats) AS BIGINT) AS dsir_unats
+        |FROM tf JOIN lr USING (term)
+        |GROUP BY doc_id
+        |ORDER BY dsir_unats DESC, doc_id LIMIT 100""".stripMargin
   )
 }

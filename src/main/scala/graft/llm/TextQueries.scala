@@ -128,6 +128,49 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style quality rules (Rae et al. 2021, "Scaling Language
+    // Models", Appendix A) with PER-RULE accounting — unlike
+    // llm_quality_score's single composite verdict, a curation run
+    // needs to know WHICH rule rejected each document (the per-rule
+    // rejection histogram is how thresholds get tuned). Five rules,
+    // thresholds adapted to the fixture's text shape: word count in
+    // [20,400], mean word length in [3.00,5.00], ≥80% alphabetic
+    // tokens, ≥2 distinct stopwords, type-token ratio ≥0.6. Every
+    // statistic is exact integer arithmetic (mean word length carried
+    // as ×100 integral divide, ratios as cross-multiplied integer
+    // comparisons — no floats anywhere), so the whole accounting is
+    // hash-oracle-checked. Per-row codegen'd, shuffle-free: at 100 TB
+    // this fuses into the ingest scan like the other per-row filters.
+    "llm_gopher_rules" -> ((s, dir) => {
+      val t = toks(col("text"))
+      Tables.forCompute(s, dir, "documents")
+        .withColumn("n_words", size(t))
+        .withColumn("sum_wlen",
+          aggregate(transform(t, x => length(x)), lit(0), (a, x) => a + x))
+        .withColumn("n_alpha", size(filter(t, x => x.rlike("[a-z]"))))
+        .withColumn("n_distinct", size(array_distinct(t)))
+        .withColumn("n_stop",
+          size(filter(array_distinct(t),
+            x => enWords.map(w => x === lit(w)).reduce(_ || _))))
+        .withColumn("mwl_x100", expr("(sum_wlen * 100) DIV n_words"))
+        .withColumn("r_wordcount", col("n_words").between(20, 400))
+        .withColumn("r_meanlen", col("mwl_x100").between(300, 500))
+        .withColumn("r_alpha", col("n_alpha") * 100 >= col("n_words") * 80)
+        .withColumn("r_stopwords", col("n_stop") >= 2)
+        .withColumn("r_ttr", col("n_distinct") * 100 >= col("n_words") * 60)
+        .withColumn("n_rules_passed",
+          Seq("r_wordcount", "r_meanlen", "r_alpha", "r_stopwords", "r_ttr")
+            .map(c => col(c).cast(IntegerType)).reduce(_ + _))
+        .withColumn("keep",
+          col("r_wordcount") && col("r_meanlen") && col("r_alpha") &&
+            col("r_stopwords") && col("r_ttr"))
+        .select(col("doc_id"), col("n_words"), col("mwl_x100"),
+          col("r_wordcount"), col("r_meanlen"), col("r_alpha"),
+          col("r_stopwords"), col("r_ttr"), col("n_rules_passed"),
+          col("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Language-ID: argmax over per-language marker-word counts with a
     // deterministic priority tie-break (en > de > fr > es > unknown).
     // A real pipeline swaps the word lists for char-n-gram profiles;
@@ -416,6 +459,37 @@ object TextQueries {
          |   AND CAST(${hitsSql(enWords)} AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) > 0.01
          |   AND CAST(len(list_distinct($toksSql)) AS DOUBLE) / CAST(len($toksSql) AS DOUBLE) > 0.2) AS passes_quality
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "llm_gopher_rules" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $toksSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS INT) AS n_words,
+         |    CAST(list_sum(list_transform(toks, x -> len(x))) AS INT) AS sum_wlen,
+         |    CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS INT) AS n_alpha,
+         |    CAST(len(list_distinct(toks)) AS INT) AS n_distinct,
+         |    CAST(len(list_filter(list_distinct(toks),
+         |      x -> x IN ('the','a','and','of','to'))) AS INT) AS n_stop
+         |  FROM t),
+         |r AS (
+         |  SELECT doc_id, n_words, n_alpha, n_distinct, n_stop,
+         |    CAST((sum_wlen * 100) // n_words AS INT) AS mwl_x100
+         |  FROM m)
+         |SELECT doc_id, n_words, mwl_x100,
+         |  n_words BETWEEN 20 AND 400 AS r_wordcount,
+         |  mwl_x100 BETWEEN 300 AND 500 AS r_meanlen,
+         |  n_alpha * 100 >= n_words * 80 AS r_alpha,
+         |  n_stop >= 2 AS r_stopwords,
+         |  n_distinct * 100 >= n_words * 60 AS r_ttr,
+         |  CAST(CAST(n_words BETWEEN 20 AND 400 AS INT)
+         |     + CAST(mwl_x100 BETWEEN 300 AND 500 AS INT)
+         |     + CAST(n_alpha * 100 >= n_words * 80 AS INT)
+         |     + CAST(n_stop >= 2 AS INT)
+         |     + CAST(n_distinct * 100 >= n_words * 60 AS INT) AS INT) AS n_rules_passed,
+         |  (n_words BETWEEN 20 AND 400) AND (mwl_x100 BETWEEN 300 AND 500)
+         |    AND (n_alpha * 100 >= n_words * 80) AND (n_stop >= 2)
+         |    AND (n_distinct * 100 >= n_words * 60) AS keep
+         |FROM r ORDER BY doc_id""".stripMargin,
     "llm_lang_id" ->
       s"""WITH scored AS (
          |  SELECT lang,

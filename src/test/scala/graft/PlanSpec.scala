@@ -164,6 +164,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_collocations_pmi", // 1-row token-count broadcast
       "search_dis_max", // 1-row per-field corpus-stats broadcast
       "search_function_score", // 1-row corpus-stats broadcast
+      "llm_dsir_weights", // 1-row vocab-totals broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
