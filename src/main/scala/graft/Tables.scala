@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Fixture-table loader (see /root/repo/TESTDATA.md, FIXTURES.md).
   *
@@ -45,14 +45,22 @@ object Tables {
   }
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-    // reader rejects; read nanos as long and truncate to microseconds
-    // (Spark's native timestamp precision). DuckDB oracles see the same
-    // values truncated to micros via epoch math.
+    // events.parquet's ts encoding varies by driver round: some rounds
+    // ship TIMESTAMP(NANOS) — which Spark's vectorized reader rejects,
+    // so it is read as long (nanosAsLong) and truncated to micros here
+    // — and some ship micros TIMESTAMP_NTZ, which is cast to TIMESTAMP
+    // (identical values: every session here pins UTC) because
+    // Structured Streaming refuses watermarks on NTZ event time.
+    // Either way callers see one canonical TIMESTAMP column; DuckDB
+    // oracles see the same micros via epoch math.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-    else df
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    } else df
   }
 }

@@ -27,6 +27,26 @@ object SparkTestSession {
     s
   }
   val sf = "/root/testdata/sf0.001"
+
+  /** Events fixture staged for streaming file sources: the
+    * Tables-normalized frame re-written as ONE standard parquet file,
+    * so `readStream.schema(stagedEventsSchema)` sees a plain TIMESTAMP
+    * column regardless of the fixture's on-disk encoding — the driver
+    * has shipped `events.ts` both as TIMESTAMP(NANOS) (read as long +
+    * truncated) and as micros across rounds, and a spec that hardcodes
+    * one encoding silently corrupts every event time under the other.
+    */
+  lazy val stagedEventsFile: java.nio.file.Path = {
+    val df = Tables(spark, sf, "events")
+    val dir = java.nio.file.Files.createTempDirectory("events_staged")
+    dir.toFile.deleteOnExit()
+    df.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    val it = java.nio.file.Files.list(dir)
+    try it.filter(p => p.toString.endsWith(".parquet")).findFirst.get
+    finally it.close()
+  }
+  lazy val stagedEventsSchema: org.apache.spark.sql.types.StructType =
+    Tables(spark, sf, "events").schema
 }
 
 class SparkEntrySpec extends AnyFunSuite {

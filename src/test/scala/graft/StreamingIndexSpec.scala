@@ -17,11 +17,6 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingIndexSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   test("streaming ingest with content-fingerprint dedup screening") {
     // The LLM-corpus form of continuous ingest: each micro-batch is
     // (1) deduped within itself on a content fingerprint, then
@@ -101,13 +96,14 @@ class StreamingIndexSpec extends AnyFunSuite {
     val store = new etl.IndexStore(spark,
       java.nio.file.Files.createTempDirectory("stream_idx_wh").toString)
 
-    def stage(name: String): Unit = java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), srcDir.resolve(name))
+    // Tables-normalized staging copy (fixture ts encoding varies by
+    // driver round — SparkTestSession.stagedEventsFile).
+    def stage(name: String): Unit =
+      java.nio.file.Files.copy(stagedEventsFile, srcDir.resolve(name))
 
     def runPass(): Unit = {
       val ckpt = srcDir.resolve(".ckpt").toString
-      val q = spark.readStream.schema(eventsSchema).parquet(srcDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = spark.readStream.schema(stagedEventsSchema).parquet(srcDir.toString)
         .writeStream
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           if (store.listIndexes().contains("events"))

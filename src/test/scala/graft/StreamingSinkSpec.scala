@@ -14,22 +14,18 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSinkSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val schema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
   test("checkpointed parquet sink is exactly-once across restarts") {
     val src = java.nio.file.Files.createTempDirectory("sink_src")
     val out = java.nio.file.Files.createTempDirectory("sink_out").toString
     val ckpt = java.nio.file.Files.createTempDirectory("sink_ckpt").toString
 
-    def copyFixture(name: String): Unit = java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"), src.resolve(name))
+    // Copies of the Tables-normalized staging file (fixture ts
+    // encoding varies by driver round — SparkTestSession.stagedEventsFile).
+    def copyFixture(name: String): Unit =
+      java.nio.file.Files.copy(stagedEventsFile, src.resolve(name))
 
     def runPass(): Unit = {
-      val q = spark.readStream.schema(schema).parquet(src.toString)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val q = spark.readStream.schema(stagedEventsSchema).parquet(src.toString)
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", ckpt)
         .trigger(Trigger.AvailableNow()).start()

@@ -14,28 +14,20 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   import SparkTestSession._
 
-  private val eventsSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
-
-  /** The streaming file source wants a directory; stage the single
-    * fixture file into one (testdata itself is read-only).
+  /** The streaming file source wants a directory; stage the normalized
+    * fixture file into one (testdata itself is read-only, and its ts
+    * encoding varies by driver round — see SparkTestSession.stagedEventsFile).
     */
   private lazy val eventsDir: String = {
     val dir = java.nio.file.Files.createTempDirectory("events_stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf/events.parquet"),
-      dir.resolve("part-0.parquet"))
+    java.nio.file.Files.copy(stagedEventsFile, dir.resolve("part-0.parquet"))
     dir.toFile.deleteOnExit()
     dir.toString
   }
 
-  /** Streaming events DF with the same ts normalization as Tables. */
+  /** Streaming events DF — already Tables-normalized at staging. */
   private def eventsStream: DataFrame =
-    spark.readStream.schema(eventsSchema)
-      .parquet(eventsDir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    spark.readStream.schema(stagedEventsSchema).parquet(eventsDir)
 
   private def runToMemory(df: DataFrame, name: String, mode: String): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
