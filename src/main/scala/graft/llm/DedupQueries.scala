@@ -251,6 +251,13 @@ object DedupQueries {
   val SpanK = 50
   val MaxSpanGramDf = 20
 
+  /** Segment width (tokens) for cross-document segment-level dedup —
+    * the fixed-window stand-in for line granularity (the fixture's
+    * documents are single-line, so "line dedup" degenerates without
+    * an explicit window).
+    */
+  val SegTokens = 10
+
   private val pow31: IndexedSeq[Long] =
     (0 until WinnowK).scanLeft(1L)((acc, _) => acc * 31L).toIndexedSeq
 
@@ -368,6 +375,49 @@ object DedupQueries {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
         .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Cross-document SEGMENT-level dedup (the RefinedWeb / CCNet
+    // "line dedup" family, Penedo et al. 2023 §3.3: drop any line that
+    // recurs verbatim across documents — boilerplate headers, nav
+    // bars, license blurbs — while KEEPING the rest of the document).
+    // The fixture's documents are single-line, so the unit is a fixed
+    // SegTokens-token window instead of a newline split; the pipeline
+    // shape is identical. Unlike the whole-doc dedup ops above this
+    // REWRITES rows: repeated segments are cut and the survivor text
+    // is reassembled in original order.
+    // Scale: one narrow chunk-projection per doc (no explode for the
+    // chunking itself), one (fp, doc_id) shuffle for the df count, one
+    // linear fp-join back (NOT broadcast — the duplicate-segment set
+    // grows with the corpus), one doc_id re-group for reassembly.
+    // Everything exact string/integer arithmetic → hash-checked.
+    "llm_dedup_segments" -> ((s, dir) => {
+      val w = SegTokens
+      val segs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), toks(col("text")).as("t"))
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(0), ((size(col("t")) - 1) / w).cast(IntegerType)),
+          i => array_join(slice(col("t"), i * w + 1, lit(w)), " "))))
+        .withColumnRenamed("pos", "idx")
+        .withColumnRenamed("col", "seg")
+        .withColumn("fp", md5(col("seg")))
+      val dup = segs.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("df"))
+        .filter(col("df") >= 2)
+        .select(col("fp"), lit(1).as("is_dup"))
+      segs.join(dup, Seq("fp"), "left")
+        .groupBy(col("doc_id"))
+        .agg(
+          count(lit(1)).as("n_segs"),
+          count(col("is_dup")).as("n_dup_segs"),
+          array_join(transform(
+            array_sort(collect_list(when(col("is_dup").isNull,
+              struct(col("idx"), col("seg"))))),
+            x => x.getField("seg")), " ").as("clean_text"))
+        .select(col("doc_id"), col("n_segs"), col("n_dup_segs"),
+          length(col("clean_text")).as("clean_len"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // Exact dedup: md5(normalized text) fingerprint, survivor = min
@@ -621,6 +671,31 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(max(span_len) AS BIGINT) AS max_span
          |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same SegTokens windows, same md5 fingerprints, same df >= 2
+    // cut rule, reassembly ordered by window index; DuckDB list
+    // slicing tk[a:b] is 1-based inclusive = Spark slice(t, a, w).
+    "llm_dedup_segments" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS tk
+         |  FROM documents),
+         |segs AS (
+         |  SELECT doc_id, i AS idx,
+         |    array_to_string(tk[i * $SegTokens + 1 : i * $SegTokens + $SegTokens], ' ') AS seg
+         |  FROM t, unnest(generate_series(0, (len(tk) - 1) // $SegTokens)) AS u(i)),
+         |dup AS (
+         |  SELECT md5(seg) AS fp FROM segs
+         |  GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2),
+         |m AS (
+         |  SELECT doc_id, idx, seg,
+         |    md5(seg) IN (SELECT fp FROM dup) AS is_dup
+         |  FROM segs)
+         |SELECT doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_segs,
+         |  CAST(count(*) FILTER (is_dup) AS BIGINT) AS n_dup_segs,
+         |  CAST(len(coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (NOT is_dup), '')) AS INT) AS clean_len,
+         |  md5(coalesce(string_agg(seg, ' ' ORDER BY idx) FILTER (NOT is_dup), '')) AS clean_fp
+         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_winnow" ->
       s"""WITH docs8 AS (

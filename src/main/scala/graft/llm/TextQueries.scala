@@ -394,8 +394,45 @@ object TextQueries {
         .select(col("w1"), col("w2"), col("c2"), col("pmi_ppm"))
         .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
         .limit(20)
+    }),
+
+    // Linear quality classifier via the hashing trick (the fastText
+    // shape, Joulin et al. 2016 — the architecture behind the CCNet /
+    // GPT-3 "looks like reference text" quality filters): each token
+    // hashes into one of QcDim buckets; the model IS the QcDim-entry
+    // weight vector; doc score = Σ w[h(tok) mod QcDim]. Here the
+    // weights are a pinned pseudo-random projection (md5 of the bucket
+    // id, the same cross-engine hash every sketch op uses) rather than
+    // trained coefficients — the serving-path plumbing is what the
+    // engine owns; swapping in trained weights is a literal-array
+    // change. All-integer arithmetic → hash-checked oracle.
+    // Scale: explode + per-token md5 + hash-groupBy(doc_id) with
+    // map-side combine — one linear shuffle of (doc_id, partial sums),
+    // weights need no table at all (computed in-expression). At 100 TB
+    // this is scan-speed; a trained model would broadcast QcDim longs.
+    "llm_quality_classifier" -> ((s, dir) => {
+      val d = QcDim
+      val bucket = pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast(LongType), lit(d))
+      val weight = pmod(conv(substring(md5(concat(lit("w#"), col("b"))), 1, 8), 16, 10)
+        .cast(LongType), lit(2001)) - 1000
+      Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("tok"))
+        .withColumn("b", bucket)
+        .withColumn("w", weight)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("w")).as("score"))
+        .withColumn("label",
+          when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
+        .orderBy(col("doc_id"))
     })
   )
+
+  /** Hashed-feature dimensionality of the quality classifier. 64 keeps
+    * the fixture's bucket collisions frequent enough to exercise the
+    * hashing trick; a production model would use 2²⁰+.
+    */
+  val QcDim = 64
 
   /** PMI's exact-integer ranking core. The naive int64 form
     * `c2 * n_tokens * 1000000` wraps at ~10⁹ corpus tokens (a 100 TB
@@ -602,6 +639,22 @@ object TextQueries {
         |FROM bg
         |JOIN uni a ON bg.w1 = a.w
         |JOIN uni b ON bg.w2 = b.w, n
-        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20""".stripMargin
+        |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Same bucket hash (first 8 md5 hex digits), same pinned weight
+    // derivation md5('w#' || bucket) % 2001 - 1000, summed per doc.
+    "llm_quality_classifier" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+         |  FROM documents),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_tokens,
+         |    sum((('0x' || substr(md5('w#' ||
+         |        (('0x' || substr(md5(tok), 1, 8))::BIGINT % $QcDim)), 1, 8))::BIGINT
+         |      % 2001) - 1000) AS score
+         |  FROM tok GROUP BY doc_id)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |  CAST(score AS BIGINT) AS score,
+         |  CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM sc ORDER BY doc_id""".stripMargin
   )
 }

@@ -466,6 +466,93 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // ES `boosting` query: positive clause ranks, negative clause
+    // DEMOTES (multiplies by negative_boost) instead of excluding —
+    // "results about dup, but prefer those not mentioning slow".
+    // Positive = single-term BM25 on 'dup' (the fixture's one rare,
+    // high-idf term, so the top-10 mixes demoted and undemoted rows
+    // and both CASE branches land in the gated output); negative =
+    // presence of 'slow'; negative_boost = 0.5 (exact IEEE halving, so
+    // the twin stays bit-identical). Same scan → project →
+    // stats-broadcast → TakeOrderedAndProject shape as every scorer.
+    "search_boosting" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_dup", tf("dup"))
+        .withColumn("tf_slow", tf("slow"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_dup") > 0).cast(LongType)).cast(DoubleType).as("df_dup"))
+      scored.crossJoin(broadcast(stats))
+        .filter(col("tf_dup") > 0)
+        .withColumn("demoted", col("tf_slow") > 0)
+        .withColumn("score", round(
+          bm25Part(col("tf_dup"), col("df_dup"), col("n_tokens"),
+            col("n_docs"), col("sum_dl")) *
+            when(col("demoted"), lit(0.5)).otherwise(lit(1.0)), 6))
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("demoted"), col("score"))
+        .limit(10)
+    }),
+
+    // ES `terms_set` query: match documents containing at least M of
+    // the given terms, M from `minimum_should_match_script` — here the
+    // canonical `params.num_terms - 1` form (any 3 of 4). Distinct
+    // membership (ES terms_set counts matched TERMS, not occurrences).
+    // Pure per-row set arithmetic against a literal array: scan speed,
+    // no stats pass, no shuffle beyond the presentation sort.
+    "search_terms_set" -> ((s, dir) => {
+      val termsSet = Seq("spark", "query", "join", "window")
+      val matched = array_intersect(
+        array_distinct(tokens(col("text"))),
+        array(termsSet.map(lit): _*))
+      Tables(s, dir, "documents")
+        .withColumn("n_matched", size(matched))
+        .filter(col("n_matched") >= termsSet.size - 1)
+        .select(col("doc_id"), col("n_matched"),
+          array_join(array_sort(matched), ",").as("matched_terms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ES `matrix_stats` aggregation: the multi-field numeric moment
+    // matrix (count, mean, variance, covariance, correlation) per
+    // bucket — here over (n_chars, n_tokens) grouped by lang. Same
+    // determinism discipline as rel_stat_agg: EXACT decimal sums
+    // (n, Σx, Σy, Σx², Σy², Σxy) in the one distributed pass, then
+    // the float formulas applied once per GROUP on the driver-sized
+    // result — order-independent, so it hash-compares, where native
+    // float var_samp/corr merge trees don't. One map-side-combined
+    // shuffle of 6 decimals per (lang) key at any scale.
+    "search_matrix_stats" -> ((s, dir) => {
+      val x = col("n_chars").cast(DecimalType(20, 0))
+      val y = size(tokens(col("text"))).cast(DecimalType(20, 0))
+      Tables(s, dir, "documents")
+        .select(col("lang"), x.as("x"), y.as("y"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("x")).as("sx2"),
+          sum(col("y") * col("y")).as("sy2"),
+          sum(col("x") * col("y")).as("sxy"))
+        .select(col("lang"), col("n"),
+          round(col("sx").cast(DoubleType) / col("n"), 6).as("mean_chars"),
+          round(col("sy").cast(DoubleType) / col("n"), 6).as("mean_tokens"),
+          round((col("sx2").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n"))
+            / (col("n") - 1), 6).as("var_chars"),
+          round((col("sy2").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))
+            / (col("n") - 1), 6).as("var_tokens"),
+          round((col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))
+            / (col("n") - 1), 6).as("covar"),
+          round((col("sxy").cast(DoubleType) - col("sx").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))
+            / sqrt((col("sx2").cast(DoubleType) - col("sx").cast(DoubleType) * col("sx").cast(DoubleType) / col("n"))
+              * (col("sy2").cast(DoubleType) - col("sy").cast(DoubleType) * col("sy").cast(DoubleType) / col("n"))), 6)
+            .as("correlation"))
+        .orderBy(col("lang"))
+    }),
+
     // INDEX-SERVED Okapi BM25 — the same scoring as search_topk_bm25
     // but answered from the materialized inverted index instead of a
     // corpus scan: the query's terms prune the term-sorted postings
@@ -1409,6 +1496,64 @@ object SearchQueries {
         |SELECT doc_id, n_matched, score FROM b
         |WHERE n_matched >= 2
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Single-term Okapi part verbatim from Bm25OracleSql's arithmetic,
+    // then the negative_boost halving mirrored as the same CASE.
+    "search_boosting" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'dup')) AS tf_dup,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'slow')) AS tf_slow
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_dup
+        |  FROM scored)
+        |SELECT doc_id, tf_slow > 0 AS demoted,
+        |  round(
+        |    ln(1.0 + (n_docs - df_dup + 0.5) / (df_dup + 0.5)) *
+        |      ((tf_dup * 2.2) /
+        |       (tf_dup + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) *
+        |    (CASE WHEN tf_slow > 0 THEN 0.5 ELSE 1.0 END), 6) AS score
+        |FROM scored CROSS JOIN stats
+        |WHERE tf_dup > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Distinct-term membership against the literal set, M = 4 - 1.
+    "search_terms_set" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    list_sort(list_filter(list_distinct(regexp_split_to_array(lower(text), '\s+')),
+        |      t -> t IN ('spark', 'query', 'join', 'window'))) AS mt
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(mt) AS INT) AS n_matched,
+        |  array_to_string(mt, ',') AS matched_terms
+        |FROM m WHERE len(mt) >= 3 ORDER BY doc_id""".stripMargin,
+    // Exact decimal sums, then the identical float formula text.
+    "search_matrix_stats" ->
+      """WITH b AS (
+        |  SELECT lang,
+        |    CAST(n_chars AS DECIMAL(20,0)) AS x,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS DECIMAL(20,0)) AS y
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * x) AS sx2, sum(y * y) AS sy2, sum(x * y) AS sxy
+        |  FROM b GROUP BY lang)
+        |SELECT lang, CAST(n AS BIGINT) AS n,
+        |  round(CAST(sx AS DOUBLE) / n, 6) AS mean_chars,
+        |  round(CAST(sy AS DOUBLE) / n, 6) AS mean_tokens,
+        |  round((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |        / (n - 1), 6) AS var_chars,
+        |  round((CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / (n - 1), 6) AS var_tokens,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / (n - 1), 6) AS covar,
+        |  round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+        |        / sqrt((CAST(sx2 AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+        |               * (CAST(sy2 AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n)), 6) AS correlation
+        |FROM s ORDER BY lang""".stripMargin,
     // Same oracle text on purpose: the indexed variant must produce
     // byte-identical results to the scan-based scoring — the gate
     // proves the inverted index serves exactly what a scan computes.

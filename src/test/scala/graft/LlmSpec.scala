@@ -438,6 +438,57 @@ class LlmSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup: cuts exactly the cross-doc repeated windows, reassembly preserves order") {
+    val w = llm.DedupQueries.SegTokens
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Ground truth, sequentially: fixed w-token windows per doc,
+    // window df across docs, cut df>=2, rejoin survivors in order.
+    def segsOf(t: String): Seq[String] =
+      t.split("\\s+").toSeq.grouped(w).map(_.mkString(" ")).toSeq
+    val df = scala.collection.mutable.Map.empty[String, Set[Long]]
+    texts.foreach { case (id, t) =>
+      segsOf(t).foreach(s => df(s) = df.getOrElse(s, Set.empty) + id) }
+    val rows = SparkEntry.queries("llm_dedup_segments")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    var cutTotal = 0L
+    rows.foreach { r =>
+      val (id, nSegs, nDup) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val segs = segsOf(texts(id))
+      assert(nSegs == segs.length, s"doc $id: n_segs")
+      val kept = segs.filter(s => df(s).size < 2)
+      assert(nDup == segs.length - kept.length, s"doc $id: n_dup_segs")
+      val clean = kept.mkString(" ")
+      assert(r.getInt(3) == clean.length, s"doc $id: clean_len")
+      assert(r.getString(4) == java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString,
+        s"doc $id: clean_fp != md5 of ordered reassembly")
+      cutTotal += nDup
+    }
+    assert(cutTotal > 0, "fixture must contain cross-doc repeated segments")
+  }
+
+  test("quality classifier: doc score equals the sequential hashed-linear model") {
+    val d = llm.TextQueries.QcDim
+    def h(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString, 16)
+    def weight(b: Long): Long = h(s"w#$b") % 2001 - 1000
+    val texts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = SparkEntry.queries("llm_quality_classifier")(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val toks = texts(r.getLong(0)).split("\\s+")
+      val score = toks.map(t => weight(h(t) % d)).sum
+      assert(r.getLong(1) == toks.length, s"doc ${r.getLong(0)}: n_tokens")
+      assert(r.getLong(2) == score, s"doc ${r.getLong(0)}: score")
+      assert(r.getString(3) == (if (score > 0) "keep" else "drop"))
+    }
+  }
+
   test("BPE segmentation never crosses word boundaries and conserves characters") {
     val (_, words) = llm.BpeQueries.trainMerges(
       llm.BpeQueries.wordTable(Tables.forCompute(spark, sf, "documents")), 12)

@@ -154,6 +154,7 @@ class PlanSpec extends AnyFunSuite {
       "search_topk_bm25", // 1-row corpus-stats broadcast
       "search_collapse_field", // 1-row corpus-stats broadcast
       "search_min_should_match", // 1-row corpus-stats broadcast
+      "search_boosting", // 1-row corpus-stats broadcast
       "search_query_string_boosted", // 1-row corpus-stats broadcast
       "search_rescore", // 1-row corpus-stats broadcast on the 50-row window
       "search_significant_terms", // 1-row fg/bg-totals broadcast
