@@ -160,6 +160,37 @@ object PipelineQueries {
         .orderBy(col("source"), col("epoch"))
     }),
 
+    // Temperature-scaled language mixture (the mT5 §3.1 / XLM-R
+    // sampling stage: draw languages ∝ p^α so low-resource languages
+    // are upweighted relative to their corpus share) — here α = 0.5,
+    // computed as w_l = floor(sqrt(c_l·10⁶)) in INTEGER arithmetic:
+    // IEEE sqrt is correctly rounded and c_l·10⁶ is double-exact, so
+    // both engines produce the identical BIGINT weight (a float
+    // normalization Σw would be summation-order-dependent and break
+    // the hash compare; integer DIV doesn't). Quota_l = (B·w_l) DIV
+    // Σw capped at c_l; selection = content-hash rank within language
+    // (deterministic, unbiased). Scale shape: the count/weight/quota
+    // tables are VOCABULARY-sized (one row per language) and
+    // broadcast; the only corpus-scale work is the per-language rank
+    // window, same as llm_stratified_sample.
+    "llm_temperature_mixture" -> ((s, dir) => {
+      val B = 200
+      val docs = Tables(s, dir, "documents")
+      val cnts = docs.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+        .withColumn("w", floor(sqrt(col("c") * lit(1000000L))).cast(LongType))
+      val tot = cnts.agg(sum(col("w")).as("tw"))
+      val quotas = cnts.crossJoin(broadcast(tot))
+        .withColumn("quota", least(expr(s"($B * w) DIV tw"), col("c")))
+        .select(col("lang"), col("quota"))
+      val rank = Window.partitionBy(col("lang"))
+        .orderBy(md5(lower(trim(col("text")))), col("doc_id"))
+      docs.withColumn("__rn", row_number().over(rank))
+        .join(broadcast(quotas), "lang")
+        .filter(col("__rn") <= col("quota"))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+
     // Curriculum sharding — order the corpus by a quality signal and
     // cut it into N shards so training can schedule easy/clean shards
     // first (curriculum learning's data-side half). The quality
@@ -309,6 +340,20 @@ object PipelineQueries {
         |SELECT lang, CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS begun_toks
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same integer weights (floor of the correctly-rounded IEEE sqrt),
+    // same integer quota DIV, same content-hash rank.
+    "llm_temperature_mixture" ->
+      """WITH c AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+        |w AS (SELECT lang, c, CAST(floor(sqrt(c * 1000000)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT sum(w) AS tw FROM w),
+        |q AS (SELECT lang, least((200 * w) // tw, c) AS quota FROM w, t),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5(lower(trim(text))), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE rn <= quota ORDER BY lang, doc_id""".stripMargin,
     "llm_mixture_resample" ->
       """WITH d AS (
         |  SELECT source, doc_id,

@@ -33,6 +33,40 @@ object MultimodalQueries {
 
   case class FrameSample(doc_id: Long, n_frames: Int, frame_checksum: Long)
 
+  case class AudioEnergy(doc_id: Long, n_frames: Int, total_energy: Long,
+                         peak_frame: Int, peak_energy: Long)
+
+  /** STUBBED AUDIO DECODE + frame energy: payload bytes play 8-bit PCM
+    * samples centered at 128 (a real build decodes via FFI here);
+    * energy per `frame`-sample window = Σ(sample−128)² — the RMS-energy
+    * sweep behind silence trimming / voice-activity detection, in
+    * exact integer arithmetic so the whole sweep is oracle-checkable.
+    * Peak tie-break: FIRST frame with the max energy. Same
+    * per-partition iterator shape as the other codec stubs.
+    */
+  def audioEnergy(media: DataFrame, frame: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        var i = 0; var fr = 0
+        var frameE = 0L; var totalE = 0L
+        var peakFrame = 0; var peakE = -1L
+        var n = 0
+        while (i < r.payload.length) {
+          val v = (r.payload(i) & 0xFF) - 128
+          frameE += v.toLong * v
+          i += 1
+          if (i % frame == 0 || i == r.payload.length) {
+            totalE += frameE
+            if (frameE > peakE) { peakE = frameE; peakFrame = fr }
+            fr += 1; n += 1; frameE = 0L
+          }
+        }
+        AudioEnergy(r.doc_id, n, totalE, peakFrame, math.max(peakE, 0L))
+      }
+    }.toDF()
+  }
+
   /** Derive a binary "media" table from documents: payload =
     * UTF-8 bytes of text (the fixture's stand-in for an image blob),
     * metadata = fake dims where width=16, height=ceil(len/16).
@@ -229,6 +263,12 @@ object MultimodalQueries {
     // hard DuckDB check via list_reduce over the same sampled bytes.
     "mm_frame_sample" -> ((s, dir) =>
       sampleFrames(mediaTable(s, dir), 8)
+        .orderBy(col("doc_id"))),
+
+    // Audio frame-energy sweep (64-sample windows, last partial frame
+    // kept) — silence-trim / VAD accounting over the stub PCM.
+    "mm_audio_energy" -> ((s, dir) =>
+      audioEnergy(mediaTable(s, dir), 64)
         .orderBy(col("doc_id")))
   )
 
@@ -306,6 +346,27 @@ object MultimodalQueries {
         |  CAST(CASE WHEN len(sampled) = 0 THEN 0
         |            ELSE list_reduce(sampled, (x, y) -> (x * 31 + y) % 1000000007)
         |       END AS BIGINT) AS frame_checksum
-        |FROM b ORDER BY doc_id""".stripMargin
+        |FROM b ORDER BY doc_id""".stripMargin,
+    // Same centered-square integer energies over 64-byte windows
+    // (ASCII fixture ⇒ code points == bytes); peak tie-break = first
+    // max frame, mirrored via min(fr) over the max-energy frames.
+    "mm_audio_energy" ->
+      """WITH e AS (
+        |  SELECT doc_id, (i - 1) // 64 AS fr,
+        |    CAST(unicode(text[i]) - 128 AS BIGINT)
+        |      * (unicode(text[i]) - 128) AS e
+        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        |fe AS (SELECT doc_id, fr, sum(e) AS fe FROM e GROUP BY 1, 2),
+        |agg AS (
+        |  SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |    CAST(sum(fe) AS BIGINT) AS total_energy, max(fe) AS mx
+        |  FROM fe GROUP BY doc_id),
+        |pk AS (
+        |  SELECT fe.doc_id, CAST(min(fr) AS INT) AS peak_frame
+        |  FROM fe JOIN agg ON fe.doc_id = agg.doc_id AND fe.fe = agg.mx
+        |  GROUP BY fe.doc_id)
+        |SELECT a.doc_id, n_frames, total_energy, peak_frame,
+        |  CAST(mx AS BIGINT) AS peak_energy
+        |FROM agg a JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

@@ -166,6 +166,7 @@ class PlanSpec extends AnyFunSuite {
       "search_dis_max", // 1-row per-field corpus-stats broadcast
       "search_function_score", // 1-row corpus-stats broadcast
       "llm_dsir_weights", // 1-row vocab-totals broadcast
+      "llm_temperature_mixture", // 1-row weight-total broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
