@@ -143,6 +143,52 @@ object EtlQueries {
         .orderBy(col("col_name"))
     }),
 
+    // Declarative data-quality rule suite (the Deequ shape, Schelter
+    // et al. VLDB'18 — "unit tests for data"): each rule compiles to a
+    // violation COUNT over one table scan or one anti-join, and the
+    // report row carries (violations, total, ppm, passed). Five rule
+    // kinds over the star schema: PK uniqueness, FK referential
+    // integrity (broadcast anti-join — the dim side; at 100 TB the
+    // fact side streams), domain membership, range, completeness —
+    // plus one deliberately drifted bound (qty ≤ 40 against a max-50
+    // generator) so the FAILED reporting path is exercised, not just
+    // asserted green. Each count is one aggregation (the per-table
+    // rules could fuse into one pass per table; kept separate for rule
+    // independence — each is metadata-sized output).
+    "etl_quality_rules" -> ((s, dir) => {
+      val ord = Tables(s, dir, "orders")
+      val cust = Tables(s, dir, "customer")
+      val li = Tables(s, dir, "lineitem")
+      def rule(name: String, violations: DataFrame, total: DataFrame): DataFrame =
+        violations.crossJoin(total)
+          .select(lit(name).as("rule"), col("violations"), col("total"),
+            expr("violations * 1000000 DIV total").as("violation_ppm"),
+            (col("violations") === 0).as("passed"))
+      val rules = Seq(
+        rule("customer_acctbal_complete",
+          cust.agg(count(when(col("c_acctbal").isNull, 1)).as("violations")),
+          cust.agg(count(lit(1)).as("total"))),
+        rule("lineitem_discount_range_0_01",
+          li.agg(count(when(col("l_discount") < 0 || col("l_discount") > 0.1, 1))
+            .as("violations")),
+          li.agg(count(lit(1)).as("total"))),
+        rule("lineitem_qty_upper_40",
+          li.agg(count(when(col("l_quantity") > 40, 1)).as("violations")),
+          li.agg(count(lit(1)).as("total"))),
+        rule("orders_fk_customer",
+          ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"), "left_anti")
+            .agg(count(lit(1)).as("violations")),
+          ord.agg(count(lit(1)).as("total"))),
+        rule("orders_pk_unique",
+          ord.agg((count(lit(1)) - countDistinct(col("o_orderkey"))).as("violations")),
+          ord.agg(count(lit(1)).as("total"))),
+        rule("orders_status_domain",
+          ord.agg(count(when(!col("o_orderstatus").isin("O", "F", "P"), 1))
+            .as("violations")),
+          ord.agg(count(lit(1)).as("total"))))
+      rules.reduce(_.unionAll(_)).orderBy(col("rule"))
+    }),
+
     // #10: catalog list + system-index filter (leading-dot names dropped,
     // ElasticServiceImpl.java:97-101). Directory listing is a driver-side
     // catalog op (same as spark.catalog.listTables) — not a data scan.
@@ -218,6 +264,51 @@ object EtlQueries {
       Tables.all.map(_.toLowerCase).sorted
         .map(n => s"('$n')")
         .mkString("SELECT index_name FROM (VALUES ", ", ",
-          ") AS t(index_name) ORDER BY index_name")
+          ") AS t(index_name) ORDER BY index_name"),
+    // One SELECT per rule, same violation predicates, same integer ppm.
+    "etl_quality_rules" ->
+      """SELECT * FROM (
+        |SELECT 'customer_acctbal_complete' AS rule,
+        |  CAST(count(*) FILTER (c_acctbal IS NULL) AS BIGINT) AS violations,
+        |  CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(*) FILTER (c_acctbal IS NULL) * 1000000 // count(*) AS BIGINT) AS violation_ppm,
+        |  count(*) FILTER (c_acctbal IS NULL) = 0 AS passed
+        |FROM customer
+        |UNION ALL
+        |SELECT 'lineitem_discount_range_0_01',
+        |  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (l_discount < 0 OR l_discount > 0.1) * 1000000 // count(*) AS BIGINT),
+        |  count(*) FILTER (l_discount < 0 OR l_discount > 0.1) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'lineitem_qty_upper_40',
+        |  CAST(count(*) FILTER (l_quantity > 40) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (l_quantity > 40) * 1000000 // count(*) AS BIGINT),
+        |  count(*) FILTER (l_quantity > 40) = 0
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'orders_fk_customer',
+        |  CAST(count(*) FILTER (c.c_custkey IS NULL) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (c.c_custkey IS NULL) * 1000000 // count(*) AS BIGINT),
+        |  count(*) FILTER (c.c_custkey IS NULL) = 0
+        |FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |UNION ALL
+        |SELECT 'orders_pk_unique',
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST((count(*) - count(DISTINCT o_orderkey)) * 1000000 // count(*) AS BIGINT),
+        |  count(*) - count(DISTINCT o_orderkey) = 0
+        |FROM orders
+        |UNION ALL
+        |SELECT 'orders_status_domain',
+        |  CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) AS BIGINT),
+        |  CAST(count(*) AS BIGINT),
+        |  CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) * 1000000 // count(*) AS BIGINT),
+        |  count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P')) = 0
+        |FROM orders
+        |) ORDER BY rule""".stripMargin
   )
 }

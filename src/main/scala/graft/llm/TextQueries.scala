@@ -396,6 +396,28 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Per-document n-gram NOVELTY profile — for each doc, the fraction
+    // of its distinct word-3-shingles whose FIRST corpus occurrence
+    // (min doc_id over containing docs) is the doc itself. The
+    // dataset-ordering diagnostic behind dedup-aware curriculum and
+    // memorization studies: a late doc with near-zero novelty is
+    // recombined boilerplate even when no single pair-finder flags it.
+    // Shape: distinct-shingle explode, min-aggregation per gram (the
+    // first-occurrence table — gram-keyed, corpus-scaled, so the join
+    // back is a SHUFFLE join, deliberately never broadcast), one
+    // doc_id re-group. All integer arithmetic → hash-checked.
+    "llm_ngram_novelty" -> ((s, dir) => {
+      val grams = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(DedupQueries.shingles3(col("text"))).as("g"))
+      val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novelty_ppm", expr("n_novel * 1000000 DIV n_grams"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Linear quality classifier via the hashing trick (the fastText
     // shape, Joulin et al. 2016 — the architecture behind the CCNet /
     // GPT-3 "looks like reference text" quality filters): each token
@@ -640,6 +662,22 @@ object TextQueries {
         |JOIN uni a ON bg.w1 = a.w
         |JOIN uni b ON bg.w2 = b.w, n
         |ORDER BY pmi_ppm DESC, w1, w2 LIMIT 20""".stripMargin,
+    // Same distinct 3-shingles, same min-doc_id first-occurrence
+    // attribution, same integer ppm.
+    "llm_ngram_novelty" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS u(i)),
+        |f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY g)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (first_doc = doc_id) AS BIGINT) AS n_novel,
+        |  CAST(count(*) FILTER (first_doc = doc_id) * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+        |FROM g JOIN f USING (g)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same bucket hash (first 8 md5 hex digits), same pinned weight
     // derivation md5('w#' || bucket) % 2001 - 1000, summed per doc.
     "llm_quality_classifier" ->

@@ -161,6 +161,7 @@ class PlanSpec extends AnyFunSuite {
       "search_hybrid_rrf", // embeds the cosine arm's 1-row query-vector broadcast
       "search_percolate", // 4-row stored-query broadcast
       "llm_length_trim", // 1-row total-count broadcast
+      "etl_quality_rules", // 1-row violations × 1-row total per rule
       "llm_keyword_extract", // 1-row corpus-size broadcast
       "llm_collocations_pmi", // 1-row token-count broadcast
       "search_dis_max", // 1-row per-field corpus-stats broadcast
