@@ -161,6 +161,21 @@ object Recall {
           .cast(DoubleType) / col("exact_sources"))).as("e"))
       .collect()(0).getDouble(0)
 
+    // Percentiles facet: max relative error of the GK sketch vs the
+    // exact (interpolated) order statistics, across buckets and all
+    // three measured percentiles.
+    val pctApprox = SparkEntry.queries("search_facets_percentiles")(spark, sfDir)
+    val pctExact = Tables(spark, sfDir, "documents")
+      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"))
+    val pctErr = pctApprox.join(pctExact, "lang")
+      .select(max(greatest(
+        abs(col("p50") - element_at(col("ex"), 1)) / element_at(col("ex"), 1),
+        abs(col("p90") - element_at(col("ex"), 2)) / element_at(col("ex"), 2),
+        abs(col("p99") - element_at(col("ex"), 3)) / element_at(col("ex"), 3))).as("e"))
+      .collect()(0).getDouble(0)
+
     val json =
       s"""{
          |"sf":"$sfDir",
@@ -176,7 +191,8 @@ object Recall {
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}},
-         |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}}
+         |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}},
+         |"search_facets_percentiles":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, pctErr)}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)
     println(json)

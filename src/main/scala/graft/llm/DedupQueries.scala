@@ -388,8 +388,10 @@ object DedupQueries {
     // is reassembled in original order.
     // Scale: one narrow chunk-projection per doc (no explode for the
     // chunking itself), one (fp, doc_id) shuffle for the df count, one
-    // linear fp-join back (NOT broadcast — the duplicate-segment set
-    // grows with the corpus), one doc_id re-group for reassembly.
+    // linear fp-join back (broadcast left to Catalyst/AQE, never
+    // forced — the duplicate-segment set grows with the corpus, so at
+    // 100 TB sizing makes it a shuffle join; at fixture scale AQE
+    // correctly broadcasts it), one doc_id re-group for reassembly.
     // Everything exact string/integer arithmetic → hash-checked.
     "llm_dedup_segments" -> ((s, dir) => {
       val w = SegTokens

@@ -403,9 +403,10 @@ object TextQueries {
     // memorization studies: a late doc with near-zero novelty is
     // recombined boilerplate even when no single pair-finder flags it.
     // Shape: distinct-shingle explode, min-aggregation per gram (the
-    // first-occurrence table — gram-keyed, corpus-scaled, so the join
-    // back is a SHUFFLE join, deliberately never broadcast), one
-    // doc_id re-group. All integer arithmetic → hash-checked.
+    // first-occurrence table — gram-keyed, corpus-scaled, so its join
+    // back is never FORCED broadcast; Catalyst/AQE sizes it, landing
+    // on a shuffle join at corpus scale), one doc_id re-group. All
+    // integer arithmetic → hash-checked.
     "llm_ngram_novelty" -> ((s, dir) => {
       val grams = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), explode(DedupQueries.shingles3(col("text"))).as("g"))

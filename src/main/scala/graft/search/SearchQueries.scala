@@ -873,6 +873,30 @@ object SearchQueries {
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
+    // Percentiles facet (the ES `percentiles` sub-aggregation — the
+    // latency-dashboard staple): p50/p90/p99 of a numeric field per
+    // terms bucket via the mergeable percentile sketch
+    // (approx_percentile — Spark's GK summaries, ES's TDigest role).
+    // Like the cardinality facet this is inherently approximate →
+    // no SQL oracle; the drift vs exact order statistics is bounded in
+    // SimilaritySampleSpec and quantified per-round in RECALL (at
+    // fixture scale GK at accuracy 1000 reproduces the exact order
+    // statistic, so measured drift is 0). One partial+final hash-agg
+    // scan; sketch size is O(accuracy) per bucket, corpus-independent.
+    "search_facets_percentiles" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "spark"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          approx_percentile(col("n_chars"),
+            array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("pcts"))
+        .select(col("lang"), col("doc_count"),
+          element_at(col("pcts"), 1).as("p50"),
+          element_at(col("pcts"), 2).as("p90"),
+          element_at(col("pcts"), 3).as("p99"))
+        .orderBy(col("doc_count").desc, col("lang"))
+    }),
+
     // Date-histogram facet (ES date_histogram bucket agg — its
     // most-used bucket aggregation after `terms`): the hit set bucketed
     // by calendar day with a stats sub-agg. Same one-scan partial+final

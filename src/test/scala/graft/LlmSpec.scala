@@ -131,6 +131,21 @@ class LlmSpec extends AnyFunSuite {
     assert(bad.isEmpty, "per-bucket HLL(rsd=0.02) drifted >5% from exact distinct")
   }
 
+  test("percentiles facet lands within tolerance of exact order statistics") {
+    import org.apache.spark.sql.functions._
+    val approx = SparkEntry.queries("search_facets_percentiles")(spark, sf)
+    val exact = Tables(spark, sf, "documents")
+      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
+      .groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"))
+    val bad = approx.join(exact, "lang")
+      .filter(
+        abs(col("p50") - element_at(col("ex"), 1)) > element_at(col("ex"), 1) * 0.05 ||
+        abs(col("p90") - element_at(col("ex"), 2)) > element_at(col("ex"), 2) * 0.05 ||
+        abs(col("p99") - element_at(col("ex"), 3)) > element_at(col("ex"), 3) * 0.05)
+    assert(bad.isEmpty, "per-bucket GK percentile sketch drifted >5% from exact")
+  }
+
   test("exact dedup is idempotent") {
     val once = SparkEntry.queries("llm_dedup_exact")(spark, sf)
     assert(once.count() == once.dropDuplicates("content_fp").count())
