@@ -411,6 +411,25 @@ class IndexStore(spark: SparkSession, root: String) {
   def read(indexName: String): DataFrame =
     spark.read.parquet(dir(indexName).toString)
 
+  /** ES `_reindex`: copy an index into another through an optional
+    * per-row transform (the painless-script role — field rewrites,
+    * filters, projections), re-keyed on `idCol` in the destination.
+    * Runs as one distributed read→transform→bulkImport pipeline; ES's
+    * `slices` parallelism is task parallelism here. The destination
+    * goes through bulkImport's stringify + last-write-wins dedup +
+    * crash-safe swap, so reindexing INTO an existing index is a full
+    * replace with the same mid-crash safety as any other rewrite, and
+    * a transform that drops or renames `idCol` fails fast inside
+    * bulkImport rather than silently mis-keying.
+    */
+  def reindex(src: String, dst: String, idCol: String,
+              transform: DataFrame => DataFrame = identity,
+              numShards: Int = 5): Long = {
+    require(src.toLowerCase != dst.toLowerCase,
+      s"reindex src and dst must differ: $src")
+    bulkImport(transform(read(src)), dst, idCol, numShards)
+  }
+
   // ---- Derived-artifact materialization -------------------------------
   //
   // Expensive derived structures (the near-dup pair graph, posting

@@ -873,6 +873,45 @@ object SearchQueries {
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
+    // ES `_msearch` — a BATCH of stored queries answered from ONE
+    // corpus scan (shared-scan multi-query execution): the per-doc
+    // term frequencies for the union of all queries' terms are
+    // computed once, each query's (match, score) is a struct in a
+    // per-row literal array, and one explode + per-query-partitioned
+    // top-k (WindowGroupLimit partial per group) fans the single scan
+    // into N ranked result lists. At 100 TB this is the serving
+    // amortization lever: N queries cost one scan + O(N·k) shuffle,
+    // not N scans. Integer tf scoring → hash-exact oracle.
+    "search_msearch" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      def tf(t: String): Column =
+        size(filter(tokens(col("text")), x => x === lit(t)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("tf_spark", tf("spark")).withColumn("tf_join", tf("join"))
+        .withColumn("tf_vector", tf("vector")).withColumn("tf_window", tf("window"))
+        .withColumn("tf_data", tf("data")).withColumn("tf_slow", tf("slow"))
+      val batch = array(
+        struct(lit("m1_spark_and_join").as("query_id"),
+          (col("tf_spark") > 0 && col("tf_join") > 0).as("matched"),
+          (col("tf_spark") + col("tf_join")).as("score")),
+        struct(lit("m2_vector_or_window").as("query_id"),
+          (col("tf_vector") > 0 || col("tf_window") > 0).as("matched"),
+          (col("tf_vector") + col("tf_window")).as("score")),
+        struct(lit("m3_data_not_slow").as("query_id"),
+          (col("tf_data") > 0 && col("tf_slow") === 0).as("matched"),
+          col("tf_data").as("score")))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      scored.select(col("doc_id"), explode(batch).as("q"))
+        .filter(col("q.matched"))
+        .select(col("q.query_id").as("query_id"), col("doc_id"),
+          col("q.score").as("score"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("query_id"), col("rk"), col("doc_id"), col("score"))
+        .orderBy(col("query_id"), col("rk"))
+    }),
+
     // Percentiles facet (the ES `percentiles` sub-aggregation — the
     // latency-dashboard staple): p50/p90/p99 of a numeric field per
     // terms bucket via the mergeable percentile sketch
@@ -1520,6 +1559,34 @@ object SearchQueries {
         |SELECT doc_id, n_matched, score FROM b
         |WHERE n_matched >= 2
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    // Shared tf CTE, one SELECT per stored query, same top-5 window.
+    "search_msearch" ->
+      """WITH tfs AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'window')) AS tf_window,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'data')) AS tf_data,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'slow')) AS tf_slow
+        |  FROM documents),
+        |hits AS (
+        |  SELECT 'm1_spark_and_join' AS query_id, doc_id,
+        |    tf_spark + tf_join AS score
+        |  FROM tfs WHERE tf_spark > 0 AND tf_join > 0
+        |  UNION ALL
+        |  SELECT 'm2_vector_or_window', doc_id, tf_vector + tf_window
+        |  FROM tfs WHERE tf_vector > 0 OR tf_window > 0
+        |  UNION ALL
+        |  SELECT 'm3_data_not_slow', doc_id, tf_data
+        |  FROM tfs WHERE tf_data > 0 AND tf_slow = 0),
+        |ranked AS (
+        |  SELECT query_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY score DESC, doc_id) AS rk
+        |  FROM hits)
+        |SELECT query_id, CAST(rk AS INT) AS rk, doc_id, CAST(score AS INT) AS score
+        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin,
     // Single-term Okapi part verbatim from Bm25OracleSql's arithmetic,
     // then the negative_boost halving mirrored as the same CASE.
     "search_boosting" ->

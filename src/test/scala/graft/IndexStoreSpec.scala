@@ -307,6 +307,32 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(a.sameElements(b), "same input must produce identical surviving docs")
   }
 
+  test("reindex: transform applied, destination replaced, source untouched") {
+    val store = newStore
+    val orders = Tables(spark, sf, "orders")
+    store.bulkImport(orders, "orders", "o_orderkey")
+    val srcBefore = store.read("orders").orderBy(col("o_orderkey")).collect()
+    // Transform = the painless-script role: filter + derived field.
+    val n = store.reindex("orders", "orders_open", "o_orderkey",
+      df => df.filter(col("o_orderstatus") === "O")
+        .withColumn("priority_class", substring(col("o_orderpriority"), 1, 1)))
+    val expected = orders.filter(col("o_orderstatus") === "O").count()
+    assert(n == expected, "reindex must carry exactly the transformed rows")
+    assert(store.count("orders_open") == expected)
+    assert(store.read("orders_open").columns.contains("priority_class"))
+    // Re-running replaces (not appends) — same ES _reindex-into-existing
+    // semantics as any bulkImport rewrite.
+    assert(store.reindex("orders", "orders_open", "o_orderkey",
+      df => df.filter(col("o_orderstatus") === "O")) == expected)
+    // The source is untouched by the copy.
+    assert(store.read("orders").orderBy(col("o_orderkey")).collect()
+      .sameElements(srcBefore))
+    // Self-reindex is refused (it would read-and-overwrite the same dir).
+    intercept[IllegalArgumentException] {
+      store.reindex("orders", "Orders", "o_orderkey")
+    }
+  }
+
   test("bulkImportAll: concurrent imports match serial counts and survive listing") {
     val (store, _) = newStoreWithRoot
     val tables = Seq(
