@@ -160,6 +160,37 @@ object PipelineQueries {
         .orderBy(col("source"), col("epoch"))
     }),
 
+    // T5/UL2-style span-corruption planning (Raffel et al. 2020 §3.1.4
+    // — mask contiguous token spans, train to reconstruct): the
+    // DATA-side half, emitting the deterministic span plan (which
+    // tokens each sentinel replaces) that the trainer's collator
+    // consumes. Spans are placed one per 20-token block at a
+    // hash-derived offset — the corpus-reproducible stand-in for the
+    // collator's RNG (same md5 pinning as every sampling op), giving
+    // a 15% corruption rate (3 of 20) with no span overlap or
+    // adjacency by construction, no iterative carving needed. Per-row
+    // projection + explode — scan speed, shuffle-free; exact integer/
+    // string arithmetic → hash-checked.
+    "llm_span_corruption" -> ((s, dir) => {
+      val block = 20
+      val span = 3
+      val t = split(lower(col("text")), "\\s+")
+      Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), t.as("t"))
+        .filter(size(col("t")) >= block)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0),
+            (size(col("t")) / block).cast(IntegerType) - 1)).as("b"))
+        .withColumn("o",
+          pmod(conv(substring(md5(concat(col("doc_id"), lit("#"), col("b"))), 1, 8), 16, 10)
+            .cast(LongType), lit(block - span + 1)))
+        .withColumn("start_pos", col("b") * block + col("o") + 1)
+        .select(col("doc_id"), col("b").as("span_id"), col("start_pos"),
+          array_join(slice(col("t"), col("start_pos"), lit(span)), " ")
+            .as("masked_tokens"))
+        .orderBy(col("doc_id"), col("span_id"))
+    }),
+
     // Temperature-scaled language mixture (the mT5 §3.1 / XLM-R
     // sampling stage: draw languages ∝ p^α so low-resource languages
     // are upweighted relative to their corpus share) — here α = 0.5,
@@ -340,6 +371,20 @@ object PipelineQueries {
         |SELECT lang, CAST(floor(start_tok / 512.0) AS BIGINT) AS seq_id,
         |       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS begun_toks
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same block partition, same md5-derived offsets, same slices.
+    "llm_span_corruption" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS tk
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, tk, u.b AS b,
+        |    ('0x' || substr(md5(doc_id || '#' || u.b), 1, 8))::BIGINT % 18 AS o
+        |  FROM t, unnest(generate_series(0, len(tk) // 20 - 1)) AS u(b)
+        |  WHERE len(tk) >= 20)
+        |SELECT doc_id, CAST(b AS INT) AS span_id,
+        |  CAST(b * 20 + o + 1 AS BIGINT) AS start_pos,
+        |  array_to_string(tk[b * 20 + o + 1 : b * 20 + o + 3], ' ') AS masked_tokens
+        |FROM b ORDER BY doc_id, span_id""".stripMargin,
     // Same integer weights (floor of the correctly-rounded IEEE sqrt),
     // same integer quota DIV, same content-hash rank.
     "llm_temperature_mixture" ->
