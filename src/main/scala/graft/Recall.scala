@@ -134,6 +134,11 @@ object Recall {
     val ivfpqTop = idsOf("llm_ann_ivfpq_topk")
     val indexedTop = idsOf("llm_ann_indexed_topk")
 
+    // Filtered ANN: overlap vs the FILTERED brute-force truth (the
+    // correct ground truth for metadata-constrained search).
+    val filteredTruth = idsOf("llm_cosine_topk_filtered")
+    val filteredAnn = idsOf("llm_ann_filtered_topk")
+
     // Approx aggregates: max relative error of HLL distinct vs exact.
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
     val exactDistinct = Tables(spark, sfDir, "lineitem")
@@ -190,6 +195,7 @@ object Recall {
          |"llm_ann_sq8_topk":{"overlap_at_10":${(exactL2Top & sq8Top).size}},
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
+         |"llm_ann_filtered_topk":{"overlap_at_10":${(filteredTruth & filteredAnn).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}},
          |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}},
          |"search_facets_percentiles":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, pctErr)}}

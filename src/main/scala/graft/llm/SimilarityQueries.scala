@@ -314,6 +314,100 @@ object SimilarityQueries {
         .limit(10)
     }),
 
+    // FILTERED top-k — metadata-constrained vector search ("nearest
+    // neighbors WHERE label = 3"), the serving capability every vector
+    // store leads with and the one naive post-filtering breaks: taking
+    // top-10 first and filtering after starves the result set whenever
+    // the filter is selective (~12% here → expect ~1 survivor of 10).
+    // This is the PRE-filter form: the predicate lands in the scan
+    // (pushed to parquet with a label-partitioned layout), ranking
+    // only eligible vectors, so the k stays full. Exact brute force →
+    // oracle-checked; the IVF composition below is the scale path.
+    "llm_cosine_topk_filtered" -> ((s, dir) => {
+      val e = embDouble(Tables(s, dir, "embeddings"))
+      e.crossJoin(queryVec(e))
+        .filter(col("vec_id") =!= 0 && col("label") === 3)
+        .select(col("vec_id"), col("label"),
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
+    // Filtered ANN — the same metadata predicate composed with IVF
+    // cell probing (pre-filter INSIDE the probed cells): cells prune
+    // by query geometry, the label predicate prunes within, and the
+    // top-k ranks only eligible rows — both reductions multiply, and
+    // recall is against the FILTERED ground truth (overlap pinned in
+    // LlmSpec + RECALL). Two filtered-search specifics vs the plain
+    // IVF variant: (1) cell geometry runs on UNIT-normalized vectors —
+    // the truth metric is cosine, and L2 on unit vectors is monotone
+    // in cosine, so Euclidean cells agree with the cosine ranking
+    // (raw-vector cells put large-norm cosine-neighbors in far cells
+    // and no affordable nProbe recovers them); scoring still uses the
+    // raw embedding, cosine is scale-invariant. (2) probing is
+    // CARDINALITY-AWARE, the strategy production vector stores use for
+    // metadata filters: a bounded per-cell histogram of ELIGIBLE rows
+    // (nList rows, collected like the codebook) decides how many
+    // nearest cells to probe — widen until the probed cells cover
+    // ≥ CandidateFactor·k eligible candidates, degrading to all cells
+    // (= exact filtered scan) when the eligible set is tiny. A fixed
+    // nProbe starves recall exactly when the filter is selective; the
+    // histogram is free at scale (it IS the partition-count metadata
+    // of the served index) and makes the probe width track filter
+    // selectivity instead of guessing it.
+    "llm_ann_filtered_topk" -> ((s, dir) => {
+      val nList = 16
+      val minProbe = 4
+      val candidateFactor = 3
+      val k = 10
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+      val nrm = sqrt(aggregate(col("emb"), lit(0.0), (a, v) => a + v * v))
+      val eU = e.withColumn("unit", transform(col("emb"), x => x / nrm))
+      val centroids =
+        trainCentroids(eU.withColumn("emb", col("unit")), nList)
+      val cb = typedlit(centroids)
+      val q: Seq[Double] = eU.filter(col("vec_id") === 0)
+        .select(col("unit")).head.getSeq[Double](0)
+      val celled = eU
+        .withColumn("__cd", cellDistances(col("unit"), cb, nList))
+        .withColumn("cell", argminCell(col("__cd"), nList))
+        .drop("__cd", "unit")
+        .filter(col("vec_id") =!= 0 && col("label") === 3)
+      // Bounded driver collect: ≤ nList rows — the eligible-count
+      // histogram a served index would read from partition metadata.
+      val eligible: Map[Int, Long] = celled.groupBy(col("cell")).count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val ordered: Seq[Int] = centroids.zipWithIndex
+        .map { case (cent, i) =>
+          (cent.zip(q).map { case (c, x) => val d = c - x; d * d }.sum, i)
+        }
+        .sorted.map(_._2)
+      val target = candidateFactor.toLong * k
+      // Cardinality cutover: when the whole eligible set is small
+      // (≤ ExactCutover·k rows), cell pruning saves nothing and costs
+      // recall — run the exact filtered scan over every non-empty
+      // cell, the same strategy switch production stores make when a
+      // payload filter is highly selective. Otherwise widen the probe
+      // set until it covers ≥ target eligible candidates (cumBefore(i)
+      // = eligible rows covered by cells ranked < i; probing while
+      // coverage is short keeps the crossing cell).
+      val exactCutover = 20L * k
+      val cumBefore = ordered.map(c => eligible.getOrElse(c, 0L))
+        .scanLeft(0L)(_ + _)
+      val probed =
+        if (eligible.values.sum <= exactCutover) eligible.keys.toSeq
+        else ordered.zipWithIndex
+          .takeWhile { case (_, i) => i < minProbe || cumBefore(i) < target }
+          .map(_._1)
+      celled
+        .filter(col("cell").isin(probed: _*))
+        .crossJoin(queryVec(e))
+        .select(col("vec_id"), col("label"),
+          round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+        .limit(10)
+    }),
+
     // RANGE (radius) search — the vector-DB twin of top-k: ALL vectors
     // with cosine >= threshold, not the nearest k. The right primitive
     // when the answer set size is semantic (near-dup audit, recall-
@@ -1013,6 +1107,18 @@ object SimilarityQueries {
         |        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
         |        9) AS cos_sim
         |FROM e, q WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
+    "llm_cosine_topk_filtered" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |         CAST(embedding AS DOUBLE[]) AS emb
+        |  FROM embeddings),
+        |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0)
+        |SELECT vec_id, label,
+        |  round(list_dot_product(emb, qv)
+        |        / (sqrt(list_dot_product(emb, emb)) * sqrt(list_dot_product(qv, qv))),
+        |        9) AS cos_sim
+        |FROM e, q WHERE vec_id <> 0 AND label = 3
         |ORDER BY cos_sim DESC, vec_id LIMIT 10""".stripMargin,
     "llm_cosine_range" ->
       """WITH e AS (

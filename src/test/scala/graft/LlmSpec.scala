@@ -103,6 +103,22 @@ class LlmSpec extends AnyFunSuite {
     assert((exact & ivf).size >= 3, s"IVF overlap ${(exact & ivf).size}/10")
   }
 
+  test("filtered ANN: every hit satisfies the filter; overlap vs filtered truth") {
+    import org.apache.spark.sql.functions._
+    val exactRows = SparkEntry.queries("llm_cosine_topk_filtered")(spark, sf)
+      .collect()
+    assert(exactRows.forall(_.getInt(1) == 3), "filtered truth leaked labels")
+    val annRows = SparkEntry.queries("llm_ann_filtered_topk")(spark, sf)
+      .collect()
+    assert(annRows.forall(_.getInt(1) == 3),
+      "filtered ANN returned an ineligible label — the filter must prune " +
+        "INSIDE the probed cells, not after the top-k")
+    val exact = exactRows.map(_.getLong(0)).toSet
+    val ann = annRows.map(_.getLong(0)).toSet
+    assert((exact & ann).size >= 3,
+      s"filtered-IVF overlap ${(exact & ann).size}/10 vs filtered brute force")
+  }
+
   test("approx aggregates land within tolerance of exact") {
     import org.apache.spark.sql.functions._
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sf)
