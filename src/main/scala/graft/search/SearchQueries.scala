@@ -1284,6 +1284,170 @@ object SearchQueries {
         .agg(sum(col("tf") * col("src_tf") * col("wt")).as("mlt_score"))
         .orderBy(col("mlt_score").desc, col("doc_id"))
         .limit(10)
+    }),
+
+    // ES `span_near` (in_order:true) — the ordered multi-clause
+    // proximity query, served from the POSITIONAL index: three term
+    // clauses must appear in order with ≤3 positions between
+    // consecutive clauses. Each clause is one pruned posting-list
+    // probe (pushed In(term) — the same row-group skip as the phrase
+    // query); the order+gap check is a per-doc HOF chain over the
+    // three position arrays, so cost is the probed lists, never the
+    // corpus. Distinct from search_phrase_indexed (strict adjacency,
+    // 2 clauses) and search_phrase_slop (scan-based, unordered pair):
+    // this is the k-clause ordered-window primitive ES spans provide.
+    "search_span_near" -> ((s, dir) => {
+      val (postings, _, _) = materializedPostings(s, dir)
+      def posOf(t: String, out: String) =
+        postings.filter(col("term") === t)
+          .select(col("doc_id").as(s"d_$out"), col("positions").as(out))
+      val chains = posOf("group", "pa")
+        .join(posOf("order", "pb"), col("d_pa") === col("d_pb"))
+        .join(posOf("join", "pc"), col("d_pa") === col("d_pc"))
+        .withColumn("spans", flatten(transform(col("pa"), p1 =>
+          flatten(transform(
+            filter(col("pb"), p2 => p2 > p1 && p2 - p1 <= lit(3)), p2 =>
+              transform(
+                filter(col("pc"), p3 => p3 > p2 && p3 - p2 <= lit(3)),
+                p3 => struct(p1.as("p1"), p3.as("p3"))))))))
+        .filter(size(col("spans")) > 0)
+      chains.select(col("d_pa").as("doc_id"),
+          size(col("spans")).as("n_spans"),
+          array_min(transform(col("spans"), sp => sp.getField("p1")))
+            .cast(LongType).as("first_start"),
+          array_min(transform(col("spans"),
+            sp => sp.getField("p3") - sp.getField("p1")))
+            .cast(LongType).as("min_width"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ES `terms` query with TERMS LOOKUP — the filter set is not a
+    // literal but the token set of another indexed document (ES
+    // fetches the lookup doc, then runs the terms filter). The lookup
+    // doc's distinct tokens are a bounded single-row collect (the
+    // same driver-side shape as the ANN query vector), broadcast into
+    // a per-row array intersection; hits rank by overlap. At 100 TB
+    // the lookup is one doc fetch + one scan — the corpus side never
+    // shuffles.
+    "search_terms_lookup" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val lookup: Seq[String] = docs.filter(col("doc_id") === 0L)
+        .select(array_distinct(tokens(col("text"))))
+        .head.getSeq[String](0)
+      docs.filter(col("doc_id") =!= 0L)
+        .select(col("doc_id"),
+          size(array_intersect(array_distinct(tokens(col("text"))),
+            typedlit(lookup))).as("overlap"))
+        .orderBy(col("overlap").desc, col("doc_id"))
+        .limit(20)
+    }),
+
+    // ES `multi_terms` bucket agg — compound-key terms buckets
+    // ((lang, source) pairs) ranked by doc count: the two-dimension
+    // breakdown panel `terms` can't express without a script. One
+    // partial+final hash-agg on the compound key; top-10 via the same
+    // bounded TakeOrdered every facet uses.
+    "search_facets_multi_terms" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "data"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("doc_count"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .orderBy(col("doc_count").desc, col("lang"), col("source"))
+        .limit(10)),
+
+    // ES `weighted_avg` agg — Σ(value·weight)/Σ(weight) with the
+    // weight taken from a DIFFERENT field (here the JSON prop `k`):
+    // the revenue-per-engagement shape. Both sums accumulate in
+    // DECIMAL (order-independent — a double Σ would never
+    // hash-compare) and meet in ONE final division rounded to 6
+    // places, per the repo's float discipline.
+    "search_facets_weighted_avg" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6)) * k).as("num"),
+          sum(k).cast(LongType).as("den"))
+        .select(col("event_type"), col("n_events"),
+          round(col("num").cast(DoubleType) / col("den").cast(DoubleType),
+            6).as("weighted_avg"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ES `median_absolute_deviation` agg — the robust dispersion
+    // measure (outlier-immune, unlike stddev): median(|x − median(x)|)
+    // per terms bucket. Two exact sort-based percentile passes with a
+    // broadcast of the per-bucket medians between them (one row per
+    // bucket — bounded); interpolated middle-two halves are exact in
+    // binary, so the oracle hash-matches despite the doubles. ES
+    // computes this approximately (TDigest); exact is strictly
+    // stronger and affordable because the agg is per-bucket sort, not
+    // corpus sort.
+    "search_facets_mad" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val med = docs.groupBy(col("lang"))
+        .agg(percentile(col("n_chars"), lit(0.5)).as("median_chars"),
+          count(lit(1)).as("doc_count"))
+      docs.join(broadcast(med), "lang")
+        .groupBy(col("lang"), col("doc_count"), col("median_chars"))
+        .agg(percentile(abs(col("n_chars") - col("median_chars")),
+          lit(0.5)).as("mad_chars"))
+        .select(col("lang"), col("doc_count"), col("median_chars"),
+          col("mad_chars"))
+        .orderBy(col("lang"))
+    }),
+
+    // ES `auto_date_histogram` — the histogram that picks its own
+    // calendar interval: the coarsest-necessary rung of a fixed ladder
+    // (hour → day → week → month) such that the hit set's time span
+    // fits in ≤30 buckets. The span comes from a bounded 1-row min/max
+    // agg (the driver-side shape of the ANN query vector); the chosen
+    // interval is emitted as a column so the consumer knows what it
+    // got (ES returns the same in `interval`). Bucketing itself is the
+    // one-scan date_trunc agg of the fixed-interval histogram.
+    "search_facets_auto_date_histogram" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+      val mm = ev.agg(min(col("ts")).as("mn"), max(col("ts")).as("mx")).head
+      val spanSec =
+        (mm.getTimestamp(1).getTime - mm.getTimestamp(0).getTime) / 1000L
+      val interval =
+        if (spanSec <= 30L * 3600) "hour"
+        else if (spanSec <= 30L * 86400) "day"
+        else if (spanSec <= 30L * 604800) "week"
+        else "month"
+      ev.groupBy(date_trunc(interval, col("ts")).as("bucket"))
+        .agg(count(lit(1)).as("doc_count"))
+        .select(lit(interval).as("interval"), col("bucket"),
+          col("doc_count"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `diversified_sampler` + sub-agg — bound the docs feeding an
+    // expensive aggregation while capping any one source's share:
+    // per-source top-5 by content hash (the dedup-key diversity ES
+    // enforces with max_docs_per_value), then a global top-50 of the
+    // survivors, then the sub-agg over that fixed-size sample. The
+    // content-hash rank makes the "random" sample deterministic and
+    // engine-portable (md5 exists in both engines — the repo's
+    // sampling convention); the sample is bounded so the sub-agg cost
+    // is O(50) regardless of corpus size.
+    "search_sampler_diversified" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val h = md5(lower(trim(col("text"))))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("h"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .withColumn("h", h)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .orderBy(col("h"), col("doc_id"))
+        .limit(50)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -2020,6 +2184,91 @@ object SearchQueries {
         |FROM p JOIN probe USING (term)
         |WHERE p.doc_id <> 7
         |GROUP BY 1
-        |ORDER BY mlt_score DESC, doc_id LIMIT 10""".stripMargin
+        |ORDER BY mlt_score DESC, doc_id LIMIT 10""".stripMargin,
+    // Scan-computed twin of the index-served ordered span query: the
+    // driver's gate proves index-served == scan-computed, the same
+    // contract as the BM25/phrase index rows. Positions 0-based (i-1)
+    // to match posexplode.
+    "search_span_near" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |a AS (SELECT doc_id, p AS p1 FROM p WHERE tok = 'group'),
+        |b AS (SELECT doc_id, p AS p2 FROM p WHERE tok = 'order'),
+        |c AS (SELECT doc_id, p AS p3 FROM p WHERE tok = 'join')
+        |SELECT a.doc_id,
+        |  CAST(count(*) AS INT) AS n_spans,
+        |  CAST(min(p1) AS BIGINT) AS first_start,
+        |  CAST(min(p3 - p1) AS BIGINT) AS min_width
+        |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
+        |WHERE p2 > p1 AND p2 - p1 <= 3 AND p3 > p2 AND p3 - p2 <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_terms_lookup" ->
+      """WITH lk AS (
+        |  SELECT list_distinct(regexp_split_to_array(lower(text), '\s+')) AS lt
+        |  FROM documents WHERE doc_id = 0)
+        |SELECT doc_id,
+        |  CAST(len(list_intersect(
+        |    list_distinct(regexp_split_to_array(lower(text), '\s+')), lt))
+        |    AS INT) AS overlap
+        |FROM documents, lk WHERE doc_id <> 0
+        |ORDER BY overlap DESC, doc_id LIMIT 20""".stripMargin,
+    "search_facets_multi_terms" ->
+      """SELECT lang, source, count(*) AS doc_count,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
+        |GROUP BY 1, 2
+        |ORDER BY doc_count DESC, lang, source LIMIT 10""".stripMargin,
+    "search_facets_weighted_avg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))
+        |               * CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |             AS DOUBLE)
+        |        / CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |               AS DOUBLE), 6) AS weighted_avg
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_mad" ->
+      """WITH med AS (
+        |  SELECT lang, median(n_chars) AS median_chars,
+        |         count(*) AS doc_count
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, doc_count, median_chars,
+        |  median(abs(d.n_chars - median_chars)) AS mad_chars
+        |FROM documents d JOIN med ON d.lang = med.lang
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // The interval ladder (hour→day→week→month, ≤30 buckets) is
+    // re-derived in SQL from the same span so the oracle exercises the
+    // CHOICE, not just the bucketing.
+    "search_facets_auto_date_histogram" ->
+      """WITH hits AS (SELECT ts FROM events WHERE event_type = 'purchase'),
+        |span AS (
+        |  SELECT CASE
+        |    WHEN date_diff('second', min(ts), max(ts)) <= 30 * 3600
+        |      THEN 'hour'
+        |    WHEN date_diff('second', min(ts), max(ts)) <= 30 * 86400
+        |      THEN 'day'
+        |    WHEN date_diff('second', min(ts), max(ts)) <= 30 * 604800
+        |      THEN 'week'
+        |    ELSE 'month' END AS iv
+        |  FROM hits)
+        |SELECT iv AS interval, date_trunc(iv, ts) AS bucket,
+        |       count(*) AS doc_count
+        |FROM hits, span GROUP BY 1, 2 ORDER BY 2""".stripMargin,
+    "search_sampler_diversified" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |    md5(lower(trim(text))) AS h
+        |  FROM documents
+        |  QUALIFY row_number() OVER (PARTITION BY source
+        |    ORDER BY md5(lower(trim(text))), doc_id) <= 5),
+        |sample AS (
+        |  SELECT * FROM ranked ORDER BY h, doc_id LIMIT 50)
+        |SELECT lang, count(*) AS n_sampled,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM sample GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
