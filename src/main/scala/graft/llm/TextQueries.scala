@@ -324,6 +324,52 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995; the
+    // smoothing KenLM ships and CCNet-style quality filters actually
+    // run) — strictly better-calibrated than the add-one twin above:
+    //   P(w2|w1) = (c12 − d)/c1 + d·N1+(w1·)/c1 · N1+(·w2)/T
+    // with discount d = 3/4 EXACT RATIONAL, so the whole probability
+    // is one integer quotient (see [[KnExpr]]) and the per-doc mean
+    // hash-matches DuckDB. The statistics are three vocabulary-shaped
+    // aggs off one bigram frame (token counts, per-context and
+    // per-continuation TYPE counts — the continuation counts are what
+    // distinguish KN: "francisco" is frequent but follows only "san",
+    // so its unigram weight collapses); T (bigram type count) is a
+    // 1-row broadcast like PMI's N. Per-doc scoring is the same
+    // vocabulary-shaped join + doc agg as the add-one LM — linear,
+    // no corpus² anywhere.
+    "llm_kneser_ney_quality" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val pairs = when(size(t) >= 2,
+        transform(sequence(lit(1), size(t) - 1),
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast(ArrayType(StructType(Seq(
+          StructField("w1", StringType), StructField("w2", StringType))))))
+      val bg = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(pairs).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val types = bg.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c12"))
+      val ctx = types.groupBy(col("w1"))
+        .agg(sum(col("c12")).cast(LongType).as("c1"),
+          count(lit(1)).as("nctx"))
+      val cont = types.groupBy(col("w2"))
+        .agg(count(lit(1)).as("ncont"))
+      val tTypes = broadcast(types.agg(count(lit(1)).as("t_types")))
+      bg.join(types, Seq("w1", "w2"))
+        .join(ctx, "w1").join(cont, "w2")
+        .crossJoin(tTypes)
+        .withColumn("q_ppb", expr(KnExpr))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(col("q_ppb")).as("sum_q"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("sum_q").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
+            6).as("mean_kn_ppb"))
+        .orderBy(col("mean_kn_ppb"), col("doc_id"))
+        .limit(20)
+    }),
+
     // Per-document keyword extraction: each doc's top-3 distinguishing
     // terms by tf·idf — the topic-tagging / cluster-labeling feature a
     // curation pipeline attaches to every document. Both shuffles are
@@ -469,6 +515,23 @@ object TextQueries {
     */
   private[graft] val PmiExpr =
     "(CAST(c2 AS DECIMAL(38,0)) * n_tokens * 1000000) DIV (CAST(c1a AS DECIMAL(38,0)) * c1b)"
+
+  /** Kneser–Ney's exact-integer probability core, parts-per-billion.
+    * With d = 3/4, P = (c12−3/4)/c1 + (3/4)·nctx/c1 · ncont/T
+    * multiplies out to ((4·c12−3)·T + 3·nctx·ncont) / (4·c1·T) — one
+    * integer quotient, no float. c12 ≥ 1 keeps the discounted count
+    * positive, so the max(·,0) of the textbook form never binds.
+    * Carried in DECIMAL(38,0): worst case 10⁹·4·c12·T ≈ 10³⁴ at the
+    * 100 TB regime (c12 ~ 10¹³, T ~ 10¹²) fits; the quotient is a
+    * probability scaled by 10⁹ so it lands back in BIGINT. The DuckDB
+    * twin rides HUGEINT to the same quotient; LlmSpec proves both
+    * against BigInt at counts where int64 wraps.
+    */
+  private[graft] val KnExpr =
+    "(CAST(1000000000 AS DECIMAL(38,0)) * " +
+      "((4 * CAST(c12 AS DECIMAL(38,0)) - 3) * t_types + " +
+      "3 * CAST(nctx AS DECIMAL(38,0)) * ncont)) " +
+      "DIV (4 * CAST(c1 AS DECIMAL(38,0)) * t_types)"
 
   private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
   private def hitsSql(words: Seq[String]): String =
@@ -623,6 +686,31 @@ object TextQueries {
         |  round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6) AS mean_qprob
         |FROM q GROUP BY 1
         |ORDER BY mean_qprob, doc_id LIMIT 20""".stripMargin,
+    "llm_kneser_ney_quality" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+        |  FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)),
+        |ty AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |               count(*) AS nctx FROM ty GROUP BY 1),
+        |cont AS (SELECT w2, count(*) AS ncont FROM ty GROUP BY 1),
+        |tt AS (SELECT count(*) AS t_types FROM ty),
+        |q AS (
+        |  SELECT b.doc_id,
+        |    CAST(CAST(1000000000 AS HUGEINT)
+        |         * ((4 * CAST(c12 AS HUGEINT) - 3) * t_types
+        |            + 3 * CAST(nctx AS HUGEINT) * ncont)
+        |         // (4 * CAST(c1 AS HUGEINT) * t_types) AS BIGINT) AS q
+        |  FROM b JOIN ty USING (w1, w2) JOIN ctx USING (w1)
+        |       JOIN cont USING (w2), tt)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6)
+        |    AS mean_kn_ppb
+        |FROM q GROUP BY 1
+        |ORDER BY mean_kn_ppb, doc_id LIMIT 20""".stripMargin,
     "llm_keyword_extract" ->
       """WITH tf AS (
         |  SELECT doc_id, u.term, count(*) AS tf

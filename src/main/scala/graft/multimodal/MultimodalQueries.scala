@@ -36,6 +36,46 @@ object MultimodalQueries {
   case class AudioEnergy(doc_id: Long, n_frames: Int, total_energy: Long,
                          peak_frame: Int, peak_energy: Long)
 
+  case class SceneCuts(doc_id: Long, n_frames: Int, n_cuts: Int,
+                       first_cut: Int)
+
+  /** STUBBED VIDEO DECODE + scene-cut detection: consecutive
+    * `frame`-byte windows play video frames (a real build decodes
+    * keyframes via FFI here); a CUT lands between frames whose mean
+    * byte values differ by more than `thresh` — the frame-difference
+    * detector every shot-segmentation pipeline starts from. The mean
+    * compare is cross-multiplied to integer form,
+    * |s_j·l_{j−1} − s_{j−1}·l_j| > thresh·l_j·l_{j−1}, so a partial
+    * last frame is handled exactly and the sweep is oracle-checkable.
+    * first_cut = −1 when a doc has no cut (single-shot media).
+    */
+  def sceneCuts(media: DataFrame, frame: Int, thresh: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        var i = 0; var fr = 0
+        var sum = 0L; var len = 0L
+        var prevSum = 0L; var prevLen = 0L
+        var nCuts = 0; var firstCut = -1
+        while (i < r.payload.length) {
+          sum += (r.payload(i) & 0xFF); len += 1
+          i += 1
+          if (i % frame == 0 || i == r.payload.length) {
+            if (fr > 0 &&
+                math.abs(sum * prevLen - prevSum * len) >
+                  thresh.toLong * len * prevLen) {
+              nCuts += 1
+              if (firstCut < 0) firstCut = fr
+            }
+            prevSum = sum; prevLen = len
+            sum = 0L; len = 0L; fr += 1
+          }
+        }
+        SceneCuts(r.doc_id, fr, nCuts, firstCut)
+      }
+    }.toDF()
+  }
+
   /** STUBBED AUDIO DECODE + frame energy: payload bytes play 8-bit PCM
     * samples centered at 128 (a real build decodes via FFI here);
     * energy per `frame`-sample window = Σ(sample−128)² — the RMS-energy
@@ -269,6 +309,13 @@ object MultimodalQueries {
     // kept) — silence-trim / VAD accounting over the stub PCM.
     "mm_audio_energy" -> ((s, dir) =>
       audioEnergy(mediaTable(s, dir), 64)
+        .orderBy(col("doc_id"))),
+
+    // Scene-cut sweep (16-byte frames, mean-diff threshold 16) —
+    // shot segmentation over the stub video; the keyframe-selection
+    // front end of a video-training-data pipeline.
+    "mm_scene_cut" -> ((s, dir) =>
+      sceneCuts(mediaTable(s, dir), 16, 16)
         .orderBy(col("doc_id")))
   )
 
@@ -367,6 +414,28 @@ object MultimodalQueries {
         |  GROUP BY fe.doc_id)
         |SELECT a.doc_id, n_frames, total_energy, peak_frame,
         |  CAST(mx AS BIGINT) AS peak_energy
-        |FROM agg a JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM agg a JOIN pk USING (doc_id) ORDER BY doc_id""".stripMargin,
+    // Same cross-multiplied mean-diff over 16-byte frames (ASCII
+    // fixture ⇒ code points == bytes); lag() pairs consecutive frames.
+    "mm_scene_cut" ->
+      """WITH e AS (
+        |  SELECT doc_id, (i - 1) // 16 AS fr,
+        |    CAST(unicode(text[i]) AS BIGINT) AS v
+        |  FROM documents, unnest(generate_series(1, length(text))) AS u(i)),
+        |f AS (SELECT doc_id, fr, sum(v) AS s, count(*) AS l
+        |      FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT doc_id, fr, s, l,
+        |    lag(s) OVER (PARTITION BY doc_id ORDER BY fr) AS ps,
+        |    lag(l) OVER (PARTITION BY doc_id ORDER BY fr) AS pl
+        |  FROM f)
+        |SELECT doc_id, CAST(count(*) AS INT) AS n_frames,
+        |  CAST(count_if(ps IS NOT NULL
+        |                AND abs(s * pl - ps * l) > 16 * l * pl) AS INT)
+        |    AS n_cuts,
+        |  CAST(coalesce(min(fr) FILTER (WHERE ps IS NOT NULL
+        |                AND abs(s * pl - ps * l) > 16 * l * pl), -1) AS INT)
+        |    AS first_cut
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

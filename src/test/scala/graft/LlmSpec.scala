@@ -357,6 +357,36 @@ class LlmSpec extends AnyFunSuite {
       BigInt(c2) * BigInt(n) * 1000000 > BigInt(Long.MaxValue) })
   }
 
+  test("Kneser-Ney decimal arithmetic is exact where int64 products wrap") {
+    import spark.implicits._
+    // (c12, c1, nctx, ncont, t_types): adversarial 100 TB-regime counts
+    // (head bigram ~10¹³ tokens, 10¹² bigram types) where
+    // 10⁹·4·c12·t_types ≈ 10³⁴ wraps int64 by 15 orders of magnitude;
+    // plus the singleton and small-count boundary cases. The
+    // DECIMAL(38,0) quotient must equal BigInt reference division.
+    val cases = Seq(
+      (1L, 1L, 1L, 1L, 1L),
+      (1L, 5L, 3L, 2L, 10L),
+      (10000000000000L, 20000000000000L, 1000000L, 500000L, 1000000000000L),
+      (Int.MaxValue.toLong, Int.MaxValue.toLong * 2, 65536L, 65536L,
+        4294967296L),
+      (1L << 43, 1L << 44, 1L << 20, 1L << 20, 1L << 40))
+    val got = cases.toDF("c12", "c1", "nctx", "ncont", "t_types")
+      .selectExpr(s"${llm.TextQueries.KnExpr} AS q")
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (c12, c1, nctx, ncont, t) =>
+      ((BigInt(1000000000) *
+        ((4 * BigInt(c12) - 3) * t + 3 * BigInt(nctx) * ncont)) /
+        (4 * BigInt(c1) * t)).toLong }
+    assert(got == want, s"got=$got want=$want")
+    assert(cases.drop(2).exists { case (c12, _, _, _, t) =>
+      BigInt(1000000000) * 4 * c12 * t > BigInt(Long.MaxValue) })
+    // Scaled probabilities stay in [0, 10⁹]: the quotient fits BIGINT
+    // by construction (P ≤ 1 whenever c12 ≤ c1), which is what lets
+    // the engine land the DECIMAL divide back in a long column.
+    assert(got.forall(q => q >= 0 && q <= 1000000000L))
+  }
+
   test("distributed BPE trainer equals the sequential reference merge-for-merge") {
     import spark.implicits._
     // Sequential reference BPE (Sennrich et al.): word-type freqs,
