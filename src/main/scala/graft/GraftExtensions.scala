@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -57,6 +57,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("cdc_chunks", 1, children)
         CdcChunksExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cell_dists"),
+      new ExpressionInfo(classOf[CellDistsExpr].getName, "cell_dists",
+        "cell_dists(emb, codebook) - squared-L2 distance from array<double> to every centroid of array<array<double>> in one pass"),
+      (children: Exprs) => {
+        arity("cell_dists", 2, children)
+        CellDistsExpr(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

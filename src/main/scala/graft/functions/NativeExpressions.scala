@@ -206,6 +206,47 @@ case class CdcChunksExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** cell_dists(emb, codebook): squared-L2 distance from an
+  * array<double> to EVERY centroid of an array<array<double>>
+  * codebook, in one fused pass — the quantizer-assignment kernel
+  * under every IVF/PQ family member. The HOF twin
+  * (`transform(sequence(0,k−1), c => aggregate(zip_with(emb,
+  * element_at(cb,c+1), (x,y)=>(x−y)²), 0.0, _+_))`, kept as
+  * [[graft.llm.SimilarityQueries.cellDistancesHof]] for the spec
+  * twin-pin) allocates a zip_with array per CELL per row — k·dim
+  * boxed doubles each assignment — and evaluates the nested lambdas
+  * interpreted; this runs the k×dim multiply-adds over the unsafe
+  * array data directly. Identical null semantics: a null/short/long
+  * centroid or a null element yields a null distance for that cell;
+  * summation order is element order, so results are bit-exact vs the
+  * HOF fold.
+  */
+case class CellDistsExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cell_dists requires (ARRAY<DOUBLE>, ARRAY<ARRAY<DOUBLE>>), got " +
+          s"(${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "cell_dists"
+
+  override protected def nullSafeEval(emb: Any, cb: Any): Any =
+    GraftKernels.cellDists(emb.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (e, c) => s"graft.functions.GraftKernels.cellDists($e, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CellDistsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
@@ -395,6 +436,35 @@ object GraftKernels {
   /** Fused cosine: dot + norms in one pass. Null (boxed) when lengths
     * differ or any element is null — zip_with+aggregate semantics.
     */
+  /** See [[CellDistsExpr]]: per-cell Σ(x−y)² in element order; null
+    * cell distance on null/length-mismatched centroid or null element
+    * (zip_with pads the shorter side with null, nulling the fold).
+    */
+  def cellDists(emb: ArrayData, cb: ArrayData): ArrayData = {
+    val k = cb.numElements()
+    val n = emb.numElements()
+    val out = new Array[Any](k)
+    var c = 0
+    while (c < k) {
+      if (!cb.isNullAt(c)) {
+        val cent = cb.getArray(c)
+        if (cent.numElements() == n) {
+          var d = 0.0; var i = 0; var ok = true
+          while (ok && i < n) {
+            if (emb.isNullAt(i) || cent.isNullAt(i)) ok = false
+            else {
+              val t = emb.getDouble(i) - cent.getDouble(i)
+              d += t * t; i += 1
+            }
+          }
+          if (ok) out(c) = java.lang.Double.valueOf(d)
+        }
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def cosineSim(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (n != b.numElements()) return null

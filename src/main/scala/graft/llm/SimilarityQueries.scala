@@ -92,13 +92,25 @@ object SimilarityQueries {
   private[graft] def trainCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
     lloyd(sampleVectors(e), k, iters = 5).map(_.toSeq).toSeq
 
-  /** Squared L2 distance to every centroid of the literal codebook, as
-    * array<double> — each distance fold evaluates ONCE; keep it as its
-    * own projected column and run [[argminCell]] over the attribute
-    * (folding both into one expression would re-evaluate the O(dim)
-    * fold in both the compare and the keep branch of the argmin).
+  /** Squared L2 distance to every centroid of the codebook, as
+    * array<double> — the native one-pass kernel
+    * ([[graft.functions.CellDistsExpr]]; the HOF twin below is the
+    * semantics spec). Keep it as its own projected column and run
+    * [[argminCell]] over the attribute (folding both into one
+    * expression would re-evaluate the O(k·dim) kernel in both the
+    * compare and the keep branch of the argmin). `k` is implied by
+    * the codebook; kept in the signature so call sites read as
+    * (vector, codebook, cells).
     */
   private def cellDistances(emb: Column, cb: Column, k: Int): Column =
+    call_function("cell_dists", emb, cb)
+
+  /** HOF twin of [[cellDistances]] — each distance fold allocates a
+    * zip_with array per cell per row, so the registered queries ride
+    * the native kernel; FunctionsSpec pins bit-equality of the two
+    * forms over the fixture corpus.
+    */
+  private[graft] def cellDistancesHof(emb: Column, cb: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), c =>
       aggregate(
         zip_with(emb, element_at(cb, c + 1), (x, y) => (x - y) * (x - y)),

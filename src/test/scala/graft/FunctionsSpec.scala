@@ -169,6 +169,42 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(1).getDouble(1) == 0.0 && rows(1).getDouble(2) == 0.0)
   }
 
+  test("cell_dists == HOF cell distances on the full embedding corpus (bit-exact)") {
+    val k = 16
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+    // A real 16-cell codebook trained the engine's own way, so the
+    // pin covers production-shaped centroids (not toy literals).
+    val cb = typedlit(llm.SimilarityQueries.trainCentroids(e, k))
+    val diff = e.select(
+      llm.SimilarityQueries.cellDistancesHof(col("emb"), cb, k).as("hof"),
+      call_function("cell_dists", col("emb"), cb).as("native"))
+      .filter(col("hof") =!= col("native")) // bit-exact, not approximate
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
+  test("cell_dists null semantics match the zip_with fold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0)),
+      (2L, Seq(0.0, 0.0))
+    ).toDF("id", "emb")
+    // Codebook with a length-mismatched centroid: that CELL nulls,
+    // the others still compute (zip_with pads -> null fold).
+    val cb = typedlit(Seq(Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0), Seq(0.0, 1.0)))
+    val rows = df.select(col("id"),
+      call_function("cell_dists", col("emb"), cb).as("native"),
+      llm.SimilarityQueries.cellDistancesHof(col("emb"), cb, 3).as("hof"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      val nat = r.getSeq[java.lang.Double](1)
+      val hof = r.getSeq[java.lang.Double](2)
+      assert(nat == hof, s"id=${r.getLong(0)}: native=$nat hof=$hof")
+      assert(nat(1) == null, "mismatched centroid must null its cell")
+    }
+    assert(rows(0).getSeq[java.lang.Double](1)(0) == 0.0)
+  }
+
   test("native expressions run inside whole-stage codegen") {
     val docs = Tables(spark, sf, "documents")
       .select(call_function("simhash64_native", col("text")).as("sh"),
