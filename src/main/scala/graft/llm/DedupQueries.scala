@@ -347,11 +347,18 @@ object DedupQueries {
     // are complements, not rivals.
     "llm_dedup_substring" -> ((s, dir) => {
       val k = SpanK
+      // The gram fingerprint is an ENGINE-LOCAL equality key (joined
+      // on, never emitted), so each engine may hash its own way:
+      // 8-byte xxhash64 here vs the oracle's md5 — the (doc, pos)
+      // geometry that reaches the output is hash-agnostic. That makes
+      // the exploded frame's shuffle row 8 bytes of key instead of a
+      // 32-char digest string — at 100 TB the gram shuffle IS this
+      // operator's cost, and this is a 4× cut of it.
       val posGrams = Tables.forCompute(s, dir, "documents")
         .filter(length(col("text")) >= k)
         .select(col("doc_id"), explode(transform(
           sequence(lit(1), length(col("text")) - (k - 1)),
-          i => struct(i.as("pos"), md5(col("text").substr(i, lit(k))).as("gh")))).as("g"))
+          i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(k))).as("gh")))).as("g"))
         .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
       val hot = posGrams.groupBy(col("gh"))
         .agg(countDistinct(col("doc_id")).as("d"))
