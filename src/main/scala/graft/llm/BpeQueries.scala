@@ -234,6 +234,37 @@ object BpeQueries {
           round(sum(col("chars") * col("freq")).cast(DoubleType) /
             sum(col("toks_after") * col("freq")).cast(DoubleType), 6)
             .as("compression"))
+    }),
+
+    // Tokenizer FERTILITY by language — tokens-per-word and
+    // chars-per-token per lang, the standard cross-lingual tokenizer
+    // evaluation (a vocabulary trained on one language mix inflates
+    // token counts — and training cost — for the others; fertility is
+    // the number a data-mixture owner reads before fixing the mix).
+    // Shape: corpus words equi-join the (word → segmentation)
+    // dictionary — the dictionary is vocabulary-TYPE-shaped, so this
+    // is the same bounded join as the encode pass, never corpus²;
+    // per-lang sums are exact integers, two final divisions. Rides
+    // the same unrolled-CTE oracle as the rest of the BPE chain.
+    "llm_bpe_fertility" -> ((s, dir) => {
+      val dict = materializedBpe(s, dir)._2
+        .select(col("word"),
+          size(split(trim(col("seg")), " ")).cast(LongType).as("toks"))
+      Tables.forCompute(s, dir, "documents")
+        .select(col("lang"),
+          explode(split(lower(col("text")), "\\s+")).as("word"))
+        .filter(length(col("word")) > 0)
+        .join(dict, "word")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("toks")).cast(LongType).as("n_tokens"),
+          sum(length(col("word"))).cast(LongType).as("n_chars"))
+        .select(col("lang"), col("n_words"), col("n_tokens"), col("n_chars"),
+          round(col("n_tokens").cast(DoubleType) /
+            col("n_words").cast(DoubleType), 6).as("fertility"),
+          round(col("n_chars").cast(DoubleType) /
+            col("n_tokens").cast(DoubleType), 6).as("chars_per_token"))
+        .orderBy(col("lang"))
     })
   )
 
@@ -317,6 +348,26 @@ object BpeQueries {
            |       CAST(sum(len(syms) * freq) AS BIGINT) AS total_tokens_after,
            |       round(CAST(sum(len(word) * freq) AS DOUBLE) /
            |             CAST(sum(len(syms) * freq) AS DOUBLE), 6) AS compression
-           |FROM s$NMerges""".stripMargin)
+           |FROM s$NMerges""".stripMargin),
+    "llm_bpe_fertility" ->
+      (bpeChainSql(NMerges) +
+        s""",
+           |occ AS (
+           |  SELECT lang, word FROM (
+           |    SELECT lang,
+           |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+           |    FROM documents)
+           |  WHERE len(word) > 0),
+           |dict AS (
+           |  SELECT word, CAST(len(syms) AS BIGINT) AS toks FROM s$NMerges)
+           |SELECT lang, count(*) AS n_words,
+           |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |  CAST(sum(len(word)) AS BIGINT) AS n_chars,
+           |  round(CAST(sum(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6)
+           |    AS fertility,
+           |  round(CAST(sum(len(word)) AS DOUBLE) /
+           |        CAST(sum(toks) AS DOUBLE), 6) AS chars_per_token
+           |FROM occ JOIN dict USING (word)
+           |GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

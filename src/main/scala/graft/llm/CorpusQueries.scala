@@ -342,6 +342,52 @@ object CorpusQueries {
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // Graph centrality over the near-dup pair graph — PageRank, three
+    // power iterations at damping 17/20, in EXACT scaled-integer
+    // arithmetic (rank mass scaled by 10¹², every division integral
+    // and identically truncated by both engines), so a graph
+    // algorithm usually run as float message-passing hash-checks
+    // against an unrolled-CTE oracle. The curation use: inside a
+    // duplicate cluster, centrality separates the canonical document
+    // (linked to many variants) from drive-by near-matches — a
+    // graph-informed survivor signal next to llm_dedup_survivors'
+    // quality rule. Shape per iteration: one join of ranks against
+    // the edge list + one aggregation — the standard Pregel round as
+    // two shuffles, linear in |E|; the edge list is the materialized
+    // pair artifact (built once per ingest), never recomputed here.
+    // Dangling mass (docs with no near-dup edges) is dropped rather
+    // than redistributed — the standard simplification; their ranks
+    // stay at the teleport floor, which is the analytically right
+    // answer for the curation question.
+    "llm_graph_centrality" -> ((s, dir) => {
+      val S = 1000000000000L
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val n = docs.count()
+      val pairs = DedupQueries.materializedPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      val teleport = 3L * S / (20L * n) // (1−d)·S/N, exact integer
+      var r = docs.withColumn("rank", lit(S / n))
+      for (_ <- 1 to 3) {
+        val contrib = r.join(deg, r("doc_id") === deg("src"))
+          .select(col("src"), expr("rank DIV deg").as("c"))
+        val sums = edges.join(contrib, "src")
+          .groupBy(col("dst")).agg(sum(col("c")).as("sum_c"))
+        r = docs.join(sums, docs("doc_id") === sums("dst"), "left")
+          .select(col("doc_id"),
+            (lit(teleport) +
+              expr("(17 * coalesce(sum_c, CAST(0 AS BIGINT))) DIV 20"))
+              .as("rank"))
+      }
+      r.join(deg, r("doc_id") === deg("src"), "left")
+        .select(col("doc_id"),
+          coalesce(col("deg"), lit(0L)).cast("long").as("degree"),
+          col("rank").cast("long").as("rank"))
+        .orderBy(col("rank").desc, col("doc_id"))
+        .limit(20)
     })
   )
 
@@ -477,6 +523,41 @@ object CorpusQueries {
         |  WHERE cum * 20 > total AND (cum - cnt) * 20 < total * 19)
         |SELECT d.lang, count(*) AS n_docs, CAST(sum(d.n_chars) AS BIGINT) AS total_chars
         |FROM documents d JOIN kept USING (n_chars)
-        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    // Three power iterations unrolled (c/s/r per round), same scaled-
+    // integer arithmetic; `good` is the same Jaccard pair rule the
+    // engine's artifact materializes.
+    "llm_graph_centrality" ->
+      (s"""WITH ${DedupQueries.ngramPairsCtes},
+          |edges AS (
+          |  SELECT doc_a AS src, doc_b AS dst FROM good
+          |  UNION ALL
+          |  SELECT doc_b AS src, doc_a AS dst FROM good),
+          |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          |nn AS (SELECT count(*) AS n FROM documents),
+          |r0 AS (
+          |  SELECT doc_id, 1000000000000 // n AS rank
+          |  FROM documents CROSS JOIN nn)""".stripMargin +
+        (1 to 3).map { t =>
+          s""",
+             |c$t AS (
+             |  SELECT src, rank // deg AS c
+             |  FROM r${t - 1} JOIN deg ON doc_id = src),
+             |s$t AS (
+             |  SELECT dst, sum(c) AS sum_c
+             |  FROM edges JOIN c$t USING (src) GROUP BY 1),
+             |r$t AS (
+             |  SELECT doc_id,
+             |    3000000000000 // (20 * n)
+             |      + (17 * coalesce(sum_c, 0)) // 20 AS rank
+             |  FROM documents CROSS JOIN nn
+             |  LEFT JOIN s$t ON doc_id = dst)""".stripMargin
+        }.mkString +
+        """
+          |SELECT r3.doc_id,
+          |  CAST(coalesce(deg, 0) AS BIGINT) AS degree,
+          |  CAST(rank AS BIGINT) AS rank
+          |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src
+          |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin)
   )
 }
