@@ -387,6 +387,89 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall(q => q >= 0 && q <= 1000000000L))
   }
 
+  test("distributed unigram-LM trainer equals the sequential reference piece-for-piece") {
+    import llm.UnigramQueries
+    // Sequential reference: same published algorithm (seed counts →
+    // hard-EM with Viterbi re-segmentation), written independently
+    // with plain collections over the collected word-type table
+    // (test-scale collect only). Score accumulation is left-to-right
+    // along the segmentation in both implementations, so float sums
+    // are bit-identical and ties resolve the same way.
+    val words: Seq[(String, Long)] = Tables(spark, sf, "documents")
+      .select(explode(split(lower(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    val seed = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for {
+      (w, f) <- words
+      i <- 0 until w.length
+      l <- 1 to math.min(UnigramQueries.SeedMaxLen, w.length - i)
+    } seed(w.substring(i, i + l)) += f
+    val chars = seed.toSeq.filter(_._1.length == 1)
+    val multi = seed.toSeq.filter(_._1.length > 1)
+      .sortBy { case (p, c) => (-c, p) }.take(UnigramQueries.MultiVocab)
+    var counts: Map[String, Long] = (chars ++ multi).toMap
+
+    // Reference Viterbi: candidate states per position, explicit
+    // 3-level preference (score, fewer pieces, lex-smaller last
+    // piece) — the documented tie-break semantics, different code.
+    case class St(score: Double, n: Int, lastLen: Int)
+    def refSeg(w: String, lp: Map[String, Double]): List[String] = {
+      val st = new Array[St](w.length + 1)
+      st(0) = St(0.0, 0, 0)
+      for (i <- 1 to w.length) {
+        val cands = for {
+          l <- 1 to math.min(UnigramQueries.SeedMaxLen, i)
+          if st(i - l) != null
+          p = w.substring(i - l, i)
+          if lp.contains(p)
+        } yield St(st(i - l).score + lp(p), st(i - l).n + 1, l)
+        if (cands.nonEmpty)
+          st(i) = cands.reduce { (a, b) =>
+            if (b.score > a.score) b
+            else if (b.score == a.score && b.n < a.n) b
+            else if (b.score == a.score && b.n == a.n &&
+              w.substring(i - b.lastLen, i) < w.substring(i - a.lastLen, i)) b
+            else a
+          }
+      }
+      var out = List.empty[String]; var p = w.length
+      while (p > 0) { out = w.substring(p - st(p).lastLen, p) :: out; p -= st(p).lastLen }
+      out
+    }
+
+    for (_ <- 1 to UnigramQueries.EmIters) {
+      val floored = counts.map { case (p, c) => p -> math.max(c, 1L) }
+      val total = floored.values.sum
+      val lp = floored.map { case (p, c) => p -> math.log(c.toDouble / total) }
+      val nc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      for ((w, f) <- words; p <- refSeg(w, lp)) nc(p) += f
+      counts = counts.map { case (p, _) => p -> nc(p) }
+    }
+
+    val (dist, total) = UnigramQueries.trainUnigram(spark, sf)
+    assert(dist == counts,
+      s"diff: ${(dist.toSet diff counts.toSet).take(5)} / ${(counts.toSet diff dist.toSet).take(5)}")
+    assert(total == counts.values.sum)
+    // The trainer genuinely promotes multi-char pieces over pure
+    // char-level segmentation.
+    assert(dist.exists { case (p, c) => p.length > 1 && c > 0 },
+      "no multi-char piece survived EM")
+  }
+
+  test("unigram Viterbi segmentations concatenate back to the word") {
+    import llm.UnigramQueries
+    val lp = Map("a" -> -1.0, "b" -> -1.5, "ab" -> -1.2, "ba" -> -1.1,
+      "aba" -> -2.0, "bab" -> -3.0)
+    for (w <- Seq("ababab", "aaaa", "b", "abba", "babab")) {
+      val seg = UnigramQueries.viterbi(w, lp)
+      assert(seg.mkString == w, s"$w -> $seg")
+      assert(seg.forall(lp.contains), s"$w used out-of-vocab piece")
+    }
+  }
+
   test("distributed BPE trainer equals the sequential reference merge-for-merge") {
     import spark.implicits._
     // Sequential reference BPE (Sennrich et al.): word-type freqs,
