@@ -936,6 +936,27 @@ object SearchQueries {
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
+    // ES `percentile_ranks` agg — the INVERSE of percentiles: "what
+    // fraction of the bucket sits at or below value v" for fixed
+    // values of interest (the SLA-threshold readout: % of docs under
+    // the size cap). Unlike the percentiles facet (sketch-based,
+    // drift-bounded) this direction is EXACT at scan cost: each rank
+    // is one conditional count and one integer division (ppm), no
+    // sketch and no sort — so it hash-checks, and at 100 TB it is one
+    // partial+final agg like every other facet.
+    "search_facets_percentile_ranks" -> ((s, dir) => {
+      def rankPpm(v: Int): Column =
+        expr(s"(count_if(n_chars <= $v) * 1000000) DIV count(*)")
+      Tables(s, dir, "documents")
+        .filter(array_contains(tokens(col("text")), "data"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          rankPpm(100).as("rank_100_ppm"),
+          rankPpm(250).as("rank_250_ppm"),
+          rankPpm(400).as("rank_400_ppm"))
+        .orderBy(col("lang"))
+    }),
+
     // Date-histogram facet (ES date_histogram bucket agg — its
     // most-used bucket aggregation after `terms`): the hit set bucketed
     // by calendar day with a stats sub-agg. Same one-scan partial+final
@@ -2216,6 +2237,14 @@ object SearchQueries {
         |    AS INT) AS overlap
         |FROM documents, lk WHERE doc_id <> 0
         |ORDER BY overlap DESC, doc_id LIMIT 20""".stripMargin,
+    "search_facets_percentile_ranks" ->
+      """SELECT lang, count(*) AS doc_count,
+        |  (count_if(n_chars <= 100) * 1000000) // count(*) AS rank_100_ppm,
+        |  (count_if(n_chars <= 250) * 1000000) // count(*) AS rank_250_ppm,
+        |  (count_if(n_chars <= 400) * 1000000) // count(*) AS rank_400_ppm
+        |FROM documents
+        |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_facets_multi_terms" ->
       """SELECT lang, source, count(*) AS doc_count,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
