@@ -291,7 +291,12 @@ class IndexStore(spark: SparkSession, root: String) {
     * the client). Returns the snapshot id.
     */
   def snapshot(indexName: String): String = {
-    val id = s"s${listSnapshots(indexName).size + 1}"
+    // Next id = max existing + 1 (NOT count+1): retention pruning
+    // deletes from the oldest end, and a count-derived id would then
+    // re-issue an old id — colliding with the `(length, id)` oldest-
+    // first ordering retention itself relies on.
+    val ids = listSnapshots(indexName).map(_.drop(1).toLong)
+    val id = s"s${(0L +: ids).max + 1}"
     val src = dir(indexName)
     require(fs.exists(src), s"no such index: $indexName")
     val dst = snapPath(indexName, id)
@@ -398,6 +403,48 @@ class IndexStore(spark: SparkSession, root: String) {
 
   def dropAlias(alias: String): Unit = fs.delete(aliasPath(alias), false)
 
+  /** ES `_rollover`: when the index behind `alias` reaches `maxDocs`,
+    * create the next GENERATION (`<base>-NNNNNN`, ES's rollover naming)
+    * and atomically re-point the alias at it — the time-series /
+    * append-log index pattern: writers always address the alias, reads
+    * fan out over the generations, and no single index grows without
+    * bound. Returns the new index name when a rollover happened. The
+    * alias swap rides [[setAlias]]'s atomic rename, so a crash leaves
+    * either the old target (rollover simply retries) or the completed
+    * new state — never a missing alias. At warehouse scale the doc
+    * count comes from parquet footer metadata ([[count]] is a
+    * metadata-only query), so the threshold check is O(files), not a
+    * scan.
+    */
+  def rollover(alias: String, maxDocs: Long): Option[String] = {
+    val cur = resolveAlias(alias).getOrElse(
+      throw new IllegalArgumentException(s"no such alias: $alias"))
+    if (count(cur) < maxDocs) None
+    else {
+      val gen = "^(.*)-(\\d{6})$".r
+      val next = cur match {
+        case gen(base, n) => f"$base-${n.toLong + 1}%06d"
+        case _ => f"$cur-${2}%06d" // unsuffixed bootstrap: treat as gen 1
+      }
+      createIndex(next)
+      setAlias(alias, next)
+      Some(next)
+    }
+  }
+
+  /** Snapshot retention (the ES SLM `expire_after`/`min_count` policy,
+    * by count): keep the `keep` most recent snapshots, delete the
+    * rest, oldest first. Returns the deleted ids. Safe against the id
+    * sequence: [[snapshot]] issues max+1, so pruned ids are never
+    * re-used and the oldest-first ordering stays truthful.
+    */
+  def pruneSnapshots(indexName: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep must be >= 1, got $keep")
+    val doomed = listSnapshots(indexName).dropRight(keep)
+    doomed.foreach(id => fs.delete(snapPath(indexName, id), true))
+    doomed
+  }
+
   /** Read through a name that may be an alias or a concrete index —
     * how a serving layer addresses the store.
     */
@@ -405,8 +452,17 @@ class IndexStore(spark: SparkSession, root: String) {
     read(resolveAlias(name).getOrElse(name))
 
   /** Doc count — parquet footer metadata only, no data scan. */
-  def count(indexName: String): Long =
-    spark.read.parquet(dir(indexName).toString).count()
+  /** Doc count; 0 for a created-but-never-written index (ES `_count`
+    * on an empty index returns 0 — and a freshly rolled-over
+    * generation IS such an index until its first bulk, so schema
+    * inference must not be asked to run on zero files).
+    */
+  def count(indexName: String): Long = {
+    val d = dir(indexName)
+    val hasFiles = fs.exists(d) &&
+      fs.listStatus(d).exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    if (!hasFiles) 0L else spark.read.parquet(d.toString).count()
+  }
 
   def read(indexName: String): DataFrame =
     spark.read.parquet(dir(indexName).toString)

@@ -156,6 +156,57 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listSnapshots("docs") == Seq(snap, snap2))
   }
 
+  test("rollover: generations advance and the alias re-points at the threshold") {
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport((1L to 10L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "logs-000001", "id")
+    store.setAlias("logs", "logs-000001")
+    // Under the threshold: no-op, alias untouched.
+    assert(store.rollover("logs", maxDocs = 11) == None)
+    assert(store.resolveAlias("logs").contains("logs-000001"))
+    // At the threshold: next generation created, alias re-pointed,
+    // the old generation keeps its data (reads fan out over both).
+    assert(store.rollover("logs", maxDocs = 10) == Some("logs-000002"))
+    assert(store.resolveAlias("logs").contains("logs-000002"))
+    assert(store.count("logs-000001") == 10)
+    assert(store.count("logs-000002") == 0)
+    // New writes land in the new generation via the alias.
+    store.bulkImport((11L to 15L).map(i => (i, s"v$i")).toDF("id", "v"),
+      store.resolveAlias("logs").get, "id")
+    assert(store.count("logs-000002") == 5)
+    // An unsuffixed bootstrap index still rolls into the ES pattern.
+    store.bulkImport((1L to 3L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "events", "id")
+    store.setAlias("ev", "events")
+    assert(store.rollover("ev", maxDocs = 1) == Some("events-000002"))
+  }
+
+  test("snapshot retention prunes oldest-first and never re-issues an id") {
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport((1L to 5L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "docs", "id")
+    val s1 = store.snapshot("docs")
+    store.deleteWhere("docs", col("id").cast("long") <= 1)
+    val s2 = store.snapshot("docs")
+    store.deleteWhere("docs", col("id").cast("long") <= 2)
+    val s3 = store.snapshot("docs")
+    assert(store.listSnapshots("docs") == Seq(s1, s2, s3))
+    // keep=2 deletes exactly the oldest.
+    assert(store.pruneSnapshots("docs", keep = 2) == Seq(s1))
+    assert(store.listSnapshots("docs") == Seq(s2, s3))
+    // The id sequence advances past pruned ids (max+1, not count+1):
+    // a re-issued old id would sort BEFORE the survivors and corrupt
+    // the oldest-first order retention depends on.
+    val s4 = store.snapshot("docs")
+    assert(s4 == "s4", s"expected s4, got $s4")
+    assert(store.listSnapshots("docs") == Seq(s2, s3, s4))
+    // Survivors still restore.
+    store.restore("docs", s2)
+    assert(store.count("docs") == 4)
+  }
+
   test("listSnapshots on a fresh store (root dir absent) is empty, not an error") {
     // Nothing imported yet → the store root doesn't exist on disk; the
     // legacy-layout migration sweep must not listStatus a missing root.
