@@ -1107,6 +1107,30 @@ object SimilarityQueries {
     (store.read(VecIndexName), model)
   }
 
+  /** Incremental maintenance of the served vector index — the ANN twin
+    * of the postings index's doc-granular upsert: a batch of new or
+    * changed vectors encodes under the index's FROZEN sidecar model
+    * (cell assignment + residual codes — never retrains: quantizer
+    * drift big enough to matter is a REBUILD, which the provenance
+    * fingerprint forces when the corpus changes out from under the
+    * index) and replaces its rows key-granularly through the artifact
+    * upsert. Cost is O(batch) encode + the copy-on-write swap — the
+    * corpus is never re-encoded; the model sidecar is carried through
+    * the swap untouched, so served probes before and after the upsert
+    * run the same geometry.
+    */
+  private[graft] def upsertVecIndex(store: graft.etl.IndexStore,
+                                    batch: DataFrame,
+                                    fingerprint: String): Long = {
+    val model = IvfPqModel.parse(
+      store.artifactSidecar(VecIndexName, ModelSidecar).getOrElse(
+        sys.error(s"$VecIndexName has no model sidecar — build the index " +
+          "before upserting into it")))
+    val enc = encodeWithModel(embDouble(batch), model)
+    store.upsertArtifact(enc, VecIndexName, "vec_id", fingerprint,
+      partitionCols = Seq("cell"))
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_cosine_topk" ->
       """WITH e AS (

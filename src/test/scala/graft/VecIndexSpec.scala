@@ -109,13 +109,7 @@ class VecIndexSpec extends AnyFunSuite {
         .parquet(srcDir.toString)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          val model = SimilarityQueries.IvfPqModel.parse(
-            store.artifactSidecar(SimilarityQueries.VecIndexName,
-              SimilarityQueries.ModelSidecar).get)
-          store.upsertArtifact(
-            SimilarityQueries.encodeWithModel(SimilarityQueries.embDouble(batch), model),
-            SimilarityQueries.VecIndexName, "vec_id",
-            fingerprint = "stream-maintained", partitionCols = Seq("cell"))
+          SimilarityQueries.upsertVecIndex(store, batch, "stream-maintained")
           ()
         }
         .option("checkpointLocation", srcDir.resolve(".ckpt").toString)
