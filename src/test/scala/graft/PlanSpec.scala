@@ -168,6 +168,9 @@ class PlanSpec extends AnyFunSuite {
       "search_function_score", // 1-row corpus-stats broadcast
       "llm_dsir_weights", // 1-row vocab-totals broadcast
       "llm_temperature_mixture", // 1-row weight-total broadcast
+      "llm_cosine_topk_filtered", // 1-row query vector (filtered exact)
+      "llm_ann_filtered_topk", // 1-row query vector on the probed cells
+      "llm_kneser_ney_quality", // 1-row bigram-type-count broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
