@@ -160,6 +160,67 @@ object CorpusQueries {
     "llm_dedup_cluster" -> ((s, dir) =>
       clusterLabels(s, dir).orderBy(col("doc_id"))),
 
+    // INCREMENTAL cluster maintenance — the ingest-time form of
+    // cluster resolution: when a batch arrives (src19, the same batch
+    // convention as llm_dedup_incremental), do NOT re-run connected
+    // components over the corpus. Contract every existing cluster to
+    // its label (one node per cluster), add only the delta edges that
+    // touch the batch, and run CC on that contracted graph — its size
+    // is (touched clusters + batch), not the corpus. Relabeling is
+    // then one broadcast-shaped join of the (old label → merged
+    // label) map; untouched clusters never shuffle. The contraction
+    // is exact, not heuristic: a cluster label IS the min doc id of
+    // its sub-component, so the merged component's min over
+    // {labels ∪ batch ids} equals the full-recompute min — which is
+    // why this query shares the full-recompute recursive-CTE oracle:
+    // the gate PROVES incremental == from-scratch. (The corpus
+    // baseline is computed inline here for self-containment; the
+    // production path reads it from the previous ingest's label
+    // artifact, exactly like the pair graph.)
+    "llm_dedup_cluster_incremental" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), (col("source") === "src19").as("is_new"))
+      val pairs = DedupQueries.materializedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_a"), col("is_new").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("is_new").as("nb")), "doc_b")
+      def bothWays(df: DataFrame, a: String, b: String) = df
+        .select(explode(array(
+          struct(col(a).as("src"), col(b).as("dst")),
+          struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // Baseline: clusters of the PRE-BATCH corpus.
+      val cEdges = bothWays(pairs.filter(!col("na") && !col("nb")), "doc_a", "doc_b")
+      val corpusCC = connectedComponents(
+        cEdges.select(col("src").as("doc_id")).distinct(), cEdges)
+      val corpusAll = corpusCC.union(
+        docs.filter(!col("is_new")).select(col("doc_id"))
+          .join(corpusCC, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("doc_id").as("label")))
+      // Delta edges on the CONTRACTED graph: corpus endpoints collapse
+      // to their cluster label, batch endpoints stand for themselves.
+      val contracted = pairs.filter(col("na") || col("nb"))
+        .join(corpusAll.select(col("doc_id").as("doc_a"), col("label").as("la")),
+          Seq("doc_a"), "left")
+        .join(corpusAll.select(col("doc_id").as("doc_b"), col("label").as("lb")),
+          Seq("doc_b"), "left")
+        .select(coalesce(col("la"), col("doc_a")).as("u"),
+          coalesce(col("lb"), col("doc_b")).as("v"))
+      val dEdges = bothWays(contracted, "u", "v")
+      val remap = connectedComponents(
+        dEdges.select(col("src").as("doc_id")).distinct(), dEdges)
+        .select(col("doc_id").as("node"), col("label").as("new_label"))
+      val corpusFinal = corpusAll
+        .join(remap, col("label") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("label")).as("cluster_id"))
+      val batchFinal = docs.filter(col("is_new"))
+        .join(remap, col("doc_id") === col("node"), "left")
+        .select(col("doc_id"),
+          coalesce(col("new_label"), col("doc_id")).as("cluster_id"))
+      corpusFinal.union(batchFinal).orderBy(col("doc_id"))
+    }),
+
     // Dedup survivor selection — the decision the cluster resolution
     // exists to serve: which copy of each duplicate cluster to KEEP.
     // Policy: highest quality wins (integer-ppm type-token ratio, the
@@ -393,6 +454,22 @@ object CorpusQueries {
 
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_cluster" ->
+      s"""WITH RECURSIVE ${DedupQueries.ngramPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM good),
+         |reach AS (
+         |  SELECT doc_id, doc_id AS label FROM documents
+         |  UNION
+         |  SELECT e.dst AS doc_id, r.label
+         |  FROM reach r JOIN edges e ON e.src = r.doc_id)
+         |SELECT doc_id, min(label) AS cluster_id
+         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Deliberately IDENTICAL to llm_dedup_cluster's from-scratch
+    // fixpoint: the incremental contraction must land on exactly the
+    // labels a full recompute produces — the gate proves it.
+    "llm_dedup_cluster_incremental" ->
       s"""WITH RECURSIVE ${DedupQueries.ngramPairsCtes},
          |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM good

@@ -271,6 +271,29 @@ object MultimodalQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // Query-by-image: rank the corpus by perceptual-hash hamming
+    // distance to a QUERY image (here: the lossy re-encode of doc 0 —
+    // the "find the original of this degraded copy" serving case).
+    // The scan side is the 8-byte signature column only — at 100 TB
+    // that is a bit_count(xor) sweep over a signatures artifact, not
+    // the payloads — followed by a bounded top-k; the banded index
+    // (mm_phash_dedup) serves THRESHOLD queries, this serves KNN.
+    // Exact integer arithmetic end to end → hash-checked.
+    "mm_phash_search" -> ((s, dir) => {
+      import s.implicits._
+      val media = mediaTable(s, dir)
+        .repartition(s.sparkContext.defaultParallelism)
+      val sigs = media.as[MediaRow]
+        .mapPartitions(rows => rows.map(r => MediaSig(r.doc_id, blockSig(r.payload))))
+        .toDF()
+      val qSig: Long = blockSig(perturb(
+        media.filter(col("doc_id") === 0L).as[MediaRow].head().payload))
+      sigs.select(col("doc_id"),
+          bit_count(col("sig").bitwiseXOR(lit(qSig))).cast(IntegerType).as("hamming"))
+        .orderBy(col("hamming"), col("doc_id"))
+        .limit(10)
+    }),
+
     // Binary-column stats per source — metadata-only read path; the
     // whole query is SQL-expressible so DuckDB checks the binary
     // handling (encode + octet_length semantics) exactly.
@@ -359,6 +382,31 @@ object MultimodalQueries {
          |FROM sig a JOIN sig c ON a.doc_id < c.doc_id
          |WHERE bit_count(xor(a.sig, c.sig)) <= 8
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Same signature arithmetic; only doc 0 gets its perturbed
+    // replica (the query image), ranked against the originals.
+    "mm_phash_search" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id,
+         |    list_transform(generate_series(1, length(text)), i -> unicode(text[i])) AS by0,
+         |    length(text) AS L
+         |  FROM documents),
+         |b0 AS (
+         |  SELECT doc_id, by0 AS by, L FROM raw
+         |  UNION ALL
+         |  SELECT doc_id + $ReplicaIdOffset,
+         |    list_transform(by0, (v, i) ->
+         |      CASE WHEN i > L // 3 AND i <= (2 * L) // 3 THEN v + 2 ELSE v END
+         |      + CASE WHEN i > L // 10 AND i <= L // 5 THEN 6 ELSE 0 END),
+         |    L
+         |  FROM raw WHERE doc_id = 0),
+         |sig AS (
+         |  SELECT doc_id,
+         |    CAST(${(0 until 63).map(phashTerm).mkString("\n      + ")} AS BIGINT) AS sig
+         |  FROM b0),
+         |q AS (SELECT sig FROM sig WHERE doc_id = $ReplicaIdOffset)
+         |SELECT s.doc_id, CAST(bit_count(xor(s.sig, q.sig)) AS INT) AS hamming
+         |FROM sig s, q WHERE s.doc_id < $ReplicaIdOffset
+         |ORDER BY hamming, s.doc_id LIMIT 10""".stripMargin,
     "mm_binary_stats" ->
       """SELECT source, count(*) AS n_blobs,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
