@@ -168,4 +168,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(deduped.select("event_id").distinct().count() == batchIds)
     assert(deduped.count() == batchIds)
   }
+
+  test("dropDuplicatesWithinWatermark: state-bounded dedup collapses in-delay duplicates") {
+    // dropDuplicates keeps every seen key in state FOREVER — at
+    // 100 TB/day of events that state never stops growing. The
+    // within-watermark variant evicts a key once the watermark passes
+    // its ts + delay, bounding state to one delay-window of keys —
+    // the only shape that survives an unbounded stream. Semantics
+    // guarantee: duplicates arriving within the delay collapse. The
+    // fixture has no duplicate event_ids, so the duplicate stream is
+    // synthesized: every event replayed 10 minutes later (inside the
+    // 1-hour delay) must vanish.
+    val s = eventsStream.select(col("event_id"), col("ts"))
+    val doubled = s.union(
+      s.withColumn("ts", col("ts") + expr("INTERVAL 10 MINUTES")))
+    val deduped = runToMemory(
+      doubled.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id"),
+      "t_dedup_wwm", "append")
+    val batchIds = Tables(spark, sf, "events").select("event_id").distinct().count()
+    assert(deduped.count() == batchIds,
+      s"expected $batchIds unique events, got ${deduped.count()} — " +
+        "in-delay replays must collapse")
+  }
 }
