@@ -32,6 +32,23 @@ class SearchIndexSpec extends AnyFunSuite {
       s"term filter not pushed: ${scanLine.get}")
   }
 
+  test("span_near probes prune the postings scan (pushed per-clause term filters)") {
+    // The ordered-span query reads three posting lists; every clause's
+    // term must reach the scan as a pushed equality/In filter so probe
+    // cost is the probed lists (row-group skips on the term-sorted
+    // artifact), never the postings table.
+    val df = SparkEntry.queries("search_span_near")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLines = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains(SearchQueries.PostingsName))
+      .toSeq
+    assert(scanLines.size >= 3, s"expected 3 postings probes in:\n$plan")
+    assert(scanLines.forall(l =>
+      l.contains("PushedFilters: [") && l.contains("EqualTo(term") ||
+        l.contains("In(term")),
+      s"clause term not pushed:\n${scanLines.mkString("\n")}")
+  }
+
   test("streaming doc ingest maintains the inverted index, scoring stays scan-exact") {
     // Continuous search-index maintenance — the ES continuous-indexing
     // story for the SEARCH index: each micro-batch of documents
