@@ -173,10 +173,7 @@ object CorpusQueries {
     // its sub-component, so the merged component's min over
     // {labels ∪ batch ids} equals the full-recompute min — which is
     // why this query shares the full-recompute recursive-CTE oracle:
-    // the gate PROVES incremental == from-scratch. (The corpus
-    // baseline is computed inline here for self-containment; the
-    // production path reads it from the previous ingest's label
-    // artifact, exactly like the pair graph.)
+    // the gate PROVES incremental == from-scratch.
     "llm_dedup_cluster_incremental" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
         .select(col("doc_id"), (col("source") === "src19").as("is_new"))
@@ -189,14 +186,22 @@ object CorpusQueries {
           struct(col(a).as("src"), col(b).as("dst")),
           struct(col(b).as("src"), col(a).as("dst")))).as("e"))
         .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      // Baseline: clusters of the PRE-BATCH corpus.
-      val cEdges = bothWays(pairs.filter(!col("na") && !col("nb")), "doc_a", "doc_b")
-      val corpusCC = connectedComponents(
-        cEdges.select(col("src").as("doc_id")).distinct(), cEdges)
-      val corpusAll = corpusCC.union(
-        docs.filter(!col("is_new")).select(col("doc_id"))
-          .join(corpusCC, Seq("doc_id"), "left_anti")
-          .select(col("doc_id"), col("doc_id").as("label")))
+      // Baseline: clusters of the PRE-BATCH corpus, as a fingerprinted
+      // LABELS ARTIFACT (built once per ingest like the pair graph) —
+      // steady-state, this query's cost is exactly the delta work:
+      // partition the pairs, contract, small CC, relabel.
+      val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+      val fp = "labels_v1:sans-src19:" +
+        graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
+      val corpusAll = store.readOrBuildArtifact("cluster_labels_base", fp) {
+        val cEdges = bothWays(pairs.filter(!col("na") && !col("nb")), "doc_a", "doc_b")
+        val corpusCC = connectedComponents(
+          cEdges.select(col("src").as("doc_id")).distinct(), cEdges)
+        corpusCC.union(
+          docs.filter(!col("is_new")).select(col("doc_id"))
+            .join(corpusCC, Seq("doc_id"), "left_anti")
+            .select(col("doc_id"), col("doc_id").as("label")))
+      }
       // Delta edges on the CONTRACTED graph: corpus endpoints collapse
       // to their cluster label, batch endpoints stand for themselves.
       val contracted = pairs.filter(col("na") || col("nb"))
