@@ -140,6 +140,35 @@ object UnigramQueries {
     (counts, counts.values.sum)
   }
 
+  /** SentencePiece's vocabulary-SHRINK step: score every multi-char
+    * piece by the likelihood loss its removal would cost —
+    * cnt(p) · (log P(p) − score of p's best segmentation WITHOUT p) —
+    * and keep the top half (chars are never pruned; they are the
+    * representability floor). The whole computation is driver
+    * arithmetic over the bounded vocabulary: one Viterbi per piece
+    * over the piece's OWN string, nothing corpus-sized. Deterministic:
+    * loss ties break on the piece string.
+    */
+  private[graft] def pruneVocab(counts: Map[String, Long]): Map[String, Long] = {
+    val floored = counts.map { case (p, c) => p -> math.max(c, 1L) }
+    val total = floored.values.sum
+    val lp: Map[String, Double] =
+      floored.map { case (p, c) => p -> math.log(c.toDouble / total) }
+    val multi = counts.keys.filter(_.length > 1).toSeq
+    val keep = multi.size / 2
+    val losses = multi.map { p =>
+      val alt = {
+        val without = lp - p
+        val seg = viterbi(p, without)
+        seg.map(without).sum
+      }
+      (p, counts(p).toDouble * (lp(p) - alt))
+    }
+    val kept = losses.sortBy { case (p, loss) => (-loss, p) }
+      .take(keep).map(_._1).toSet
+    counts.filter { case (p, _) => p.length == 1 || kept(p) }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // The trained unigram tokenizer: top-20 pieces by final EM count,
@@ -154,6 +183,36 @@ object UnigramQueries {
           length(col("piece")).as("piece_len"),
           col("cnt"),
           expr(s"(cnt * 1000000000) DIV $total").as("prob_ppb"))
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(20)
+    }),
+
+    // Train → SHRINK → re-segment: the full SentencePiece cycle. The
+    // pruned vocabulary (half the multi-char slots, chosen by
+    // likelihood loss) re-segments the corpus in one more distributed
+    // E-step; the output compares corpus token mass before and after
+    // the shrink — the number that says what the dropped pieces were
+    // actually worth. rows-only like the trainer (same float Viterbi);
+    // LlmSpec pins prune + re-segment against the sequential
+    // reference.
+    "llm_unigram_prune" -> ((s, dir) => {
+      import s.implicits._
+      val (counts, _) = trainUnigram(s, dir)
+      val pruned = pruneVocab(counts)
+      val floored = pruned.map { case (p, c) => p -> math.max(c, 1L) }
+      val total = floored.values.sum
+      val lp: Map[String, Double] =
+        floored.map { case (p, c) => p -> math.log(c.toDouble / total) }
+      val bc = s.sparkContext.broadcast(lp)
+      val words = BpeQueries.wordTable(Tables.forCompute(s, dir, "documents"))
+        .select(col("word"), col("freq")).as[(String, Long)]
+      val reSeg = words
+        .flatMap { case (w, f) => viterbi(w, bc.value).map(p => (p, f)) }
+        .toDF("piece", "f")
+        .groupBy(col("piece")).agg(sum(col("f")).as("cnt"))
+      reSeg
+        .select(col("piece"), length(col("piece")).as("piece_len"),
+          col("cnt"))
         .orderBy(col("cnt").desc, col("piece"))
         .limit(20)
     })

@@ -387,19 +387,57 @@ class LlmSpec extends AnyFunSuite {
     assert(got.forall(q => q >= 0 && q <= 1000000000L))
   }
 
-  test("distributed unigram-LM trainer equals the sequential reference piece-for-piece") {
-    import llm.UnigramQueries
-    // Sequential reference: same published algorithm (seed counts →
-    // hard-EM with Viterbi re-segmentation), written independently
-    // with plain collections over the collected word-type table
-    // (test-scale collect only). Score accumulation is left-to-right
-    // along the segmentation in both implementations, so float sums
-    // are bit-identical and ties resolve the same way.
-    val words: Seq[(String, Long)] = Tables(spark, sf, "documents")
+  // ---- Sequential unigram-LM reference (shared by the trainer and
+  // prune tests): same published algorithm, independently written
+  // with plain collections over the collected word-type table
+  // (test-scale collect only). Score accumulation is left-to-right
+  // along the segmentation in both implementations, so float sums
+  // are bit-identical and ties resolve the same way.
+
+  private lazy val refWords: Seq[(String, Long)] =
+    Tables(spark, sf, "documents")
       .select(explode(split(lower(col("text")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy("w").count()
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  // Reference Viterbi: candidate states per position, explicit
+  // 3-level preference (score, fewer pieces, lex-smaller last
+  // piece) — the documented tie-break semantics, different code.
+  private case class RefSt(score: Double, n: Int, lastLen: Int)
+  private def refSeg(w: String, lp: Map[String, Double]): List[String] = {
+    val st = new Array[RefSt](w.length + 1)
+    st(0) = RefSt(0.0, 0, 0)
+    for (i <- 1 to w.length) {
+      val cands = for {
+        l <- 1 to math.min(llm.UnigramQueries.SeedMaxLen, i)
+        if st(i - l) != null
+        p = w.substring(i - l, i)
+        if lp.contains(p)
+      } yield RefSt(st(i - l).score + lp(p), st(i - l).n + 1, l)
+      if (cands.nonEmpty)
+        st(i) = cands.reduce { (a, b) =>
+          if (b.score > a.score) b
+          else if (b.score == a.score && b.n < a.n) b
+          else if (b.score == a.score && b.n == a.n &&
+            w.substring(i - b.lastLen, i) < w.substring(i - a.lastLen, i)) b
+          else a
+        }
+    }
+    var out = List.empty[String]; var p = w.length
+    while (p > 0) { out = w.substring(p - st(p).lastLen, p) :: out; p -= st(p).lastLen }
+    out
+  }
+
+  private def refLogProbs(counts: Map[String, Long]): Map[String, Double] = {
+    val floored = counts.map { case (p, c) => p -> math.max(c, 1L) }
+    val total = floored.values.sum
+    floored.map { case (p, c) => p -> math.log(c.toDouble / total) }
+  }
+
+  test("distributed unigram-LM trainer equals the sequential reference piece-for-piece") {
+    import llm.UnigramQueries
+    val words = refWords
 
     val seed = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
     for {
@@ -411,34 +449,6 @@ class LlmSpec extends AnyFunSuite {
     val multi = seed.toSeq.filter(_._1.length > 1)
       .sortBy { case (p, c) => (-c, p) }.take(UnigramQueries.MultiVocab)
     var counts: Map[String, Long] = (chars ++ multi).toMap
-
-    // Reference Viterbi: candidate states per position, explicit
-    // 3-level preference (score, fewer pieces, lex-smaller last
-    // piece) — the documented tie-break semantics, different code.
-    case class St(score: Double, n: Int, lastLen: Int)
-    def refSeg(w: String, lp: Map[String, Double]): List[String] = {
-      val st = new Array[St](w.length + 1)
-      st(0) = St(0.0, 0, 0)
-      for (i <- 1 to w.length) {
-        val cands = for {
-          l <- 1 to math.min(UnigramQueries.SeedMaxLen, i)
-          if st(i - l) != null
-          p = w.substring(i - l, i)
-          if lp.contains(p)
-        } yield St(st(i - l).score + lp(p), st(i - l).n + 1, l)
-        if (cands.nonEmpty)
-          st(i) = cands.reduce { (a, b) =>
-            if (b.score > a.score) b
-            else if (b.score == a.score && b.n < a.n) b
-            else if (b.score == a.score && b.n == a.n &&
-              w.substring(i - b.lastLen, i) < w.substring(i - a.lastLen, i)) b
-            else a
-          }
-      }
-      var out = List.empty[String]; var p = w.length
-      while (p > 0) { out = w.substring(p - st(p).lastLen, p) :: out; p -= st(p).lastLen }
-      out
-    }
 
     for (_ <- 1 to UnigramQueries.EmIters) {
       val floored = counts.map { case (p, c) => p -> math.max(c, 1L) }
@@ -457,6 +467,37 @@ class LlmSpec extends AnyFunSuite {
     // char-level segmentation.
     assert(dist.exists { case (p, c) => p.length > 1 && c > 0 },
       "no multi-char piece survived EM")
+  }
+
+  test("unigram prune: likelihood-loss shrink + re-segment equals the sequential reference") {
+    import llm.UnigramQueries
+    val (counts, _) = UnigramQueries.trainUnigram(spark, sf)
+    // Reference prune: per multi-char piece, loss of removing it =
+    // cnt · (log P(piece) − best segmentation of the piece WITHOUT
+    // itself); keep the top half by loss, chars always kept.
+    val lp = refLogProbs(counts)
+    val multi = counts.keys.filter(_.length > 1).toSeq
+    val losses = multi.map { p =>
+      val without = lp - p
+      (p, counts(p).toDouble * (lp(p) - refSeg(p, without).map(without).sum))
+    }
+    val kept = losses.sortBy { case (p, l) => (-l, p) }
+      .take(multi.size / 2).map(_._1).toSet
+    val refPruned = counts.filter { case (p, _) => p.length == 1 || kept(p) }
+    assert(UnigramQueries.pruneVocab(counts) == refPruned)
+    assert(refPruned.keys.count(_.length > 1) == multi.size / 2)
+    assert(refPruned.keys.filter(_.length == 1).toSet ==
+      counts.keys.filter(_.length == 1).toSet, "chars must never prune")
+    // Reference re-segment under the pruned vocabulary; the
+    // registered query's top-20 must match it exactly.
+    val lp2 = refLogProbs(refPruned)
+    val nc = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    for ((w, f) <- refWords; p <- refSeg(w, lp2)) nc(p) += f
+    val want = nc.toSeq.sortBy { case (p, c) => (-c, p) }.take(20)
+      .map { case (p, c) => (p, c) }
+    val got = SparkEntry.queries("llm_unigram_prune")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2))).toSeq
+    assert(got == want, s"got=${got.take(5)} want=${want.take(5)}")
   }
 
   test("unigram Viterbi segmentations concatenate back to the word") {
