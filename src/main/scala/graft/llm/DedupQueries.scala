@@ -251,6 +251,52 @@ object DedupQueries {
   val SpanK = 50
   val MaxSpanGramDf = 20
 
+  /** The exact-substring machinery shared by the REPORT
+    * (llm_dedup_substring) and the CUT (llm_dedup_substring_cut):
+    * every position's SpanK-char gram fingerprinted, df-capped,
+    * self-joined, and runs of consecutive shared positions collapsed
+    * into diagonal islands — one row per maximal verbatim shared span
+    * (doc_a < doc_b, diag = pa − pb, span_len ≥ SpanK chars,
+    * pa_start = the span's 1-based start in doc_a).
+    *
+    * The gram fingerprint is an ENGINE-LOCAL equality key (joined on,
+    * never emitted), so each engine may hash its own way: 8-byte
+    * xxhash64 here vs the oracle's md5 — the (doc, pos) geometry that
+    * reaches any output is hash-agnostic. That makes the exploded
+    * frame's shuffle row 8 bytes of key instead of a 32-char digest
+    * string — at 100 TB the gram shuffle IS this operator family's
+    * cost, and this is a 4× cut of it. The gram frame feeds the df
+    * guard and both join sides — recomputed per consumer
+    * (content-exploded frame: never cached/checkpointed, same policy
+    * as the boilerplate/LM grams).
+    */
+  private def substringIslands(s: SparkSession, dir: String): DataFrame = {
+    val k = SpanK
+    val posGrams = Tables.forCompute(s, dir, "documents")
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), length(col("text")) - (k - 1)),
+        i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(k))).as("gh")))).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
+    val hot = posGrams.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("d"))
+      .filter(col("d") > MaxSpanGramDf)
+      .select(col("gh"))
+    val g = posGrams.join(broadcast(hot), Seq("gh"), "left_anti")
+    val pairs = g.as("a").join(g.as("b"), Seq("gh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.pos").as("pa"), col("b.pos").as("pb"))
+    val diagW = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    pairs
+      .withColumn("diag", col("pa") - col("pb"))
+      .withColumn("island", col("pa") - row_number().over(diagW))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
+      .agg((count(lit(1)) + lit(k - 1)).as("span_len"),
+        min(col("pa")).as("pa_start"))
+  }
+
   /** Segment width (tokens) for cross-document segment-level dedup —
     * the fixed-window stand-in for line granularity (the fixture's
     * documents are single-line, so "line dedup" degenerates without
@@ -345,43 +391,61 @@ object DedupQueries {
     // winnow pair too (LlmSpec pins this), while spans near 50 chars
     // fall below winnow's MinSharedFps=30 vote — the two operators
     // are complements, not rivals.
-    "llm_dedup_substring" -> ((s, dir) => {
-      val k = SpanK
-      // The gram fingerprint is an ENGINE-LOCAL equality key (joined
-      // on, never emitted), so each engine may hash its own way:
-      // 8-byte xxhash64 here vs the oracle's md5 — the (doc, pos)
-      // geometry that reaches the output is hash-agnostic. That makes
-      // the exploded frame's shuffle row 8 bytes of key instead of a
-      // 32-char digest string — at 100 TB the gram shuffle IS this
-      // operator's cost, and this is a 4× cut of it.
-      val posGrams = Tables.forCompute(s, dir, "documents")
-        .filter(length(col("text")) >= k)
-        .select(col("doc_id"), explode(transform(
-          sequence(lit(1), length(col("text")) - (k - 1)),
-          i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(k))).as("gh")))).as("g"))
-        .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-      val hot = posGrams.groupBy(col("gh"))
-        .agg(countDistinct(col("doc_id")).as("d"))
-        .filter(col("d") > MaxSpanGramDf)
-        .select(col("gh"))
-      // The gram frame feeds the df guard and both join sides —
-      // recomputed per consumer (content-exploded frame: never
-      // cached/checkpointed, same policy as the boilerplate/LM grams).
-      val g = posGrams.join(broadcast(hot), Seq("gh"), "left_anti")
-      val pairs = g.as("a").join(g.as("b"), Seq("gh"))
-        .filter(col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.pos").as("pa"), col("b.pos").as("pb"))
-      val diagW = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
-        .orderBy(col("pa"))
-      pairs
-        .withColumn("diag", col("pa") - col("pb"))
-        .withColumn("island", col("pa") - row_number().over(diagW))
-        .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("island"))
-        .agg((count(lit(1)) + lit(k - 1)).as("span_len"))
+    "llm_dedup_substring" -> ((s, dir) =>
+      substringIslands(s, dir)
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
-        .orderBy(col("doc_a"), col("doc_b"))
+        .orderBy(col("doc_a"), col("doc_b"))),
+
+    // The CUT half of exact-substring dedup — Lee et al. 2022's
+    // actual training-data edit: keep ONE occurrence of each shared
+    // verbatim span (the lower-id doc's), remove the others. Every
+    // diagonal island is a ≥ SpanK-char shared span in the HIGHER-id
+    // doc; spans from different partners may overlap, so the char
+    // ranges merge first (the classic running-max window — one
+    // window + one agg, never per-range loops), then each doc's
+    // clean text reassembles from the complement gaps in ONE HOF
+    // fold over its sorted range array (bounded by ranges-per-doc).
+    // chars_removed/clean_len/clean_fp are exact — the md5 of the
+    // reassembled text is the hard proof the cut landed exactly on
+    // the shared spans, mirrored by the oracle's string_agg-over-gaps
+    // reconstruction.
+    "llm_dedup_substring_cut" -> ((s, dir) => {
+      val ranges = substringIslands(s, dir)
+        .select(col("doc_b").as("doc_id"),
+          (col("pa_start") - col("diag")).cast("int").as("s"),
+          (col("pa_start") - col("diag") + col("span_len") - 1).cast("int").as("e"))
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+      val merged = ranges
+        .withColumn("prev_e",
+          max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("isl", sum(
+          when(col("prev_e").isNull || col("s") > col("prev_e"), 1)
+            .otherwise(0)).over(w))
+        .groupBy(col("doc_id"), col("isl"))
+        .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      val byDoc = merged.groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("rs"),
+          count(lit(1)).as("n_cut_ranges"),
+          sum(col("e") - col("s") + 1).cast("long").as("chars_removed"))
+      val clean = aggregate(col("rs"),
+        struct(lit(1).as("pos"), lit("").as("str")),
+        (acc, r) => struct(
+          (r.getField("e") + 1).as("pos"),
+          concat(acc.getField("str"),
+            col("text").substr(acc.getField("pos"),
+              r.getField("s") - acc.getField("pos"))).as("str")),
+        acc => concat(acc.getField("str"),
+          col("text").substr(acc.getField("pos"),
+            length(col("text")) - acc.getField("pos") + 1)))
+      byDoc
+        .join(Tables.forCompute(s, dir, "documents")
+          .select(col("doc_id"), col("text")), "doc_id")
+        .withColumn("clean_text", clean)
+        .select(col("doc_id"), col("n_cut_ranges"), col("chars_removed"),
+          length(col("clean_text")).as("clean_len"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
     }),
 
     // Cross-document SEGMENT-level dedup (the RefinedWeb / CCNet
@@ -680,6 +744,68 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
          |  CAST(max(span_len) AS BIGINT) AS max_span
          |FROM spans GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // Same island chain; ranges land in doc_b, merge via the
+    // running-max window, and the clean text reassembles as a
+    // string_agg over the complement gaps — reconstruction proof by
+    // md5, like the Spark fold.
+    "llm_dedup_substring_cut" ->
+      s"""WITH g AS (
+         |  SELECT doc_id, i AS pos, md5(substring(text, i, $SpanK)) AS gh
+         |  FROM documents, unnest(generate_series(1, len(text) - ${SpanK - 1})) AS u(i)
+         |  WHERE len(text) >= $SpanK),
+         |hot AS (
+         |  SELECT gh FROM (
+         |    SELECT gh, count(DISTINCT doc_id) AS d FROM g GROUP BY gh) t
+         |  WHERE d > $MaxSpanGramDf),
+         |gg AS (SELECT * FROM g WHERE gh NOT IN (SELECT gh FROM hot)),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM gg a JOIN gg b USING (gh) WHERE a.doc_id < b.doc_id),
+         |isl AS (
+         |  SELECT doc_a, doc_b, pa - pb AS diag, pa,
+         |    pa - row_number() OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) AS island
+         |  FROM p),
+         |rng AS (
+         |  SELECT doc_b AS doc_id, min(pa) - diag AS s,
+         |         min(pa) - diag + count(*) + ${SpanK - 1} - 1 AS e
+         |  FROM isl GROUP BY doc_a, doc_b, diag, island),
+         |m0 AS (
+         |  SELECT doc_id, s, e,
+         |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+         |  FROM rng),
+         |m1 AS (
+         |  SELECT doc_id, s, e,
+         |    sum(CASE WHEN prev_e IS NULL OR s > prev_e THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY s, e) AS isl
+         |  FROM m0),
+         |mr AS (SELECT doc_id, isl, min(s) AS s, max(e) AS e
+         |       FROM m1 GROUP BY 1, 2),
+         |stats AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cut_ranges,
+         |         CAST(sum(e - s + 1) AS BIGINT) AS chars_removed
+         |  FROM mr GROUP BY 1),
+         |gaps AS (
+         |  SELECT doc_id,
+         |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s) + 1, 1) AS gs,
+         |    s - 1 AS ge
+         |  FROM mr
+         |  UNION ALL
+         |  SELECT mr.doc_id, max(e) + 1, len(text)
+         |  FROM mr JOIN documents USING (doc_id)
+         |  GROUP BY mr.doc_id, len(text)),
+         |clean AS (
+         |  SELECT g.doc_id,
+         |    string_agg(substring(text, gs, ge - gs + 1), '' ORDER BY gs) AS ct
+         |  FROM gaps g JOIN documents d ON g.doc_id = d.doc_id
+         |  WHERE ge >= gs
+         |  GROUP BY g.doc_id)
+         |SELECT s.doc_id, n_cut_ranges, chars_removed,
+         |  CAST(coalesce(len(ct), 0) AS INT) AS clean_len,
+         |  md5(coalesce(ct, '')) AS clean_fp
+         |FROM stats s LEFT JOIN clean USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
 
     // Same SegTokens windows, same md5 fingerprints, same df >= 2
     // cut rule, reassembly ordered by window index; DuckDB list
