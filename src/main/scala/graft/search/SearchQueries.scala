@@ -1342,6 +1342,31 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ES `intervals` query, `all_of { ordered: false, max_gaps: 3 }` —
+    // the UNORDERED proximity complement of search_span_near: both
+    // terms within 4 positions of each other in either order. Same
+    // positional-index serving shape (two pruned posting probes + a
+    // per-doc HOF over the position arrays); the unordered window is
+    // |p1 − p2| ≤ 4 instead of the ordered chain. min_dist doubles as
+    // the proximity score ES derives from interval width.
+    "search_intervals_unordered" -> ((s, dir) => {
+      val (postings, _, _) = materializedPostings(s, dir)
+      def posOf(t: String, out: String) =
+        postings.filter(col("term") === t)
+          .select(col("doc_id").as(s"d_$out"), col("positions").as(out))
+      posOf("sort", "pa").join(posOf("merge", "pb"),
+          col("d_pa") === col("d_pb"))
+        .withColumn("dists", flatten(transform(col("pa"), p1 =>
+          transform(
+            filter(col("pb"), p2 => abs(p2 - p1) <= lit(4)),
+            p2 => abs(p2 - p1)))))
+        .filter(size(col("dists")) > 0)
+        .select(col("d_pa").as("doc_id"),
+          size(col("dists")).as("n_windows"),
+          array_min(col("dists")).cast(LongType).as("min_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ES `terms` query with TERMS LOOKUP — the filter set is not a
     // literal but the token set of another indexed document (ES
     // fetches the lookup doc, then runs the terms filter). The lookup
@@ -2226,6 +2251,21 @@ object SearchQueries {
         |  CAST(min(p3 - p1) AS BIGINT) AS min_width
         |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 <= 3 AND p3 > p2 AND p3 - p2 <= 3
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_intervals_unordered" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i)),
+        |a AS (SELECT doc_id, p AS p1 FROM p WHERE tok = 'sort'),
+        |b AS (SELECT doc_id, p AS p2 FROM p WHERE tok = 'merge')
+        |SELECT a.doc_id,
+        |  CAST(count(*) AS INT) AS n_windows,
+        |  CAST(min(abs(p2 - p1)) AS BIGINT) AS min_dist
+        |FROM a JOIN b USING (doc_id)
+        |WHERE abs(p2 - p1) <= 4
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_terms_lookup" ->
       """WITH lk AS (
