@@ -1342,6 +1342,47 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ES `_explain` — the per-term score breakdown for one (query,
+    // doc) pair, the API users reach for when "why does this doc rank
+    // here" comes up: each query term's tf, df, idf, and BM25
+    // contribution as its own row, arithmetic IDENTICAL to the
+    // ranking queries (same [[bm25Part]] pieces, so explain provably
+    // describes the score the engine actually computed — ES makes the
+    // same single-doc guarantee). Cost is one corpus-stats agg + one
+    // doc lookup; the stats agg is the same bounded 1-row broadcast
+    // the ranking query pays.
+    "search_explain" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+        .withColumn("tf_vector", tf("vector"))
+        .withColumn("tf_join", tf("join"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"),
+        sum((col("tf_vector") > 0).cast(LongType)).cast(DoubleType).as("df_vector"),
+        sum((col("tf_join") > 0).cast(LongType)).cast(DoubleType).as("df_join"))
+      scored.filter(col("doc_id") === 7L)
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"), col("n_tokens"), col("n_docs"), col("sum_dl"),
+          explode(array(Seq("spark", "vector", "join").map(t =>
+            struct(lit(t).as("term"), col(s"tf_$t").as("tf"),
+              col(s"df_$t").as("df"))): _*)).as("e"))
+        .select(col("doc_id"), col("e.term").as("term"),
+          col("e.tf").cast(LongType).as("tf"),
+          col("e.df").cast(LongType).as("df"),
+          col("n_tokens"),
+          round(log(lit(1.0) +
+            (col("n_docs") - col("e.df") + lit(0.5)) /
+              (col("e.df") + lit(0.5))), 6).as("idf"),
+          round(bm25Part(col("e.tf"), col("e.df"), col("n_tokens"),
+            col("n_docs"), col("sum_dl")), 6).as("contribution"))
+        .orderBy(col("term"))
+    }),
+
     // ES `intervals` query, `all_of { ordered: false, max_gaps: 3 }` —
     // the UNORDERED proximity complement of search_span_near: both
     // terms within 4 positions of each other in either order. Same
@@ -2252,6 +2293,39 @@ object SearchQueries {
         |FROM a JOIN b USING (doc_id) JOIN c USING (doc_id)
         |WHERE p2 > p1 AND p2 - p1 <= 3 AND p3 > p2 AND p3 - p2 <= 3
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_explain" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'vector')) AS tf_vector,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join')) AS tf_join
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_join
+        |  FROM scored),
+        |d AS (SELECT * FROM scored CROSS JOIN stats WHERE doc_id = 7),
+        |e AS (
+        |  SELECT doc_id, n_tokens, n_docs, sum_dl,
+        |         'spark' AS term, tf_spark AS tf, df_spark AS df FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n_tokens, n_docs, sum_dl,
+        |         'vector', tf_vector, df_vector FROM d
+        |  UNION ALL
+        |  SELECT doc_id, n_tokens, n_docs, sum_dl,
+        |         'join', tf_join, df_join FROM d)
+        |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+        |  CAST(df AS BIGINT) AS df, n_tokens,
+        |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf,
+        |  round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+        |        ((tf * 2.2) /
+        |         (tf + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))),
+        |        6) AS contribution
+        |FROM e ORDER BY term""".stripMargin,
     "search_intervals_unordered" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
