@@ -221,6 +221,15 @@ object Bench {
           .format("noop").mode("overwrite").save()
       }
     }
+    val runWpBuild = only.forall(_.contains("_build_wordpiece"))
+    val wpBuildSecs = if (!runWpBuild) -1.0 else {
+      val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
+      store.deleteIndex(llm.WordPieceQueries.WordsName)
+      buildArtifact("_build_wordpiece", llm.WordPieceQueries.MergesName) {
+        llm.WordPieceQueries.materializedWordPiece(spark, sfDir)._1.write
+          .format("noop").mode("overwrite").save()
+      }
+    }
 
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
@@ -275,6 +284,7 @@ object Bench {
       (if (runVecBuild) Seq("_build_vec_index" -> ((vecBuildSecs, vecBuildSecs))) else Nil) ++
       (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
       (if (runBpeBuild) Seq("_build_bpe" -> ((bpeBuildSecs, bpeBuildSecs))) else Nil) ++
+      (if (runWpBuild) Seq("_build_wordpiece" -> ((wpBuildSecs, wpBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
       (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
 

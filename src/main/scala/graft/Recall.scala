@@ -133,6 +133,9 @@ object Recall {
     val sq8Top = idsOf("llm_ann_sq8_topk")
     val ivfpqTop = idsOf("llm_ann_ivfpq_topk")
     val indexedTop = idsOf("llm_ann_indexed_topk")
+    // Binary-sign (1-bit) quantization re-ranks exactly from a
+    // Hamming shortlist — same L2 ground truth.
+    val binaryTop = idsOf("llm_ann_binary_topk")
 
     // Filtered ANN: overlap vs the FILTERED brute-force truth (the
     // correct ground truth for metadata-constrained search).
@@ -195,6 +198,7 @@ object Recall {
          |"llm_ann_sq8_topk":{"overlap_at_10":${(exactL2Top & sq8Top).size}},
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
+         |"llm_ann_binary_topk":{"overlap_at_10":${(exactL2Top & binaryTop).size}},
          |"llm_ann_filtered_topk":{"overlap_at_10":${(filteredTruth & filteredAnn).size}},
          |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}},
          |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}},

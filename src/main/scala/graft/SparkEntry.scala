@@ -35,6 +35,7 @@ object SparkEntry {
       llm.SimilarityQueries.queries ++
       llm.PipelineQueries.queries ++
       llm.BpeQueries.queries ++
+      llm.WordPieceQueries.queries ++
       llm.UnigramQueries.queries ++
       streaming.StreamQueries.queries ++
       multimodal.MultimodalQueries.queries
@@ -58,6 +59,7 @@ object SparkEntry {
       llm.SimilarityQueries.oracleSql ++
       llm.PipelineQueries.oracleSql ++
       llm.BpeQueries.oracleSql ++
+      llm.WordPieceQueries.oracleSql ++
       llm.UnigramQueries.oracleSql ++
       streaming.StreamQueries.oracleSql ++
       multimodal.MultimodalQueries.oracleSql

@@ -84,7 +84,16 @@ object BpeQueries {
     * merged token and clears the pending slot, so the merged token
     * can never left-participate in another merge of the same pass.
     */
-  private[graft] def mergePair(syms: Column, a: String, b: String): Column = {
+  private[graft] def mergePair(syms: Column, a: String, b: String): Column =
+    mergePairInto(syms, a, b, a + b)
+
+  /** [[mergePair]] with an explicit merged-token spelling — WordPiece
+    * merges (l, ##r) into l+r (the continuation marker splices out),
+    * so the emitted token is a parameter rather than always a+b. The
+    * fold semantics (greedy, restart-after-merge) are identical.
+    */
+  private[graft] def mergePairInto(syms: Column, a: String, b: String,
+                                   merged: String): Column = {
     val emptyArr = array().cast(ArrayType(StringType))
     aggregate(
       syms,
@@ -93,7 +102,7 @@ object BpeQueries {
         val out = acc.getField("out")
         val pend = acc.getField("pend")
         when(pend === lit(a) && s === lit(b),
-          struct(concat(out, array(lit(a + b))).as("out"), lit("").as("pend")))
+          struct(concat(out, array(lit(merged))).as("out"), lit("").as("pend")))
           .when(pend === lit(""),
             struct(out.as("out"), s.as("pend")))
           .otherwise(

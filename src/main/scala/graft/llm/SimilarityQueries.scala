@@ -886,8 +886,110 @@ object SimilarityQueries {
           col("adc_dist"))
         .orderBy(col("l2_dist"), col("vec_id"))
         .limit(10)
+    }),
+
+    // 1-bit (sign) binary quantization + Hamming shortlist — the
+    // extreme point of the quantization curve (PQ 32×, SQ8 4×, binary
+    // 32× vs raw floats at dim 64: 8 signature bytes per vector), the
+    // scheme behind faiss's IndexBinaryFlat and every "binary
+    // embedding" retrieval stack: bit i = sign(emb[i]), distance =
+    // popcount(xor) — two fused instructions per 64 dims. Unlike every
+    // other ANN family here it needs NO trained model (the quantizer
+    // is the sign function), so the whole chain is deterministic
+    // integer arithmetic + the same rounded-float re-rank as
+    // llm_cosine_topk ⇒ the one ANN variant that is fully
+    // ORACLE-CHECKABLE, not rows-only. At 100 TB: the signature scan
+    // touches 2 BIGINT columns (parquet-encoded ~8 bytes/vector), the
+    // Hamming shortlist is TakeOrderedAndProject(100) (per-partition
+    // top-k, no global sort), and raw floats load only for the 100
+    // re-ranked ids. Signatures pack 32 bits per BIGINT (not 64) so
+    // bit 63 never sets the sign bit — both engines stay in ordinary
+    // non-overflowing BIGINT arithmetic. Overlap@10 vs exact L2 is
+    // measured in Recall alongside the trained quantizers.
+    "llm_ann_binary_topk" -> ((s, dir) => {
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+      val pows = typedlit((0 until 32).map(i => 1L << i))
+      def sig(off: Int): Column =
+        aggregate(
+          zip_with(slice(col("emb"), off + 1, 32), pows,
+            (x, p) => when(x > lit(0.0), p).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v)
+      val sigd = e.withColumn("sig_lo", sig(0)).withColumn("sig_hi", sig(32))
+      val q = broadcast(sigd.filter(col("vec_id") === 0)
+        .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi")))
+      val shortlist = sigd.filter(col("vec_id") =!= 0)
+        .crossJoin(q)
+        .select(col("vec_id"),
+          (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
+            bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(100)
+      e.join(broadcast(shortlist), "vec_id")
+        .crossJoin(queryVec(e))
+        .select(col("vec_id"), col("label"), col("hamming"),
+          round(sqrt(l2sq(col("emb"), col("qv"))), 6).as("l2_dist"))
+        .orderBy(col("l2_dist"), col("vec_id"))
+        .limit(10)
+    }),
+
+    // MMR diversified re-rank (Carbonell & Goldstein, SIGIR'98) — the
+    // standard redundancy-vs-relevance selection: after retrieval,
+    // pick k results greedily by λ·sim(q,d) − (1−λ)·max_{s∈S} sim(d,s)
+    // so near-duplicate hits don't crowd the result page (and, in a
+    // training-data pipeline, so a retrieval-curated batch doesn't
+    // stack semantic near-dupes — the per-batch analogue of SemDeDup).
+    // Scale shape: relevance top-N is the same scan +
+    // TakeOrderedAndProject(N) as llm_cosine_topk; the O(N²) pairwise
+    // similarities are computed distributed over the BOUNDED 50-row
+    // candidate broadcast (2 500 rows — never corpus²); the greedy
+    // selection itself is inherently sequential and runs as a driver
+    // fold over the collected O(N²) candidate matrix (same bounded-
+    // collect budget as the ANN codebooks; k·N comparisons). All
+    // similarities are rounded to 9 decimals before selection and the
+    // tie-break is vec_id, so the greedy chain is deterministic and
+    // the whole query — selection included — hash-checks against a
+    // k-level unrolled-CTE DuckDB twin.
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val n = 50; val k = 10
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+      val cand = e.crossJoin(queryVec(e)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), col("emb"),
+          round(cosine(col("emb"), col("qv")), 9).as("rel"))
+        .orderBy(col("rel").desc, col("vec_id")).limit(n)
+      val left = cand.select(col("vec_id").as("a"), col("emb").as("ea"))
+      val right = cand.select(col("vec_id").as("b"), col("emb").as("eb"))
+      val pairSims = left.join(broadcast(right), col("a") =!= col("b"))
+        .select(col("a"), col("b"),
+          round(cosine(col("ea"), col("eb")), 9).as("sim"))
+      val candRows = cand.select(col("vec_id"), col("label"), col("rel"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      val sim = pairSims.collect()
+        .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+      // Same round-half-up-at-9 as the Spark/DuckDB round() the sims
+      // went through, so the selection arithmetic is engine-identical.
+      def r9(x: Double): Double = java.math.BigDecimal.valueOf(x)
+        .setScale(9, java.math.RoundingMode.HALF_UP).doubleValue()
+      var selected = Vector.empty[MmrPick]
+      var remaining = candRows
+      for (rank <- 1 to k) {
+        val scored = remaining.map { case (id, lb, rel) =>
+          val maxSim = if (selected.isEmpty) 0.0
+            else selected.map(p => sim((id, p.vec_id))).max
+          MmrPick(rank, id, lb, rel, r9(0.5 * rel - 0.5 * maxSim))
+        }
+        val best = scored.minBy(p => (-p.mmr_score, p.vec_id))
+        selected = selected :+ best
+        remaining = remaining.filterNot(_._1 == best.vec_id)
+      }
+      s.createDataFrame(selected).orderBy(col("mmr_rank"))
     })
   )
+
+  /** One MMR selection: rank in the diversified list, the picked
+    * vector, its pure relevance, and the winning MMR score.
+    */
+  private[graft] case class MmrPick(mmr_rank: Int, vec_id: Long, label: Int,
+                                    rel: Double, mmr_score: Double)
 
   private[graft] val VecIndexName = "vec_ivfpq_index"
   private[graft] val ModelSidecar = "_graft_ivfpq_model"
@@ -1213,7 +1315,84 @@ object SimilarityQueries {
         |SELECT label, count(*) AS n_vecs,
         |  CAST(sum(CAST(norm AS DECIMAL(28,12))) AS DOUBLE) AS sum_norm,
         |  min(norm) AS min_norm, max(norm) AS max_norm
-        |FROM e GROUP BY label ORDER BY label""".stripMargin
+        |FROM e GROUP BY label ORDER BY label""".stripMargin,
+    // Binary-sign ANN: modelless ⇒ the one ANN variant with a full
+    // DuckDB twin. The 32-bit signature halves are unrolled CASE sums
+    // (bit i of half h = sign(emb[32h+i]) · 2^i) — identical integer
+    // construction to the Spark fold; the rank-100 Hamming shortlist
+    // and rounded L2 re-rank mirror the Spark plan expression for
+    // expression.
+    "llm_ann_binary_topk" -> {
+      def sigSql(off: Int): String =
+        (0 until 32).map(i =>
+          s"(CASE WHEN emb[${off + i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+          .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+         |  FROM embeddings),
+         |sig AS (
+         |  SELECT vec_id, label, emb,
+         |         ${sigSql(0)} AS sig_lo,
+         |         ${sigSql(32)} AS sig_hi
+         |  FROM e),
+         |q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, emb AS qv
+         |      FROM sig WHERE vec_id = 0),
+         |shortlist AS (
+         |  SELECT s.vec_id,
+         |         CAST(bit_count(xor(s.sig_lo, q_lo))
+         |              + bit_count(xor(s.sig_hi, q_hi)) AS INT) AS hamming
+         |  FROM sig s, q WHERE s.vec_id <> 0
+         |  ORDER BY hamming, s.vec_id LIMIT 100)
+         |SELECT e.vec_id, e.label, sl.hamming,
+         |  round(sqrt(list_dot_product(emb, emb) + list_dot_product(qv, qv)
+         |             - 2 * list_dot_product(emb, qv)), 6) AS l2_dist
+         |FROM e JOIN shortlist sl ON e.vec_id = sl.vec_id, q
+         |ORDER BY l2_dist, e.vec_id LIMIT 10""".stripMargin
+    },
+    // MMR: the greedy selection unrolls into k CTE levels (the BPE-
+    // trainer pattern — each level's 1-row argmax feeds the next
+    // level's exclusion set and diversity max). Level 1 has no
+    // selected set, so its score is pure halved relevance; the same
+    // formula with max(sim)=0.
+    "llm_mmr_rerank" -> {
+      val cosSql = "round(list_dot_product(%s, %s) / (sqrt(list_dot_product(%s, %s)) * sqrt(list_dot_product(%s, %s))), 9)"
+      val base =
+        s"""WITH e AS (
+           |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+           |  FROM embeddings),
+           |q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+           |cand AS MATERIALIZED (
+           |  SELECT vec_id, label, emb,
+           |    ${cosSql.format("emb", "qv", "emb", "emb", "qv", "qv")} AS rel
+           |  FROM e, q WHERE vec_id <> 0
+           |  ORDER BY rel DESC, vec_id LIMIT 50),
+           |pr AS MATERIALIZED (
+           |  SELECT ca.vec_id AS a, cb.vec_id AS b,
+           |    ${cosSql.format("ca.emb", "cb.emb", "ca.emb", "ca.emb", "cb.emb", "cb.emb")} AS sim
+           |  FROM cand ca, cand cb WHERE ca.vec_id <> cb.vec_id),
+           |s1 AS MATERIALIZED (
+           |  SELECT 1 AS mmr_rank, vec_id, label, rel,
+           |    round(0.5 * rel - 0.5 * 0.0, 9) AS mmr_score
+           |  FROM cand ORDER BY mmr_score DESC, vec_id LIMIT 1),
+           |sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+      val iters = (2 to 10).map { n =>
+        s"""s$n AS MATERIALIZED (
+           |  SELECT $n AS mmr_rank, c.vec_id, c.label, c.rel,
+           |    round(0.5 * c.rel - 0.5 * max(p.sim), 9) AS mmr_score
+           |  FROM cand c JOIN pr p ON p.a = c.vec_id
+           |    AND p.b IN (SELECT vec_id FROM sel${n - 1})
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${n - 1})
+           |  GROUP BY c.vec_id, c.label, c.rel
+           |  ORDER BY mmr_score DESC, c.vec_id LIMIT 1),
+           |sel$n AS (SELECT vec_id FROM sel${n - 1}
+           |          UNION ALL SELECT vec_id FROM s$n)""".stripMargin
+      }
+      (base +: iters).mkString(",\n") + "\n" +
+        (1 to 10).map(n =>
+          s"SELECT mmr_rank, vec_id, label, rel, mmr_score FROM s$n")
+          .mkString("\nUNION ALL ") +
+        "\nORDER BY mmr_rank"
+    }
     // llm_ann_lsh_topk / llm_ann_ivf_topk: seeded-model ops, not
     // SQL-expressible -> rows-only + recall-vs-bruteforce specs.
   )

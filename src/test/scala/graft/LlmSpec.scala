@@ -555,6 +555,59 @@ class LlmSpec extends AnyFunSuite {
       s"distributed=$merges expected=$expected")
   }
 
+  test("distributed WordPiece trainer equals the sequential reference merge-for-merge") {
+    import spark.implicits._
+    // Sequential reference WordPiece (Schuster & Nakajima '12 /
+    // HF-tokenizers trainer): ## continuation seeding, argmax of
+    // count(pair)/(count(l)·count(r)) — computed here in exact BigInt
+    // arithmetic at the same 10¹⁸ quantization as the distributed
+    // trainer — tie-break (l, r), greedy merge with marker splice.
+    def referenceWp(corpus: Seq[String], k: Int): Seq[(Int, String, String, String)] = {
+      var words: Map[List[String], Long] = corpus
+        .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, ws) =>
+          (w.head.toString :: w.tail.toList.map("##" + _)) -> ws.size.toLong }
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String)]
+      val scale = BigInt("1000000000000000000")
+      for (rank <- 1 to k) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        val sc = scala.collection.mutable.Map.empty[String, Long]
+        for ((syms, f) <- words) {
+          for (s <- syms) sc(s) = sc.getOrElse(s, 0L) + f
+          for (p <- syms.zip(syms.tail)) pc(p) = pc.getOrElse(p, 0L) + f
+        }
+        if (pc.nonEmpty) {
+          val (a, b) = pc.keys.toSeq.minBy { case (x, y) =>
+            val q = (BigInt(pc((x, y))) * scale /
+              (BigInt(sc(x)) * BigInt(sc(y)))).toLong
+            (-q, x, y)
+          }
+          val merged = a + b.stripPrefix("##")
+          out += ((rank, a, b, merged))
+          def mergeSyms(s: List[String]): List[String] = s match {
+            case x :: y :: rest if x == a && y == b => merged :: mergeSyms(rest)
+            case x :: rest => x :: mergeSyms(rest)
+            case Nil => Nil
+          }
+          words = words.toSeq.map { case (s, f) => mergeSyms(s) -> f }
+            .groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).sum }
+        }
+      }
+      out.toSeq
+    }
+    // Same corpus as the BPE twin test — the two trainers diverge on
+    // it (WordPiece's denominator punishes merges of frequent symbols),
+    // which is exactly what makes it a real check of the score argmax,
+    // not a re-run of the BPE one.
+    val corpus = Seq.fill(6)("low lower lowest") ++ Seq.fill(5)("new newer newest") ++
+      Seq.fill(3)("wider wide widest") ++ Seq.fill(7)("papa dodo banana papapa")
+    val expected = referenceWp(corpus, 8)
+    val words = llm.WordPieceQueries.wordTable(corpus.toDF("text"))
+    val (merges, _) = llm.WordPieceQueries.trainMerges(words, 8)
+    assert(merges.map(m => (m.merge_rank, m.left, m.right, m.merged)) == expected,
+      s"distributed=$merges expected=$expected")
+  }
+
   test("mergePair: greedy left-to-right semantics on overlapping chains") {
     import spark.implicits._
     val df = Seq("a b a b", "a a a", "a a a a", "x a b y", "b a b").toDF("s")

@@ -171,6 +171,10 @@ class PlanSpec extends AnyFunSuite {
       "llm_cosine_topk_filtered", // 1-row query vector (filtered exact)
       "llm_ann_filtered_topk", // 1-row query vector on the probed cells
       "llm_kneser_ney_quality", // 1-row bigram-type-count broadcast
+      "search_explain", // 1-row corpus-stats broadcast
+      "llm_ann_binary_topk", // 1-row query-signature broadcast
+
+      "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
@@ -197,6 +201,7 @@ class PlanSpec extends AnyFunSuite {
       "relational/PrefixSum.scala" -> 1,      // O(numPartitions) subtotal frame
       "llm/SimilarityQueries.scala" -> 1,     // KMeans cell-stats table, O(cells)
       "llm/BpeQueries.scala" -> 1,            // word-TYPE table, vocabulary-bounded
+      "llm/WordPieceQueries.scala" -> 1,      // word-TYPE table, vocabulary-bounded
       "llm/CorpusQueries.scala" -> 3)         // CC labels ×2 (two longs per doc id) +
                                               // sparse pair-graph edges; iterative
                                               // lineage truncation is load-bearing there
