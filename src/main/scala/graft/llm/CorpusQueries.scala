@@ -454,6 +454,46 @@ object CorpusQueries {
           col("rank").cast("long").as("rank"))
         .orderBy(col("rank").desc, col("doc_id"))
         .limit(20)
+    }),
+
+    // Triangle census of the near-dup graph — the structure metric
+    // next to PageRank (llm_graph_centrality): triangle count, open
+    // wedges, and global transitivity 3·△/wedges. High transitivity
+    // says near-dup pairs close into dense cliques (template families
+    // — safe to collapse to one survivor); low says long chains, where
+    // transitive-closure dedup over-merges (A~B~C with A̸~C) — the
+    // number a curation owner checks before trusting connected-
+    // component clustering. Scale shape: the classic ordered
+    // node-iterator join — edges are canonically a<b, so each triangle
+    // (a<b<c) is found exactly once by joining wedge (a,b)+(b,c)
+    // against edge (a,c); all equi-joins on vertex ids, shuffle
+    // O(Σ deg²), with degrees bounded because the pair graph is
+    // df-capped at the shingle level (no quadratic star explosions
+    // from boilerplate — the cap already cut them). Wedge counts ride
+    // the degree table; everything is exact integer arithmetic
+    // (transitivity in ppm via DIV), so the census hash-checks against
+    // the re-derived pair graph in DuckDB.
+    "llm_graph_triangles" -> ((s, dir) => {
+      val edges = DedupQueries.materializedPairs(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val deg = edges.select(col("a").as("v"))
+        .union(edges.select(col("b").as("v")))
+        .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      val tri = edges.as("e1")
+        .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+        .join(edges.as("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+      val wedges = deg.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
+      val ecount = edges.agg(count(lit(1)).as("n_edges"))
+      wedges.crossJoin(ecount).crossJoin(tri)
+        .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+          col("n_triangles"),
+          expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
+            "ELSE (3 * n_triangles * 1000000) DIV n_wedges END")
+            .as("transitivity_ppm"))
     })
   )
 
@@ -640,6 +680,32 @@ object CorpusQueries {
           |  CAST(coalesce(deg, 0) AS BIGINT) AS degree,
           |  CAST(rank AS BIGINT) AS rank
           |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src
-          |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin)
+          |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin),
+    // Same ordered 3-way self-join over the re-derived `good` pair
+    // graph; all-integer census, transitivity floored to ppm.
+    "llm_graph_triangles" ->
+      s"""WITH ${DedupQueries.ngramPairsCtes},
+         |edges AS (SELECT doc_a AS a, doc_b AS b FROM good),
+         |deg AS (
+         |  SELECT v, count(*) AS deg FROM (
+         |    SELECT a AS v FROM edges UNION ALL SELECT b AS v FROM edges)
+         |  GROUP BY 1),
+         |tri AS (
+         |  SELECT count(*) AS n_triangles
+         |  FROM edges e1 JOIN edges e2 ON e1.b = e2.a
+         |       JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b),
+         |wed AS (
+         |  SELECT count(*) AS n_nodes,
+         |         coalesce(sum((deg * (deg - 1)) // 2), 0) AS n_wedges
+         |  FROM deg),
+         |ec AS (SELECT count(*) AS n_edges FROM edges)
+         |SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+         |  CAST(n_edges AS BIGINT) AS n_edges,
+         |  CAST(n_wedges AS BIGINT) AS n_wedges,
+         |  CAST(n_triangles AS BIGINT) AS n_triangles,
+         |  CAST(CASE WHEN n_wedges = 0 THEN 0
+         |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
+         |    AS transitivity_ppm
+         |FROM wed, ec, tri""".stripMargin
   )
 }

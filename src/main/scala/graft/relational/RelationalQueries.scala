@@ -251,6 +251,41 @@ object RelationalQueries {
           round(col("o_totalprice")).as("price_round"),
           abs(col("o_totalprice") - 250000.0).as("price_dist"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Entity-resolution (dirty) join — the record-linkage primitive
+    // relational engines lack and warehouses bolt on: which catalog
+    // names are the SAME entity misspelled ("cold plate" vs "old
+    // plate")? Canonical ER shape: resolve on the distinct-NAME table
+    // first (bounded vocabulary, never row×row), block candidates by
+    // shared character bigram (any edit-distance-≤2 pair of length ≥6
+    // shares one: d edits destroy ≤ 2d of the n−1 bigrams), then
+    // verify the survivors with exact levenshtein ≤ 2. At 100 TB the
+    // blocking join is the only wide op and it is linear in the
+    // bigram-postings size (the same df-shaped join as the shingle
+    // dedup family), with the O(n²) verify confined to same-block
+    // candidates; the oracle mirrors block + verify exactly, so the
+    // operator is hash-checked end to end.
+    "rel_join_fuzzy_names" -> ((s, dir) => {
+      val names = Tables(s, dir, "part")
+        .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_parts"))
+      val grams = names.select(col("name"),
+        explode(expr(
+          "array_distinct(transform(sequence(1, length(name) - 1), " +
+            "i -> substring(name, i, 2)))")).as("bg"))
+      val cand = grams.as("ga")
+        .join(grams.as("gb"),
+          col("ga.bg") === col("gb.bg") && col("ga.name") < col("gb.name"))
+        .select(col("ga.name").as("name_a"), col("gb.name").as("name_b"))
+        .distinct()
+      cand
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 2)
+        .join(names.select(col("name").as("name_a"), col("n_parts").as("n_parts_a")), "name_a")
+        .join(names.select(col("name").as("name_b"), col("n_parts").as("n_parts_b")), "name_b")
+        .select(col("name_a"), col("name_b"),
+          levenshtein(col("name_a"), col("name_b")).as("dist"),
+          col("n_parts_a"), col("n_parts_b"))
+        .orderBy(col("name_a"), col("name_b"))
     })
   )
 
@@ -384,6 +419,25 @@ object RelationalQueries {
         |  o_orderkey % 7 AS key_mod7,
         |  round(o_totalprice) AS price_round,
         |  abs(o_totalprice - 250000.0) AS price_dist
-        |FROM orders ORDER BY o_orderkey""".stripMargin
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "rel_join_fuzzy_names" ->
+      """WITH names AS (
+        |  SELECT p_name AS name, count(*) AS n_parts FROM part GROUP BY 1),
+        |g AS (
+        |  SELECT name, unnest(list_distinct(
+        |    list_transform(generate_series(1, len(name) - 1),
+        |                   i -> substr(name, i, 2)))) AS bg
+        |  FROM names),
+        |cand AS (
+        |  SELECT DISTINCT ga.name AS name_a, gb.name AS name_b
+        |  FROM g ga JOIN g gb ON ga.bg = gb.bg AND ga.name < gb.name)
+        |SELECT c.name_a, c.name_b,
+        |  CAST(levenshtein(c.name_a, c.name_b) AS INT) AS dist,
+        |  na.n_parts AS n_parts_a, nb.n_parts AS n_parts_b
+        |FROM cand c
+        |JOIN names na ON c.name_a = na.name
+        |JOIN names nb ON c.name_b = nb.name
+        |WHERE levenshtein(c.name_a, c.name_b) <= 2
+        |ORDER BY name_a, name_b""".stripMargin
   )
 }

@@ -175,6 +175,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_binary_topk", // 1-row query-signature broadcast
 
       "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
+      "llm_graph_triangles", // 1-row census aggregates cross-joined
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
