@@ -813,6 +813,42 @@ object SearchQueries {
         .limit(10)
     }),
 
+    // Decay-function scoring — ES function_score's `gauss` decay, the
+    // most-set function_score knob in practice (boost recent docs /
+    // docs near a target value while keeping text relevance): score =
+    // BM25 × exp(ln(½)·d²/scale²) with d = max(0, |field−origin|−
+    // offset), i.e. the score halves at distance `scale` past the
+    // no-penalty offset — ES's exact gauss formula, here decaying on
+    // document LENGTH (origin 1000, offset 100, scale 500: prefer
+    // medium-length hits; a date field decays identically once the
+    // value is epoch-scaled). ln(½) is a hardcoded literal in BOTH
+    // engines so neither evaluates its own ln; the multiplicative
+    // composition and rounded-6 compare follow search_function_score.
+    // Same plan shape: scan + 1-row stats broadcast + top-k.
+    "search_decay_scoring" -> ((s, dir) => {
+      def tf(term: String): Column =
+        size(filter(tokens(col("text")), t => t === lit(term)))
+      val scored = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_spark", tf("spark"))
+      val stats = scored.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_spark") > 0).cast(LongType)).cast(DoubleType).as("df_spark"))
+      val dist = greatest(lit(0.0),
+        abs(col("n_chars").cast(DoubleType) - lit(1000.0)) - lit(100.0))
+      val gauss = exp(lit(-0.6931471805599453) * dist * dist / lit(250000.0))
+      scored.crossJoin(broadcast(stats))
+        .withColumn("decay", round(gauss, 6))
+        .withColumn("score", round(
+          bm25Part(col("tf_spark"), col("df_spark"), col("n_tokens"),
+            col("n_docs"), col("sum_dl")) * gauss, 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("n_chars"), col("decay"), col("score"))
+        .limit(10)
+    }),
+
     // Multi-index fan-out — the UI's literal "all index" option
     // (`indexView.html:15-17`): the same keyword searched across every
     // index, results tagged with their index. Each branch is an
@@ -1715,6 +1751,33 @@ object SearchQueries {
         |      ln(1.0 + 0.01 * n_chars) * 1.2, 6) AS score
         |  FROM scored CROSS JOIN stats)
         |SELECT doc_id, n_chars, score FROM b WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_decay_scoring" ->
+      """WITH scored AS (
+        |  SELECT doc_id, n_chars,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark')) AS tf_spark
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark
+        |  FROM scored),
+        |g AS (
+        |  SELECT doc_id, n_chars,
+        |    greatest(0.0, abs(CAST(n_chars AS DOUBLE) - 1000.0) - 100.0) AS d,
+        |    n_tokens, tf_spark, n_docs, sum_dl, df_spark
+        |  FROM scored CROSS JOIN stats),
+        |b AS (
+        |  SELECT doc_id, n_chars,
+        |    round(exp(-0.6931471805599453 * d * d / 250000.0), 6) AS decay,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))) *
+        |      exp(-0.6931471805599453 * d * d / 250000.0), 6) AS score
+        |  FROM g)
+        |SELECT doc_id, n_chars, decay, score FROM b WHERE score > 0
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_topk_relevance" ->
       """WITH scored AS (

@@ -260,7 +260,57 @@ object StreamQueries {
         .orderBy(col("event_id"))),
     "stream_json_props" -> ((s, dir) =>
       jsonPropStats(Tables(s, dir, "events"))
-        .orderBy(col("event_type")))
+        .orderBy(col("event_type"))),
+
+    // Ordered event-sequence pattern detection — the MATCH_RECOGNIZE /
+    // funnel-with-negation shape (view → click → purchase, each hop
+    // ≤ 24 h, with NO error event since the view): for every purchase,
+    // the most recent prior click; for that click, its most recent
+    // prior view; reject if the purchase's most recent prior error
+    // postdates the view. "Most recent prior X" is
+    // last(CASE type=X, ignoreNulls) over the user's event sequence
+    // (ROWS UNBOUNDED PRECEDING..1 PRECEDING) — the window trick that
+    // turns sequence-pattern matching into two ordinary ordered-window
+    // passes plus ONE equi-join of purchases to their matched click
+    // (by event id, so simultaneous-timestamp clicks can't cross-
+    // match). Scale shape: the same user-partitioned sort any
+    // sessionization pays, then a linear join — no self-join of the
+    // event stream, no per-user collect. All timestamps are exact
+    // integer microseconds, so the pattern (including the 24 h hop
+    // bounds and the negation) hash-checks against DuckDB.
+    "stream_event_pattern" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      def lastOf(tpe: String, c: Column): Column =
+        last(when(col("event_type") === tpe, c), ignoreNulls = true).over(w)
+      val wv = base
+        .withColumn("prev_view_id", lastOf("view", col("event_id")))
+        .withColumn("prev_view_us", lastOf("view", col("us")))
+        .withColumn("prev_click_id", lastOf("click", col("event_id")))
+        .withColumn("prev_error_us", lastOf("error", col("us")))
+      val clicks = wv.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("us").as("click_us"),
+          col("prev_view_id").as("view_id"), col("prev_view_us").as("view_us"))
+      val purchases = wv.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("us").as("purchase_us"), col("prev_click_id"), col("prev_error_us"))
+      purchases
+        .join(clicks, col("prev_click_id") === col("click_id"))
+        .filter(col("view_id").isNotNull &&
+          col("purchase_us") - col("click_us") <= 86400000000L &&
+          col("click_us") - col("view_us") <= 86400000000L &&
+          (col("prev_error_us").isNull || col("prev_error_us") < col("view_us")))
+        .select(col("user_id"), col("view_id"), col("click_id"),
+          col("purchase_id"),
+          expr("(click_us - view_us) DIV 1000000").as("view_to_click_s"),
+          expr("(purchase_us - click_us) DIV 1000000").as("click_to_purchase_s"))
+        .orderBy(col("purchase_id"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -382,6 +432,41 @@ object StreamQueries {
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  count(DISTINCT user_id) AS n_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // Same two window passes + purchase→click equi-join; all bounds
+    // in exact integer microseconds.
+    "stream_event_pattern" ->
+      """WITH base AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+        |wv AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+        |      OVER pw AS prev_view_id,
+        |    last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        |      OVER pw AS prev_view_us,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER pw AS prev_click_id,
+        |    last_value(CASE WHEN event_type = 'error' THEN us END IGNORE NULLS)
+        |      OVER pw AS prev_error_us
+        |  FROM base
+        |  WINDOW pw AS (PARTITION BY user_id ORDER BY us, event_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |clicks AS (
+        |  SELECT event_id AS click_id, us AS click_us,
+        |         prev_view_id AS view_id, prev_view_us AS view_us
+        |  FROM wv WHERE event_type = 'click'),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, us AS purchase_us,
+        |         prev_click_id, prev_error_us
+        |  FROM wv WHERE event_type = 'purchase')
+        |SELECT p.user_id, c.view_id, c.click_id, p.purchase_id,
+        |  (c.click_us - c.view_us) // 1000000 AS view_to_click_s,
+        |  (p.purchase_us - c.click_us) // 1000000 AS click_to_purchase_s
+        |FROM p JOIN clicks c ON p.prev_click_id = c.click_id
+        |WHERE c.view_id IS NOT NULL
+        |  AND p.purchase_us - c.click_us <= 86400000000
+        |  AND c.click_us - c.view_us <= 86400000000
+        |  AND (p.prev_error_us IS NULL OR p.prev_error_us < c.view_us)
+        |ORDER BY purchase_id""".stripMargin
   )
 }

@@ -172,6 +172,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_filtered_topk", // 1-row query vector on the probed cells
       "llm_kneser_ney_quality", // 1-row bigram-type-count broadcast
       "search_explain", // 1-row corpus-stats broadcast
+      "search_decay_scoring", // 1-row corpus-stats broadcast
       "llm_ann_binary_topk", // 1-row query-signature broadcast
 
       "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
