@@ -237,6 +237,35 @@ class IndexStore(spark: SparkSession, root: String) {
     before - count(indexName)
   }
 
+  /** ES `_update_by_query`: apply column assignments to every doc
+    * MATCHING the predicate (the script-free `ctx._source.f = v`
+    * form), leave the rest byte-identical. NULL predicate rows do NOT
+    * match — same tri-state rule as [[deleteWhere]]. One filtered
+    * rewrite behind the same atomic swap as every other destructive
+    * edit: matching rows get the assignments projected in, non-matching
+    * rows pass through, so the pass is a single scan + write — never a
+    * read-modify-write per document (the ES implementation's
+    * scroll+bulk loop, which at 100 TB is the wrong shape). Returns the
+    * number of updated docs.
+    */
+  def updateWhere(indexName: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val matches = coalesce(predicate, lit(false))
+    val src = read(indexName)
+    val updated = assignments.foldLeft(src) { case (d, (f, v)) =>
+      // A new field appears as NULL on non-matching docs (ES documents
+      // are schemaless; parquet needs the explicit null branch).
+      val orig = if (src.columns.contains(f)) col(f) else lit(null)
+      d.withColumn(f, when(matches, v).otherwise(orig))
+    }
+    val n = src.filter(matches).count()
+    swapIn(indexName) { tmp =>
+      updated.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    }
+    n
+  }
+
   /** Compaction (ES force-merge): rewrite the index into `numShards`
     * files. Small-file accumulation is THE silent killer of 100 TB
     * scan throughput (per-file open cost + tiny row groups defeat

@@ -494,6 +494,34 @@ object TextQueries {
         .withColumn("label",
           when(col("score") > 0, lit("keep")).otherwise(lit("drop")))
         .orderBy(col("doc_id"))
+    }),
+
+    // Feature-hashing text embedder (the hashing trick — Weinberger et
+    // al., ICML'09): every token lands in one of 64 signed buckets
+    // (dim = md5 hex % 64, sign = next-nibble parity), giving each doc
+    // a 64-d integer vector with NO vocabulary table at all — the
+    // cheap scan-speed embedding used for dedup blocking, DSIR-style
+    // importance features, and classifier inputs when a trained
+    // encoder is too expensive for a first pass over 100 TB. One
+    // explode + one (doc, dim) partial+final agg; the projection is
+    // stateless per token, so the pass parallelizes perfectly and an
+    // incremental ingest embeds only new docs. Output = per-doc sparse
+    // summary (nnz + exact integer squared norm); all arithmetic is
+    // md5-derived integers, hash-exact against the twin.
+    "llm_hash_embed" -> ((s, dir) => {
+      val dim = pmod(conv(substring(md5(col("term")), 1, 8), 16, 10)
+        .cast(LongType), lit(64L)).cast(IntegerType)
+      val sgn = when(pmod(conv(substring(md5(col("term")), 9, 1), 16, 10)
+        .cast(LongType), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L))
+      Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(toks(col("text"))).as("term"))
+        .withColumn("dim", dim).withColumn("sgn", sgn)
+        .groupBy(col("doc_id"), col("dim"))
+        .agg(sum(col("sgn")).as("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("nnz"),
+          sum(col("w") * col("w")).as("sq_norm"))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -782,6 +810,23 @@ object TextQueries {
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
          |  CAST(score AS BIGINT) AS score,
          |  CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
-         |FROM sc ORDER BY doc_id""".stripMargin
+         |FROM sc ORDER BY doc_id""".stripMargin,
+    // Same md5-nibble bucket/sign derivation, same (doc, dim) signed
+    // sums, exact integer squared norm.
+    "llm_hash_embed" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(term), 1, 8))::BIGINT % 64 AS dim,
+        |    CASE WHEN ('0x' || substr(md5(term), 9, 1))::BIGINT % 2 = 0
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM tok),
+        |v AS (
+        |  SELECT doc_id, dim, sum(sgn) AS w FROM f GROUP BY 1, 2)
+        |SELECT doc_id, count(*) AS nnz,
+        |  CAST(sum(w * w) AS BIGINT) AS sq_norm
+        |FROM v GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -136,6 +136,28 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.read("t").filter(col("id") === "2").count() == 1)
   }
 
+  test("updateWhere: matching docs updated in place, NULL-predicate rows untouched, new fields null-filled") {
+    import spark.implicits._
+    val store = newStore
+    val df = Seq((1L, Option("a"), 10L), (2L, None, 20L), (3L, Option("b"), 30L))
+      .toDF("id", "v", "n")
+    store.bulkImport(df, "t", "id")
+    // _update_by_query: assignment applies only to MATCHING docs; the
+    // NULL-predicate row (id=2) must pass through byte-identical, and
+    // a brand-new field materializes as NULL on non-matching docs.
+    val updated = store.updateWhere("t", col("v") === "a",
+      Map("n" -> (col("n") + 1L), "flagged" -> lit("yes")))
+    assert(updated == 1, s"expected 1 updated, got $updated")
+    val out = store.read("t").orderBy(col("id"))
+      .select(col("id").cast("long"), col("v"), col("n").cast("long"), col("flagged"))
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2),
+        Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some("a"), 11L, Some("yes")),
+      (2L, None, 20L, None),
+      (3L, Some("b"), 30L, None)), out.toSeq)
+  }
+
   test("snapshot/restore: point-in-time copy survives destructive edits") {
     import spark.implicits._
     val store = newStore
