@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("cosine_sim", 2, children)
         CosineSimExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (standard params: window max/2-1, prefix boost 0.1 up to 4 chars above 0.7)"),
+      (children: Exprs) => {
+        arity("jaro_winkler", 2, children)
+        JaroWinklerExpr(children(0), children(1))
       }))
   }
 }

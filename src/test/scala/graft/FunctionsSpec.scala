@@ -205,6 +205,62 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getSeq[java.lang.Double](1)(0) == 0.0)
   }
 
+  test("jaro_winkler == independent sequential reference + published vectors") {
+    import spark.implicits._
+    // Independent reference (recursive/functional style, deliberately
+    // structured differently from the kernel's while-loop form).
+    def refJaro(a: String, b: String): Double = {
+      if (a.isEmpty || b.isEmpty) return 0.0
+      if (a == b) return 1.0
+      val win = math.max(a.length, b.length) / 2 - 1
+      val taken = scala.collection.mutable.Set.empty[Int]
+      val matchedA = a.indices.flatMap { i =>
+        ((i - win) max 0 until ((i + win + 1) min b.length))
+          .find(j => !taken(j) && b(j) == a(i))
+          .map { j => taken += j; (i, j) }
+      }
+      if (matchedA.isEmpty) return 0.0
+      val m = matchedA.size.toDouble
+      val bSeq = matchedA.map(_._2).sorted.map(b(_))
+      val t = matchedA.map(_._1).map(a(_)).zip(bSeq).count { case (x, y) => x != y } / 2
+      (m / a.length + m / b.length + (m - t) / m) / 3.0
+    }
+    def refJw(a: String, b: String): Double = {
+      val j = refJaro(a, b)
+      if (j <= 0.7) j
+      else {
+        val p = a.zip(b).take(4).takeWhile { case (x, y) => x == y }.size
+        j + p * 0.1 * (1.0 - j)
+      }
+    }
+    // Published vectors (Winkler '90 examples) + DuckDB-checked values.
+    val pinned = Seq(
+      ("martha", "marhta", 0.9611111111111111),
+      ("dwayne", "duane", 0.8400000000000001),
+      ("dixon", "dicksonx", 0.8133333333333332),
+      ("cold plate", "old plate", 0.9666666666666667),
+      ("CRATE", "TRACE", 0.7333333333333334),
+      ("abc", "", 0.0), ("", "", 0.0), ("a", "a", 1.0))
+    val got = pinned.map(p => (p._1, p._2)).toDF("a", "b")
+      .select(call_function("jaro_winkler", col("a"), col("b"))).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(got == pinned.map(_._3), s"got=$got want=${pinned.map(_._3)}")
+    // Randomized sweep vs the independent reference, including repeated
+    // chars and window-edge lengths.
+    val rnd = new scala.util.Random(7)
+    val pool = "abcab"
+    val cases = (1 to 300).map { _ =>
+      def mk = (0 until rnd.nextInt(9)).map(_ => pool(rnd.nextInt(pool.length))).mkString
+      (mk, mk)
+    }
+    val kernel = cases.toDF("a", "b")
+      .select(col("a"), col("b"), call_function("jaro_winkler", col("a"), col("b")))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    kernel.foreach { case (a, b, g) =>
+      assert(g == refJw(a, b), s"($a, $b): kernel=$g ref=${refJw(a, b)}")
+    }
+  }
+
   test("native expressions run inside whole-stage codegen") {
     val docs = Tables(spark, sf, "documents")
       .select(call_function("simhash64_native", col("text")).as("sh"),
