@@ -82,5 +82,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("jaro_winkler", 2, children)
         JaroWinklerExpr(children(0), children(1))
       }))
+    // Optimizer rule, not a function: bounded-levenshtein predicates
+    // rewrite to the early-exit threshold form wherever they appear.
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)
   }
 }

@@ -221,6 +221,41 @@ class PlanSpec extends AnyFunSuite {
       s"localCheckpoint sites drifted: found=${found.toMap} allowed=$allowed")
   }
 
+  test("levenshtein <= k predicates rewrite to the early-exit threshold form") {
+    import org.apache.spark.sql.catalyst.expressions.Levenshtein
+    import org.apache.spark.sql.functions.{col, levenshtein, lit}
+    // The optimizer rule must fire on a user-written 2-arg predicate…
+    val df = Tables(spark, sf, "part")
+      .filter(levenshtein(col("p_name"), lit("small ring")) <= 2)
+      .select(col("p_name"))
+    val levs = df.queryExecution.optimizedPlan
+      .flatMap(_.expressions).flatMap(_.collect { case l: Levenshtein => l })
+    assert(levs.nonEmpty, "no levenshtein left in the optimized plan")
+    assert(levs.forall(_.threshold.isDefined),
+      s"2-arg levenshtein survived optimization: $levs")
+    // …and the registered fuzzy-ER join rides it too: its verify
+    // PREDICATE is thresholded (the projected `dist` output column is
+    // a value, not a bound check, and correctly stays 2-arg).
+    val er = SparkEntry.queries("rel_join_fuzzy_names")(spark, sf)
+    val erLevs = er.queryExecution.optimizedPlan
+      .flatMap(_.expressions).flatMap(_.collect { case l: Levenshtein => l })
+    assert(erLevs.exists(_.threshold.isDefined), erLevs.toString)
+    // Semantics pinned against a brute-force DP over the collected names.
+    def dist(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val got = df.collect().map(_.getString(0)).toSeq.sorted
+    val want = Tables(spark, sf, "part").select(col("p_name")).collect()
+      .map(_.getString(0)).filter(n => dist(n, "small ring") <= 2).toSeq.sorted
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("rel_q1_pricing_summary runs inside whole-stage codegen") {
     val df = SparkEntry.queries("rel_q1_pricing_summary")(spark, sf)
     df.collect() // finalize the adaptive plan
