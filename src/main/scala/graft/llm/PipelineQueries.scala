@@ -39,7 +39,38 @@ object PipelineQueries {
     when(substring(md5(lower(trim(c))), 1, 1).isin("d", "e", "f"), lit("eval"))
       .otherwise(lit("train"))
 
+  /** The policy blocklist — placeholder terms standing in for the real
+    * list a deployment supplies (C4's was the "List of Dirty, Naughty,
+    * Obscene..." words; any list slots in unchanged).
+    */
+  private val Blocklist = Seq("slow", "broken", "fatal")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Blocklist (bad-words) filter — the C4 §2.2 safety stage every
+    // web-scale curation run applies: DROP any document containing any
+    // blocked term, report the per-language damage (how much of each
+    // language the policy costs is the number the corpus owner reviews
+    // — over-aggressive lists famously gutted minority dialects from
+    // C4). Token-exact matching (not substring) so "slowly" doesn't
+    // trip "slow". One scan + HOF count per doc + per-lang agg: the
+    // blocklist is an O(1) literal in the plan (a real list of ~10³
+    // terms would broadcast-join the token explode instead — same
+    // linear shape); exact integer accounting incl. a DIV-ppm drop
+    // rate.
+    "llm_blocklist_filter" -> ((s, dir) => {
+      val nBlocked = size(filter(split(lower(col("text")), "\\s+"),
+        t => t.isin(Blocklist: _*)))
+      Tables.forCompute(s, dir, "documents")
+        .withColumn("n_blocked", nBlocked)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((col("n_blocked") > 0).cast(LongType)).as("n_dropped"),
+          sum(col("n_blocked").cast(LongType)).as("blocked_occurrences"),
+          expr("(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) * 1000000) " +
+            "DIV count(1)").as("drop_ppm"))
+        .orderBy(col("lang"))
+    }),
 
     // PII scrub audit: redact, count redactions per doc (via length
     // deltas of each pass), emit scrubbed text hash for stability.
@@ -332,6 +363,17 @@ object PipelineQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "llm_blocklist_filter" ->
+      """WITH d AS (
+        |  SELECT lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        t -> t IN ('slow', 'broken', 'fatal'))) AS n_blocked
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |  CAST(sum(n_blocked) AS BIGINT) AS blocked_occurrences,
+        |  (sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) * 1000000) // count(*) AS drop_ppm
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_pii_scrub" ->
       s"""SELECT doc_id,
          |  md5(regexp_replace(regexp_replace(regexp_replace(text,
