@@ -277,6 +277,39 @@ object CorpusQueries {
         .orderBy(col("source_1"), col("source_2"))
     }),
 
+    // ROUGE-1 recall over the near-dup pairs — the EVAL-metric side of
+    // dedup: Jaccard says two docs share vocabulary; ROUGE-1 recall
+    // (multiset unigram overlap / reference length, Lin 2004) says how
+    // much of doc_b a model that memorized doc_a could reproduce —
+    // the memorization-risk number contamination reports quote. Exact
+    // integer arithmetic: overlap = Σ min(tf_a, tf_b) per term (the
+    // multiset intersection), recall in DIV ppm. Scale shape: the
+    // per-doc term-frequency table is corpus-sized but every join is
+    // a shuffle equi-join keyed on (doc, term) — pair-graph-shaped
+    // work, never corpus²; rides the same materialized pair artifact
+    // as every other pair consumer.
+    "llm_rouge_pairs" -> ((s, dir) => {
+      val pairs = DedupQueries.materializedPairs(s, dir)
+        .select(col("doc_a"), col("doc_b"))
+      val tf = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("c"))
+      val lens = tf.groupBy(col("doc_id")).agg(sum(col("c")).as("len"))
+      val inter = pairs
+        .join(tf.select(col("doc_id").as("doc_a"), col("term"), col("c").as("ca")), "doc_a")
+        .join(tf.select(col("doc_id").as("doc_b"), col("term"), col("c").as("cb")),
+          Seq("doc_b", "term"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+      inter
+        .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("overlap"), col("len_b"),
+          expr("(overlap * 1000000) DIV len_b").as("rouge1_recall_ppm"))
+        .orderBy(col("rouge1_recall_ppm").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // Overlapping token chunking — the pre-training/RAG splitter.
     // Per-row sequence+explode+slice, no shuffle; chunk text leaves
     // the operator as md5 so the comparison surface stays narrow.
@@ -681,6 +714,29 @@ object CorpusQueries {
           |  CAST(rank AS BIGINT) AS rank
           |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src
           |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin),
+    // Pair seed re-derived via the shared CTEs; multiset intersection
+    // as Σ min(tf_a, tf_b), recall floored to ppm.
+    "llm_rouge_pairs" ->
+      s"""WITH ${DedupQueries.ngramPairsCtes},
+         |tf AS (
+         |  SELECT doc_id, term, count(*) AS c FROM (
+         |    SELECT doc_id,
+         |      unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+         |    FROM documents)
+         |  WHERE len(term) > 0 GROUP BY 1, 2),
+         |lens AS (SELECT doc_id, sum(c) AS len FROM tf GROUP BY 1),
+         |inter AS (
+         |  SELECT g.doc_a, g.doc_b,
+         |    CAST(sum(least(ta.c, tb.c)) AS BIGINT) AS overlap
+         |  FROM good g
+         |  JOIN tf ta ON ta.doc_id = g.doc_a
+         |  JOIN tf tb ON tb.doc_id = g.doc_b AND tb.term = ta.term
+         |  GROUP BY 1, 2)
+         |SELECT i.doc_a, i.doc_b, i.overlap,
+         |  CAST(l.len AS BIGINT) AS len_b,
+         |  (i.overlap * 1000000) // l.len AS rouge1_recall_ppm
+         |FROM inter i JOIN lens l ON l.doc_id = i.doc_b
+         |ORDER BY rouge1_recall_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // Same ordered 3-way self-join over the re-derived `good` pair
     // graph; all-integer census, transitivity floored to ppm.
     "llm_graph_triangles" ->
