@@ -496,6 +496,34 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Skip-gram co-occurrence counts (window +2, forward) — the
+    // word2vec/GloVe training-data prep stage: the (center, context)
+    // count matrix every classical embedding trainer consumes
+    // (Mikolov '13 counts exactly these pairs; GloVe §3 weights them).
+    // Shape: per-row projection builds both offset-pair arrays (no
+    // self-join of the token stream — the naive positions⋈positions
+    // formulation shuffles the corpus twice), one explode, then a
+    // partial+final (w1, w2) count agg and a TakeOrdered top-k. At
+    // 100 TB the map-side combine on the Zipf-skewed pair space is
+    // what keeps the shuffle vocabulary-shaped rather than
+    // token-stream-shaped.
+    "llm_cooccurrence" -> ((s, dir) => {
+      val t = toks(col("text"))
+      val emptyPairs = array().cast(ArrayType(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType)))))
+      def pairsAt(d: Int) = when(size(t) > d,
+        transform(sequence(lit(1), size(t) - d), i =>
+          struct(element_at(t, i).as("w1"), element_at(t, i + d).as("w2"))))
+        .otherwise(emptyPairs)
+      Tables.forCompute(s, dir, "documents")
+        .select(explode(concat(pairsAt(1), pairsAt(2))).as("p"))
+        .filter(length(col("p.w1")) > 0 && length(col("p.w2")) > 0)
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Feature-hashing text embedder (the hashing trick — Weinberger et
     // al., ICML'09): every token lands in one of 64 signed buckets
     // (dim = md5 hex % 64, sign = next-nibble parity), giving each doc
@@ -811,6 +839,19 @@ object TextQueries {
          |  CAST(score AS BIGINT) AS score,
          |  CASE WHEN score > 0 THEN 'keep' ELSE 'drop' END AS label
          |FROM sc ORDER BY doc_id""".stripMargin,
+    // Same two forward offsets via a generate_series cross-unnest.
+    "llm_cooccurrence" ->
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(text), '\s+') AS w FROM documents),
+        |p AS (
+        |  SELECT w[i] AS w1, w[i + d] AS w2
+        |  FROM t,
+        |       unnest(generate_series(1, len(w) - 1)) AS u(i),
+        |       unnest([1, 2]) AS v(d)
+        |  WHERE i + d <= len(w))
+        |SELECT w1, w2, count(*) AS cnt FROM p
+        |WHERE len(w1) > 0 AND len(w2) > 0
+        |GROUP BY 1, 2 ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin,
     // Same md5-nibble bucket/sign derivation, same (doc, dim) signed
     // sums, exact integer squared norm.
     "llm_hash_embed" ->

@@ -222,6 +222,29 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // match_phrase_prefix — ES's "search-as-you-type" phrase query:
+    // every term matches exactly except the LAST, which matches as a
+    // prefix ("big ta" hits "big table" mid-keystroke — the query the
+    // reference UI's search box fires while the user is still
+    // typing). Per-row HOF position scan: exists i with t[i] = term
+    // and t[i+1] starting with the prefix; tf = number of such
+    // positions ranks the hits. Pure codegen'd per-row work at scan
+    // speed — and at serving scale the first (exact) term prunes via
+    // the positional postings index exactly like search_phrase_indexed,
+    // with only the prefix continuation checked positionally.
+    "search_phrase_prefix" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      val tf = size(filter(sequence(lit(1), greatest(size(t) - 1, lit(0))),
+        i => element_at(t, i) === lit("big") &&
+          element_at(t, i + 1).startsWith("ta")))
+      Tables(s, dir, "documents")
+        .withColumn("tf_phrase", tf)
+        .filter(col("tf_phrase") > 0)
+        .select(col("doc_id"), col("lang"), col("tf_phrase"))
+        .orderBy(col("tf_phrase").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Sloppy phrase (ES match_phrase with slop=2): "the ... table" with
     // at most 2 intervening tokens, in order — the proximity query
     // between exact-phrase and bag-of-words. Positions via one
@@ -1632,6 +1655,18 @@ object SearchQueries {
         |WHERE contains(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' '),
         |               'the table')
         |ORDER BY doc_id""".stripMargin,
+    "search_phrase_prefix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(generate_series(1, greatest(len(w) - 1, 0)),
+        |      i -> w[i] = 'big' AND starts_with(w[i + 1], 'ta'))) AS INT)
+        |      AS tf_phrase
+        |  FROM t)
+        |SELECT doc_id, lang, tf_phrase FROM m WHERE tf_phrase > 0
+        |ORDER BY tf_phrase DESC, doc_id LIMIT 10""".stripMargin,
     "search_phrase_slop" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
