@@ -764,6 +764,40 @@ object SearchQueries {
     // the one scan + 1-row stats broadcast + TakeOrderedAndProject of
     // every other scorer here; extra fields add codegen'd columns,
     // never passes.
+    // multi_match `cross_fields` — the other multi-field mode next to
+    // dis_max's best_fields: treat the field GROUP as one big field
+    // (ES's own description of the mode). Per term: tf = Σ over
+    // fields, document length = Σ of field lengths, df = docs where
+    // the term appears in ANY field — the blended statistics that fix
+    // best_fields' failure on entity data split across fields
+    // ("first_name: will, last_name: smith"). Same scan +
+    // 1-row-stats-broadcast + top-k plan as every BM25 variant.
+    "search_cross_fields" -> ((s, dir) => {
+      val fields = Seq("text", "source")
+      val qTerms = Seq("spark", "src3")
+      val base = Tables(s, dir, "documents")
+        .withColumn("n_toks_all",
+          fields.map(f => size(tokens(col(f)))).reduce(_ + _))
+      val withTf = qTerms.foldLeft(base) { case (d, t) =>
+        d.withColumn(s"tf_$t",
+          fields.map(f => size(filter(tokens(col(f)), x => x === lit(t))))
+            .reduce(_ + _))
+      }
+      val aggs = Seq(count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_toks_all")).cast(DoubleType).as("sum_dl")) ++
+        qTerms.map(t => sum((col(s"tf_$t") > 0).cast(LongType))
+          .cast(DoubleType).as(s"df_$t"))
+      val stats = withTf.agg(aggs.head, aggs.tail: _*)
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          qTerms.map(t => bm25Part(col(s"tf_$t"), col(s"df_$t"),
+            col("n_toks_all"), col("n_docs"), col("sum_dl"))).reduce(_ + _), 6))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .select(col("doc_id"), col("score"))
+        .limit(10)
+    }),
+
     "search_dis_max" -> ((s, dir) => {
       val fields = Seq("text", "source")
       val qTerms = Seq("spark", "src3")
@@ -1719,6 +1753,34 @@ object SearchQueries {
     // arithmetic (each field on its OWN n_toks/sum_dl/df statistics),
     // then best + tie_breaker × rest, mirroring the Spark combiner's
     // exact evaluation order (best computed once in its own CTE).
+    "search_cross_fields" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+'))
+        |         + len(regexp_split_to_array(lower(source), '\s+')) AS INT) AS n_toks_all,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'spark'))
+        |      + len(list_filter(regexp_split_to_array(lower(source), '\s+'), t -> t = 'spark')) AS tf_spark,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'src3'))
+        |      + len(list_filter(regexp_split_to_array(lower(source), '\s+'), t -> t = 'src3')) AS tf_src3
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_toks_all) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+        |    CAST(sum(CASE WHEN tf_src3 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_src3
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id,
+        |    round(
+        |      ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5)) *
+        |        ((tf_spark * 2.2) /
+        |         (tf_spark + 1.2 * (0.25 + 0.75 * (n_toks_all * n_docs / sum_dl)))) +
+        |      ln(1.0 + (n_docs - df_src3 + 0.5) / (df_src3 + 0.5)) *
+        |        ((tf_src3 * 2.2) /
+        |         (tf_src3 + 1.2 * (0.25 + 0.75 * (n_toks_all * n_docs / sum_dl)))), 6) AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, score FROM b WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "search_dis_max" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -165,6 +165,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_keyword_extract", // 1-row corpus-size broadcast
       "llm_collocations_pmi", // 1-row token-count broadcast
       "search_dis_max", // 1-row per-field corpus-stats broadcast
+      "search_cross_fields", // 1-row blended-stats broadcast
       "search_function_score", // 1-row corpus-stats broadcast
       "llm_dsir_weights", // 1-row vocab-totals broadcast
       "llm_temperature_mixture", // 1-row weight-total broadcast
