@@ -277,6 +277,33 @@ object CorpusQueries {
         .orderBy(col("source_1"), col("source_2"))
     }),
 
+    // Source-mixture diversity report — the entropy accounting a
+    // data-mixture owner reads next to the temperature-resampling
+    // knobs: per-source token share and its −p·ln p entropy
+    // contribution. Float discipline: each source's contribution is
+    // quantized to integer nano-nats BEFORE any cross-row sum (ln on
+    // identical doubles agrees across engines — the BM25 precedent —
+    // but float SUMMATION order across groups does not, so the only
+    // cross-row arithmetic here is exact integer addition). One
+    // scan + per-source agg + 1-row total broadcast.
+    "llm_source_entropy" -> ((s, dir) => {
+      val perSrc = Tables.forCompute(s, dir, "documents")
+        .select(col("source"),
+          size(split(lower(col("text")), "\\s+")).cast("long").as("toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+      val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"))
+      perSrc.crossJoin(broadcast(tot))
+        .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV total_tokens"))
+        .withColumn("p", col("n_tokens").cast("double") /
+          col("total_tokens").cast("double"))
+        .withColumn("entropy_nanonats",
+          round(-col("p") * log(col("p")) * lit(1e9), 0).cast("long"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("share_ppm"), col("entropy_nanonats"))
+        .orderBy(col("source"))
+    }),
+
     // ROUGE-1 recall over the near-dup pairs — the EVAL-metric side of
     // dedup: Jaccard says two docs share vocabulary; ROUGE-1 recall
     // (multiset unigram overlap / reference length, Lin 2004) says how
@@ -714,6 +741,20 @@ object CorpusQueries {
           |  CAST(rank AS BIGINT) AS rank
           |FROM r3 LEFT JOIN deg ON r3.doc_id = deg.src
           |ORDER BY rank DESC, doc_id LIMIT 20""".stripMargin),
+    // Per-source quantization to nano-nats before any cross-row sum.
+    "llm_source_entropy" ->
+      """WITH perSrc AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(regexp_split_to_array(lower(text), '\s+'))) AS BIGINT)
+        |      AS n_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM perSrc)
+        |SELECT source, n_docs, n_tokens,
+        |  (n_tokens * 1000000) // total_tokens AS share_ppm,
+        |  CAST(round(-(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+        |       * ln(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
+        |       * 1e9, 0) AS BIGINT) AS entropy_nanonats
+        |FROM perSrc CROSS JOIN tot ORDER BY source""".stripMargin,
     // Pair seed re-derived via the shared CTEs; multiset intersection
     // as Σ min(tf_a, tf_b), recall floored to ppm.
     "llm_rouge_pairs" ->

@@ -178,6 +178,7 @@ class PlanSpec extends AnyFunSuite {
 
       "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
       "llm_graph_triangles", // 1-row census aggregates cross-joined
+      "llm_source_entropy", // 1-row token-total broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
