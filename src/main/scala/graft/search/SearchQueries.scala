@@ -222,6 +222,32 @@ object SearchQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // span_not — the negative member of the span family (span_near =
+    // ordered proximity, intervals = unordered, span_not = proximity
+    // EXCLUSION): occurrences of 'table' that are NOT within 3
+    // positions of 'key' — the "match X except in context Y" query
+    // (e.g. "apple" but not near "pie"). Per-row nested HOF over the
+    // two position lists (both tf-sized, so the inner exists is
+    // O(tf_incl·tf_excl) per doc, not tokens²); ranked by the clean
+    // count. Same scan-speed shape as every positional query, and at
+    // serving scale the include term prunes via the positional index
+    // with only the exclusion checked against the second posting list.
+    "search_span_not" -> ((s, dir) => {
+      val t = tokens(col("text"))
+      def positions(term: String) =
+        filter(sequence(lit(1), size(t)), i => element_at(t, i) === lit(term))
+      val incl = positions("table"); val excl = positions("key")
+      val tfClean = size(filter(incl, p =>
+        !exists(excl, q => abs(p - q) <= lit(3))))
+      Tables(s, dir, "documents")
+        .withColumn("tf_total", size(incl))
+        .withColumn("tf_clean", tfClean)
+        .filter(col("tf_clean") > 0)
+        .select(col("doc_id"), col("tf_total"), col("tf_clean"))
+        .orderBy(col("tf_clean").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // match_phrase_prefix — ES's "search-as-you-type" phrase query:
     // every term matches exactly except the LAST, which matches as a
     // prefix ("big ta" hits "big table" mid-keystroke — the query the
@@ -1689,6 +1715,23 @@ object SearchQueries {
         |WHERE contains(array_to_string(regexp_split_to_array(lower(text), '\s+'), ' '),
         |               'the table')
         |ORDER BY doc_id""".stripMargin,
+    "search_span_not" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    list_filter(generate_series(1, len(w)), i -> w[i] = 'table') AS pi,
+        |    list_filter(generate_series(1, len(w)), i -> w[i] = 'key') AS pe
+        |  FROM t),
+        |c AS (
+        |  SELECT doc_id,
+        |    CAST(len(pi) AS INT) AS tf_total,
+        |    CAST(len(list_filter(pi, p ->
+        |      len(list_filter(pe, q -> abs(p - q) <= 3)) = 0)) AS INT) AS tf_clean
+        |  FROM m)
+        |SELECT doc_id, tf_total, tf_clean FROM c WHERE tf_clean > 0
+        |ORDER BY tf_clean DESC, doc_id LIMIT 10""".stripMargin,
     "search_phrase_prefix" ->
       """WITH t AS (
         |  SELECT doc_id, lang, regexp_split_to_array(lower(text), '\s+') AS w
