@@ -33,6 +33,7 @@ object SparkEntry {
       llm.DedupQueries.queries ++
       llm.CorpusQueries.queries ++
       llm.SimilarityQueries.queries ++
+      llm.CorpusStatsQueries.queries ++
       llm.PipelineQueries.queries ++
       llm.BpeQueries.queries ++
       llm.WordPieceQueries.queries ++
@@ -57,6 +58,7 @@ object SparkEntry {
       llm.DedupQueries.oracleSql ++
       llm.CorpusQueries.oracleSql ++
       llm.SimilarityQueries.oracleSql ++
+      llm.CorpusStatsQueries.oracleSql ++
       llm.PipelineQueries.oracleSql ++
       llm.BpeQueries.oracleSql ++
       llm.WordPieceQueries.oracleSql ++

@@ -202,6 +202,45 @@ object EtlQueries {
         .filterNot(_.startsWith("."))
         .toSeq.sorted
       names.toDF("index_name")
+    }),
+
+    // Schema evolution across ingest batches — the ops reality of a
+    // long-lived corpus: batch 2 ships a column batch 1 never had.
+    // Parquet + `mergeSchema` gives the union schema with old rows
+    // null-filled (the Avro/warehouse semantics); at 100 TB mergeSchema
+    // reads ONE footer per distinct file schema, not the data, and the
+    // scan itself stays pruned/pushed as usual. The two batches are
+    // (re)written deterministically under the corpus artifact root each
+    // run, so the query is self-contained and idempotent.
+    "etl_schema_evolution" -> ((s, dir) => {
+      val root = IndexStore.artifactRoot(dir) + "/schema_evo"
+      val nation = Tables(s, dir, "nation")
+      nation.select(col("n_nationkey"), col("n_name"))
+        .write.mode("overwrite").parquet(s"$root/batch=1")
+      nation.select((col("n_nationkey") + 100).as("n_nationkey"), col("n_name"),
+          length(col("n_name")).as("n_name_len"))
+        .write.mode("overwrite").parquet(s"$root/batch=2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$root/batch=1", s"$root/batch=2")
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // Snapshot time-travel read — the recovery drill behind ES
+    // `_snapshot`: import, snapshot, then DESTRUCTIVELY delete-by-query
+    // on the live index, and prove the snapshot still serves the
+    // pre-delete state without a restore (zero-copy scan of the
+    // immutable snapshot directory). The store rebuilds from scratch
+    // each run (deterministic content ⇒ idempotent), exercising
+    // bulkImport → snapshot → deleteWhere → readSnapshot end to end.
+    "etl_snapshot_read" -> ((s, dir) => {
+      val root = IndexStore.artifactRoot(dir) + "/tt_store"
+      val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(root), true)
+      val store = new IndexStore(s, root)
+      store.bulkImport(Tables(s, dir, "nation"), "nations_tt", "n_nationkey")
+      val snap = store.snapshot("nations_tt")
+      store.deleteWhere("nations_tt", col("n_regionkey") === "0")
+      store.readSnapshot("nations_tt", snap).orderBy(col("n_name"))
     })
   )
 
@@ -265,6 +304,19 @@ object EtlQueries {
         .map(n => s"('$n')")
         .mkString("SELECT index_name FROM (VALUES ", ", ",
           ") AS t(index_name) ORDER BY index_name"),
+    // Union schema with batch-1 rows null-filled for the new column.
+    "etl_schema_evolution" ->
+      """SELECT n_nationkey, n_name, CAST(NULL AS INT) AS n_name_len
+        |FROM nation
+        |UNION ALL
+        |SELECT n_nationkey + 100, n_name, CAST(len(n_name) AS INT)
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    // The snapshot serves the FULL pre-delete import (stringified).
+    "etl_snapshot_read" ->
+      """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
+        |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
+        |FROM nation ORDER BY n_name""".stripMargin,
     // One SELECT per rule, same violation predicates, same integer ppm.
     "etl_quality_rules" ->
       """SELECT * FROM (

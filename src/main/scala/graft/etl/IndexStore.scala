@@ -389,6 +389,21 @@ class IndexStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Time-travel read: query a snapshot's contents DIRECTLY, without
+    * restoring it over the live index — the "inspect a snapshot before
+    * you roll back" / "query the table as of snapshot s3" operation
+    * (ES exposes it by restoring into a renamed index; an engine that
+    * stores snapshots as immutable parquet can just scan them). Zero
+    * copies: the returned frame scans the snapshot directory with the
+    * same pushdown/pruning as any live read.
+    */
+  def readSnapshot(indexName: String, snapshotId: String): DataFrame = {
+    migrateLegacySnapshots(indexName)
+    val snap = snapPath(indexName, snapshotId)
+    require(fs.exists(snap), s"no such snapshot: $indexName/$snapshotId")
+    spark.read.parquet(snap.toString)
+  }
+
   // ---- Aliases (ES `_aliases` API) -------------------------------------
 
   private def aliasPath(alias: String) =

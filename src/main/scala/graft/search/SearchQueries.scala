@@ -1671,6 +1671,135 @@ object SearchQueries {
         .agg(count(lit(1)).as("n_sampled"),
           sum(col("n_chars")).cast(LongType).as("sum_chars"))
         .orderBy(col("lang"))
+    }),
+
+    // ES pipeline aggregations — the full SIBLING family on one date
+    // histogram: `bucket_script` (a per-bucket metric computed from two
+    // sub-agg counters), `serial_diff` (lag-2 differencing, the
+    // deseasonalization knob), `bucket_selector` (HAVING over bucket
+    // metrics) and `bucket_sort` (order + truncate the bucket list by a
+    // computed metric). ES evaluates script/diff on EVERY histogram
+    // bucket and only then prunes with the selector, so the windows here
+    // run before the filter — order matters for the lag. Bucket count is
+    // bounded by the date span, not the corpus, so the single global
+    // window partition holds at 100 TB (same argument as
+    // search_pipeline_aggs); below the buckets it is one partial+final
+    // conditional agg. conv_ppm is integer DIV (null on an empty
+    // denominator, ES's gap policy) and non-null after the selector, so
+    // the bucket_sort key is never a null-ordering hazard.
+    "search_bucket_pipeline" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count_if(col("event_type") === "click").as("clicks"),
+          count_if(col("event_type") === "purchase").as("purchases"))
+        .withColumn("conv_ppm",
+          when(col("clicks") > 0, expr("(purchases * 1000000) DIV clicks")))
+        .withColumn("clicks_diff2", col("clicks") - lag(col("clicks"), 2).over(w))
+        .filter(col("clicks") >= 3)
+        .orderBy(col("conv_ppm").desc, col("day"))
+        .limit(5)
+    }),
+
+    // ES `string_stats` aggregation (with show_distribution's Shannon
+    // entropy) on the text field: value count, min/max/avg length and
+    // the character-level entropy of the whole field corpus. Float
+    // discipline: avg is exact integer micro-units; each character's
+    // −p·ln p term is quantized to integer nano-nats BEFORE the
+    // cross-row sum (the llm_source_entropy precedent — ln on identical
+    // doubles agrees across engines, float summation order does not).
+    // The char explode is a linear scan-shaped projection (1 row per
+    // character) feeding a partial+final agg over a bounded alphabet —
+    // the same cost class as the CMS token sketch, no shuffle wider
+    // than the alphabet.
+    "search_string_stats" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val lens = docs.agg(
+        count(lit(1)).as("n_values"),
+        min(length(col("text"))).as("min_length"),
+        max(length(col("text"))).as("max_length"),
+        expr("(sum(length(text)) * 1000000) DIV count(*)").as("avg_length_x1e6"))
+      val freq = docs
+        .select(explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) === 1)
+        .groupBy(col("ch")).agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum(col("c")).as("n"))
+      val ent = freq.crossJoin(broadcast(tot))
+        .withColumn("p", col("c").cast(DoubleType) / col("n").cast(DoubleType))
+        .withColumn("t", round(-col("p") * log(col("p")) * lit(1e9), 0).cast(LongType))
+        .agg(count(lit(1)).as("n_distinct_chars"), sum(col("t")).as("entropy_nanonats"))
+      lens.crossJoin(broadcast(ent))
+    }),
+
+    // ES `_termvectors` with term_statistics=true — for ONE document,
+    // every term with its in-doc frequency (tf), corpus document
+    // frequency (df) and corpus total term frequency (ttf): the
+    // debugging surface behind "why does this doc score like that".
+    // The target doc's term set is tiny → broadcast semi-join prunes
+    // the corpus token stream to just those terms before the stats agg;
+    // the corpus side stays one linear explode+agg, never keyed wider
+    // than the probe vocabulary.
+    "search_termvectors" -> ((s, dir) => {
+      val docs = Tables.forCompute(s, dir, "documents")
+      val target = docs.filter(col("doc_id") === 7)
+        .select(explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .groupBy(col("term")).agg(count(lit(1)).as("term_freq"))
+      val corpus = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(length(col("term")) > 0)
+        .join(broadcast(target.select(col("term"))), Seq("term"), "left_semi")
+        .groupBy(col("term"))
+        .agg(countDistinct(col("doc_id")).as("doc_freq"),
+          count(lit(1)).as("ttf"))
+      target.join(corpus, Seq("term")).orderBy(col("term"))
+    }),
+
+    // ES parent-child `has_child` (join field, score_mode=sum,
+    // min_children=2): parents (orders) returned when at least two
+    // children (lineitems) match the child query, scored by the sum of
+    // matching children's quantities. Relationally: filter children →
+    // per-parent partial agg (map-side combine shrinks the shuffle to
+    // matching parents only) → one equi-join back to the parent table
+    // on its key. ES needs parent/child co-routing to a shard; a
+    // distributed engine gets the same co-location from hash
+    // partitioning on the join key. Child score summed in DECIMAL so
+    // the cross-row sum is exact.
+    "search_has_child" -> ((s, dir) => {
+      val hits = Tables(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 45)
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(count(lit(1)).as("n_matching_children"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).as("child_score"))
+        .filter(col("n_matching_children") >= 2)
+      Tables(s, dir, "orders")
+        .join(hits, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("n_matching_children"), col("child_score"))
+        .orderBy(col("child_score").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // ES parent-child `has_parent`: children (lineitems) returned when
+    // their parent (order) matches the parent query — urgent high-value
+    // orders. The parent side is filtered and projected to its key
+    // BEFORE the join, so the join input is the matching-parent set,
+    // not the parent table; at 100 TB this is one shuffle equi-join on
+    // the parent key (or a broadcast when the parent predicate is
+    // selective enough for AQE to see it).
+    "search_has_parent" -> ((s, dir) => {
+      val parents = Tables(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_totalprice") > 450000.0)
+        .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"),
+          col("o_totalprice"))
+      Tables(s, dir, "lineitem")
+        .join(parents, Seq("l_orderkey"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("o_orderpriority"), col("o_totalprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -2632,6 +2761,79 @@ object SearchQueries {
         |  SELECT * FROM ranked ORDER BY h, doc_id LIMIT 50)
         |SELECT lang, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
-        |FROM sample GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM sample GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Pipeline family evaluated in ES order: script + diff on every
+    // bucket, selector prunes, sort truncates.
+    "search_bucket_pipeline" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day,
+        |    count(*) FILTER (event_type = 'click') AS clicks,
+        |    count(*) FILTER (event_type = 'purchase') AS purchases
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |p AS (
+        |  SELECT day, clicks, purchases,
+        |    CASE WHEN clicks > 0 THEN (purchases * 1000000) // clicks END
+        |      AS conv_ppm,
+        |    clicks - lag(clicks, 2) OVER (ORDER BY day) AS clicks_diff2
+        |  FROM b)
+        |SELECT day, clicks, purchases, conv_ppm, clicks_diff2
+        |FROM p WHERE clicks >= 3
+        |ORDER BY conv_ppm DESC, day LIMIT 5""".stripMargin,
+    // Same per-char nano-nat quantization before the integer sum.
+    "search_string_stats" ->
+      """WITH lens AS (
+        |  SELECT count(*) AS n_values,
+        |    min(len(text)) AS min_length, max(len(text)) AS max_length,
+        |    (CAST(sum(len(text)) AS BIGINT) * 1000000) // count(*)
+        |      AS avg_length_x1e6
+        |  FROM documents),
+        |chars AS (
+        |  SELECT unnest(string_split(text, '')) AS ch FROM documents),
+        |freq AS (
+        |  SELECT ch, count(*) AS c FROM chars WHERE len(ch) = 1 GROUP BY ch),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM freq),
+        |ent AS (
+        |  SELECT count(*) AS n_distinct_chars,
+        |    CAST(sum(CAST(round(
+        |      -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+        |        * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) * 1e9, 0)
+        |      AS BIGINT)) AS BIGINT) AS entropy_nanonats
+        |  FROM freq CROSS JOIN tot)
+        |SELECT n_values, min_length, max_length, avg_length_x1e6,
+        |       n_distinct_chars, entropy_nanonats
+        |FROM lens CROSS JOIN ent""".stripMargin,
+    "search_termvectors" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |t AS (
+        |  SELECT term, count(*) AS term_freq FROM toks
+        |  WHERE doc_id = 7 AND len(term) > 0 GROUP BY term),
+        |s AS (
+        |  SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS ttf
+        |  FROM toks WHERE len(term) > 0
+        |    AND term IN (SELECT term FROM t)
+        |  GROUP BY term)
+        |SELECT t.term, term_freq, doc_freq, ttf
+        |FROM t JOIN s USING (term) ORDER BY term""".stripMargin,
+    "search_has_child" ->
+      """WITH hits AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    count(*) AS n_matching_children,
+        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS child_score
+        |  FROM lineitem WHERE l_quantity >= 45
+        |  GROUP BY 1 HAVING count(*) >= 2)
+        |SELECT o.o_orderkey, o_orderstatus, o_totalprice,
+        |       n_matching_children, child_score
+        |FROM orders o JOIN hits USING (o_orderkey)
+        |ORDER BY child_score DESC, o_orderkey LIMIT 20""".stripMargin,
+    "search_has_parent" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       o_orderpriority, o_totalprice
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000.0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }
