@@ -74,8 +74,19 @@ object CorpusStatsQueries {
         .agg(
           sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - m)")).as("s_sum"),
           count_if(col("m") > 0).as("v_nonzero"))
-        .withColumn("est_distinct",
+        .withColumn("raw_est",
           expr("(CAST(709 AS BIGINT) * 4096 * 8589934592) DIV (s_sum * 1000)"))
+        // Small-range correction (Flajolet §4): below 2.5·m the raw
+        // estimator is badly biased — switch to linear counting on the
+        // empty-bucket count, m·ln(m/(m−V)). The ln runs on one
+        // integer-derived double per SOURCE row (never summed across
+        // rows) and is rounded to a long immediately, so the
+        // cross-engine float discipline holds.
+        .withColumn("est_distinct",
+          when(col("raw_est") <= 160 && col("v_nonzero") < 64,
+            round(lit(64.0) * log(lit(64.0) /
+              (lit(64) - col("v_nonzero")).cast(DoubleType)), 0).cast(LongType))
+            .otherwise(col("raw_est")))
       val exact = toks.groupBy(col("source"))
         .agg(countDistinct(col("token")).as("exact_distinct"))
       per.join(exact, Seq("source"))
@@ -117,7 +128,10 @@ object CorpusStatsQueries {
           .otherwise(expr(s"(CAST(${k - 1} AS BIGINT) * $H) DIV kth")))
       val a = perSrc.select(col("source").as("src_1"), col("est").as("est_1"))
       val b = perSrc.select(col("source").as("src_2"), col("est").as("est_2"))
-      val pairs = a.crossJoin(b).filter(col("src_1") < col("src_2"))
+      // source-count × source-count pair frame: both sides are
+      // per-source aggregates (a handful of rows at any corpus size),
+      // broadcast keeps it a BNLJ over O(sources²), never a shuffle.
+      val pairs = a.crossJoin(broadcast(b)).filter(col("src_1") < col("src_2"))
       val sk = sketch.select(col("source"), col("h"))
       val u1 = pairs.join(sk.withColumnRenamed("source", "src_1"), Seq("src_1"))
         .select(col("src_1"), col("src_2"), col("h"))
@@ -237,15 +251,22 @@ object CorpusStatsQueries {
         |    CAST(sum(1::BIGINT << (33 - m)) AS BIGINT) AS s_sum,
         |    CAST(count(*) FILTER (m > 0) AS BIGINT) AS v_nonzero
         |  FROM reg2 GROUP BY 1),
+        |raw AS (
+        |  SELECT source, s_sum, v_nonzero,
+        |    (709::BIGINT * 4096 * 8589934592) // (s_sum * 1000) AS raw_est
+        |  FROM per),
+        |corrected AS (
+        |  SELECT source, s_sum, v_nonzero,
+        |    CASE WHEN raw_est <= 160 AND v_nonzero < 64
+        |         THEN CAST(round(64.0 * ln(64.0 / (64 - v_nonzero)), 0) AS BIGINT)
+        |         ELSE raw_est END AS est_distinct
+        |  FROM raw),
         |ex AS (
         |  SELECT source, count(DISTINCT token) AS exact_distinct
         |  FROM t2 GROUP BY 1)
-        |SELECT p.source, v_nonzero, s_sum,
-        |  (709::BIGINT * 4096 * 8589934592) // (s_sum * 1000) AS est_distinct,
-        |  exact_distinct,
-        |  (abs((709::BIGINT * 4096 * 8589934592) // (s_sum * 1000)
-        |       - exact_distinct) * 1000) // exact_distinct AS err_pm
-        |FROM per p JOIN ex USING (source) ORDER BY source""".stripMargin,
+        |SELECT c.source, v_nonzero, s_sum, est_distinct, exact_distinct,
+        |  (abs(est_distinct - exact_distinct) * 1000) // exact_distinct AS err_pm
+        |FROM corrected c JOIN ex USING (source) ORDER BY source""".stripMargin,
     "llm_kmv_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT source,

@@ -178,6 +178,23 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listSnapshots("docs") == Seq(snap, snap2))
   }
 
+  test("readSnapshot: time-travel query without restoring, live unchanged") {
+    import spark.implicits._
+    val store = newStore
+    store.bulkImport((1L to 100L).map(i => (i, s"v$i")).toDF("id", "v"),
+      "docs", "id")
+    val snap = store.snapshot("docs")
+    store.deleteWhere("docs", col("id").cast("long") <= 50)
+    // The snapshot still serves the full pre-delete state...
+    assert(store.readSnapshot("docs", snap).count() == 100)
+    // ...without touching the live index (no implicit restore).
+    assert(store.count("docs") == 50)
+    val err = intercept[IllegalArgumentException] {
+      store.readSnapshot("docs", "s999")
+    }
+    assert(err.getMessage.contains("no such snapshot"))
+  }
+
   test("rollover: generations advance and the alias re-points at the threshold") {
     import spark.implicits._
     val store = newStore

@@ -179,6 +179,9 @@ class PlanSpec extends AnyFunSuite {
       "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
       "llm_graph_triangles", // 1-row census aggregates cross-joined
       "llm_source_entropy", // 1-row token-total broadcast
+      "llm_kmv_overlap", // sources² pair frame from per-source sketch aggregates
+      "llm_vocab_growth", // 1-row max(doc_id) broadcast
+      "search_string_stats", // 1-row entropy-aggregate broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
