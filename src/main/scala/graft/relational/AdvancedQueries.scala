@@ -157,6 +157,59 @@ object AdvancedQueries {
     // session-global set/restore window would silently flip any query
     // planned concurrently on the shared session (the FAIR-pool
     // bulkImportAll pattern); PlanSpec asserts the pushed plan.
+    // Engine-owned mergeable QUANTILE sketch — the HdrHistogram shape
+    // (log-scale buckets with 3 significand bits ⇒ ≤ 12.5% guaranteed
+    // relative error): the fourth sketch family next to CMS (counts),
+    // HLL (distincts) and KMV (sets), and the one behind every latency/
+    // price percentile dashboard. The sketch is a groupBy on the bucket
+    // lower bound — a few hundred buckets regardless of row count,
+    // merged across partitions by plain sum (partial+final agg), unlike
+    // a sort-based exact percentile. Quantile selection is the exact
+    // integer cross-multiply 100·cum ≥ N·q on the cumulative bucket
+    // counts (window over the bounded bucket table). Values ride as
+    // integer CENTS via DECIMAL(18,2) so no float touches the sketch;
+    // the exact percentiles (computed the expensive way) ride alongside
+    // with an err_pm column the 1/8 bound caps by construction.
+    "rel_hdr_quantiles" -> ((s, dir) => {
+      val cents = Tables(s, dir, "lineitem")
+        .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+          .cast(LongType).as("v"))
+      val bucketed = cents
+        .withColumn("e", length(bin(col("v"))) - 1)
+        .withColumn("shift", greatest(col("e") - 3, lit(0)))
+        .withColumn("lb", expr("shiftleft(shiftright(v, shift), shift)"))
+        .withColumn("ub", expr("lb + shiftleft(CAST(1 AS BIGINT), shift) - 1"))
+      val sketch = bucketed.groupBy(col("lb"), col("ub"))
+        .agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy(col("lb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = sketch
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+      def pick(q: Int, c: Column) =
+        min(when(col("cum") * 100 >= col("n") * q, c))
+      val est = cum.agg(
+        max(col("n")).as("n_rows"),
+        pick(50, col("lb")).as("p50_lb"), pick(50, col("ub")).as("p50_ub"),
+        pick(90, col("lb")).as("p90_lb"), pick(90, col("ub")).as("p90_ub"),
+        pick(99, col("lb")).as("p99_lb"), pick(99, col("ub")).as("p99_ub"))
+      // Exact percentiles via the value-histogram technique (no global
+      // row sort — value-cardinality-shaped, same as llm_length_trim).
+      val exCum = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum(col("c")).over(wAll))
+      val exact = exCum.agg(
+        pick(50, col("v")).as("p50_exact"),
+        pick(90, col("v")).as("p90_exact"),
+        pick(99, col("v")).as("p99_exact"))
+      est.crossJoin(broadcast(exact))
+        .withColumn("p50_err_pm", expr("(abs(p50_lb - p50_exact) * 1000) DIV p50_exact"))
+        .withColumn("p90_err_pm", expr("(abs(p90_lb - p90_exact) * 1000) DIV p90_exact"))
+        .withColumn("p99_err_pm", expr("(abs(p99_lb - p99_exact) * 1000) DIV p99_exact"))
+    }),
+
     "rel_agg_pushdown" -> ((s, dir) => {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.parquet.aggregatePushdown", "true")
@@ -173,6 +226,50 @@ object AdvancedQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "rel_hdr_quantiles" ->
+      """WITH cents AS (
+        |  SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |b AS (
+        |  SELECT v, greatest(len(bin(v)) - 1 - 3, 0) AS shift FROM cents),
+        |b2 AS (
+        |  SELECT ((v >> shift) << shift) AS lb,
+        |         ((v >> shift) << shift) + (1::BIGINT << shift) - 1 AS ub
+        |  FROM b),
+        |sk AS (SELECT lb, ub, count(*) AS c FROM b2 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lb, ub,
+        |    CAST(sum(c) OVER (ORDER BY lb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER () AS BIGINT) AS n
+        |  FROM sk),
+        |est AS (
+        |  SELECT max(n) AS n_rows,
+        |    min(CASE WHEN cum*100 >= n*50 THEN lb END) AS p50_lb,
+        |    min(CASE WHEN cum*100 >= n*50 THEN ub END) AS p50_ub,
+        |    min(CASE WHEN cum*100 >= n*90 THEN lb END) AS p90_lb,
+        |    min(CASE WHEN cum*100 >= n*90 THEN ub END) AS p90_ub,
+        |    min(CASE WHEN cum*100 >= n*99 THEN lb END) AS p99_lb,
+        |    min(CASE WHEN cum*100 >= n*99 THEN ub END) AS p99_ub
+        |  FROM cum),
+        |excum AS (
+        |  SELECT v,
+        |    CAST(sum(c2) OVER (ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c2) OVER () AS BIGINT) AS n
+        |  FROM (SELECT v, count(*) AS c2 FROM cents GROUP BY v) t),
+        |exact AS (
+        |  SELECT
+        |    min(CASE WHEN cum*100 >= n*50 THEN v END) AS p50_exact,
+        |    min(CASE WHEN cum*100 >= n*90 THEN v END) AS p90_exact,
+        |    min(CASE WHEN cum*100 >= n*99 THEN v END) AS p99_exact
+        |  FROM excum)
+        |SELECT n_rows, p50_lb, p50_ub, p90_lb, p90_ub, p99_lb, p99_ub,
+        |  p50_exact, p90_exact, p99_exact,
+        |  (abs(p50_lb - p50_exact) * 1000) // p50_exact AS p50_err_pm,
+        |  (abs(p90_lb - p90_exact) * 1000) // p90_exact AS p90_err_pm,
+        |  (abs(p99_lb - p99_exact) * 1000) // p99_exact AS p99_err_pm
+        |FROM est CROSS JOIN exact""".stripMargin,
     "rel_agg_pushdown" ->
       """SELECT count(*) AS n_rows,
         |  min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,

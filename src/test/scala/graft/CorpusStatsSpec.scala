@@ -102,6 +102,22 @@ class CorpusStatsSpec extends AnyFunSuite {
       "decile 10 must count every distinct type")
   }
 
+  test("HDR quantile sketch: bucket brackets the exact percentile, err <= 1/8") {
+    val r = SparkEntry.queries("rel_hdr_quantiles")(spark, sf).collect().head
+    Seq(("p50", 1, 2, 7), ("p90", 3, 4, 8), ("p99", 5, 6, 9)).foreach {
+      case (q, lbI, ubI, exI) =>
+        val (lb, ub, exact) = (r.getLong(lbI), r.getLong(ubI), r.getLong(exI))
+        assert(lb <= exact && exact <= ub,
+          s"$q: exact $exact outside sketch bucket [$lb, $ub]")
+        // 3 significand bits ⇒ bucket width ≤ lb/8: the construction
+        // bound the sketch is sold on.
+        assert(ub - lb <= lb / 8 + 1, s"$q: bucket [$lb,$ub] wider than lb/8")
+    }
+    Seq(10, 11, 12).foreach { i =>
+      assert(r.getLong(i) <= 125, s"err_pm col $i exceeds the 12.5% bound")
+    }
+  }
+
   test("zipf profile: dense ranks, non-increasing freqs, rank-1 ratio = 1e6") {
     val rows = SparkEntry.queries("llm_zipf_profile")(spark, sf)
       .orderBy(col("rank")).collect()

@@ -182,6 +182,7 @@ class PlanSpec extends AnyFunSuite {
       "llm_kmv_overlap", // sources² pair frame from per-source sketch aggregates
       "llm_vocab_growth", // 1-row max(doc_id) broadcast
       "search_string_stats", // 1-row entropy-aggregate broadcast
+      "rel_hdr_quantiles", // 1-row exact-percentile broadcast next to the sketch row
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
