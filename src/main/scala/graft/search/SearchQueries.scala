@@ -1673,6 +1673,30 @@ object SearchQueries {
         .orderBy(col("lang"))
     }),
 
+    // ES `extended_stats` aggregation per terms bucket — count/min/max/
+    // sum/sum_of_squares/avg/variance, the full second-moment panel.
+    // One partial+final hash agg (sums and squared sums are the
+    // mergeable form — this is WHY extended_stats exists instead of a
+    // two-pass variance). avg and the population variance
+    // (n·Σx²−(Σx)²)/n² are exact integer micro-units; the variance
+    // numerator crosses 2⁶³ at corpus scale so it rides DECIMAL(38,0)
+    // (the WordPiece/PMI precedent).
+    "search_facets_extended_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(col("n_chars")).cast(LongType).as("sum_chars"),
+          sum(col("n_chars").cast(LongType) * col("n_chars")).as("sum_sq"))
+        .withColumn("avg_x1e6", expr("(sum_chars * 1000000) DIV n"))
+        .withColumn("var_x1e6", expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * sum_sq - " +
+            "CAST(sum_chars AS DECIMAL(38,0)) * sum_chars) * 1000000 " +
+            "DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+        .orderBy(col("lang"))
+    }),
+
     // ES pipeline aggregations — the full SIBLING family on one date
     // histogram: `bucket_script` (a per-bucket metric computed from two
     // sub-agg counters), `serial_diff` (lag-2 differencing, the
@@ -2762,6 +2786,19 @@ object SearchQueries {
         |SELECT lang, count(*) AS n_sampled,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM sample GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_extended_stats" ->
+      """SELECT lang, count(*) AS n,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS sum_sq,
+        |  (CAST(sum(n_chars) AS BIGINT) * 1000000) // count(*) AS avg_x1e6,
+        |  CAST((count(*)::HUGEINT
+        |          * CAST(sum(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT)
+        |        - CAST(sum(n_chars) AS BIGINT)::HUGEINT
+        |          * CAST(sum(n_chars) AS BIGINT)) * 1000000
+        |       // (count(*)::HUGEINT * count(*)) AS BIGINT)
+        |    AS var_x1e6
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     // Pipeline family evaluated in ES order: script + diff on every
     // bucket, selector prunes, sort truncates.
     "search_bucket_pipeline" ->
