@@ -82,6 +82,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         arity("jaro_winkler", 2, children)
         JaroWinklerExpr(children(0), children(1))
       }))
+    // A native AGGREGATE, not a scalar kernel: HLL distinct-count with
+    // a 64-byte register buffer per group (merge = bytewise max).
+    ext.injectFunction((
+      FunctionIdentifier("hll_est"),
+      new ExpressionInfo(classOf[graft.functions.HllEstAgg].getName, "hll_est",
+        "hll_est(value) - HyperLogLog (m=64) distinct estimate; md5-derived registers, " +
+          "integer estimator with linear-counting small-range correction"),
+      (children: Exprs) => {
+        arity("hll_est", 1, children)
+        graft.functions.HllEstAgg(children.head)
+      }))
     // Optimizer rule, not a function: bounded-levenshtein predicates
     // rewrite to the early-exit threshold form wherever they appear.
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinThresholdRule)

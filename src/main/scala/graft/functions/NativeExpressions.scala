@@ -286,6 +286,32 @@ object GraftKernels {
 
   private final val Seed = 42L
 
+  private val Md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private final val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Lowercase md5 hex of the UTF-8 bytes — byte-identical to Spark's
+    * `md5(string)` and DuckDB's `md5(varchar)` (the cross-engine hash
+    * convention every sketch rides). Thread-local digest: expression
+    * eval runs on executor task threads concurrently.
+    */
+  def md5Hex(s: UTF8String): String = {
+    val d = Md5.get()
+    d.reset()
+    val bytes = d.digest(s.getBytes)
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   private final val WinnowK = 8
   private final val WinnowW = 4
 

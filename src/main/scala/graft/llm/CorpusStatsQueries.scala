@@ -97,6 +97,22 @@ object CorpusStatsQueries {
         .orderBy(col("source"))
     }),
 
+    // The NATIVE-AGGREGATE form of the HLL estimate: the same register
+    // arithmetic as llm_hll_distinct, but run through the engine's
+    // custom Catalyst `TypedImperativeAggregate`
+    // ([[graft.functions.HllEstAgg]], registered by GraftExtensions as
+    // `hll_est`) — partial state is a 64-BYTE buffer per group instead
+    // of 64 (group, bucket) rows, merge is bytewise max inside the
+    // normal partial+final aggregation. Same DuckDB twin as the
+    // compositional query ⇒ the custom aggregate is oracle-checked bit
+    // for bit, and CorpusStatsSpec pins native == compositional.
+    "llm_hll_native" -> ((s, dir) => {
+      srcTokens(s, dir)
+        .groupBy(col("source"))
+        .agg(call_function("hll_est", col("token")).as("est_distinct"))
+        .orderBy(col("source"))
+    }),
+
     // KMV/theta sketch (Bar-Yossef et al. 2002; the Datasketches theta
     // family) with SET OPERATIONS: per-source k=32 minimum hash values
     // of distinct document contents, then for every source pair the
@@ -267,6 +283,46 @@ object CorpusStatsQueries {
         |SELECT c.source, v_nonzero, s_sum, est_distinct, exact_distinct,
         |  (abs(est_distinct - exact_distinct) * 1000) // exact_distinct AS err_pm
         |FROM corrected c JOIN ex USING (source) ORDER BY source""".stripMargin,
+    // Same register/estimator SQL as llm_hll_distinct, projected to
+    // the native aggregate's output shape.
+    "llm_hll_native" ->
+      """WITH toks AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+        |  FROM documents),
+        |t2 AS (SELECT source, token FROM toks WHERE len(token) > 0),
+        |h AS (
+        |  SELECT source, token,
+        |    ('0x' || substr(md5(token), 1, 8))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(token), 9, 8))::BIGINT AS w
+        |  FROM t2),
+        |regs AS (
+        |  SELECT source, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |srcs AS (SELECT DISTINCT source FROM documents),
+        |allb AS (
+        |  SELECT source, gs.bucket
+        |  FROM srcs CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS bucket) gs),
+        |reg2 AS (
+        |  SELECT a.source, a.bucket, coalesce(r.m, 0) AS m
+        |  FROM allb a LEFT JOIN regs r
+        |    ON a.source = r.source AND a.bucket = r.bucket),
+        |per AS (
+        |  SELECT source,
+        |    CAST(sum(1::BIGINT << (33 - m)) AS BIGINT) AS s_sum,
+        |    CAST(count(*) FILTER (m > 0) AS BIGINT) AS v_nonzero
+        |  FROM reg2 GROUP BY 1),
+        |raw AS (
+        |  SELECT source, s_sum, v_nonzero,
+        |    (709::BIGINT * 4096 * 8589934592) // (s_sum * 1000) AS raw_est
+        |  FROM per)
+        |SELECT source,
+        |  CASE WHEN raw_est <= 160 AND v_nonzero < 64
+        |       THEN CAST(round(64.0 * ln(64.0 / (64 - v_nonzero)), 0) AS BIGINT)
+        |       ELSE raw_est END AS est_distinct
+        |FROM raw ORDER BY source""".stripMargin,
     "llm_kmv_overlap" ->
       """WITH hashed AS (
         |  SELECT DISTINCT source,

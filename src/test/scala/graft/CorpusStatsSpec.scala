@@ -57,6 +57,27 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("native hll_est aggregate == compositional HLL, partitioning-invariant") {
+    val compositional = SparkEntry.queries("llm_hll_distinct")(spark, sf)
+      .select(col("source"), col("est_distinct"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val native = SparkEntry.queries("llm_hll_native")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(native == compositional,
+      s"native $native != compositional $compositional")
+    // merge() must be order/partitioning-independent: the same data
+    // through a different partition layout yields identical registers.
+    import spark.implicits._
+    val skewed = Tables(spark, sf, "documents")
+      .select(col("source"), explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(length(col("token")) > 0)
+      .repartition(13)
+      .groupBy($"source")
+      .agg(call_function("hll_est", $"token").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(skewed == native, "estimate changed under repartitioning")
+  }
+
   test("KMV estimates equal a sequential k-min fold; small-set rule exact") {
     val k = 32
     val H = 72057594037927936L // 2^56

@@ -17,6 +17,51 @@ class TwsSpec extends AnyFunSuite {
 
   private def ts(s: Long) = new java.sql.Timestamp((1_000_000_000L + s) * 1000)
 
+  test("streaming HLL: per-key registers accumulate; duplicates and replays absorbed") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[streaming.TwsHll.Keyed](spark, 2)
+      val q = streaming.TwsHll.distinctPerKey(input.toDS())
+        .writeStream.format("memory").queryName("t_tws_hll")
+        .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+      try {
+        input.addData((1 to 40).map(i => streaming.TwsHll.Keyed("click", s"user_$i")) :+
+          streaming.TwsHll.Keyed("view", "user_1"): _*)
+        q.processAllAvailable()
+        // Batch 2: 20 REPLAYED users + 10 new ones, plus a duplicate-only
+        // batch for "view" — replays must not move the estimate.
+        input.addData(((1 to 20) ++ (41 to 50)).map(i =>
+          streaming.TwsHll.Keyed("click", s"user_$i")) :+
+          streaming.TwsHll.Keyed("view", "user_1"): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+
+      // Sequential reference over the same cumulative value sets.
+      def ref(values: Seq[String]): Long = {
+        val r = functions.Hll.emptyRegisters()
+        values.foreach(v => functions.Hll.addString(r, v))
+        functions.Hll.estimate(r)
+      }
+      val rows = spark.table("t_tws_hll")
+        .as[streaming.TwsHll.DistinctEst].collect()
+      val batch1 = ref((1 to 40).map(i => s"user_$i"))
+      val batch2 = ref((1 to 50).map(i => s"user_$i"))
+      assert(rows.exists(r => r.key == "click" && r.est_distinct == batch1),
+        s"batch-1 click estimate $batch1 missing in ${rows.toSeq}")
+      assert(rows.exists(r => r.key == "click" && r.est_distinct == batch2),
+        s"batch-2 click estimate $batch2 missing in ${rows.toSeq}")
+      // view saw the same single user twice: both emissions estimate 1.
+      assert(rows.filter(_.key == "view").forall(_.est_distinct == ref(Seq("user_1"))))
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("transformWithState accumulates per-key state across batches") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
