@@ -1781,6 +1781,53 @@ object SearchQueries {
       target.join(corpus, Seq("term")).orderBy(col("term"))
     }),
 
+    // ES `moving_fn` with the `MovingFunctions.holt` model — double
+    // exponential smoothing (level + trend) over the date histogram,
+    // the pipeline agg behind "forecast next bucket" dashboards. The
+    // recurrence s_t = α·x_t + (1−α)(s+b), b_t = β(s_t−s) + (1−β)b is
+    // inherently sequential, but the SERIES is bounded by the date
+    // span, not the corpus: the corpus-scale work is the one
+    // partial+final count agg; the bounded (day,count) array then
+    // folds through one `aggregate()` HOF on a single row. α=0.3 and
+    // β=0.1 as exact rationals on a ×100 fixed-point carrier — every
+    // step is integer multiply/DIV (both engines truncate toward
+    // zero), so the whole smoothed path is hash-exact; the DuckDB twin
+    // walks the same recurrence as a recursive CTE.
+    "search_holt_forecast" -> ((s, dir) => {
+      val xs = Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(struct(col("day"), col("cnt")))).as("xs"))
+      xs.select(explode(expr(
+        """aggregate(
+          |  xs,
+          |  struct(
+          |    cast(array() as array<struct<day:timestamp,cnt:bigint,s:bigint,b:bigint>>) as out,
+          |    cast(0 as bigint) as s, cast(0 as bigint) as b, 0 as i),
+          |  (acc, x) -> struct(
+          |    concat(acc.out, array(struct(
+          |      x.day as day, x.cnt as cnt,
+          |      IF(acc.i = 0, x.cnt * 100,
+          |         (3 * x.cnt * 100 + 7 * (acc.s + acc.b)) div 10) as s,
+          |      IF(acc.i = 0, cast(0 as bigint),
+          |         (IF(acc.i = 0, x.cnt * 100,
+          |             (3 * x.cnt * 100 + 7 * (acc.s + acc.b)) div 10)
+          |          - acc.s + 9 * acc.b) div 10) as b))) as out,
+          |    IF(acc.i = 0, x.cnt * 100,
+          |       (3 * x.cnt * 100 + 7 * (acc.s + acc.b)) div 10) as s,
+          |    IF(acc.i = 0, cast(0 as bigint),
+          |       (IF(acc.i = 0, x.cnt * 100,
+          |           (3 * x.cnt * 100 + 7 * (acc.s + acc.b)) div 10)
+          |        - acc.s + 9 * acc.b) div 10) as b,
+          |    acc.i + 1 as i),
+          |  acc -> acc.out)""".stripMargin)).as("h"))
+        .select(col("h.day").as("day"), col("h.cnt").as("cnt"),
+          col("h.s").as("s_x100"), col("h.b").as("b_x100"),
+          (col("h.s") + col("h.b")).as("forecast_next_x100"))
+        .orderBy(col("day"))
+    }),
+
     // ES parent-child `has_child` (join field, score_mode=sum,
     // min_children=2): parents (orders) returned when at least two
     // children (lineitems) match the child query, scored by the sum of
@@ -2840,6 +2887,24 @@ object SearchQueries {
         |SELECT n_values, min_length, max_length, avg_length_x1e6,
         |       n_distinct_chars, entropy_nanonats
         |FROM lens CROSS JOIN ent""".stripMargin,
+    // The same ×100 fixed-point Holt recurrence as a recursive CTE.
+    "search_holt_forecast" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS cnt
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |ord AS (
+        |  SELECT day, cnt, row_number() OVER (ORDER BY day) AS rn FROM b),
+        |holt AS (
+        |  SELECT rn, day, cnt, cnt * 100 AS s, CAST(0 AS BIGINT) AS b
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.rn, o.day, o.cnt,
+        |    (3 * o.cnt * 100 + 7 * (h.s + h.b)) // 10 AS s,
+        |    (((3 * o.cnt * 100 + 7 * (h.s + h.b)) // 10) - h.s + 9 * h.b) // 10 AS b
+        |  FROM holt h JOIN ord o ON o.rn = h.rn + 1)
+        |SELECT day, cnt, s AS s_x100, b AS b_x100,
+        |       s + b AS forecast_next_x100
+        |FROM holt ORDER BY day""".stripMargin,
     "search_termvectors" ->
       """WITH toks AS (
         |  SELECT doc_id,
