@@ -7,25 +7,6 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** hll_est(value): engine-owned HyperLogLog distinct-count AGGREGATE as
-  * a native Catalyst `TypedImperativeAggregate` — the (b)-tier custom
-  * operator for the sketch family, one level up from the scalar kernels:
-  * where [[graft.llm.CorpusStatsQueries]]'s compositional HLL carries
-  * its registers as (group, bucket) ROWS through a two-level groupBy,
-  * this aggregate carries them as a fixed 64-BYTE buffer per group —
-  * `update` folds a row into a register max, `merge` is bytewise max
-  * (the mergeable-sketch contract expressed exactly where Catalyst
-  * expects it), and the shuffled partial state per group is 64 bytes
-  * regardless of input cardinality. At a high-cardinality GROUP BY
-  * (per-token-per-day distinct counts over 100 TB) that is the
-  * difference between shuffling 64 rows per group and one small binary.
-  *
-  * Arithmetic is IDENTICAL to the compositional query (md5-derived
-  * bucket/rank, integer Σ2^(33−M), α·m²·2^33 DIV, linear-counting
-  * small-range correction), so its result is DuckDB-oracle-checkable
-  * with the same SQL twin, and CorpusStatsSpec asserts native ==
-  * compositional == sequential-fold on the fixture.
-  */
 /** The register arithmetic, shared by the Catalyst aggregate below and
   * the streaming [[graft.streaming.TwsHll]] processor (whose per-key
   * ValueState IS one of these buffers): md5-derived bucket/rank,
@@ -82,6 +63,25 @@ object Hll {
   }
 }
 
+/** hll_est(value): engine-owned HyperLogLog distinct-count AGGREGATE as
+  * a native Catalyst `TypedImperativeAggregate` — the (b)-tier custom
+  * operator for the sketch family, one level up from the scalar kernels:
+  * where [[graft.llm.CorpusStatsQueries]]'s compositional HLL carries
+  * its registers as (group, bucket) ROWS through a two-level groupBy,
+  * this aggregate carries them as a fixed 64-BYTE buffer per group —
+  * `update` folds a row into a register max, `merge` is bytewise max
+  * (the mergeable-sketch contract expressed exactly where Catalyst
+  * expects it), and the shuffled partial state per group is 64 bytes
+  * regardless of input cardinality. At a high-cardinality GROUP BY
+  * (per-token-per-day distinct counts over 100 TB) that is the
+  * difference between shuffling 64 rows per group and one small binary.
+  *
+  * Arithmetic is IDENTICAL to the compositional query (md5-derived
+  * bucket/rank, integer Σ2^(33−M), α·m²·2^33 DIV, linear-counting
+  * small-range correction), so its result is DuckDB-oracle-checkable
+  * with the same SQL twin, and CorpusStatsSpec asserts native ==
+  * compositional == sequential-fold on the fixture.
+  */
 case class HllEstAgg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,

@@ -300,7 +300,7 @@ object CorpusStatsQueries {
         |  SELECT source, bucket,
         |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS m
         |  FROM h GROUP BY 1, 2),
-        |srcs AS (SELECT DISTINCT source FROM documents),
+        |srcs AS (SELECT DISTINCT source FROM t2),
         |allb AS (
         |  SELECT source, gs.bucket
         |  FROM srcs CROSS JOIN
