@@ -1781,6 +1781,68 @@ object SearchQueries {
       target.join(corpus, Seq("term")).orderBy(col("term"))
     }),
 
+    // ES query-time SYNONYM expansion (synonym_graph filter, the
+    // search-relevance knob after boosts): {join, merge} — a
+    // configured "combine operations" synonym set, both members live
+    // in the fixture vocabulary so the expansion is observable (a
+    // merge-only doc now matches a join query) — score as ONE concept:
+    // tf is the sum over the set, df counts docs
+    // containing ANY member (exactly how a synonym graph collapses
+    // positions), then the ordinary Okapi arithmetic on the concept
+    // statistics. Same one-scan + 1-row-stats-broadcast shape as every
+    // BM25 variant; the synonym set is a query-side literal, zero
+    // index cost (the query-time/index-time tradeoff ES documents).
+    "search_synonyms" -> ((s, dir) => {
+      val syns = Seq("join", "merge")
+      val tf = syns.map(t =>
+        size(filter(tokens(col("text")), x => x === lit(t))))
+        .reduce(_ + _)
+      val base = Tables(s, dir, "documents")
+        .withColumn("n_tokens", size(tokens(col("text"))))
+        .withColumn("tf_concept", tf)
+      val stats = base.agg(
+        count(lit(1)).cast(DoubleType).as("n_docs"),
+        sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+        sum((col("tf_concept") > 0).cast(LongType)).cast(DoubleType).as("df_concept"))
+      base.crossJoin(broadcast(stats))
+        .withColumn("score", round(
+          bm25Part(col("tf_concept"), col("df_concept"), col("n_tokens"),
+            col("n_docs"), col("sum_dl")), 6))
+        .filter(col("score") > 0)
+        .select(col("doc_id"), col("tf_concept"), col("n_tokens"), col("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
+    // The ES ANALYZER chain as data transformation — lowercase →
+    // stopword removal → minimal_english stemming (strip a trailing
+    // 's' from tokens longer than 3 chars, the conservative stemmer ES
+    // ships) — then a match on the analyzed form. On this fixture's
+    // vocabulary the stop filter is the observable stage (the corpus
+    // has no plural forms for the stemmer to fold — it runs as
+    // identity, kept in the chain because an analyzer IS its full
+    // chain); the output carries raw vs analyzed token counts because
+    // scoring downstream of an analyzer must use ANALYZED lengths.
+    // All per-row higher-order functions fused into one scan — no
+    // explode, no shuffle.
+    "search_analyzer_pipeline" -> ((s, dir) => {
+      val stop = Seq("the", "a", "of", "and", "to", "in")
+      val analyzed = transform(
+        filter(tokens(col("text")),
+          t => !t.isin(stop.map(lit(_)): _*) && length(t) > 0),
+        t => when(length(t) > 3 && t.endsWith("s"),
+          t.substr(lit(1), length(t) - 1)).otherwise(t))
+      Tables(s, dir, "documents")
+        .withColumn("n_raw", size(tokens(col("text"))))
+        .withColumn("toks", analyzed)
+        .withColumn("n_analyzed", size(col("toks")))
+        .withColumn("tf_row",
+          size(filter(col("toks"), t => t === lit("row"))))
+        .filter(col("tf_row") > 0)
+        .select(col("doc_id"), col("tf_row"), col("n_raw"), col("n_analyzed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ES `moving_fn` with the `MovingFunctions.holt` model — double
     // exponential smoothing (level + trend) over the date histogram,
     // the pipeline agg behind "forecast next bucket" dashboards. The
@@ -2887,6 +2949,45 @@ object SearchQueries {
         |SELECT n_values, min_length, max_length, avg_length_x1e6,
         |       n_distinct_chars, entropy_nanonats
         |FROM lens CROSS JOIN ent""".stripMargin,
+    "search_synonyms" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_tokens,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'join'))
+        |       + len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t = 'merge'))
+        |      AS INT) AS tf_concept
+        |  FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+        |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+        |    CAST(sum(CASE WHEN tf_concept > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_concept
+        |  FROM scored),
+        |b AS (
+        |  SELECT doc_id, tf_concept, n_tokens,
+        |    round(ln(1.0 + (n_docs - df_concept + 0.5) / (df_concept + 0.5)) *
+        |      ((tf_concept * 2.2) /
+        |       (tf_concept + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6)
+        |      AS score
+        |  FROM scored CROSS JOIN stats)
+        |SELECT doc_id, tf_concept, n_tokens, score FROM b WHERE score > 0
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    "search_analyzer_pipeline" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(lower(text), '\s+')) AS INT) AS n_raw,
+        |    list_transform(
+        |      list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        t -> len(t) > 0 AND t NOT IN ('the','a','of','and','to','in')),
+        |      t -> CASE WHEN len(t) > 3 AND t LIKE '%s'
+        |                THEN substr(t, 1, len(t) - 1) ELSE t END) AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> t = 'row')) AS INT) AS tf_row,
+        |  n_raw,
+        |  CAST(len(toks) AS INT) AS n_analyzed
+        |FROM a
+        |WHERE len(list_filter(toks, t -> t = 'row')) > 0
+        |ORDER BY doc_id""".stripMargin,
     // The same ×100 fixed-point Holt recurrence as a recursive CTE.
     "search_holt_forecast" ->
       """WITH RECURSIVE b AS (
