@@ -248,6 +248,34 @@ object StreamQueries {
     "stream_tumbling_counts" -> ((s, dir) =>
       tumblingCounts(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
+
+    // The streaming HLL processor ([[TwsHll]] — transformWithState,
+    // 64-byte ValueState per key) run over the events table in BATCH
+    // mode: same code path the stream executes, which makes the
+    // custom stateful processor itself DuckDB-oracle-checkable — the
+    // twin recomputes the registers/estimator in SQL. Distinct users
+    // per event type is the canonical unbounded-stream distinct
+    // question (exact state grows forever; the sketch stays 64 bytes).
+    "stream_distinct_users_hll" -> ((s, dir) => {
+      // transformWithState requires the RocksDB store even in batch
+      // mode; a CLONED session (shared context/cache, own SQLConf)
+      // scopes the provider override away from concurrently planned
+      // queries — the rel_agg_pushdown discipline.
+      val s2 = s.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Batch-mode stateful execution skips the streaming startup path
+      // that registers the StateStoreCoordinator endpoint — create it.
+      org.apache.spark.sql.GraftSqlAccess.ensureStateStoreCoordinator(s2)
+      import s2.implicits._
+      val keyed = Tables(s2, dir, "events")
+        .select(col("event_type"), col("user_id").cast("string").as("value"))
+        .as[(String, String)]
+        .map { case (k, v) => TwsHll.Keyed(k, v) }
+      TwsHll.distinctPerKey(keyed)
+        .toDF()
+        .orderBy(col("key"))
+    }),
     "stream_sliding_counts" -> ((s, dir) =>
       slidingCounts(Tables(s, dir, "events"))
         .orderBy(col("window_start"), col("event_type"))),
@@ -393,6 +421,44 @@ object StreamQueries {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The TwsHll register/estimator math in SQL (same form as the
+    // llm_hll_* twins, keyed by event_type over stringified user ids).
+    "stream_distinct_users_hll" ->
+      """WITH vals AS (
+        |  SELECT event_type AS key, CAST(user_id AS VARCHAR) AS v
+        |  FROM events),
+        |h AS (
+        |  SELECT key, v,
+        |    ('0x' || substr(md5(v), 1, 8))::BIGINT % 64 AS bucket,
+        |    ('0x' || substr(md5(v), 9, 8))::BIGINT AS w
+        |  FROM vals),
+        |regs AS (
+        |  SELECT key, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS m
+        |  FROM h GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT key FROM vals),
+        |allb AS (
+        |  SELECT key, gs.bucket
+        |  FROM keys CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 63)) AS bucket) gs),
+        |reg2 AS (
+        |  SELECT a.key, a.bucket, coalesce(r.m, 0) AS m
+        |  FROM allb a LEFT JOIN regs r
+        |    ON a.key = r.key AND a.bucket = r.bucket),
+        |per AS (
+        |  SELECT key,
+        |    CAST(sum(1::BIGINT << (33 - m)) AS BIGINT) AS s_sum,
+        |    CAST(count(*) FILTER (m > 0) AS BIGINT) AS v_nonzero
+        |  FROM reg2 GROUP BY 1),
+        |raw AS (
+        |  SELECT key, s_sum, v_nonzero,
+        |    (709::BIGINT * 4096 * 8589934592) // (s_sum * 1000) AS raw_est
+        |  FROM per)
+        |SELECT key,
+        |  CASE WHEN raw_est <= 160 AND v_nonzero < 64
+        |       THEN CAST(round(64.0 * ln(64.0 / (64 - v_nonzero)), 0) AS BIGINT)
+        |       ELSE raw_est END AS est_distinct
+        |FROM raw ORDER BY key""".stripMargin,
     "stream_tumbling_counts" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  count(*) AS n_events,

@@ -11,4 +11,16 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlAccess {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
+
+  /** Force-create the driver's StateStoreCoordinator RPC endpoint.
+    * Streaming queries do this on start; BATCH-mode stateful operators
+    * (`transformWithState` on a batch Dataset) skip that path, and the
+    * first state-store load then dies with RpcEndpointNotFoundException.
+    * Touching the (lazily created, public-on-classic) coordinator ref
+    * before executing registers the endpoint.
+    */
+  def ensureStateStoreCoordinator(session: SparkSession): Unit = {
+    session.asInstanceOf[classic.SparkSession].streams.stateStoreCoordinator
+    ()
+  }
 }
