@@ -214,6 +214,33 @@ object CorpusStatsQueries {
         .orderBy(col("decile"))
     }),
 
+    // Most-duplicated exact substring census — the "top duplicated
+    // spans" table dedup papers print (Lee et al. 2022 §5 reports the
+    // most-repeated sequences before/after dedup): stride-8 16-char
+    // grams of the lowercased text, counted corpus-wide, top-20
+    // recurring in ≥2 docs. The census COMPLEMENTS llm_dedup_substring
+    // (which returns doc PAIRS with shared spans) by answering "what
+    // text is duplicated", the triage view read before choosing cut
+    // thresholds. Per-row gram expansion is a bounded ×(len/8)
+    // projection (no self-join), the count is one vocabulary-shaped
+    // partial+final agg + TakeOrderedAndProject.
+    "llm_substring_census" -> ((s, dir) => {
+      val G = 16
+      val stride = 8
+      val grams = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= G)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(1, ((length(t) - $G) div $stride) + 1), " +
+            s"i -> substring(t, (i - 1) * $stride + 1, $G))")).as("gram"))
+      grams.groupBy(col("gram"))
+        .agg(count(lit(1)).as("occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .orderBy(col("occurrences").desc, col("gram"))
+        .limit(20)
+    }),
+
     // Zipf rank-frequency profile — the top-50 tokens with rank·freq
     // (Zipf predicts ≈ constant) and each frequency as a ppm ratio of
     // rank 1: the two-number summary of how head-heavy the token
@@ -400,6 +427,17 @@ object CorpusStatsQueries {
         |  GROUP BY decile)
         |SELECT decile, cutoff_doc_id, n_docs_cum, n_tokens_cum, n_types_cum
         |FROM docside JOIN typeside USING (decile) ORDER BY decile""".stripMargin,
+    "llm_substring_census" ->
+      """WITH g AS (
+        |  SELECT doc_id, substr(lower(text), (i - 1) * 8 + 1, 16) AS gram
+        |  FROM documents,
+        |    unnest(generate_series(1, ((len(text) - 16) // 8) + 1)) AS u(i)
+        |  WHERE len(text) >= 16)
+        |SELECT gram, count(*) AS occurrences,
+        |       count(DISTINCT doc_id) AS n_docs
+        |FROM g GROUP BY gram
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY occurrences DESC, gram LIMIT 20""".stripMargin,
     "llm_zipf_profile" ->
       """WITH cnts AS (
         |  SELECT token, count(*) AS freq FROM (

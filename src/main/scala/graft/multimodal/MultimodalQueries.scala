@@ -107,6 +107,40 @@ object MultimodalQueries {
     }.toDF()
   }
 
+  case class AudioFp(doc_id: Long, fp: Long)
+
+  /** Shazam-style constellation fingerprints (Wang, ISMIR 2003): the
+    * top-`peaks` energy frames (64-sample windows, FULL frames only)
+    * are the constellation points; consecutive peaks in time order
+    * hash to (Δframe, quantized e1, quantized e2) — the
+    * translation-robust landmark ES of audio identification. Exact
+    * integer arithmetic over the stub PCM (same centered-square
+    * energies as [[audioEnergy]]), so the whole chain oracle-checks.
+    * Per-row imperative scan at the codec boundary, like every
+    * multimodal kernel here.
+    */
+  def audioFingerprints(media: DataFrame, frame: Int, peaks: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val nFull = r.payload.length / frame
+      val energies = new Array[Long](nFull)
+      var i = 0
+      while (i < nFull * frame) {
+        val v = (r.payload(i) & 0xFF) - 128
+        energies(i / frame) += v.toLong * v
+        i += 1
+      }
+      val top = energies.zipWithIndex
+        .sortBy { case (e, fr) => (-e, fr) }
+        .take(peaks).map(_._2).sorted
+      top.zip(top.drop(1)).iterator.map { case (f1, f2) =>
+        AudioFp(r.doc_id,
+          (f2 - f1).toLong * 1000003L +
+            (energies(f1) % 1000L) * 1000L + energies(f2) % 1000L)
+      }
+    }.toDF()
+  }
+
   /** Derive a binary "media" table from documents: payload =
     * UTF-8 bytes of text (the fixture's stand-in for an image blob),
     * metadata = fake dims where width=16, height=ceil(len/16).
@@ -339,7 +373,29 @@ object MultimodalQueries {
     // front end of a video-training-data pipeline.
     "mm_scene_cut" -> ((s, dir) =>
       sceneCuts(mediaTable(s, dir), 16, 16)
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+
+    // Audio-identification matching: constellation fingerprints →
+    // inverted fingerprint index → doc pairs sharing ≥2 landmarks (the
+    // match-confirmation threshold). Common-fingerprint df cap (≤32
+    // docs) before the pair join — the same discipline as every
+    // near-dup pair finder here: the join is landmark-shaped and
+    // linear, never corpus².
+    "mm_audio_fingerprint" -> ((s, dir) => {
+      val fps = audioFingerprints(mediaTable(s, dir), 64, 5)
+      val dfc = fps.groupBy(col("fp"))
+        .agg(countDistinct(col("doc_id")).as("dfc"))
+      val rare = fps
+        .join(dfc.filter(col("dfc") <= 32).select(col("fp")), Seq("fp"))
+        .select(col("fp"), col("doc_id")).distinct()
+      rare.select(col("fp"), col("doc_id").as("doc_a"))
+        .join(rare.select(col("fp"), col("doc_id").as("doc_b")), Seq("fp"))
+        .filter(col("doc_a") < col("doc_b"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    })
   )
 
   /** One DuckDB term of the blockSig sum — the same integer
@@ -355,6 +411,40 @@ object MultimodalQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // Same centered-square frame energies (full 64-byte frames only),
+    // top-5 peaks by (energy desc, frame), consecutive-peak landmark
+    // hashes, df-capped pair join.
+    "mm_audio_fingerprint" ->
+      """WITH e AS (
+        |  SELECT doc_id, (i - 1) // 64 AS fr,
+        |    CAST(unicode(text[i]) - 128 AS BIGINT)
+        |      * (unicode(text[i]) - 128) AS e
+        |  FROM documents,
+        |    unnest(generate_series(1, (length(text) // 64) * 64)) AS u(i)),
+        |fe AS (SELECT doc_id, fr, CAST(sum(e) AS BIGINT) AS fe
+        |       FROM e GROUP BY 1, 2),
+        |pk AS (
+        |  SELECT doc_id, fr, fe FROM fe
+        |  QUALIFY row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY fe DESC, fr) <= 5),
+        |ord AS (
+        |  SELECT doc_id, fr, fe,
+        |    lead(fr) OVER (PARTITION BY doc_id ORDER BY fr) AS fr2,
+        |    lead(fe) OVER (PARTITION BY doc_id ORDER BY fr) AS fe2
+        |  FROM pk),
+        |fps AS (
+        |  SELECT DISTINCT doc_id,
+        |    (fr2 - fr) * 1000003 + (fe % 1000) * 1000 + (fe2 % 1000) AS fp
+        |  FROM ord WHERE fr2 IS NOT NULL),
+        |dfc AS (
+        |  SELECT fp FROM fps GROUP BY fp
+        |  HAVING count(DISTINCT doc_id) <= 32),
+        |rare AS (SELECT f.fp, f.doc_id FROM fps f JOIN dfc USING (fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       count(*) AS n_shared
+        |FROM rare a JOIN rare b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin,
     // All-pairs twin of the banded phash join — equality is guaranteed
     // by the pigeonhole argument (hamming <= 8 over 9 bands), so the
     // hash compare verifies signature AND blocking.
