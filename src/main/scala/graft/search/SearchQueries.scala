@@ -49,6 +49,11 @@ object SearchQueries {
         (tfc + lit(1.2) *
           (lit(0.25) + lit(0.75) * (nToks * nDocs / sumDl))))
 
+  /** Query set for the `_rank_eval` harness — all in the fixture
+    * vocabulary so every ranking is non-vacuous.
+    */
+  private val RankEvalTerms = Seq("join", "spark", "vector")
+
   private[graft] val PostingsName = "text_postings"
   private[graft] val PostingsStatsSidecar = "_graft_corpus_stats"
 
@@ -1781,6 +1786,57 @@ object SearchQueries {
       target.join(corpus, Seq("term")).orderBy(col("term"))
     }),
 
+    // ES `_rank_eval` — the search-QUALITY evaluation API: for a query
+    // set with relevance judgments, precision@10, MRR and NDCG@10 per
+    // query. Judgments here are deterministic ("relevant ⇔ tf ≥ 2",
+    // graded gain = min(tf, 3)) so the whole harness is
+    // oracle-checkable: precision and MRR are exact integer ppm;
+    // NDCG's 1/log2(rank+1) discount is quantized to integer micros
+    // PER RANK before the 10-term sum (log2 on the same small-int
+    // doubles is identical across engines — the BM25 ln precedent),
+    // and IDCG re-ranks the same 10 gains descending. Each query's
+    // ranking is the standard one-scan BM25 top-10; the metric windows
+    // run on 10-row frames.
+    "search_rank_eval" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val metrics = RankEvalTerms.map { term =>
+        val base = Tables(s, dir, "documents")
+          .withColumn("n_tokens", size(tokens(col("text"))))
+          .withColumn("tf", size(filter(tokens(col("text")), x => x === lit(term))))
+        val stats = base.agg(
+          count(lit(1)).cast(DoubleType).as("n_docs"),
+          sum(col("n_tokens")).cast(DoubleType).as("sum_dl"),
+          sum((col("tf") > 0).cast(LongType)).cast(DoubleType).as("df"))
+        val ranked = base.crossJoin(broadcast(stats))
+          .withColumn("score", round(
+            bm25Part(col("tf"), col("df"), col("n_tokens"),
+              col("n_docs"), col("sum_dl")), 6))
+          .filter(col("score") > 0)
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+          .withColumn("rank", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .withColumn("gain", least(col("tf"), lit(3)).cast(LongType))
+          .withColumn("rel", (col("tf") >= 2).cast(LongType))
+          .withColumn("d", round(col("gain").cast(DoubleType) * lit(1e6) /
+            log2(col("rank") + 1), 0).cast(LongType))
+          .withColumn("ideal_rank", row_number()
+            .over(Window.orderBy(col("gain").desc, col("doc_id"))))
+          .withColumn("di", round(col("gain").cast(DoubleType) * lit(1e6) /
+            log2(col("ideal_rank") + 1), 0).cast(LongType))
+        ranked.agg(
+          lit(term).as("query_term"),
+          count(lit(1)).as("n_ranked"),
+          expr("(sum(rel) * 1000000) DIV 10").as("precision_at_10_ppm"),
+          coalesce(expr("1000000 DIV min(CASE WHEN rel = 1 THEN rank END)"),
+            lit(0L)).as("mrr_x1e6"),
+          sum(col("d")).as("dcg_x1e6"),
+          sum(col("di")).as("idcg_x1e6"),
+          expr("(sum(d) * 1000000) DIV sum(di)").as("ndcg_ppm"))
+      }
+      metrics.reduce(_.unionByName(_)).orderBy(col("query_term"))
+    }),
+
     // ES query-time SYNONYM expansion (synonym_graph filter, the
     // search-relevance knob after boosts): {join, merge} — a
     // configured "combine operations" synonym set, both members live
@@ -2949,6 +3005,55 @@ object SearchQueries {
         |SELECT n_values, min_length, max_length, avg_length_x1e6,
         |       n_distinct_chars, entropy_nanonats
         |FROM lens CROSS JOIN ent""".stripMargin,
+    // One parenthesized CTE block per query term, UNION ALL'd — the
+    // same per-rank micro-quantized NDCG discount arithmetic.
+    "search_rank_eval" -> RankEvalTerms.map { t =>
+      s"""(WITH scored AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_split_to_array(lower(text), '\\s+')) AS INT) AS n_tokens,
+         |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |      x -> x = '$t')) AS INT) AS tf
+         |  FROM documents),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(n_tokens) AS DOUBLE) AS sum_dl,
+         |    CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df
+         |  FROM scored),
+         |r AS (
+         |  SELECT doc_id, tf,
+         |    round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) *
+         |      ((tf * 2.2) /
+         |       (tf + 1.2 * (0.25 + 0.75 * (n_tokens * n_docs / sum_dl)))), 6)
+         |      AS score
+         |  FROM scored CROSS JOIN stats),
+         |top AS (
+         |  SELECT doc_id, tf, score FROM r WHERE score > 0
+         |  ORDER BY score DESC, doc_id LIMIT 10),
+         |rk AS (
+         |  SELECT doc_id, tf,
+         |    row_number() OVER (ORDER BY score DESC, doc_id) AS rank,
+         |    CAST(least(tf, 3) AS BIGINT) AS gain,
+         |    CAST(CASE WHEN tf >= 2 THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |  FROM top),
+         |rk2 AS (
+         |  SELECT *,
+         |    CAST(round(gain * 1e6 / log2(rank + 1), 0) AS BIGINT) AS d,
+         |    row_number() OVER (ORDER BY gain DESC, doc_id) AS ideal_rank
+         |  FROM rk),
+         |rk3 AS (
+         |  SELECT *,
+         |    CAST(round(gain * 1e6 / log2(ideal_rank + 1), 0) AS BIGINT) AS di
+         |  FROM rk2)
+         |SELECT '$t' AS query_term, count(*) AS n_ranked,
+         |  (CAST(sum(rel) AS BIGINT) * 1000000) // 10 AS precision_at_10_ppm,
+         |  CAST(coalesce(1000000 // min(CASE WHEN rel = 1 THEN rank END), 0)
+         |    AS BIGINT) AS mrr_x1e6,
+         |  CAST(sum(d) AS BIGINT) AS dcg_x1e6,
+         |  CAST(sum(di) AS BIGINT) AS idcg_x1e6,
+         |  (CAST(sum(d) AS BIGINT) * 1000000) // CAST(sum(di) AS BIGINT)
+         |    AS ndcg_ppm
+         |FROM rk3)""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY query_term"),
     "search_synonyms" ->
       """WITH scored AS (
         |  SELECT doc_id,

@@ -183,6 +183,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_vocab_growth", // 1-row max(doc_id) broadcast
       "search_string_stats", // 1-row entropy-aggregate broadcast
       "rel_hdr_quantiles", // 1-row exact-percentile broadcast next to the sketch row
+      "search_rank_eval", // 1-row per-term corpus-stats broadcasts
+      "search_synonyms", // 1-row concept-stats broadcast
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
