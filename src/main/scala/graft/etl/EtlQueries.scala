@@ -241,6 +241,45 @@ object EtlQueries {
       val snap = store.snapshot("nations_tt")
       store.deleteWhere("nations_tt", col("n_regionkey") === "0")
       store.readSnapshot("nations_tt", snap).orderBy(col("n_name"))
+    }),
+
+    // Snapshot DIFF — change-data-capture between a point-in-time
+    // snapshot and the live index: after a delete-by-query, an
+    // update-by-query and an upsert batch, one full-outer join on the
+    // document key classifies every row insert/update/delete/
+    // unchanged. This is the audit view time travel exists to answer
+    // ("what changed since s1?") and the change-feed a downstream
+    // consumer replays; at scale it is one co-partitioned equi-join
+    // between two immutable parquet trees. Store rebuilt
+    // deterministically per run like etl_snapshot_read.
+    "etl_snapshot_diff" -> ((s, dir) => {
+      val root = IndexStore.artifactRoot(dir) + "/tt_diff"
+      val fsys = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+      fsys.delete(new org.apache.hadoop.fs.Path(root), true)
+      val store = new IndexStore(s, root)
+      store.bulkImport(Tables(s, dir, "nation"), "nations_cdc", "n_nationkey")
+      val snap = store.snapshot("nations_cdc")
+      store.deleteWhere("nations_cdc", col("n_regionkey") === "0")
+      store.updateWhere("nations_cdc", col("n_regionkey") === "1",
+        Map("n_name" -> concat(col("n_name"), lit("_v2"))))
+      store.upsert(
+        Tables(s, dir, "nation").filter(col("n_regionkey") === 2)
+          .select((col("n_nationkey") + 100).as("n_nationkey"),
+            col("n_name"), col("n_regionkey")),
+        "nations_cdc", "n_nationkey")
+      val old = store.readSnapshot("nations_cdc", snap)
+        .select(col("n_nationkey"), col("n_name").as("old_name"), lit(1).as("in_old"))
+      val live = store.read("nations_cdc")
+        .select(col("n_nationkey"), col("n_name").as("new_name"), lit(1).as("in_new"))
+      old.join(live, Seq("n_nationkey"), "full_outer")
+        .withColumn("change_type",
+          when(col("in_old").isNull, "insert")
+            .when(col("in_new").isNull, "delete")
+            .when(col("old_name") =!= col("new_name"), "update")
+            .otherwise("unchanged"))
+        .select(col("n_nationkey"), col("change_type"),
+          col("old_name"), col("new_name"))
+        .orderBy(col("n_nationkey").cast(IntegerType), col("change_type"))
     })
   )
 
@@ -317,6 +356,30 @@ object EtlQueries {
       """SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey, n_name,
         |       CAST(n_regionkey AS VARCHAR) AS n_regionkey
         |FROM nation ORDER BY n_name""".stripMargin,
+    // Reconstruct both sides of the diff from the base table and the
+    // same three mutations, then the same full-outer classification.
+    "etl_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |         n_name AS old_name
+        |  FROM nation),
+        |new AS (
+        |  SELECT CAST(n_nationkey AS VARCHAR) AS n_nationkey,
+        |    CASE WHEN n_regionkey = 1 THEN n_name || '_v2'
+        |         ELSE n_name END AS new_name
+        |  FROM nation WHERE n_regionkey <> 0
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 100 AS VARCHAR), n_name
+        |  FROM nation WHERE n_regionkey = 2)
+        |SELECT coalesce(o.n_nationkey, n.n_nationkey) AS n_nationkey,
+        |  CASE WHEN o.n_nationkey IS NULL THEN 'insert'
+        |       WHEN n.n_nationkey IS NULL THEN 'delete'
+        |       WHEN o.old_name <> n.new_name THEN 'update'
+        |       ELSE 'unchanged' END AS change_type,
+        |  o.old_name, n.new_name
+        |FROM old o FULL OUTER JOIN new n ON o.n_nationkey = n.n_nationkey
+        |ORDER BY CAST(coalesce(o.n_nationkey, n.n_nationkey) AS INT),
+        |         change_type""".stripMargin,
     // One SELECT per rule, same violation predicates, same integer ppm.
     "etl_quality_rules" ->
       """SELECT * FROM (

@@ -139,6 +139,39 @@ class CorpusStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("holt forecast equals a sequential fold of the fixed-point recurrence") {
+    val rows = SparkEntry.queries("search_holt_forecast")(spark, sf)
+      .orderBy(col("day")).collect()
+    assert(rows.length >= 3, "expected a multi-day bucket series")
+    var s = 0L
+    var b = 0L
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val x = r.getLong(1)
+      if (i == 0) { s = x * 100; b = 0L }
+      else {
+        val ns = (3 * x * 100 + 7 * (s + b)) / 10
+        b = (ns - s + 9 * b) / 10
+        s = ns
+      }
+      assert(r.getLong(2) == s && r.getLong(3) == b,
+        s"day $i: query (${r.getLong(2)},${r.getLong(3)}) != sequential ($s,$b)")
+      assert(r.getLong(4) == s + b, "forecast must be level+trend")
+    }
+  }
+
+  test("rank_eval metrics are well-formed: ppm bounds, dcg <= idcg") {
+    val rows = SparkEntry.queries("search_rank_eval")(spark, sf).collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val (p, mrr, dcg, idcg, ndcg) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(p >= 0 && p <= 1000000, s"precision $p out of ppm range")
+      assert(mrr >= 0 && mrr <= 1000000, s"mrr $mrr out of range")
+      assert(dcg > 0 && dcg <= idcg, s"dcg $dcg must be in (0, idcg=$idcg]")
+      assert(ndcg > 0 && ndcg <= 1000000, s"ndcg $ndcg out of ppm range")
+    }
+  }
+
   test("zipf profile: dense ranks, non-increasing freqs, rank-1 ratio = 1e6") {
     val rows = SparkEntry.queries("llm_zipf_profile")(spark, sf)
       .orderBy(col("rank")).collect()

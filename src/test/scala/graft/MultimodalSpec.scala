@@ -12,6 +12,30 @@ class MultimodalSpec extends AnyFunSuite {
   import SparkTestSession._
   import multimodal.MultimodalQueries._
 
+  test("audio fingerprints: identical PCM shares every landmark; " +
+    "leading silence preserves them (translation robustness)") {
+    import spark.implicits._
+    // Deterministic pseudo-random 16-frame payload; doc 3 prepends one
+    // SILENT frame (byte 128 ⇒ centered value 0 ⇒ energy 0, never a
+    // top-5 peak), so its peaks shift +1 frame but every (Δframe, e1,
+    // e2) landmark hash is unchanged — the property Shazam matching
+    // rests on.
+    val b = Array.tabulate(16 * 64)(i => ((i * 31 + 7) % 256).toByte)
+    val silent = Array.fill(64)(128.toByte)
+    val media = Seq(
+      (1L, b, "fake/raw", 16, 64),
+      (2L, b.clone(), "fake/raw", 16, 64),
+      (3L, silent ++ b, "fake/raw", 16, 65)
+    ).toDF("doc_id", "payload", "fmt", "width", "height")
+    val fps = audioFingerprints(media, 64, 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(fps(1L).nonEmpty && fps(1L) == fps(2L),
+      "identical payloads must fingerprint identically")
+    assert(fps(1L) == fps(3L),
+      s"leading silence changed the landmark set: ${fps(1L)} vs ${fps(3L)}")
+  }
+
   test("decodeFeatures: histogram mass == payload bytes, mean in range") {
     val media = mediaTable(spark, sf)
     val feats = decodeFeatures(media)
