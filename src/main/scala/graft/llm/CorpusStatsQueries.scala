@@ -7,21 +7,23 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 
-/** Mergeable distinct-count sketches + corpus scaling-law diagnostics.
+/** Mergeable sketches + corpus scaling-law diagnostics.
   *
-  * The 100 TB problem these solve: exact `COUNT(DISTINCT x)` and exact
-  * set-overlap both need a full shuffle of the distinct key space, and a
-  * cross-SOURCE overlap matrix needs it per source pair. The sketch
-  * operators here (HyperLogLog registers, KMV/theta) reduce each
-  * source's key space to a constant-size summary that merges with
-  * `max`/top-k — the partial+final agg shape — after which every
-  * estimate and set operation is arithmetic on summaries. Both sketches
-  * are ENGINE-OWNED and fully deterministic (md5-derived hashes, integer
-  * register math), so unlike `approx_count_distinct` (whose HLL++ is an
-  * implementation detail of one engine) the whole pipeline is
-  * DuckDB-oracle-checkable bit for bit; each query also reports the
-  * exact value next to the estimate, which doubles as a standing
-  * accuracy measurement.
+  * The 100 TB problem these solve: exact `COUNT(DISTINCT x)`, exact
+  * set-overlap and exact membership all need a full shuffle (or
+  * broadcast) of the distinct key space, and a cross-SOURCE overlap
+  * matrix needs it per source pair. The sketch operators here
+  * (HyperLogLog registers, KMV/theta, the Bloom membership filter —
+  * with CMS counts and HDR quantiles elsewhere, the five mergeable
+  * families) reduce each key space to a constant-size summary that
+  * merges with `max`/top-k/`bit_or` — the partial+final agg shape —
+  * after which every estimate and set operation is arithmetic on
+  * summaries. All are ENGINE-OWNED and fully deterministic
+  * (md5-derived hashes, integer register/bit math), so unlike
+  * `approx_count_distinct` (whose HLL++ is an implementation detail of
+  * one engine) the whole pipeline is DuckDB-oracle-checkable bit for
+  * bit; each query also reports the exact value next to the estimate,
+  * which doubles as a standing accuracy measurement.
   *
   * The scaling-law queries (Heaps vocabulary growth, Zipf rank-frequency)
   * are the corpus-composition diagnostics read before committing a
@@ -212,6 +214,65 @@ object CorpusStatsQueries {
         .select(col("decile"), col("cutoff_doc_id"), col("n_docs_cum"),
           col("n_tokens_cum"), col("n_types_cum"))
         .orderBy(col("decile"))
+    }),
+
+    // Engine-owned BLOOM FILTER membership screen — the fifth sketch
+    // family (counts/CMS, distincts/HLL, sets/KMV, quantiles/HDR, and
+    // now membership), and the production form of incremental dedup's
+    // "have we seen this content?" at 100 TB: the exact content-hash
+    // set is corpus-sized, the filter is m=2²⁰ bits = 16,384 BIGINT
+    // words — buildable as ONE bit_or agg (merge across partitions IS
+    // bitwise OR, the mergeable-sketch contract again) and small
+    // enough to broadcast to every probe. k=4 positions by
+    // Kirsch-Mitzenmacher double hashing (h1 + j·h2 mod m) from two
+    // independent md5 halves — exact integer, so bits, verdicts and
+    // the false-positive accounting all hash-compare. The batch is
+    // screened against the corpus filter, then the exact join
+    // (the thing the filter avoids at scale) classifies each "maybe"
+    // into true duplicate vs false positive, reported per source with
+    // the no-false-negative invariant baked into the oracle compare.
+    "llm_dedup_bloom" -> ((s, dir) => {
+      val m = 1048576L // 2^20 bits
+      def h1(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+      def h2(c: org.apache.spark.sql.Column) =
+        conv(substring(md5(c), 9, 8), 16, 10).cast(LongType)
+      val docs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"),
+          h1(col("text")).as("hA"), h2(col("text")).as("hB"))
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      val batch = docs.filter(col("doc_id") % 10 === 0)
+      val words = corpus
+        .select(explode(sequence(lit(0), lit(3))).as("j"), col("hA"), col("hB"))
+        .select(expr(s"pmod(hA + j * hB, $m)").as("pos"))
+        .select(expr("pos DIV 64").as("word"), expr("pos % 64").as("bit"))
+        .groupBy(col("word"))
+        .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").as("bits"))
+      val probed = batch
+        .select(col("doc_id"), col("source"), col("hA"), col("hB"),
+          explode(sequence(lit(0), lit(3))).as("j"))
+        .withColumn("pos", expr(s"pmod(hA + j * hB, $m)"))
+        .withColumn("word", expr("pos DIV 64"))
+        .withColumn("bit", expr("pos % 64"))
+        .join(broadcast(words), Seq("word"), "left")
+        .withColumn("hit",
+          expr("(shiftright(coalesce(bits, CAST(0 AS BIGINT)), CAST(bit AS INT)) & 1)"))
+        .groupBy(col("doc_id"), col("source"))
+        .agg(min(col("hit")).as("maybe_seen"))
+      val exact = batch.join(
+        corpus.select(col("text")).distinct(), Seq("text"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("seen_exact"))
+      probed.join(exact, Seq("doc_id"), "left")
+        .na.fill(0, Seq("seen_exact"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_batch"),
+          sum(col("maybe_seen")).as("n_maybe"),
+          sum(col("seen_exact")).as("n_exact"),
+          sum(when(col("maybe_seen") === 1 && col("seen_exact") === 0, 1L)
+            .otherwise(0L)).as("false_positives"),
+          sum(when(col("maybe_seen") === 0 && col("seen_exact") === 1, 1L)
+            .otherwise(0L)).as("false_negatives"))
+        .orderBy(col("source"))
     }),
 
     // Most-duplicated exact substring census — the "top duplicated
@@ -427,6 +488,47 @@ object CorpusStatsQueries {
         |  GROUP BY decile)
         |SELECT decile, cutoff_doc_id, n_docs_cum, n_tokens_cum, n_types_cum
         |FROM docside JOIN typeside USING (decile) ORDER BY decile""".stripMargin,
+    // Same double-hash positions, bit_or words, probe and
+    // classification; false_negatives is structurally 0 (a Bloom
+    // filter never misses) and the hash compare proves it.
+    "llm_dedup_bloom" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source, text,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS hA,
+        |    ('0x' || substr(md5(text), 9, 8))::BIGINT AS hB
+        |  FROM documents),
+        |corpus AS (SELECT * FROM docs WHERE doc_id % 10 <> 0),
+        |batch AS (SELECT * FROM docs WHERE doc_id % 10 = 0),
+        |pos AS (
+        |  SELECT (hA + j * hB) % 1048576 AS pos
+        |  FROM corpus, unnest(generate_series(0, 3)) AS u(j)),
+        |words AS (
+        |  SELECT pos // 64 AS word,
+        |    bit_or(1::HUGEINT << CAST(pos % 64 AS INT)) AS bits
+        |  FROM pos GROUP BY 1),
+        |probe AS (
+        |  SELECT b.doc_id, b.source,
+        |    (b.hA + u.j * b.hB) % 1048576 AS pos
+        |  FROM batch b, unnest(generate_series(0, 3)) AS u(j)),
+        |hits AS (
+        |  SELECT p.doc_id, p.source,
+        |    min((coalesce(w.bits, 0) >> CAST(p.pos % 64 AS INT)) & 1)
+        |      AS maybe_seen
+        |  FROM probe p LEFT JOIN words w ON p.pos // 64 = w.word
+        |  GROUP BY 1, 2),
+        |ex AS (
+        |  SELECT doc_id, 1 AS seen_exact FROM batch
+        |  WHERE text IN (SELECT text FROM corpus))
+        |SELECT h.source,
+        |  count(*) AS n_batch,
+        |  CAST(sum(maybe_seen) AS BIGINT) AS n_maybe,
+        |  CAST(sum(coalesce(seen_exact, 0)) AS BIGINT) AS n_exact,
+        |  CAST(sum(CASE WHEN maybe_seen = 1 AND coalesce(seen_exact, 0) = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+        |  CAST(sum(CASE WHEN maybe_seen = 0 AND coalesce(seen_exact, 0) = 1
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS false_negatives
+        |FROM hits h LEFT JOIN ex USING (doc_id)
+        |GROUP BY h.source ORDER BY h.source""".stripMargin,
     "llm_substring_census" ->
       """WITH g AS (
         |  SELECT doc_id, substr(lower(text), (i - 1) * 8 + 1, 16) AS gram
