@@ -255,6 +255,53 @@ object CorpusQueries {
         .orderBy(col("cluster_id"))
     }),
 
+    // Semi-supervised LABEL PROPAGATION over the near-dup graph
+    // (Zhu & Ghahramani 2002, the LPA family): a small labeled seed
+    // set (here every 5th doc, labeled keep/drop by the survivor
+    // quality rule) spreads its labels to unlabeled neighbors through
+    // 3 synchronous rounds — the cheap way to extend a hand-audited
+    // quality sample across a 100 TB corpus when near-duplicates
+    // share a quality verdict. Seeds are CLAMPED (never overwritten);
+    // an unlabeled node takes the majority label of its labeled
+    // neighbors, ties broken (count desc, label asc) so every round
+    // is deterministic. Shape per round: one edge⋈labels shuffle join
+    // + one (node, label) count agg + a per-node row_number — the
+    // standard Pregel round, linear in |E|, fixed round count; the
+    // rank filter rides WindowGroupLimit. The 3 rounds unroll into 3
+    // CTE levels in the DuckDB twin → hash-exact.
+    "llm_label_propagation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val t = DedupQueries.toks(col("text"))
+      val seeds = Tables.forCompute(s, dir, "documents")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          size(array_distinct(t)).cast("long").as("__nd"),
+          size(t).cast("long").as("__nt"))
+        .withColumn("q", expr("(__nd * 1000000) DIV __nt"))
+        .select(col("doc_id"),
+          when(col("q") >= 600000, lit("keep")).otherwise(lit("drop"))
+            .as("label"),
+          lit("seed").as("origin"))
+      val pairs = DedupQueries.materializedPairs(s, dir)
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      val rank = Window.partitionBy(col("doc_id"))
+        .orderBy(col("cnt").desc, col("label"))
+      var labels = seeds
+      for (_ <- 1 to 3) {
+        val prop = edges
+          .join(labels.select(col("doc_id").as("src"), col("label")), "src")
+          .groupBy(col("dst").as("doc_id"), col("label"))
+          .agg(count(lit(1)).as("cnt"))
+          .withColumn("__rn", row_number().over(rank))
+          .filter(col("__rn") === 1)
+          .join(seeds.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("label"), lit("propagated").as("origin"))
+        labels = seeds.union(prop)
+      }
+      labels.orderBy(col("doc_id"))
+    }),
+
     // Cross-source contamination matrix: how many near-dup pairs span
     // two DIFFERENT sources — the audit that tells a curation run
     // which feeds are re-hosting each other's content (within-source
@@ -615,6 +662,45 @@ object CorpusQueries {
          |       doc_id AS survivor_id, CAST(q AS BIGINT) AS survivor_q
          |FROM ranked WHERE n_docs >= 2 AND rn = 1
          |ORDER BY cluster_id""".stripMargin,
+    // Same seed rule (every 5th doc, survivor q >= 0.6), same clamped
+    // majority vote with (count desc, label asc) ties, 3 rounds
+    // unrolled into l1..l3.
+    "llm_label_propagation" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""p$k AS (
+           |  SELECT dst AS doc_id, label, count(*) AS cnt
+           |  FROM edges JOIN l${k - 1} ON src = l${k - 1}.doc_id
+           |  GROUP BY 1, 2),
+           |r$k AS (
+           |  SELECT doc_id, label,
+           |    row_number() OVER (PARTITION BY doc_id
+           |                       ORDER BY cnt DESC, label) AS rn
+           |  FROM p$k),
+           |l$k AS (
+           |  SELECT doc_id, label FROM seeds
+           |  UNION ALL
+           |  SELECT doc_id, label FROM r$k
+           |  WHERE rn = 1 AND doc_id NOT IN (SELECT doc_id FROM seeds))"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH ${DedupQueries.ngramPairsCtes},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM good
+         |  UNION ALL
+         |  SELECT doc_b AS src, doc_a AS dst FROM good),
+         |seeds AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) * 1000000)
+         |           // len(regexp_split_to_array(lower(text), '\\s+')) >= 600000
+         |         THEN 'keep' ELSE 'drop' END AS label
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |l0 AS (SELECT doc_id, label FROM seeds),
+         |$rounds
+         |SELECT doc_id, label,
+         |  CASE WHEN doc_id IN (SELECT doc_id FROM seeds)
+         |       THEN 'seed' ELSE 'propagated' END AS origin
+         |FROM l3 ORDER BY doc_id""".stripMargin
+    },
     "llm_dedup_cross_source" ->
       s"""WITH ${DedupQueries.ngramPairsCtes}
          |SELECT least(sa.source, sb.source) AS source_1,

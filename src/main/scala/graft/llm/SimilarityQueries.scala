@@ -982,6 +982,44 @@ object SimilarityQueries {
         remaining = remaining.filterNot(_._1 == best.vec_id)
       }
       s.createDataFrame(selected).orderBy(col("mmr_rank"))
+    }),
+
+    // k-NN GRAPH construction — every vector's top-3 neighbors by
+    // exact cosine among candidates sharing its sign-LSH bucket (the
+    // 6-bit signature of the first 6 dimensions' signs — the same
+    // binary-sign family as llm_ann_binary_topk, here used for
+    // BLOCKING instead of ranking). The neighbor graph is the backbone
+    // of cluster-based curation (SemDeDup's cluster step, graph-based
+    // diversity sampling, label propagation): build it ONCE per
+    // ingest, then every downstream pass is a graph op, not a vector
+    // op. Scale shape: buckets are DISJOINT (each vector hashes to
+    // exactly one), so the candidate join is a single equi-join on the
+    // bucket key — never corpus²; per-bucket work is |bucket|², kept
+    // bounded exactly like the IVF cell family (oversized buckets
+    // re-split on more sign bits — the twoLevelCells pattern). Ranking
+    // is exact cosine inside the bucket with the rank filter directly
+    // on row_number → WindowGroupLimit keeps k rows per vector per
+    // partition before the exchange. Fully deterministic (sign bits +
+    // round-9 cosine + id tie-break) → hash-exact DuckDB oracle, which
+    // no spark.ml LSH variant can offer.
+    "llm_knn_graph" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+      val sig = (0 until 6).map(i =>
+        when(element_at(col("emb"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val b = e.select(col("vec_id"), col("emb"), sig.as("bucket"))
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nbr_id"))
+      b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+          round(cosineNative(col("a.emb"), col("b.emb")), 9).as("cos_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos_sim"))
+        .orderBy(col("vec_id"), col("rk"))
     })
   )
 
@@ -1392,6 +1430,32 @@ object SimilarityQueries {
           s"SELECT mmr_rank, vec_id, label, rel, mmr_score FROM s$n")
           .mkString("\nUNION ALL ") +
         "\nORDER BY mmr_rank"
+    },
+    // Same 6 sign bits, same within-bucket exact cosine, same
+    // (score desc, id asc) rank.
+    "llm_knn_graph" -> {
+      val sigSql = (0 until 6).map(i =>
+        s"(CASE WHEN emb[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         $sigSql AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    round(list_dot_product(a.emb, b.emb)
+         |          / (sqrt(list_dot_product(a.emb, a.emb))
+         |             * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cos_sim
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, cos_sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_sim DESC, nbr_id) AS rk
+         |  FROM cand)
+         |SELECT vec_id, CAST(rk AS INT) AS rk, nbr_id, cos_sim
+         |FROM ranked WHERE rk <= 3
+         |ORDER BY vec_id, rk""".stripMargin
     }
     // llm_ann_lsh_topk / llm_ann_ivf_topk: seeded-model ops, not
     // SQL-expressible -> rows-only + recall-vs-bruteforce specs.

@@ -737,4 +737,68 @@ class LlmSpec extends AnyFunSuite {
       .count()
     assert(bad == 0, s"$bad word types lost or gained characters through merging")
   }
+
+  test("knn graph: contiguous ranks, bucket-local, exact within-bucket top-k") {
+    val g = SparkEntry.queries("llm_knn_graph")(spark, sf).collect()
+    assert(g.nonEmpty)
+    val byVec = g.groupBy(_.getLong(0))
+    byVec.foreach { case (v, rows) =>
+      val rks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(rks == (1 to rks.length) && rks.length <= 3,
+        s"ranks for $v: $rks")
+    }
+    // Independent brute force: the graph's rows for one vector must be
+    // exactly the top-3 by round-9 cosine among same-sign-bucket peers.
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("emb"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def bucket(v: Array[Double]): Long =
+      (0 until 6).map(i => if (v(i) > 0) 1L << i else 0L).sum
+    def cos9(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val v0 = byVec.keys.min
+    val b0 = bucket(e(v0))
+    val expect = e.toSeq
+      .filter { case (id, v) => id != v0 && bucket(v) == b0 }
+      .map { case (id, v) => (cos9(e(v0), v), id) }
+      .sortBy { case (c, id) => (-c, id) }.take(3)
+      .map { case (c, id) => (id, c) }
+    val got = byVec(v0).sortBy(_.getInt(1))
+      .map(r => (r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == expect, s"knn for $v0: got $got, brute force $expect")
+  }
+
+  test("label propagation: seeds clamped, labeled set = 3-hop reach of seeds") {
+    val res = SparkEntry.queries("llm_label_propagation")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val seeds = res.filter(_._3 == "seed").map(_._1).toSet
+    assert(seeds.nonEmpty, "no seeds labeled")
+    assert(seeds.forall(_ % 5 == 0), "a non-seed doc carries origin=seed")
+    assert(res.map(_._1).distinct.length == res.length,
+      "a document was labeled more than once")
+    // Synchronous LPA with clamped seeds labels EXACTLY the nodes
+    // within 3 hops of a seed — check against a driver-side BFS over
+    // the same pair graph.
+    val pairs = llm.DedupQueries.materializedPairs(spark, sf)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var frontier = seeds
+    var reach = seeds
+    for (_ <- 1 to 3) {
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty[Long])) -- reach
+      reach ++= frontier
+    }
+    val propagated = res.filter(_._3 == "propagated").map(_._1).toSet
+    assert(propagated == (reach -- seeds),
+      s"propagated set diverges from the 3-hop reach: " +
+        s"missing=${(reach -- seeds -- propagated).take(5)} " +
+        s"extra=${(propagated -- reach).take(5)}")
+  }
 }
