@@ -86,6 +86,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // k-ANONYMITY audit over the release metadata (Sweeney 2002): any
+    // combination of quasi-identifiers shared by fewer than k=5
+    // documents is a re-identification risk — the privacy check a
+    // corpus release runs on its metadata columns BEFORE publishing
+    // (the text is scrubbed by llm_pii_scrub; the metadata can still
+    // single someone out). Quasi-identifier here = (lang, source,
+    // length-centile bucket); the audit reports, per (lang, source)
+    // feed, how many equivalence classes exist, how many are
+    // undersized, and how many documents sit in them — the rows a
+    // release gate suppresses or generalizes. Two linear aggs (QID
+    // groups, then feed rollup), map-side combined; at 100 TB the QID
+    // space is bounded by the metadata cardinality product, never by
+    // corpus size.
+    "llm_k_anonymity" -> ((s, dir) => {
+      val groups = Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"))
+        .agg(count(lit(1)).as("cnt"))
+      groups.groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_groups"),
+          count_if(col("cnt") < 5).as("n_small_groups"),
+          sum(when(col("cnt") < 5, col("cnt")).otherwise(lit(0L)))
+            .as("n_at_risk_docs"))
+        .orderBy(col("lang"), col("source"))
+    }),
+
     // Deterministic train/eval split with per-split stats.
     "llm_train_eval_split" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -385,6 +411,18 @@ object PipelineQueries {
          |  CAST(length(text) - length(regexp_replace(text,
          |      'https?://[^ ]+', '', 'g')) AS INT) AS url_chars
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same QID grouping (integer length centile), same k=5 threshold.
+    "llm_k_anonymity" ->
+      """WITH g AS (
+        |  SELECT lang, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+        |         count(*) AS cnt
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, source,
+        |  count(*) AS n_groups,
+        |  CAST(count(*) FILTER (cnt < 5) AS BIGINT) AS n_small_groups,
+        |  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT)
+        |    AS n_at_risk_docs
+        |FROM g GROUP BY 1, 2 ORDER BY lang, source""".stripMargin,
     "llm_train_eval_split" ->
       """SELECT CASE WHEN substr(md5(lower(trim(text))), 1, 1) IN ('d','e','f')
         |            THEN 'eval' ELSE 'train' END AS split,

@@ -1004,24 +1004,63 @@ object SimilarityQueries {
     // no spark.ml LSH variant can offer.
     "llm_knn_graph" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
-      val sig = (0 until 6).map(i =>
-        when(element_at(col("emb"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      val b = e.select(col("vec_id"), col("emb"), sig.as("bucket"))
       val w = Window.partitionBy(col("vec_id"))
         .orderBy(col("cos_sim").desc, col("nbr_id"))
-      b.as("a").join(b.as("b"),
-          col("a.bucket") === col("b.bucket") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
-          round(cosineNative(col("a.emb"), col("b.emb")), 9).as("cos_sim"))
+      signBucketCands(s, dir)
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("vec_id"), col("rk"), col("nbr_id"), col("cos_sim"))
         .orderBy(col("vec_id"), col("rk"))
+    }),
+
+    // Triplet mining for metric learning (the FaceNet/SBERT training-
+    // data prep): for every anchor vector, its hardest POSITIVE (most
+    // similar bucket-mate) and hardest in-bucket NEGATIVE (least
+    // similar bucket-mate) — the (anchor, positive, negative) rows a
+    // contrastive trainer consumes. Sharing the k-NN graph's disjoint
+    // sign-bucket candidate frame means the whole mine is one blocked
+    // join scanned twice by two per-anchor windows (opposite sort
+    // orders, both riding WindowGroupLimit) — linear shuffle, never
+    // corpus². Degenerate anchors whose bucket holds a single peer
+    // (positive == negative) are dropped: a triplet with zero margin
+    // teaches nothing. Deterministic → hash-exact.
+    "llm_triplet_mining" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cand = signBucketCands(s, dir)
+      val wPos = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").desc, col("nbr_id"))
+      val wNeg = Window.partitionBy(col("vec_id"))
+        .orderBy(col("cos_sim").asc, col("nbr_id"))
+      val pos = cand.withColumn("rk", row_number().over(wPos))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("nbr_id").as("pos_id"),
+          col("cos_sim").as("pos_sim"))
+      val neg = cand.withColumn("rk", row_number().over(wNeg))
+        .filter(col("rk") === 1)
+        .select(col("vec_id"), col("nbr_id").as("neg_id"),
+          col("cos_sim").as("neg_sim"))
+      pos.join(neg, "vec_id")
+        .filter(col("pos_id") =!= col("neg_id"))
+        .orderBy(col("vec_id"))
     })
   )
+
+  /** Disjoint sign-LSH blocking shared by the k-NN graph and triplet
+    * miner: 6-bit signature of the first 6 dims' signs → one equi-join
+    * on the bucket key, exact round-9 cosine per candidate pair.
+    */
+  private def signBucketCands(s: SparkSession, dir: String): DataFrame = {
+    val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
+    val sig = (0 until 6).map(i =>
+      when(element_at(col("emb"), i + 1) > 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    val b = e.select(col("vec_id"), col("emb"), sig.as("bucket"))
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("nbr_id"),
+        round(cosineNative(col("a.emb"), col("b.emb")), 9).as("cos_sim"))
+  }
 
   /** One MMR selection: rank in the diversified list, the picked
     * vector, its pure relevance, and the winning MMR score.
@@ -1456,6 +1495,38 @@ object SimilarityQueries {
          |SELECT vec_id, CAST(rk AS INT) AS rk, nbr_id, cos_sim
          |FROM ranked WHERE rk <= 3
          |ORDER BY vec_id, rk""".stripMargin
+    },
+    // Same candidate frame, opposite-order windows for hardest
+    // positive/negative, degenerate single-peer anchors dropped.
+    "llm_triplet_mining" -> {
+      val sigSql = (0 until 6).map(i =>
+        s"(CASE WHEN emb[${i + 1}] > 0 THEN ${1L << i} ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH e AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |         $sigSql AS bucket
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |    round(list_dot_product(a.emb, b.emb)
+         |          / (sqrt(list_dot_product(a.emb, a.emb))
+         |             * sqrt(list_dot_product(b.emb, b.emb))), 9) AS cos_sim
+         |  FROM e a JOIN e b
+         |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+         |pos AS (
+         |  SELECT vec_id, nbr_id AS pos_id, cos_sim AS pos_sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_sim DESC, nbr_id) AS rk
+         |  FROM cand),
+         |neg AS (
+         |  SELECT vec_id, nbr_id AS neg_id, cos_sim AS neg_sim,
+         |    row_number() OVER (PARTITION BY vec_id
+         |                       ORDER BY cos_sim ASC, nbr_id) AS rk
+         |  FROM cand)
+         |SELECT p.vec_id, p.pos_id, p.pos_sim, n.neg_id, n.neg_sim
+         |FROM pos p JOIN neg n USING (vec_id)
+         |WHERE p.rk = 1 AND n.rk = 1 AND p.pos_id <> n.neg_id
+         |ORDER BY p.vec_id""".stripMargin
     }
     // llm_ann_lsh_topk / llm_ann_ivf_topk: seeded-model ops, not
     // SQL-expressible -> rows-only + recall-vs-bruteforce specs.

@@ -338,36 +338,36 @@ object TextQueries {
     // 1-row broadcast like PMI's N. Per-doc scoring is the same
     // vocabulary-shaped join + doc agg as the add-one LM — linear,
     // no corpus² anywhere.
-    "llm_kneser_ney_quality" -> ((s, dir) => {
-      val t = toks(col("text"))
-      val pairs = when(size(t) >= 2,
-        transform(sequence(lit(1), size(t) - 1),
-          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
-        .otherwise(array().cast(ArrayType(StructType(Seq(
-          StructField("w1", StringType), StructField("w2", StringType))))))
-      val bg = Tables.forCompute(s, dir, "documents")
-        .select(col("doc_id"), explode(pairs).as("b"))
-        .select(col("doc_id"), col("b.w1"), col("b.w2"))
-      val types = bg.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c12"))
-      val ctx = types.groupBy(col("w1"))
-        .agg(sum(col("c12")).cast(LongType).as("c1"),
-          count(lit(1)).as("nctx"))
-      val cont = types.groupBy(col("w2"))
-        .agg(count(lit(1)).as("ncont"))
-      val tTypes = broadcast(types.agg(count(lit(1)).as("t_types")))
-      bg.join(types, Seq("w1", "w2"))
-        .join(ctx, "w1").join(cont, "w2")
-        .crossJoin(tTypes)
-        .withColumn("q_ppb", expr(KnExpr))
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(col("q_ppb")).as("sum_q"))
-        .select(col("doc_id"), col("n_bigrams"),
-          round(col("sum_q").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
-            6).as("mean_kn_ppb"))
+    "llm_kneser_ney_quality" -> ((s, dir) =>
+      knDocScores(s, dir)
         .orderBy(col("mean_kn_ppb"), col("doc_id"))
-        .limit(20)
+        .limit(20)),
+
+    // CCNet-style perplexity bucketing (Wenzek et al. 2020, §4.3): rank
+    // every document by its LM score WITHIN ITS LANGUAGE and split into
+    // head/middle/tail tertiles — the mixture knob CCNet exposes
+    // ("train on head+middle, drop tail") and the stage a 100 TB
+    // curation run applies right after language ID. Rides the same KN
+    // scorer as llm_kneser_ney_quality; the tertile is ntile(3) over
+    // the (rounded score, doc_id) total order per language — exact and
+    // engine-identical, unlike a float-threshold split. Output is the
+    // per-(lang, tertile) audit panel: doc count + score range. Shape:
+    // scorer (linear) + one per-lang window + one agg; at 100 TB the
+    // window partitions by lang — tens of partitions, each internally
+    // sorted by the shuffle's range partitioner, no global sort.
+    "llm_perplexity_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val langs = Tables.forCompute(s, dir, "documents")
+        .select(col("doc_id"), col("lang"))
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("mean_kn_ppb"), col("doc_id"))
+      knDocScores(s, dir).join(langs, "doc_id")
+        .withColumn("tertile", ntile(3).over(w))
+        .groupBy(col("lang"), col("tertile"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("mean_kn_ppb")).as("min_score"),
+          max(col("mean_kn_ppb")).as("max_score"))
+        .orderBy(col("lang"), col("tertile"))
     }),
 
     // Per-document keyword extraction: each doc's top-3 distinguishing
@@ -553,6 +553,42 @@ object TextQueries {
     })
   )
 
+  /** Per-document interpolated Kneser–Ney bigram score (ppb mean over
+    * the doc's bigrams, rounded at 6) — the shared scorer behind
+    * llm_kneser_ney_quality (bottom-20 audit) and
+    * llm_perplexity_buckets (per-lang tertile mixture). Docs with < 2
+    * tokens contribute no bigrams and drop out, in both engines.
+    */
+  private def knDocScores(s: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val pairs = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+      .otherwise(array().cast(ArrayType(StructType(Seq(
+        StructField("w1", StringType), StructField("w2", StringType))))))
+    val bg = Tables.forCompute(s, dir, "documents")
+      .select(col("doc_id"), explode(pairs).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val types = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = types.groupBy(col("w1"))
+      .agg(sum(col("c12")).cast(LongType).as("c1"),
+        count(lit(1)).as("nctx"))
+    val cont = types.groupBy(col("w2"))
+      .agg(count(lit(1)).as("ncont"))
+    val tTypes = broadcast(types.agg(count(lit(1)).as("t_types")))
+    bg.join(types, Seq("w1", "w2"))
+      .join(ctx, "w1").join(cont, "w2")
+      .crossJoin(tTypes)
+      .withColumn("q_ppb", expr(KnExpr))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("q_ppb")).as("sum_q"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("sum_q").cast(DoubleType) / col("n_bigrams").cast(DoubleType),
+          6).as("mean_kn_ppb"))
+  }
+
   /** Hashed-feature dimensionality of the quality classifier. 64 keeps
     * the fixture's bucket collisions frequent enough to exercise the
     * hashing trick; a production model would use 2²⁰+.
@@ -588,6 +624,36 @@ object TextQueries {
       "((4 * CAST(c12 AS DECIMAL(38,0)) - 3) * t_types + " +
       "3 * CAST(nctx AS DECIMAL(38,0)) * ncont)) " +
       "DIV (4 * CAST(c1 AS DECIMAL(38,0)) * t_types)"
+
+  /** DuckDB CTE chain producing per-doc KN scores as `scores(doc_id,
+    * n_bigrams, mean_kn_ppb)` — the twin of [[knDocScores]], shared by
+    * the bottom-20 audit and the tertile-mixture oracle.
+    */
+  private val KnScoreCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+      |  FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)),
+      |ty AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |               count(*) AS nctx FROM ty GROUP BY 1),
+      |cont AS (SELECT w2, count(*) AS ncont FROM ty GROUP BY 1),
+      |tt AS (SELECT count(*) AS t_types FROM ty),
+      |q AS (
+      |  SELECT b.doc_id,
+      |    CAST(CAST(1000000000 AS HUGEINT)
+      |         * ((4 * CAST(c12 AS HUGEINT) - 3) * t_types
+      |            + 3 * CAST(nctx AS HUGEINT) * ncont)
+      |         // (4 * CAST(c1 AS HUGEINT) * t_types) AS BIGINT) AS q
+      |  FROM b JOIN ty USING (w1, w2) JOIN ctx USING (w1)
+      |       JOIN cont USING (w2), tt),
+      |scores AS (
+      |  SELECT doc_id, count(*) AS n_bigrams,
+      |    round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6)
+      |      AS mean_kn_ppb
+      |  FROM q GROUP BY 1)""".stripMargin
 
   private val toksSql = "regexp_split_to_array(lower(text), '\\s+')"
   private def hitsSql(words: Seq[String]): String =
@@ -743,30 +809,24 @@ object TextQueries {
         |FROM q GROUP BY 1
         |ORDER BY mean_qprob, doc_id LIMIT 20""".stripMargin,
     "llm_kneser_ney_quality" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
-        |  FROM documents),
-        |b AS (
-        |  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
-        |  FROM t, unnest(generate_series(1, greatest(len(w) - 1, 0))) AS u(i)),
-        |ty AS (SELECT w1, w2, count(*) AS c12 FROM b GROUP BY 1, 2),
-        |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
-        |               count(*) AS nctx FROM ty GROUP BY 1),
-        |cont AS (SELECT w2, count(*) AS ncont FROM ty GROUP BY 1),
-        |tt AS (SELECT count(*) AS t_types FROM ty),
-        |q AS (
-        |  SELECT b.doc_id,
-        |    CAST(CAST(1000000000 AS HUGEINT)
-        |         * ((4 * CAST(c12 AS HUGEINT) - 3) * t_types
-        |            + 3 * CAST(nctx AS HUGEINT) * ncont)
-        |         // (4 * CAST(c1 AS HUGEINT) * t_types) AS BIGINT) AS q
-        |  FROM b JOIN ty USING (w1, w2) JOIN ctx USING (w1)
-        |       JOIN cont USING (w2), tt)
-        |SELECT doc_id, count(*) AS n_bigrams,
-        |  round(CAST(sum(q) AS BIGINT)::DOUBLE / CAST(count(*) AS DOUBLE), 6)
-        |    AS mean_kn_ppb
-        |FROM q GROUP BY 1
-        |ORDER BY mean_kn_ppb, doc_id LIMIT 20""".stripMargin,
+      s"""WITH $KnScoreCtes
+         |SELECT doc_id, n_bigrams, mean_kn_ppb
+         |FROM scores
+         |ORDER BY mean_kn_ppb, doc_id LIMIT 20""".stripMargin,
+    // Same KN scores, ntile(3) per language over the identical
+    // (score, doc_id) total order, same audit panel.
+    "llm_perplexity_buckets" ->
+      s"""WITH $KnScoreCtes,
+         |tiled AS (
+         |  SELECT d.lang, s.mean_kn_ppb,
+         |    ntile(3) OVER (PARTITION BY d.lang
+         |                   ORDER BY s.mean_kn_ppb, s.doc_id) AS tertile
+         |  FROM scores s JOIN documents d USING (doc_id))
+         |SELECT lang, CAST(tertile AS INT) AS tertile,
+         |  count(*) AS n_docs,
+         |  min(mean_kn_ppb) AS min_score,
+         |  max(mean_kn_ppb) AS max_score
+         |FROM tiled GROUP BY 1, 2 ORDER BY lang, tertile""".stripMargin,
     "llm_keyword_extract" ->
       """WITH tf AS (
         |  SELECT doc_id, u.term, count(*) AS tf

@@ -773,6 +773,32 @@ class LlmSpec extends AnyFunSuite {
     assert(got == expect, s"knn for $v0: got $got, brute force $expect")
   }
 
+  test("triplet mining: every anchor's positive dominates its negative") {
+    val t = SparkEntry.queries("llm_triplet_mining")(spark, sf).collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      val (pos, neg) = (r.getDouble(2), r.getDouble(4))
+      assert(pos >= neg, s"anchor ${r.getLong(0)}: pos_sim $pos < neg_sim $neg")
+      assert(r.getLong(1) != r.getLong(3), "degenerate pos==neg row leaked")
+    }
+  }
+
+  test("perplexity buckets: tertiles balanced within 1 and cover all scored docs") {
+    val b = SparkEntry.queries("llm_perplexity_buckets")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(b.nonEmpty)
+    b.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$lang missing a tertile")
+      val counts = rows.map(_._3)
+      assert(counts.max - counts.min <= 1,
+        s"$lang tertiles unbalanced: ${counts.toSeq}")
+    }
+    // Coverage: every doc with >= 2 tokens is scored into some tertile.
+    val scored = Tables(spark, sf, "documents")
+      .filter(size(split(lower(col("text")), "\\s+")) >= 2).count()
+    assert(b.map(_._3).sum == scored)
+  }
+
   test("label propagation: seeds clamped, labeled set = 3-hop reach of seeds") {
     val res = SparkEntry.queries("llm_label_propagation")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
