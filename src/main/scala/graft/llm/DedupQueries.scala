@@ -193,6 +193,45 @@ object DedupQueries {
       |  GROUP BY 1, 2)""".stripMargin
       .replace("<MAX_DF>", MaxShingleDf.toString) // single knob, both engines
 
+  /** DuckDB twin of the winnow pair finder (k=8 polynomial char-gram
+    * hash, w=4 window minima, df cap) ending in
+    * `wpairs(doc_a, doc_b, shared_fps)` — UNthresholded so consumers
+    * apply their own `shared_fps >= MinSharedFps`. All CTE names are
+    * w-prefixed so the chain composes with [[ngramPairsCtes]] in one
+    * query (the dedup-eval oracle needs both).
+    */
+  // lazy: interpolates MaxWinnowDf, declared further down — a strict
+  // val here would capture its pre-init 0 during object construction.
+  private[graft] lazy val winnowPairsCtes: String =
+    s"""wdocs AS (
+       |  SELECT doc_id, lower(text) AS s, len(lower(text)) AS n
+       |  FROM documents WHERE len(text) >= 11),
+       |whl AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, n - 6), i ->
+       |      CAST(unicode(substring(s, i, 1)) AS BIGINT) * 27512614111 +
+       |      CAST(unicode(substring(s, i+1, 1)) AS BIGINT) * 887503681 +
+       |      CAST(unicode(substring(s, i+2, 1)) AS BIGINT) * 28629151 +
+       |      CAST(unicode(substring(s, i+3, 1)) AS BIGINT) * 923521 +
+       |      CAST(unicode(substring(s, i+4, 1)) AS BIGINT) * 29791 +
+       |      CAST(unicode(substring(s, i+5, 1)) AS BIGINT) * 961 +
+       |      CAST(unicode(substring(s, i+6, 1)) AS BIGINT) * 31 +
+       |      CAST(unicode(substring(s, i+7, 1)) AS BIGINT)) AS hl
+       |  FROM wdocs),
+       |wmins AS (
+       |  SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(hl) - 2), p ->
+       |      list_min(hl[p:p+3]))) AS fps
+       |  FROM whl),
+       |wposts AS (SELECT doc_id, unnest(fps) AS fp FROM wmins),
+       |wdf AS (SELECT fp, count(*) AS df FROM wposts GROUP BY fp),
+       |wkept AS (SELECT wposts.doc_id, wposts.fp
+       |          FROM wposts JOIN wdf USING (fp) WHERE wdf.df <= $MaxWinnowDf),
+       |wpairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
+       |  FROM wkept a JOIN wkept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
   private[graft] val ngramPairsCtes: String =
     ngramBaseCtes +
       """,
@@ -318,6 +357,27 @@ object DedupQueries {
     * AND yield an empty set in the kernel, keeping both engines
     * identical by construction.
     */
+  /** Winnow near-dup pairs (unordered): docs sharing >= MinSharedFps
+    * df-capped fingerprints. Shared by llm_dedup_winnow and the
+    * llm_dedup_eval harness.
+    */
+  private[graft] def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val posts = winnowPosts(Tables.forCompute(s, dir, "documents"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = posts.groupBy(col("fp"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") > MaxWinnowDf)
+      .select(col("fp"))
+    posts.join(broadcast(hot), Seq("fp"), "left_anti")
+      .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
+      .select(explode(flatten(transform(col("ids"),
+        x => transform(filter(col("ids"), y => y > x),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= MinSharedFps)
+  }
+
   private[graft] def winnowPosts(docs: DataFrame): DataFrame =
     docs
       .filter(length(col("text")) >= WinnowK + WinnowW - 1)
@@ -349,22 +409,33 @@ object DedupQueries {
     // finder — hot fingerprints (df > MaxWinnowDf) dropped BEFORE
     // posting-list materialization, in-list pair expansion bounded by
     // df², never a corpus self-join.
-    "llm_dedup_winnow" -> ((s, dir) => {
-      val posts = winnowPosts(Tables.forCompute(s, dir, "documents"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val hot = posts.groupBy(col("fp"))
-        .agg(count(lit(1)).as("df"))
-        .filter(col("df") > MaxWinnowDf)
-        .select(col("fp"))
-      posts.join(broadcast(hot), Seq("fp"), "left_anti")
-        .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
-        .select(explode(flatten(transform(col("ids"),
-          x => transform(filter(col("ids"), y => y > x),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
-        .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
-        .agg(count(lit(1)).as("shared_fps"))
-        .filter(col("shared_fps") >= MinSharedFps)
-        .orderBy(col("doc_a"), col("doc_b"))
+    "llm_dedup_winnow" -> ((s, dir) =>
+      winnowPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
+
+    // Pair-finder EVALUATION harness — precision/recall of the cheap
+    // char-level winnow sampler against the word-3-gram Jaccard ≥ 0.2
+    // ground truth, as one registered row of exact integer ppm. This
+    // is the measurement a curation owner runs before swapping a
+    // cheaper finder into the dedup stage (the engine's other finder
+    // evals live in Recall.scala because their subjects are seeded;
+    // these two finders are both deterministic, so the WHOLE eval is
+    // oracle-checkable). Scale: both pair sets are blocked/df-capped
+    // linear builds; the confusion join is pair-count-sized, and the
+    // three counts collapse to one row via two aggs + a cross of
+    // broadcast singletons. At 100 TB the eval would run on a
+    // hash-sampled doc subset — composition with llm_hash_sample, not
+    // a different operator.
+    "llm_dedup_eval" -> ((s, dir) => {
+      val truth = materializedPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val pred = winnowPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      val p = pred.join(truth.withColumn("t", lit(1)),
+          Seq("doc_a", "doc_b"), "left")
+        .agg(count(lit(1)).as("n_winnow_pairs"), count(col("t")).as("n_hit"))
+      val t = truth.agg(count(lit(1)).as("n_truth_pairs"))
+      p.crossJoin(broadcast(t))
+        .select(col("n_truth_pairs"), col("n_winnow_pairs"), col("n_hit"),
+          expr("n_hit * 1000000 DIV n_winnow_pairs").as("precision_ppm"),
+          expr("n_hit * 1000000 DIV n_truth_pairs").as("recall_ppm"))
     }),
 
     // Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -833,37 +904,28 @@ object DedupQueries {
          |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "llm_dedup_winnow" ->
-      s"""WITH docs8 AS (
-         |  SELECT doc_id, lower(text) AS s, len(lower(text)) AS n
-         |  FROM documents WHERE len(text) >= 11),
-         |hl AS (
-         |  SELECT doc_id,
-         |    list_transform(range(1, n - 6), i ->
-         |      CAST(unicode(substring(s, i, 1)) AS BIGINT) * 27512614111 +
-         |      CAST(unicode(substring(s, i+1, 1)) AS BIGINT) * 887503681 +
-         |      CAST(unicode(substring(s, i+2, 1)) AS BIGINT) * 28629151 +
-         |      CAST(unicode(substring(s, i+3, 1)) AS BIGINT) * 923521 +
-         |      CAST(unicode(substring(s, i+4, 1)) AS BIGINT) * 29791 +
-         |      CAST(unicode(substring(s, i+5, 1)) AS BIGINT) * 961 +
-         |      CAST(unicode(substring(s, i+6, 1)) AS BIGINT) * 31 +
-         |      CAST(unicode(substring(s, i+7, 1)) AS BIGINT)) AS hl
-         |  FROM docs8),
-         |mins AS (
-         |  SELECT doc_id,
-         |    list_distinct(list_transform(range(1, len(hl) - 2), p ->
-         |      list_min(hl[p:p+3]))) AS fps
-         |  FROM hl),
-         |posts AS (SELECT doc_id, unnest(fps) AS fp FROM mins),
-         |df AS (SELECT fp, count(*) AS df FROM posts GROUP BY fp),
-         |kept AS (SELECT posts.doc_id, posts.fp
-         |         FROM posts JOIN df USING (fp) WHERE df.df <= $MaxWinnowDf),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared_fps
-         |  FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
-         |  GROUP BY 1, 2)
+      s"""WITH $winnowPairsCtes
          |SELECT doc_a, doc_b, CAST(shared_fps AS BIGINT) AS shared_fps
-         |FROM pairs WHERE shared_fps >= $MinSharedFps
+         |FROM wpairs WHERE shared_fps >= $MinSharedFps
          |ORDER BY doc_a, doc_b""".stripMargin,
+    // Both pair sets re-derived in SQL (w-prefixed CTEs keep the
+    // winnow chain disjoint from the ngram chain's names), same
+    // integer-ppm precision/recall.
+    "llm_dedup_eval" ->
+      s"""WITH $ngramPairsCtes,
+         |$winnowPairsCtes,
+         |tp AS (SELECT doc_a, doc_b FROM good),
+         |pp AS (SELECT doc_a, doc_b FROM wpairs
+         |       WHERE shared_fps >= $MinSharedFps),
+         |m AS (
+         |  SELECT (SELECT count(*) FROM tp) AS n_truth_pairs,
+         |         (SELECT count(*) FROM pp) AS n_winnow_pairs,
+         |         (SELECT count(*) FROM pp JOIN tp USING (doc_a, doc_b))
+         |           AS n_hit)
+         |SELECT n_truth_pairs, n_winnow_pairs, n_hit,
+         |  CAST(n_hit * 1000000 // n_winnow_pairs AS BIGINT) AS precision_ppm,
+         |  CAST(n_hit * 1000000 // n_truth_pairs AS BIGINT) AS recall_ppm
+         |FROM m""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents
         |QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
