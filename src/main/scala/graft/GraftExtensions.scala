@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, SimHash64Expr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, SimHash64Expr, WinnowCfpsExpr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -49,6 +49,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("winnow_fps", 1, children)
         WinnowFpsExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("winnow_cfps"),
+      new ExpressionInfo(classOf[WinnowCfpsExpr].getName, "winnow_cfps",
+        "winnow_cfps(text) - composite winnowing fingerprints: distinct packed (minimum, minimum-8-windows-later) pairs of the 4-window minima sequence; the template-robust pair-finder feature"),
+      (children: Exprs) => {
+        arity("winnow_cfps", 1, children)
+        WinnowCfpsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cdc_chunks"),

@@ -194,14 +194,16 @@ object DedupQueries {
       .replace("<MAX_DF>", MaxShingleDf.toString) // single knob, both engines
 
   /** DuckDB twin of the winnow pair finder (k=8 polynomial char-gram
-    * hash, w=4 window minima, df cap) ending in
-    * `wpairs(doc_a, doc_b, shared_fps)` — UNthresholded so consumers
-    * apply their own `shared_fps >= MinSharedFps`. All CTE names are
-    * w-prefixed so the chain composes with [[ngramPairsCtes]] in one
-    * query (the dedup-eval oracle needs both).
+    * hash, w=4 window minima, COMPOSITE skip-8 packed fingerprints —
+    * see [[graft.functions.GraftKernels.winnowCfps]] — df cap) ending
+    * in `wpairs(doc_a, doc_b, shared_fps)` — UNthresholded so
+    * consumers apply their own `shared_fps >= MinSharedFps`. All CTE
+    * names are w-prefixed so the chain composes with
+    * [[ngramPairsCtes]] in one query (the dedup-eval oracle needs
+    * both).
     */
-  // lazy: interpolates MaxWinnowDf, declared further down — a strict
-  // val here would capture its pre-init 0 during object construction.
+  // lazy: interpolates knobs declared further down — a strict val
+  // here would capture their pre-init 0 during object construction.
   private[graft] lazy val winnowPairsCtes: String =
     s"""wdocs AS (
        |  SELECT doc_id, lower(text) AS s, len(lower(text)) AS n
@@ -218,11 +220,17 @@ object DedupQueries {
        |      CAST(unicode(substring(s, i+6, 1)) AS BIGINT) * 31 +
        |      CAST(unicode(substring(s, i+7, 1)) AS BIGINT)) AS hl
        |  FROM wdocs),
+       |wms AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, len(hl) - 2), p ->
+       |      list_min(hl[p:p+3])) AS ms
+       |  FROM whl),
        |wmins AS (
        |  SELECT doc_id,
-       |    list_distinct(list_transform(range(1, len(hl) - 2), p ->
-       |      list_min(hl[p:p+3]))) AS fps
-       |  FROM whl),
+       |    list_distinct(list_transform(range(1, len(ms) - ${WinnowSkip - 1}), p ->
+       |      (ms[p] % $WinnowP) * $WinnowP + ms[p + $WinnowSkip] % $WinnowP))
+       |      AS fps
+       |  FROM wms),
        |wposts AS (SELECT doc_id, unnest(fps) AS fp FROM wmins),
        |wdf AS (SELECT fp, count(*) AS df FROM wposts GROUP BY fp),
        |wkept AS (SELECT wposts.doc_id, wposts.fp
@@ -275,11 +283,18 @@ object DedupQueries {
   val WinnowK = 8
   val WinnowW = 4
   val MaxWinnowDf = 50
-  /** Pair threshold: ≥ 30 shared fingerprints. Measured at sf0.01 it
-    * recovers 24/25 of the word-3-gram Jaccard ≥ 0.2 pairs plus 5
-    * char-level near-dups the word granularity misses.
+  /** Composite-fingerprint knobs, shared with the kernel — see
+    * [[graft.functions.GraftKernels.winnowCfps]] for the packing.
     */
-  val MinSharedFps = 30
+  val WinnowSkip: Int = graft.functions.GraftKernels.WinnowSkip
+  val WinnowP: Long = graft.functions.GraftKernels.WinnowP
+  /** Pair threshold: ≥ 20 shared COMPOSITE fingerprints. Measured:
+    * sf0.01 recovers 24/25 of the word-3-gram Jaccard ≥ 0.2 pairs at
+    * precision 1.0; sf0.1 recovers 237/256 at precision 1.0 — where
+    * the single-fingerprint form found NOTHING past sf0.01 (template
+    * text pushed every shared single fingerprint over the df cap).
+    */
+  val MinSharedFps = 20
 
   /** Exact-substring dedup knobs: report verbatim shared spans of at
     * least SpanK chars (the Lee et al. 2022 50-token idea at char
@@ -362,7 +377,7 @@ object DedupQueries {
     * llm_dedup_eval harness.
     */
   private[graft] def winnowPairs(s: SparkSession, dir: String): DataFrame = {
-    val posts = winnowPosts(Tables.forCompute(s, dir, "documents"))
+    val posts = winnowCposts(Tables.forCompute(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = posts.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
@@ -384,6 +399,16 @@ object DedupQueries {
       .select(col("doc_id"),
         explode(call_function("winnow_fps", col("text"))).as("fp"))
 
+  /** Composite-fingerprint postings — the pair finder's feature (see
+    * [[graft.functions.GraftKernels.winnowCfps]] for why single
+    * minima stop discriminating on template-heavy corpora).
+    */
+  private[graft] def winnowCposts(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) >= WinnowK + WinnowW - 1)
+      .select(col("doc_id"),
+        explode(call_function("winnow_cfps", col("text"))).as("fp"))
+
   /** The HOF twin of [[graft.functions.GraftKernels.winnowFps]] —
     * SEMANTICS SPEC ONLY (FunctionsSpec pins the native kernel
     * element-for-element against it). Never use in a query path: see
@@ -402,13 +427,41 @@ object DedupQueries {
       p => array_min(slice(hashes, p, lit(WinnowW)))))
   }
 
+  /** HOF twin of [[graft.functions.GraftKernels.winnowCfps]] —
+    * semantics spec only, like [[winnowFpsHof]].
+    */
+  private[graft] def winnowCfpsHof(c: Column): Column = {
+    val chars = split(lower(c), "")
+    def hashAt(hs: Column, i: Column): Column =
+      (0 until WinnowK).map(j =>
+        ascii(element_at(hs, i + j)).cast(LongType) *
+          lit(pow31(WinnowK - 1 - j))).reduce(_ + _)
+    val hashes = transform(sequence(lit(1), size(chars) - (WinnowK - 1)),
+      i => hashAt(chars, i))
+    val minima = transform(
+      sequence(lit(1), size(hashes) - (WinnowW - 1)),
+      p => array_min(slice(hashes, p, lit(WinnowW))))
+    // sequence(1, n<=0) counts DOWN in Spark — guard the short case.
+    when(size(minima) > WinnowSkip,
+      array_distinct(transform(
+        sequence(lit(1), size(minima) - WinnowSkip),
+        p => (element_at(minima, p) % WinnowP) * lit(WinnowP) +
+          element_at(minima, p + WinnowSkip) % WinnowP)))
+      .otherwise(array().cast(org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Winnowing near-dup pairs: docs sharing >= MinSharedFps selected
-    // fingerprints. Same inverted-index discipline as the Jaccard
-    // finder — hot fingerprints (df > MaxWinnowDf) dropped BEFORE
-    // posting-list materialization, in-list pair expansion bounded by
-    // df², never a corpus self-join.
+    // COMPOSITE fingerprints (packed skip-8 minima pairs — single
+    // k=8-gram minima stop discriminating once template text pushes
+    // shared fingerprints over the df cap; the composite's ~19-char
+    // context keeps precision 1.0 at 10× the corpus). Same
+    // inverted-index discipline as the Jaccard finder — hot
+    // fingerprints (df > MaxWinnowDf) dropped BEFORE posting-list
+    // materialization, in-list pair expansion bounded by df², never a
+    // corpus self-join.
     "llm_dedup_winnow" -> ((s, dir) =>
       winnowPairs(s, dir).orderBy(col("doc_a"), col("doc_b"))),
 
@@ -432,10 +485,16 @@ object DedupQueries {
           Seq("doc_a", "doc_b"), "left")
         .agg(count(lit(1)).as("n_winnow_pairs"), count(col("t")).as("n_hit"))
       val t = truth.agg(count(lit(1)).as("n_truth_pairs"))
+      // An empty pair set on either side scores 0, not a crash — the
+      // pre-composite single-fingerprint finder actually returned 0
+      // pairs at sf0.1 (this harness is what exposed it), so the
+      // guard is a reachable state, not a hypothetical.
       p.crossJoin(broadcast(t))
         .select(col("n_truth_pairs"), col("n_winnow_pairs"), col("n_hit"),
-          expr("n_hit * 1000000 DIV n_winnow_pairs").as("precision_ppm"),
-          expr("n_hit * 1000000 DIV n_truth_pairs").as("recall_ppm"))
+          expr("CASE WHEN n_winnow_pairs = 0 THEN 0 " +
+            "ELSE n_hit * 1000000 DIV n_winnow_pairs END").as("precision_ppm"),
+          expr("CASE WHEN n_truth_pairs = 0 THEN 0 " +
+            "ELSE n_hit * 1000000 DIV n_truth_pairs END").as("recall_ppm"))
     }),
 
     // Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -460,7 +519,7 @@ object DedupQueries {
     // holds, like llm_dedup_winnow). Recall vs the sampler: every
     // substring pair with a span past winnow's detection floor is a
     // winnow pair too (LlmSpec pins this), while spans near 50 chars
-    // fall below winnow's MinSharedFps=30 vote — the two operators
+    // fall below winnow's MinSharedFps composite vote — the two operators
     // are complements, not rivals.
     "llm_dedup_substring" -> ((s, dir) =>
       substringIslands(s, dir)
@@ -923,8 +982,12 @@ object DedupQueries {
          |         (SELECT count(*) FROM pp JOIN tp USING (doc_a, doc_b))
          |           AS n_hit)
          |SELECT n_truth_pairs, n_winnow_pairs, n_hit,
-         |  CAST(n_hit * 1000000 // n_winnow_pairs AS BIGINT) AS precision_ppm,
-         |  CAST(n_hit * 1000000 // n_truth_pairs AS BIGINT) AS recall_ppm
+         |  CAST(CASE WHEN n_winnow_pairs = 0 THEN 0
+         |       ELSE n_hit * 1000000 // n_winnow_pairs END AS BIGINT)
+         |    AS precision_ppm,
+         |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0
+         |       ELSE n_hit * 1000000 // n_truth_pairs END AS BIGINT)
+         |    AS recall_ppm
          |FROM m""".stripMargin,
     "llm_dedup_exact" ->
       """SELECT doc_id, md5(lower(trim(text))) AS content_fp FROM documents

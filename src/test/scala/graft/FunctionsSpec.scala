@@ -68,6 +68,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(short.isEmpty, "below k+w-1 chars -> no full window -> empty set")
   }
 
+  test("winnow_cfps == HOF composite winnowing on a fixture sample + edge cases") {
+    // Same truncated-sample rationale as the winnow_fps test above —
+    // but HARSHER: the composite HOF nests one more lambda level
+    // (composites over minima over hashes over chars), so the
+    // optimizer's per-element re-evaluation is quartic-ish. 48-char
+    // prefixes exercise identical semantics in seconds.
+    val docs = Tables(spark, sf, "documents")
+      .filter(length(col("text")) >= 11)
+      .orderBy(col("doc_id")).limit(20)
+      .select(col("doc_id"), substring(col("text"), 1, 48).as("t"))
+      .repartition(20)
+    val diff = docs.select(col("doc_id"),
+      llm.DedupQueries.winnowCfpsHof(col("t")).as("hof"),
+      call_function("winnow_cfps", col("t")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    import spark.implicits._
+    // Needs > WinnowSkip windows: 11 chars = 1 window -> empty;
+    // 19 chars = 9 windows -> exactly one composite (window 1 + 9).
+    val edge = Seq("abcdefghijk", "abcdefghijklmnopqrs")
+      .toDF("text")
+      .select(call_function("winnow_cfps", col("text")).as("fps"))
+      .collect().map(_.getSeq[Long](0))
+    assert(edge(0).isEmpty, "skip span exceeds window count -> empty")
+    assert(edge(1).length == 1, "k+w-1+skip chars -> exactly one composite")
+  }
+
   /** Sequential reference for cdc_chunks — independent plain-Scala
     * implementation of the SOSP'01 cut rule (every position whose
     * trailing base-31 8-gram hash ≡ 0 mod 64 cuts after the gram).

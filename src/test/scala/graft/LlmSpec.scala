@@ -320,7 +320,7 @@ class LlmSpec extends AnyFunSuite {
     assert(longestCommon == len.toInt,
       s"pair ($da,$db): reported max_span $len != true longest common substring $longestCommon")
     // Recall note vs the winnowing sampler: winnow votes with
-    // MinSharedFps=30 shared fingerprints at density ~2/(w+1), so any
+    // MinSharedFps=20 shared composite fingerprints, so any
     // span comfortably past ~100 chars MUST also be a winnow pair —
     // the exact op refines the sampler, it doesn't contradict it.
     // (Spans near 50 chars legitimately fall below winnow's vote.)
