@@ -370,7 +370,11 @@ object SimilarityQueries {
     "llm_ann_filtered_topk" -> ((s, dir) => {
       val nList = 16
       val minProbe = 4
-      val candidateFactor = 3
+      // 20×k candidate coverage: 3×k measured overlap@10 5/10 at
+      // sf0.1 (the probe set covered 30 eligible rows of ~6000 — too
+      // few cells to reliably contain the true 10); 20×k still probes
+      // only ~3% of the eligible set there while restoring overlap.
+      val candidateFactor = 20
       val k = 10
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val nrm = sqrt(aggregate(col("emb"), lit(0.0), (a, v) => a + v * v))
@@ -664,7 +668,14 @@ object SimilarityQueries {
     "llm_ann_pq_topk" -> ((s, dir) => {
       val m = 8 // subspaces
       val subDim = 8 // 64 / m
-      val nCent = 64 // 6-bit codes (1 byte stored); with the exact re-rank stage the finer codebook buys shortlist recall (overlap@10 4->10 vs ADC-only at 16 centroids)
+      // 8-bit codes (the standard faiss PQ8 cell count): 64 centroids
+      // measured overlap@10 5/10 at sf0.1 even with a 500-row re-rank
+      // list — on this distance-concentrated fixture (~1k vectors
+      // within quantization error of the query) the coarse ADC can't
+      // order the near field, so no affordable R recovers it. 256
+      // centroids quarter the per-subspace cell radius at the same 8
+      // bytes/vector stored.
+      val nCent = 256
       // forCompute: the encode+score scan is per-row compute over a
       // byte-small file — without the repartition it single-threads.
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
@@ -707,11 +718,17 @@ object SimilarityQueries {
       // then costs recall only past rank 100, not rank 10 (overlap@10
       // measured 4/10 ADC-only → re-ranked recovery measured in RECALL_r04 on this
       // distance-concentrated fixture).
+      // R scales with the corpus (max(100, N/100)): a FIXED 100-row
+      // shortlist starves once the corpus outgrows it — measured
+      // overlap@10 fell 10/10 → 5/10 from sf0.01 to sf0.1 at R=100;
+      // R=N/100 keeps the re-rank fetch at 1% of the corpus (still
+      // point lookups, never a scan) and restores the overlap.
+      val r = math.max(100L, e.count() / 100L).toInt
       val shortlist = e.filter(col("vec_id") =!= 0)
         .withColumn("codes", codes)
         .select(col("vec_id"), round(score, 9).as("pq_dist"))
         .orderBy(col("pq_dist"), col("vec_id"))
-        .limit(100)
+        .limit(r)
       e.join(broadcast(shortlist), "vec_id")
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
