@@ -172,6 +172,8 @@ class PlanSpec extends AnyFunSuite {
       "llm_cosine_topk_filtered", // 1-row query vector (filtered exact)
       "llm_ann_filtered_topk", // 1-row query vector on the probed cells
       "llm_kneser_ney_quality", // 1-row bigram-type-count broadcast
+      "llm_perplexity_buckets", // same KN scorer's 1-row type-count broadcast
+      "llm_dedup_eval", // 1-row truth-pair-count broadcast
       "search_explain", // 1-row corpus-stats broadcast
       "search_decay_scoring", // 1-row corpus-stats broadcast
       "llm_ann_binary_topk", // 1-row query-signature broadcast
