@@ -666,16 +666,19 @@ object SimilarityQueries {
     // shuffle before the shortlist top-k.
     // Seeded-model output -> rows-only check + overlap spec + Recall.
     "llm_ann_pq_topk" -> ((s, dir) => {
-      val m = 8 // subspaces
-      val subDim = 8 // 64 / m
-      // 8-bit codes (the standard faiss PQ8 cell count): 64 centroids
-      // measured overlap@10 5/10 at sf0.1 even with a 500-row re-rank
-      // list — on this distance-concentrated fixture (~1k vectors
-      // within quantization error of the query) the coarse ADC can't
-      // order the near field, so no affordable R recovers it. 256
-      // centroids quarter the per-subspace cell radius at the same 8
-      // bytes/vector stored.
-      val nCent = 256
+      // 16 subspaces × 4 dims × 64 centroids: the m=8/8-dim/64-cent
+      // config measured overlap@10 5/10 at sf0.1 even with a 500-row
+      // re-rank list — on this distance-concentrated fixture the
+      // coarse ADC can't order the near field and no affordable R
+      // recovers it. Halving the subspace dim doubles the code count
+      // (16 vs 8 bytes/vector — still 16× less scan than raw floats)
+      // at the SAME per-vector encode cost (m·nCent·subDim is
+      // unchanged), and the finer per-subspace cells restore the
+      // overlap; 256 centroids would too but at 4× the encode cost
+      // (measured 11 s vs ~3 s inline at sf0.1).
+      val m = 16 // subspaces
+      val subDim = 4 // 64 / m
+      val nCent = 64
       // forCompute: the encode+score scan is per-row compute over a
       // byte-small file — without the repartition it single-threads.
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
