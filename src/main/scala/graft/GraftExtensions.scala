@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, SimHash64Expr, WinnowCfpsExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PqEncodeExpr, SimHash64Expr, WinnowCfpsExpr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -73,6 +73,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("cell_dists", 2, children)
         CellDistsExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeExpr].getName, "pq_encode",
+        "pq_encode(emb, codebooks) - product-quantization codes: per subspace of array<array<array<double>>>, the argmin-squared-L2 centroid index for emb's sub-vector"),
+      (children: Exprs) => {
+        arity("pq_encode", 2, children)
+        PqEncodeExpr(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

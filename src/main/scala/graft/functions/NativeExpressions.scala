@@ -304,6 +304,50 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** pq_encode(emb, codebooks): product-quantization encode — for each
+  * subspace j of the array<array<array<double>>> codebook, the index
+  * of the centroid nearest (squared L2) to emb's j-th sub-vector
+  * (elements j·subDim … (j+1)·subDim−1, subDim = the codebook's
+  * centroid width). One fused pass per row; the HOF twin
+  * ([[graft.llm.SimilarityQueries.pqCodesHof]] — transform over
+  * subspaces, aggregate-argmin over centroids, zip_with fold per
+  * distance) evaluates m×nCent interpreted lambda folds per row and
+  * measured 4× the whole-query cost at sf0.1. Matching the twin's
+  * null/edge semantics: a null/width-mismatched centroid or a null
+  * emb element skips that centroid (its HOF distance folds to null),
+  * a subspace with no valid centroid encodes −1, ties keep the
+  * first (lowest-index) centroid.
+  */
+case class PqEncodeExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  private def isDouble2(dt: DataType): Boolean = dt match {
+    case ArrayType(ArrayType(ArrayType(DoubleType, _), _), _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), r) if isDouble2(r) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode requires (ARRAY<DOUBLE>, ARRAY<ARRAY<ARRAY<DOUBLE>>>), " +
+          s"got (${l.sql}, ${r.sql})")
+    }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override protected def nullSafeEval(emb: Any, cb: Any): Any =
+    GraftKernels.pqEncode(emb.asInstanceOf[ArrayData], cb.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (e, c) => s"graft.functions.GraftKernels.pqEncode($e, $c)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqEncodeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
@@ -607,6 +651,58 @@ object GraftKernels {
         }
       }
       c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** See [[PqEncodeExpr]]: per-subspace argmin centroid index over the
+    * emb slice [j·subDim, (j+1)·subDim), subDim = width of the first
+    * centroid of the first subspace (codebooks are rectangular by
+    * construction — trained from fixed-width sub-vector samples). A
+    * centroid that is null, width-mismatched, or compared against a
+    * null/short emb slice contributes no distance (the HOF fold nulls
+    * out); a subspace with no valid centroid encodes −1. Strict `<`
+    * argmin: ties keep the first centroid, like the twin's
+    * `when(dist < acc.d, …)`.
+    */
+  def pqEncode(emb: ArrayData, cb: ArrayData): ArrayData = {
+    val m = cb.numElements()
+    val n = emb.numElements()
+    val subDim =
+      if (m > 0 && !cb.isNullAt(0) && cb.getArray(0).numElements() > 0 &&
+          !cb.getArray(0).isNullAt(0))
+        cb.getArray(0).getArray(0).numElements()
+      else 0
+    val out = new Array[Int](m)
+    var j = 0
+    while (j < m) {
+      var best = -1
+      var bd = Double.MaxValue
+      val off = j * subDim
+      if (!cb.isNullAt(j) && subDim > 0 && off + subDim <= n) {
+        val cbJ = cb.getArray(j)
+        val nCent = cbJ.numElements()
+        var c = 0
+        while (c < nCent) {
+          if (!cbJ.isNullAt(c)) {
+            val cent = cbJ.getArray(c)
+            if (cent.numElements() == subDim) {
+              var d = 0.0; var i = 0; var ok = true
+              while (ok && i < subDim) {
+                if (emb.isNullAt(off + i) || cent.isNullAt(i)) ok = false
+                else {
+                  val t = emb.getDouble(off + i) - cent.getDouble(i)
+                  d += t * t; i += 1
+                }
+              }
+              if (ok && d < bd) { bd = d; best = c }
+            }
+          }
+          c += 1
+        }
+      }
+      out(j) = best
+      j += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }

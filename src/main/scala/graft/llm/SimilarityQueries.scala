@@ -134,12 +134,26 @@ object SimilarityQueries {
       acc => acc.getField("c"))
 
   /** PQ encode: per subspace j, the index of the nearest codebook
-    * centroid to `input`'s j-th sub-vector — nested folds over
-    * (nCent × subDim) literals, whole-stage codegen'd. `cb` is the
-    * array<array<array<double>>> codebook literal indexed [j][c][d].
+    * centroid to `input`'s j-th sub-vector. `cb` is the
+    * array<array<array<double>>> codebook literal indexed [j][c][d];
+    * m/subDim/nCent are implied by its shape — kept in the signature
+    * so call sites read as (vector, codebook, geometry). Rides the
+    * native fused kernel ([[graft.functions.PqEncodeExpr]]): the HOF
+    * twin below evaluates m×nCent interpreted argmin folds per row
+    * and measured 4× the whole-query cost of llm_ann_pq_topk at
+    * sf0.1 (10.6 s vs 2.6 s); FunctionsSpec pins bit-equality of the
+    * two forms over the fixture corpus.
     */
   private def pqCodes(input: Column, cb: Column,
                       m: Int, subDim: Int, nCent: Int): Column =
+    call_function("pq_encode", input, cb)
+
+  /** HOF twin of [[pqCodes]] — nested transform/aggregate/zip_with
+    * folds over the (nCent × subDim) literals; kept only for the
+    * FunctionsSpec twin-pin.
+    */
+  private[graft] def pqCodesHof(input: Column, cb: Column,
+                                m: Int, subDim: Int, nCent: Int): Column =
     transform(sequence(lit(0), lit(m - 1)), j => {
       val sub = slice(input, j * subDim + 1, lit(subDim))
       val cbJ = element_at(cb, j + 1)
@@ -672,10 +686,13 @@ object SimilarityQueries {
       // coarse ADC can't order the near field and no affordable R
       // recovers it. Halving the subspace dim doubles the code count
       // (16 vs 8 bytes/vector — still 16× less scan than raw floats)
-      // at the SAME per-vector encode cost (m·nCent·subDim is
-      // unchanged), and the finer per-subspace cells restore the
-      // overlap; 256 centroids would too but at 4× the encode cost
-      // (measured 11 s vs ~3 s inline at sf0.1).
+      // at the same m·nCent·subDim multiply-add budget, and the finer
+      // per-subspace cells restore the overlap (10/10 sf0.01, 9/10
+      // sf0.1); 256 centroids restores it too but at 4× the encode
+      // FLOPs. Encode rides the native pq_encode kernel — the HOF
+      // form's per-(subspace,centroid) interpreted folds dominated
+      // the query (measured 10.6 s vs 2.6 s at sf0.1) regardless of
+      // the FLOP budget.
       val m = 16 // subspaces
       val subDim = 4 // 64 / m
       val nCent = 64

@@ -232,6 +232,50 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rows(0).getSeq[java.lang.Double](1)(0) == 0.0)
   }
 
+  test("pq_encode == HOF PQ argmin codes on the full embedding corpus (bit-exact)") {
+    val (m, subDim, nCent) = (16, 4, 64)
+    val e = Tables(spark, sf, "embeddings")
+      .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
+    // Codebooks trained the engine's own way (bounded sample + Lloyd),
+    // so the pin covers production-shaped centroids.
+    val sample = llm.SimilarityQueries.sampleVectors(e)
+    val codebooks = (0 until m).map { j =>
+      val pts = sample.map(v =>
+        java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      llm.SimilarityQueries.lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
+    }
+    val cb = typedlit(codebooks)
+    val diff = e.select(
+      llm.SimilarityQueries.pqCodesHof(col("emb"), cb, m, subDim, nCent).as("hof"),
+      call_function("pq_encode", col("emb"), cb).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+  }
+
+  test("pq_encode edge semantics match the HOF fold (-1 on invalid subspaces)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq(1.0, 2.0, 9.9, 9.9)), // full width: both subspaces sliced
+      (2L, Seq(1.0, 2.0))            // short: subspace 1 slice is empty
+    ).toDF("id", "emb")
+    // Subspace 0: two valid width-2 centroids; subspace 1: both
+    // centroids width-3 (mismatched) -> every distance folds to null
+    // -> the argmin never moves off its -1 init, in both forms.
+    val cb = typedlit(Seq(
+      Seq(Seq(1.0, 2.0), Seq(9.9, 9.9)),
+      Seq(Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0))))
+    val rows = df.select(col("id"),
+      call_function("pq_encode", col("emb"), cb).as("native"),
+      llm.SimilarityQueries.pqCodesHof(col("emb"), cb, 2, 2, 2).as("hof"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Int](1) == r.getSeq[Int](2),
+        s"id=${r.getLong(0)}: native=${r.getSeq[Int](1)} hof=${r.getSeq[Int](2)}")
+    }
+    assert(rows(0).getSeq[Int](1) == Seq(0, -1))
+    assert(rows(1).getSeq[Int](1) == Seq(0, -1))
+  }
+
   test("jaro_winkler == independent sequential reference + published vectors") {
     import spark.implicits._
     // Independent reference (recursive/functional style, deliberately
