@@ -127,12 +127,12 @@ object Bench {
         try buildSecs + timeNoop(df)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          spark.catalog.clearCache()
+          Pins.release(spark)
           snapShuffle(name) // bill this query's partial shuffle to itself
           return (-1.0, -1.0)
         }
       snapShuffle(name)
-      // The stripped (no presentation sort) run goes BEFORE clearCache:
+      // The stripped (no presentation sort) run goes BEFORE the release:
       // queries that persist intermediates (inverted indexes,
       // signatures) must re-run against the same cache state the e2e
       // run ended with — a cold stripped run would recompute the
@@ -146,10 +146,11 @@ object Bench {
           try buildSecs + timeNoop(stripped)
           catch { case _: Throwable => full }
       }
-      // Drop persisted intermediates so later queries don't run under
-      // this query's memory pressure, and reset the shuffle baseline so
-      // the stripped run's shuffle doesn't leak into the NEXT query.
-      spark.catalog.clearCache()
+      // Release persisted intermediates (the library's documented
+      // cleanup handle) so later queries don't run under this query's
+      // memory pressure, and reset the shuffle baseline so the
+      // stripped run's shuffle doesn't leak into the NEXT query.
+      Pins.release(spark)
       Thread.sleep(150)
       lastShuffleSnap = shuffleBytes.get()
       (full, op)
@@ -188,7 +189,7 @@ object Bench {
       build
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] $entry: $dt%.2f s")
-      spark.catalog.clearCache()
+      Pins.release(spark)
       snapShuffle(entry)
       dt
     }
@@ -246,7 +247,7 @@ object Bench {
       val n = store.bulkImport(li, "lineitem", "l_orderkey", numShards = cpus.toInt)
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] bulk_import: $n rows in $dt%.2fs (${n / dt}%.0f rows/s)")
-      spark.catalog.clearCache()
+      Pins.release(spark)
       snapShuffle("_write_bulk_import")
       dt
     }
@@ -272,7 +273,7 @@ object Bench {
       val dt = (System.nanoTime() - t0) / 1e9
       System.err.println(f"[bench] bulk_import_all: ${counts.size} tables, " +
         f"${counts.values.sum} docs in $dt%.2fs (${counts.size / dt}%.2f tables/s)")
-      spark.catalog.clearCache()
+      Pins.release(spark)
       snapShuffle("_write_bulk_import_all")
       dt
     }

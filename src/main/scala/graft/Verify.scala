@@ -36,9 +36,12 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // Several queries persist intermediates (inverted indexes, LSH
-      // features); drop them so 76 queries in one session don't
-      // accumulate memory pressure.
-      spark.catalog.clearCache()
+      // features); release them through the library's documented
+      // cleanup handle so 260 queries in one session don't accumulate
+      // memory pressure. (Pins.release IS the contract a long-lived
+      // library caller uses — CacheSpec proves it leaves the cache
+      // manager empty.)
+      Pins.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -436,7 +436,7 @@ object CorpusQueries {
       val scored = docs
         .withColumn("total3", greatest(size(tks) - 2, lit(0)))
         .withColumn("uniq3", size(DedupQueries.shingles3(col("text"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       scored
         .join(survivors, Seq("doc_id")) // keep canonical members only
         .filter(col("total3") > 0 &&
@@ -473,7 +473,7 @@ object CorpusQueries {
           .cast("long"), lit(w))
       val cnts = corpusTokens(s, dir)
         .groupBy(col("token")).agg(count(lit(1)).as("exact_cnt"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val cells = cnts
         .select(col("token"), col("exact_cnt"),
           explode(sequence(lit(0), lit(d - 1))).as("i"))

@@ -86,14 +86,14 @@ object DedupQueries {
     // sizes and the pair generation (at cluster scale: a checkpointed
     // table — the standard reusable-index shape).
     val posts = postings(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val hot = posts.groupBy(col("shingle"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("shingle"))
     val lists = posts.join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     // All in-list ordered pairs (a < b): O(df²) HOF per shingle with
@@ -378,7 +378,7 @@ object DedupQueries {
     */
   private[graft] def winnowPairs(s: SparkSession, dir: String): DataFrame = {
     val posts = winnowCposts(Tables.forCompute(s, dir, "documents"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val hot = posts.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxWinnowDf)
@@ -740,7 +740,7 @@ object DedupQueries {
       val sh = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"),
           call_function("simhash64_native", col("text")).as("simhash"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val banded = sh.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
@@ -779,7 +779,7 @@ object DedupQueries {
       // filter is a trivial scan over the cached arrays.
       val cached = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val docs = cached.filter(size(col("shingles")) > 0)
       // Signature pass through the fused native kernel (one pass over
       // the shingle array; bit-exact vs the 32-fold HOF twin, pinned in
@@ -823,7 +823,7 @@ object DedupQueries {
       // banded variant above.
       val cached = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), shingles3(col("text")).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val docs = cached.filter(size(col("shingles")) > 0)
       val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
         .setNumFeatures(1 << 18).setBinary(true)
@@ -833,7 +833,7 @@ object DedupQueries {
       // tables only multiply candidate pairs (recall floor is spec'd
       // in LlmSpec).
       val feat = tf.transform(docs)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
         .setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(feat)

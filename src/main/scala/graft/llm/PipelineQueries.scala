@@ -335,7 +335,7 @@ object PipelineQueries {
       val docs = Tables.forCompute(s, dir, "documents")
         .withColumn("split", splitBucket(col("text")))
         .select(col("doc_id"), col("split"), explode(grams8).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       val evalG = docs.filter(col("split") === "eval").select(col("g")).distinct()
       docs.filter(col("split") === "train")
         .join(broadcast(evalG), "g")

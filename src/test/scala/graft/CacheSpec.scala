@@ -34,4 +34,35 @@ class CacheSpec extends AnyFunSuite {
         s"$name left a cache entry behind — a library caller can never release it")
     }
   }
+
+  /** Operators that persist a multi-consumer intermediate (signature
+    * tables, posting lists, optimizer-barrier frames) register it with
+    * [[Pins]] — the documented cleanup handle. The contract under
+    * test: Pins.release(spark) after materialization leaves the cache
+    * manager EMPTY (nothing persists outside the registry), so a
+    * long-lived library session releasing at batch boundaries never
+    * accumulates entries. Verify/Bench call exactly this between
+    * queries.
+    */
+  private val pinnedFamily = Seq(
+    "llm_dedup_simhash",
+    "llm_dedup_minhash",
+    "llm_dedup_minhash_banded",
+    "llm_dedup_winnow",
+    "llm_dedup_ngram_jaccard",
+    "llm_curate_pipeline",
+    "llm_heavy_hitters_cms",
+    "llm_decontaminate",
+    "mm_phash_dedup")
+
+  test("persisting operators release every cache entry through Pins.release") {
+    spark.sharedState.cacheManager.clearCache()
+    for (name <- pinnedFamily) {
+      SparkEntry.queries(name)(spark, sf).collect()
+      Pins.release(spark)
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name persisted outside the Pins registry — the documented " +
+          "cleanup handle cannot release it")
+    }
+  }
 }
