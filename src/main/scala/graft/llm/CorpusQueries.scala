@@ -341,7 +341,10 @@ object CorpusQueries {
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
       val tot = perSrc.agg(sum(col("n_tokens")).as("total_tokens"))
       perSrc.crossJoin(broadcast(tot))
-        .withColumn("share_ppm", expr("(n_tokens * 1000000) DIV total_tokens"))
+        // DECIMAL(38) like PmiExpr: a dominant source's n_tokens is
+        // corpus-scale (~10^13 at 100 TB), so n_tokens*10^6 crosses int64.
+        .withColumn("share_ppm",
+          expr("(CAST(n_tokens AS DECIMAL(38,0)) * 1000000) DIV total_tokens"))
         .withColumn("p", col("n_tokens").cast("double") /
           col("total_tokens").cast("double"))
         .withColumn("entropy_nanonats",
@@ -598,8 +601,11 @@ object CorpusQueries {
       wedges.crossJoin(ecount).crossJoin(tri)
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
+          // DECIMAL(38): a duplicate cluster of k docs contributes C(k,3)
+          // triangles — one 10^6-doc cluster is ~10^17, so 3*tri*10^6
+          // crosses int64 long before the corpus does.
           expr("CASE WHEN n_wedges = 0 THEN CAST(0 AS BIGINT) " +
-            "ELSE (3 * n_triangles * 1000000) DIV n_wedges END")
+            "ELSE (CAST(3 AS DECIMAL(38,0)) * n_triangles * 1000000) DIV n_wedges END")
             .as("transitivity_ppm"))
     })
   )
@@ -836,7 +842,8 @@ object CorpusQueries {
         |  FROM documents GROUP BY source),
         |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM perSrc)
         |SELECT source, n_docs, n_tokens,
-        |  (n_tokens * 1000000) // total_tokens AS share_ppm,
+        |  CAST(CAST(n_tokens AS HUGEINT) * 1000000 // total_tokens AS BIGINT)
+        |    AS share_ppm,
         |  CAST(round(-(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
         |       * ln(CAST(n_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE))
         |       * 1e9, 0) AS BIGINT) AS entropy_nanonats
@@ -887,7 +894,7 @@ object CorpusQueries {
          |  CAST(n_wedges AS BIGINT) AS n_wedges,
          |  CAST(n_triangles AS BIGINT) AS n_triangles,
          |  CAST(CASE WHEN n_wedges = 0 THEN 0
-         |       ELSE (3 * n_triangles * 1000000) // n_wedges END AS BIGINT)
+         |       ELSE (CAST(3 AS HUGEINT) * n_triangles * 1000000) // n_wedges END AS BIGINT)
          |    AS transitivity_ppm
          |FROM wed, ec, tri""".stripMargin
   )

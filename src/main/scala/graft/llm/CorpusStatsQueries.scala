@@ -318,7 +318,10 @@ object CorpusStatsQueries {
           row_number().over(Window.orderBy(col("freq").desc, col("token"))))
         .withColumn("rank_x_freq", expr("rank * freq"))
         .withColumn("f1", max(col("freq")).over(wAll))
-        .withColumn("freq_ratio_ppm", expr("(freq * 1000000) DIV f1"))
+        // DECIMAL(38) like PmiExpr: the top token's freq is ~5% of corpus
+        // tokens (~10^12 at 100 TB), so freq*10^6 crosses int64.
+        .withColumn("freq_ratio_ppm",
+          expr("(CAST(freq AS DECIMAL(38,0)) * 1000000) DIV f1"))
         .select(col("rank"), col("token"), col("freq"), col("rank_x_freq"),
           col("freq_ratio_ppm"))
         .orderBy(col("rank"))
@@ -554,7 +557,7 @@ object CorpusStatsQueries {
         |    token, freq, max(freq) OVER () AS f1
         |  FROM top)
         |SELECT rank, token, freq, rank * freq AS rank_x_freq,
-        |  (freq * 1000000) // f1 AS freq_ratio_ppm
+        |  CAST(CAST(freq AS HUGEINT) * 1000000 // f1 AS BIGINT) AS freq_ratio_ppm
         |FROM ranked ORDER BY rank""".stripMargin
   )
 }

@@ -491,10 +491,15 @@ object DedupQueries {
       // guard is a reachable state, not a hypothetical.
       p.crossJoin(broadcast(t))
         .select(col("n_truth_pairs"), col("n_winnow_pairs"), col("n_hit"),
+          // DECIMAL(38): pair counts are C(k,2) per duplicate cluster —
+          // ~5*10^11 for one 10^6-doc cluster — so n_hit*10^6 rides the
+          // same wide-arithmetic discipline as PmiExpr.
           expr("CASE WHEN n_winnow_pairs = 0 THEN 0 " +
-            "ELSE n_hit * 1000000 DIV n_winnow_pairs END").as("precision_ppm"),
+            "ELSE CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV n_winnow_pairs END")
+            .as("precision_ppm"),
           expr("CASE WHEN n_truth_pairs = 0 THEN 0 " +
-            "ELSE n_hit * 1000000 DIV n_truth_pairs END").as("recall_ppm"))
+            "ELSE CAST(n_hit AS DECIMAL(38,0)) * 1000000 DIV n_truth_pairs END")
+            .as("recall_ppm"))
     }),
 
     // Exact-substring dedup (Lee et al. 2022, "Deduplicating Training
@@ -983,10 +988,10 @@ object DedupQueries {
          |           AS n_hit)
          |SELECT n_truth_pairs, n_winnow_pairs, n_hit,
          |  CAST(CASE WHEN n_winnow_pairs = 0 THEN 0
-         |       ELSE n_hit * 1000000 // n_winnow_pairs END AS BIGINT)
+         |       ELSE CAST(n_hit AS HUGEINT) * 1000000 // n_winnow_pairs END AS BIGINT)
          |    AS precision_ppm,
          |  CAST(CASE WHEN n_truth_pairs = 0 THEN 0
-         |       ELSE n_hit * 1000000 // n_truth_pairs END AS BIGINT)
+         |       ELSE CAST(n_hit AS HUGEINT) * 1000000 // n_truth_pairs END AS BIGINT)
          |    AS recall_ppm
          |FROM m""".stripMargin,
     "llm_dedup_exact" ->

@@ -357,6 +357,33 @@ class LlmSpec extends AnyFunSuite {
       BigInt(c2) * BigInt(n) * 1000000 > BigInt(Long.MaxValue) })
   }
 
+  test("ppm ratio decimal arithmetic is exact where int64 products wrap") {
+    import spark.implicits._
+    // The `(x * 10⁶) DIV y` parts-per-million shape appears in the
+    // zipf profile (x = top-token freq), source-entropy share
+    // (x = per-source tokens), graph transitivity (x = 3·triangles)
+    // and the dedup-eval precision/recall — all places where x is
+    // corpus-scale (~10¹³ at 100 TB) or cluster-combinatorial
+    // (C(k,2)/C(k,3) of a mega duplicate cluster), so x·10⁶ crosses
+    // int64. Those sites carry the product in DECIMAL(38,0) exactly
+    // like PmiExpr; this pins the decimal ratio form against BigInt
+    // reference division at adversarial counts.
+    val cases = Seq(
+      (1L, 1L),
+      (999999L, 1000000L),
+      (20000000000000L, 20000000000000L),  // 2e13·1e6 = 2e19 > 2⁶³
+      (3L * 100000000000000000L, 9000000000000000000L), // 3·C(k,3) regime
+      (Long.MaxValue / 1000000 + 1, Long.MaxValue))
+    val got = cases.toDF("x", "y")
+      .selectExpr("(CAST(x AS DECIMAL(38,0)) * 1000000) DIV y AS ppm")
+      .collect().map(_.getLong(0)).toSeq
+    val want = cases.map { case (x, y) =>
+      ((BigInt(x) * 1000000) / BigInt(y)).toLong }
+    assert(got == want, s"got=$got want=$want")
+    assert(cases.exists { case (x, _) =>
+      BigInt(x) * 1000000 > BigInt(Long.MaxValue) })
+  }
+
   test("Kneser-Ney decimal arithmetic is exact where int64 products wrap") {
     import spark.implicits._
     // (c12, c1, nctx, ncont, t_types): adversarial 100 TB-regime counts
