@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured cost-scaling harness: does each scale-critical operator's
+  * runtime grow LINEARLY when the corpus grows by `factor`×?
+  *
+  * The correctness gates prove results right at sf0.01 and sf0.1; the
+  * 100 TB argument everywhere else in the repo is structural (df caps,
+  * bounded samples, linear shuffles). This main turns that argument
+  * into a measured slope: it derives a `factor`× corpus from the base
+  * fixture and times the operators that dominate ingest and dedup cost
+  * at BOTH sizes, reporting seconds and the time ratio (ideal ≈
+  * `factor` for a linear operator; a superlinear pair finder or
+  * quantizer would show up as ratio ≫ factor).
+  *
+  * Corpus derivation (measurement input only — correctness still
+  * gates on the driver fixtures): replica k of `documents` offsets
+  * doc_id by k·10¹⁰ and suffixes every whitespace token with `⟨rk⟩`,
+  * so replicas share NO shingles/fingerprints — each replica is an
+  * independent sub-corpus and the TRUE near-dup structure grows
+  * exactly linearly (verbatim replication would instead manufacture
+  * C(factor,2) cross-copy duplicate cliques per doc and superlinear
+  * PAIR OUTPUT by construction of the data, not the algorithm).
+  * `embeddings` replicas offset vec_id and shift dimension 0 by
+  * k·10⁻³ (distinct vectors, same geometry). n_chars is recomputed
+  * from the perturbed text.
+  *
+  * Usage: SPARK_GRAFT_SF_DIR=<base> SPARK_GRAFT_SCALE_FACTOR=10
+  *   tools/run.sh graft.ScaleBench
+  * Writes the derived tables under /tmp/graft_scale_<factor>x (reused
+  * across runs via a _READY marker) and one JSON line per run, plus
+  * SCALE.json with the full detail.
+  */
+object ScaleBench {
+
+  private val IdStride = 10000000000L
+
+  private def deriveCorpus(spark: SparkSession, baseDir: String,
+                           outDir: String, factor: Int): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ready = new org.apache.hadoop.fs.Path(s"$outDir/_READY")
+    if (fs.exists(ready)) return
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    val docs = Tables(spark, baseDir, "documents")
+    val docReps = (0 until factor).map { k =>
+      val perturbed =
+        if (k == 0) docs
+        else docs.withColumn("text",
+          regexp_replace(col("text"), "(\\S+)", "$1" + s"r$k"))
+      perturbed
+        .withColumn("doc_id", col("doc_id") + lit(k * IdStride))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+    }
+    docReps.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    val emb = Tables(spark, baseDir, "embeddings")
+    val embReps = (0 until factor).map { k =>
+      emb
+        .withColumn("vec_id", col("vec_id") + lit(k * IdStride))
+        .withColumn("embedding", transform(col("embedding"),
+          (x, i) => when(i === 0, x + lit(k * 0.001f)).otherwise(x)))
+        .select(col("vec_id"), col("embedding"), col("label"))
+    }
+    embReps.reduce(_ unionAll _)
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(ready, true).close()
+  }
+
+  /** The operators whose cost dominates a real ingest + curation run
+    * and whose scale story the repo argues structurally. All read only
+    * documents/embeddings, so the derived corpus serves them all.
+    */
+  private val Timed = Seq(
+    "llm_token_count",        // pure scan-speed baseline
+    "llm_vocab_topk",         // vocabulary-shaped agg
+    "llm_dedup_exact",        // hash groupBy
+    "llm_dedup_winnow",       // native kernel + df-capped posting join
+    "llm_dedup_minhash_banded", // banded LSH join + exact verify
+    "llm_dedup_segments",     // corpus-wide window fingerprint rewrite
+    "llm_dedup_substring",    // anchor + extension span finder
+    "search_topk_bm25",       // full-scan relevance
+    "llm_ann_pq_topk",        // PQ encode (native) + ADC + re-rank
+    "llm_ann_ivf_topk")       // KMeans cells + probe
+
+  private def timeNoop(df: DataFrame): Double = {
+    val t0 = System.nanoTime()
+    df.write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The pair-graph artifact build — the headline ingest cost. Timed
+    * through the same build-once path Bench prices as
+    * `_build_neardup_pairs` (artifact deleted first so the build is
+    * real work, not a cache read).
+    */
+  private def timePairBuild(spark: SparkSession, dir: String): Double = {
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    store.deleteIndex(llm.DedupQueries.PairIndexName)
+    val t0 = System.nanoTime()
+    llm.DedupQueries.materializedPairs(spark, dir).write
+      .format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = s"/tmp/graft_scale_${factor}x"
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-scalebench")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.streaming.forceDeleteTempCheckpointLocation", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    deriveCorpus(spark, baseDir, scaledDir, factor)
+    val nBase = Tables(spark, baseDir, "documents").count()
+    val nScaled = Tables(spark, scaledDir, "documents").count()
+
+    // Warm-up (JVM + codegen + spark.ml class-loading) off the clock.
+    SparkEntry.queries("llm_token_count")(spark, baseDir).write
+      .format("noop").mode("overwrite").save()
+    Pins.release(spark)
+
+    def runAll(dir: String): Seq[(String, Double)] = {
+      val q = Timed.map { name =>
+        val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
+        Pins.release(spark)
+        System.err.println(f"[scale] $name @ $dir: $secs%.2f s")
+        name -> secs
+      }
+      val pb = "_build_neardup_pairs" -> timePairBuild(spark, dir)
+      Pins.release(spark)
+      System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${pb._2}%.2f s")
+      q :+ pb
+    }
+
+    val base = runAll(baseDir).toMap
+    val scaled = runAll(scaledDir).toMap
+
+    def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
+    val rows = (Timed :+ "_build_neardup_pairs").map { n =>
+      val r = scaled(n) / math.max(base(n), 1e-9)
+      s""""$n":{"base_s":${fmt(base(n))},"scaled_s":${fmt(scaled(n))},"ratio":${fmt(r)}}"""
+    }
+    val json =
+      s"""{"base":"$baseDir","base_docs":$nBase,"factor":$factor,""" +
+        s""""scaled_docs":$nScaled,"queries":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+      json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}
