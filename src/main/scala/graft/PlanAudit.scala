@@ -13,6 +13,14 @@ object PlanAudit {
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
+      // Broadcast discipline (scale safety): static auto-broadcast OFF —
+      // Catalyst's static size estimates for aggregate/cache-derived
+      // frames read tiny and would broadcast corpus-scale build sides
+      // (measured driver OOM at the 30x ScaleBench corpus); AQE promotes
+      // joins to broadcast only from ACTUAL runtime sizes. Explicit
+      // broadcast() on bounded frames is unaffected.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

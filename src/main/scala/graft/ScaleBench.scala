@@ -118,6 +118,14 @@ object ScaleBench {
       .master(s"local[$cpus]")
       .appName("graft-scalebench")
       .config("spark.sql.shuffle.partitions", cpus)
+      // Broadcast discipline (scale safety): static auto-broadcast OFF —
+      // Catalyst's static size estimates for aggregate/cache-derived
+      // frames read tiny and would broadcast corpus-scale build sides
+      // (measured driver OOM at the 30x ScaleBench corpus); AQE promotes
+      // joins to broadcast only from ACTUAL runtime sizes. Explicit
+      // broadcast() on bounded frames is unaffected.
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
       .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -135,16 +143,24 @@ object ScaleBench {
     Pins.release(spark)
 
     def runAll(dir: String): Seq[(String, Double)] = {
+      // Pair build FIRST (freshest heap), and an explicit GC after
+      // every query: stale broadcast relations from prior queries are
+      // reference-collected, and at the 30× corpus their accumulated
+      // driver footprint was the difference between the build
+      // succeeding (fresh JVM) and a broadcast-build OOM (13th query
+      // of the run).
+      val pb = "_build_neardup_pairs" -> timePairBuild(spark, dir)
+      Pins.release(spark)
+      System.gc()
+      System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${pb._2}%.2f s")
       val q = Timed.map { name =>
         val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
         Pins.release(spark)
+        System.gc()
         System.err.println(f"[scale] $name @ $dir: $secs%.2f s")
         name -> secs
       }
-      val pb = "_build_neardup_pairs" -> timePairBuild(spark, dir)
-      Pins.release(spark)
-      System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${pb._2}%.2f s")
-      q :+ pb
+      pb +: q
     }
 
     val base = runAll(baseDir).toMap
@@ -158,7 +174,8 @@ object ScaleBench {
     val json =
       s"""{"base":"$baseDir","base_docs":$nBase,"factor":$factor,""" +
         s""""scaled_docs":$nScaled,"queries":{${rows.mkString(",")}}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get("SCALE.json"),
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"SCALE_${factor}x.json"),
       json.getBytes("UTF-8"))
     println(json)
     spark.stop()

@@ -160,7 +160,7 @@ object EtlQueries {
       val cust = Tables(s, dir, "customer")
       val li = Tables(s, dir, "lineitem")
       def rule(name: String, violations: DataFrame, total: DataFrame): DataFrame =
-        violations.crossJoin(total)
+        violations.crossJoin(broadcast(total)) // 1-row aggregate
           .select(lit(name).as("rule"), col("violations"), col("total"),
             expr("violations * 1000000 DIV total").as("violation_ppm"),
             (col("violations") === 0).as("passed"))

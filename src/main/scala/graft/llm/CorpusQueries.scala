@@ -598,7 +598,7 @@ object CorpusQueries {
         count(lit(1)).as("n_nodes"),
         coalesce(sum(expr("(deg * (deg - 1)) DIV 2")), lit(0L)).as("n_wedges"))
       val ecount = edges.agg(count(lit(1)).as("n_edges"))
-      wedges.crossJoin(ecount).crossJoin(tri)
+      wedges.crossJoin(broadcast(ecount)).crossJoin(broadcast(tri)) // 1-row aggs
         .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
           col("n_triangles"),
           // DECIMAL(38): a duplicate cluster of k docs contributes C(k,3)

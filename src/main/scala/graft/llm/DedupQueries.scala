@@ -76,9 +76,10 @@ object DedupQueries {
     // shuffles the postings twice and re-sorts both sides).
     // The stop-shingle cap (a shingle in > MaxShingleDf docs would fan
     // out up to df² pairs) is applied BEFORE list materialization:
-    // df is a map-side-combined count, the hot list is tiny by
-    // definition (≤ corpus_shingles / MaxShingleDf) so it broadcasts,
-    // and only capped shingles reach collect_list — a hot shingle must
+    // df is a map-side-combined count, the hot list is small in
+    // practice (its bound, corpus_shingles / MaxShingleDf, is still
+    // LINEAR in the corpus — which is why the anti-join below carries
+    // no broadcast hint), and only capped shingles reach collect_list — a hot shingle must
     // never build its full posting ArrayBuffer in one aggregation
     // group (collect_list cannot spill within a group; filtering the
     // LIST length after the fact would OOM exactly when the cap
@@ -91,7 +92,15 @@ object DedupQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxShingleDf)
       .select(col("shingle"))
-    val lists = posts.join(broadcast(hot), Seq("shingle"), "left_anti")
+    // Unhinted anti-join under the engine's static-broadcast-off
+    // discipline: the hot set's size bound is postings/MaxShingleDf —
+    // LINEAR in the corpus, not constant — and Catalyst's static
+    // estimate of the agg-derived side reads tiny, so a default
+    // session would broadcast a build side that grows with the corpus
+    // (measured: the 50-char-gram twin of this join OOMed the driver
+    // at a 30x-derived corpus, ScaleBench). AQE promotes to broadcast
+    // only from the actual runtime size.
+    val lists = posts.join(hot, Seq("shingle"), "left_anti")
       .groupBy(col("shingle")).agg(collect_list(col("doc_id")).as("ids"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
@@ -336,7 +345,19 @@ object DedupQueries {
       .agg(countDistinct(col("doc_id")).as("d"))
       .filter(col("d") > MaxSpanGramDf)
       .select(col("gh"))
-    val g = posGrams.join(broadcast(hot), Seq("gh"), "left_anti")
+    // Plain (unhinted) joins on purpose — scale safety comes from the
+    // session's broadcast discipline (see Scaladoc on [[graft.Tables]]/
+    // README): static auto-broadcast is DISABLED in every engine
+    // session, because Catalyst's static size estimate for these
+    // aggregate-derived sides reads tiny and the planner would
+    // broadcast build sides that are corpus-scale at runtime — the
+    // hot set is bounded by positions/MaxSpanGramDf (LINEAR in corpus
+    // chars) and the self-join side IS the gram frame; both OOMed the
+    // driver at the 30x ScaleBench corpus, and AQE cannot demote a
+    // statically-planned broadcast. With static broadcast off, AQE
+    // upgrades joins to broadcast only from ACTUAL runtime sizes —
+    // fast at fixture scale, never a corpus-sized build at 100 TB.
+    val g = posGrams.join(hot, Seq("gh"), "left_anti")
     val pairs = g.as("a").join(g.as("b"), Seq("gh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -383,7 +404,7 @@ object DedupQueries {
       .agg(count(lit(1)).as("df"))
       .filter(col("df") > MaxWinnowDf)
       .select(col("fp"))
-    posts.join(broadcast(hot), Seq("fp"), "left_anti")
+    posts.join(hot, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
       .select(explode(flatten(transform(col("ids"),
         x => transform(filter(col("ids"), y => y > x),
@@ -594,10 +615,10 @@ object DedupQueries {
     // is reassembled in original order.
     // Scale: one narrow chunk-projection per doc (no explode for the
     // chunking itself), one (fp, doc_id) shuffle for the df count, one
-    // linear fp-join back (broadcast left to Catalyst/AQE, never
-    // forced — the duplicate-segment set grows with the corpus, so at
-    // 100 TB sizing makes it a shuffle join; at fixture scale AQE
-    // correctly broadcasts it), one doc_id re-group for reassembly.
+    // linear fp-join back (AQE-sized under the engine's static-
+    // broadcast-off discipline — the duplicate-segment set grows with
+    // the corpus, so only a runtime size may promote it to broadcast),
+    // one doc_id re-group for reassembly.
     // Everything exact string/integer arithmetic → hash-checked.
     "llm_dedup_segments" -> ((s, dir) => {
       val w = SegTokens

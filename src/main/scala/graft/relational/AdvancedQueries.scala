@@ -103,7 +103,7 @@ object AdvancedQueries {
         .agg(sum(col("a.cnt") * col("b.cnt")).cast(LongType).as("eq_join_rows"))
       val nsJ = segCnt.as("a").join(segCnt.as("b"), col("a.seg") <=> col("b.seg"))
         .agg(sum(col("a.cnt") * col("b.cnt")).cast(LongType).as("nullsafe_join_rows"))
-      base.crossJoin(eqJ).crossJoin(nsJ)
+      base.crossJoin(broadcast(eqJ)).crossJoin(broadcast(nsJ)) // 1-row aggs
     }),
 
     // Native unpivot (melt) — the dual of rel_pivot: wide per-part

@@ -142,6 +142,10 @@ class LayoutSkewSpec extends AnyFunSuite {
     // (256MB partitions) gate the same mechanism.
     val confs = Map(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      // Also pin the ADAPTIVE threshold off: the engine session keeps
+      // it at 10MB (runtime promotion), which would promote this tiny
+      // dim join to broadcast before the skew split could trigger.
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1",
       "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1",
       "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
       "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",

@@ -35,15 +35,23 @@ class StatsCboSpec extends AnyFunSuite {
   test("size stats drive broadcast selection") {
     Tables(spark, sf, "customer").write.mode("overwrite").saveAsTable("t_cust")
     Tables(spark, sf, "orders").write.mode("overwrite").saveAsTable("t_ord")
+    // The engine default disables STATIC auto-broadcast (estimates
+    // for derived frames mislead; AQE promotes from runtime sizes) —
+    // re-enable it here because this test is specifically about the
+    // ANALYZE-stats-driven static mechanism working when a deployment
+    // opts in for well-analyzed catalog tables.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try {
       spark.sql("ANALYZE TABLE t_cust COMPUTE STATISTICS")
       spark.sql("ANALYZE TABLE t_ord COMPUTE STATISTICS")
       val joined = spark.table("t_ord").join(spark.table("t_cust"),
         col("o_custkey") === col("c_custkey"))
-      // customer (150 rows) is far below the 10MB default threshold:
-      // the optimizer must pick a broadcast join on stats alone.
+      // customer (150 rows) is far below the 10MB threshold: the
+      // optimizer must pick a broadcast join on stats alone.
       assert(joined.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS t_cust")
       spark.sql("DROP TABLE IF EXISTS t_ord")
     }
