@@ -44,7 +44,7 @@ object SqlQueries {
     // different aliases), a shape Q5's single shared-nation cycle
     // doesn't exercise.
     "sql_q7_volume_shipping" ->
-      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+      """SELECT /*+ BROADCAST(sn), BROADCAST(cn) */ sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_lines
@@ -62,7 +62,7 @@ object SqlQueries {
     // TPC-H Q5 shape: revenue by nation where supplier and customer
     // share the nation (the classic local-supplier join cycle).
     "sql_q5_local_supplier" ->
-      """SELECT n_name,
+      """SELECT /*+ BROADCAST(nation), BROADCAST(region) */ n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue
         |FROM customer
@@ -237,7 +237,7 @@ object SqlQueries {
     // customer, top 20. The classic 4-table snowflake agg with a
     // broadcast nation dim and a TakeOrderedAndProject top-k.
     "sql_q10_returned_items" ->
-      """SELECT c_custkey, c_name,
+      """SELECT /*+ BROADCAST(nation) */ c_custkey, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
         |           * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS DOUBLE) AS revenue,
         |  c_acctbal, n_name
@@ -334,7 +334,7 @@ object SqlQueries {
     // Indicator-weighted DECIMAL sums; ONE rounded division at the
     // output boundary, per repo float discipline.
     "sql_q8_market_share" ->
-      """SELECT year(o_orderdate) AS o_year,
+      """SELECT /*+ BROADCAST(sn), BROADCAST(cn), BROADCAST(region) */ year(o_orderdate) AS o_year,
         |  round(CAST(SUM((CASE WHEN sn.n_name = 'NATION_7'
         |              THEN CAST(1 AS DECIMAL(12,2))
         |              ELSE CAST(0 AS DECIMAL(12,2)) END)
