@@ -557,18 +557,33 @@ object SimilarityQueries {
       // dial of multi-probe blocking (2 cells measured 0.966 recall on
       // this fixture after the bounded-sample change; 3 restores 1.0
       // at 1.5x join fan-out).
+      // The cell join carries ONLY (vec_id, cell) — the 256-byte
+      // embedding arrays would ride the shuffle 3× per side (the probe
+      // fan-out) and bloat the pair-distinct; they are attached after
+      // candidate dedup, once per pair side, for exact verification —
+      // the same slim-join/verify-late shape as the banded MinHash
+      // finder. Shuffle width: 16 bytes/candidate row vs ~280.
       val withCells = e
         .withColumn("__cd", cellDistances(col("emb"), cb, k))
         .withColumn("c1", argminCell(col("__cd"), k))
         .withColumn("c2", argminCell(col("__cd"), k, excl = Seq(col("c1"))))
         .withColumn("c3", argminCell(col("__cd"), k, excl = Seq(col("c1"), col("c2"))))
-        .select(col("vec_id"), col("emb"),
+        .select(col("vec_id"),
           explode(array(col("c1"), col("c2"), col("c3"))).as("cell"))
-      withCells.as("a").join(withCells.as("b"),
+        // Pinned (Pins.release is the library cleanup contract): the
+        // slim frame feeds both join sides — without the pin the
+        // k-cell distance pass runs twice over the corpus.
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val cand = withCells.as("a").join(withCells.as("b"),
           col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-          round(cosineNative(col("a.emb"), col("b.emb")), 9).as("cos_sim"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
         .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("emb").as("ea")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("emb").as("eb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          round(cosineNative(col("ea"), col("eb")), 9).as("cos_sim"))
         .filter(col("cos_sim") >= 0.4)
         .orderBy(col("vec_a"), col("vec_b"))
     }),

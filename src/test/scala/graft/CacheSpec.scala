@@ -17,8 +17,6 @@ class CacheSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val family = Seq(
-    "llm_dedup_embedding_cosine",
-    "llm_semdedup",
     "llm_ann_ivf_topk",
     "llm_ann_pq_topk",
     "llm_ann_sq8_topk",
@@ -45,6 +43,8 @@ class CacheSpec extends AnyFunSuite {
     * queries.
     */
   private val pinnedFamily = Seq(
+    "llm_dedup_embedding_cosine",
+    "llm_semdedup",
     "llm_dedup_simhash",
     "llm_dedup_minhash",
     "llm_dedup_minhash_banded",
