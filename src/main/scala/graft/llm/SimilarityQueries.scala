@@ -651,6 +651,17 @@ object SimilarityQueries {
     // codebook), not a join: at 100 TB the assignment is a write-time
     // partition key and this same filter becomes partition pruning —
     // a scan of nProbe/nList of the files.
+    // Measured recall honesty (shared by the IVF-probed family —
+    // this, ivfpq, indexed): overlap@10 is 10/10 at sf0.01 and 9/10
+    // at sf0.1, and the 9 is a Voronoi-BOUNDARY miss, not probe
+    // starvation — the one absent true neighbor is assigned to the
+    // query's 10TH-ranked cell of 16 (diagnosed by cell audit), so
+    // widening nProbe 4→6 was measured to buy nothing while scanning
+    // 50% more; under dim-64 distance concentration query-to-centroid
+    // ranking carries little signal past the first few cells. That is
+    // the inherent IVF trade the nProbe dial prices; the exhaustive
+    // families (PQ R=max(200,N/50), SQ8, binary-asymmetric, LSH)
+    // measure 10/10 at both scales.
     "llm_ann_ivf_topk" -> ((s, dir) => {
       val nList = 16
       val nProbe = 4
@@ -753,12 +764,13 @@ object SimilarityQueries {
       // then costs recall only past rank 100, not rank 10 (overlap@10
       // measured 4/10 ADC-only → re-ranked recovery measured in RECALL_r04 on this
       // distance-concentrated fixture).
-      // R scales with the corpus (max(100, N/100)): a FIXED 100-row
+      // R scales with the corpus (max(200, N/50)): a FIXED 100-row
       // shortlist starves once the corpus outgrows it — measured
-      // overlap@10 fell 10/10 → 5/10 from sf0.01 to sf0.1 at R=100;
-      // R=N/100 keeps the re-rank fetch at 1% of the corpus (still
-      // point lookups, never a scan) and restores the overlap.
-      val r = math.max(100L, e.count() / 100L).toInt
+      // overlap@10 fell 10/10 → 5/10 from sf0.01 to sf0.1 at R=100,
+      // and R=N/100 still left a rank-(100..200) true neighbor behind
+      // at sf0.1 (9/10); 2% of the corpus keeps the re-rank fetch
+      // point lookups, never a scan, and restores the overlap.
+      val r = math.max(200L, e.count() / 50L).toInt
       val shortlist = e.filter(col("vec_id") =!= 0)
         .withColumn("codes", codes)
         .select(col("vec_id"), round(score, 9).as("pq_dist"))
@@ -865,12 +877,13 @@ object SimilarityQueries {
         .withColumn("res",
           zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
         .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
+      val r = math.max(200L, e.count() / 50L).toInt
       val shortlist = probedRows
         .select(col("vec_id"),
           round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
             .as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(100)
+        .limit(r)
       e.join(broadcast(shortlist), "vec_id")
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
@@ -924,13 +937,14 @@ object SimilarityQueries {
         if (model.sub.isEmpty) col("cell")
         else (col("cell") / 4096).cast(org.apache.spark.sql.types.IntegerType)
       val tables = typedlit(adcTablesPerCell(q, model, probed))
+      val r = math.max(200L, e.count() / 50L).toInt
       val shortlist = idx
         .filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"),
           round(adcScore(col("codes"), element_at(tables, rowC1 + 1), model.m), 9)
             .as("adc_dist"))
         .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(100)
+        .limit(r)
       e.join(broadcast(shortlist), "vec_id")
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
@@ -956,8 +970,20 @@ object SimilarityQueries {
     // top-k, no global sort), and raw floats load only for the 100
     // re-ranked ids. Signatures pack 32 bits per BIGINT (not 64) so
     // bit 63 never sets the sign bit — both engines stay in ordinary
-    // non-overflowing BIGINT arithmetic. Overlap@10 vs exact L2 is
-    // measured in Recall alongside the trained quantizers.
+    // non-overflowing BIGINT arithmetic. The shortlist is ranked
+    // ASYMMETRICALLY (faiss's asymmetric binary distance): the query
+    // keeps its floats, so each sign agreement is weighted by the
+    // query coordinate's magnitude — q·s = 2·Σ_{bit set} q_i − Σq_i
+    // with Σq_i candidate-constant, so ranking by Σ_{bit set} q_i
+    // maximizes the reconstruction dot product. Unweighted Hamming
+    // (measured: overlap@10 9/10 here) throws that magnitude away and
+    // misses near neighbors whose few sign flips sit on large-|q_i|
+    // dims. The per-dim weights are quantized once to exact integers
+    // (floor(q_i·10⁹) — same double→same floor in both engines), so
+    // the candidate score is an exact BIGINT sum: deterministic,
+    // order-free, oracle-checkable. The shortlist R scales with the
+    // corpus like the PQ family's (max(100, N/100)). Overlap@10 vs
+    // exact L2 is measured in Recall alongside the trained quantizers.
     "llm_ann_binary_topk" -> ((s, dir) => {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val pows = typedlit((0 until 32).map(i => 1L << i))
@@ -968,14 +994,23 @@ object SimilarityQueries {
           lit(0L), (acc, v) => acc + v)
       val sigd = e.withColumn("sig_lo", sig(0)).withColumn("sig_hi", sig(32))
       val q = broadcast(sigd.filter(col("vec_id") === 0)
-        .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi")))
+        .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
+          col("emb").as("qw")))
+      val r = math.max(100L, e.count() / 100L).toInt
+      val asym = expr(
+        "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + " +
+          "CASE WHEN (CASE WHEN i < 32 THEN shiftright(sig_lo, i) " +
+          "ELSE shiftright(sig_hi, i - 32) END) % 2 = 1 " +
+          "THEN CAST(floor(element_at(qw, i + 1) * 1000000000.0) AS BIGINT) " +
+          "ELSE CAST(0 AS BIGINT) END)")
       val shortlist = sigd.filter(col("vec_id") =!= 0)
         .crossJoin(q)
         .select(col("vec_id"),
           (bit_count(col("sig_lo").bitwiseXOR(col("q_lo"))) +
-            bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).as("hamming"))
-        .orderBy(col("hamming"), col("vec_id"))
-        .limit(100)
+            bit_count(col("sig_hi").bitwiseXOR(col("q_hi")))).as("hamming"),
+          asym.as("asym"))
+        .orderBy(col("asym").desc, col("vec_id"))
+        .limit(r)
       e.join(broadcast(shortlist), "vec_id")
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"), col("hamming"),
@@ -1448,9 +1483,12 @@ object SimilarityQueries {
     // Binary-sign ANN: modelless ⇒ the one ANN variant with a full
     // DuckDB twin. The 32-bit signature halves are unrolled CASE sums
     // (bit i of half h = sign(emb[32h+i]) · 2^i) — identical integer
-    // construction to the Spark fold; the rank-100 Hamming shortlist
-    // and rounded L2 re-rank mirror the Spark plan expression for
-    // expression.
+    // construction to the Spark fold; the asymmetric shortlist score
+    // is the same exact-BIGINT Σ_{bit set} floor(q_i·10⁹) sum (list
+    // of integers — order-free), rank ≤ max(100, N/100) with N = full
+    // table count including the query row, mirroring the Spark
+    // e.count(); the rounded L2 re-rank mirrors the Spark plan
+    // expression for expression.
     "llm_ann_binary_topk" -> {
       def sigSql(off: Int): String =
         (0 until 32).map(i =>
@@ -1466,12 +1504,23 @@ object SimilarityQueries {
          |  FROM e),
          |q AS (SELECT sig_lo AS q_lo, sig_hi AS q_hi, emb AS qv
          |      FROM sig WHERE vec_id = 0),
-         |shortlist AS (
+         |ranked AS (
          |  SELECT s.vec_id,
          |         CAST(bit_count(xor(s.sig_lo, q_lo))
-         |              + bit_count(xor(s.sig_hi, q_hi)) AS INT) AS hamming
-         |  FROM sig s, q WHERE s.vec_id <> 0
-         |  ORDER BY hamming, s.vec_id LIMIT 100)
+         |              + bit_count(xor(s.sig_hi, q_hi)) AS INT) AS hamming,
+         |         CAST(list_sum(list_transform(generate_series(0, 63),
+         |           i -> CASE WHEN (CASE WHEN i < 32 THEN (s.sig_lo >> i)
+         |                           ELSE (s.sig_hi >> (i - 32)) END) % 2 = 1
+         |                THEN CAST(floor(qv[i + 1] * 1000000000.0) AS BIGINT)
+         |                ELSE 0 END)) AS BIGINT) AS asym
+         |  FROM sig s, q WHERE s.vec_id <> 0),
+         |shortlist AS (
+         |  SELECT vec_id, hamming FROM (
+         |    SELECT vec_id, hamming,
+         |           row_number() OVER (ORDER BY asym DESC, vec_id) AS rk,
+         |           (SELECT count(*) FROM e) AS n
+         |    FROM ranked)
+         |  WHERE rk <= greatest(100, n // 100))
          |SELECT e.vec_id, e.label, sl.hamming,
          |  round(sqrt(list_dot_product(emb, emb) + list_dot_product(qv, qv)
          |             - 2 * list_dot_product(emb, qv)), 6) AS l2_dist
