@@ -764,13 +764,17 @@ object SimilarityQueries {
       // then costs recall only past rank 100, not rank 10 (overlap@10
       // measured 4/10 ADC-only → re-ranked recovery measured in RECALL_r04 on this
       // distance-concentrated fixture).
-      // R scales with the corpus (max(200, N/50)): a FIXED 100-row
+      // R scales with the corpus (max(200, N/50), capped at 100k so
+      // the re-rank shortlist broadcast and the per-partition top-R
+      // forwarding stay bounded at billion-vector scale — past the
+      // cap the IVF-probed/indexed forms are the serving path
+      // anyway): a FIXED 100-row
       // shortlist starves once the corpus outgrows it — measured
       // overlap@10 fell 10/10 → 5/10 from sf0.01 to sf0.1 at R=100,
       // and R=N/100 still left a rank-(100..200) true neighbor behind
       // at sf0.1 (9/10); 2% of the corpus keeps the re-rank fetch
       // point lookups, never a scan, and restores the overlap.
-      val r = math.max(200L, e.count() / 50L).toInt
+      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
       val shortlist = e.filter(col("vec_id") =!= 0)
         .withColumn("codes", codes)
         .select(col("vec_id"), round(score, 9).as("pq_dist"))
@@ -877,7 +881,7 @@ object SimilarityQueries {
         .withColumn("res",
           zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
         .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
-      val r = math.max(200L, e.count() / 50L).toInt
+      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
       val shortlist = probedRows
         .select(col("vec_id"),
           round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
@@ -937,7 +941,7 @@ object SimilarityQueries {
         if (model.sub.isEmpty) col("cell")
         else (col("cell") / 4096).cast(org.apache.spark.sql.types.IntegerType)
       val tables = typedlit(adcTablesPerCell(q, model, probed))
-      val r = math.max(200L, e.count() / 50L).toInt
+      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
       val shortlist = idx
         .filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"),
@@ -996,7 +1000,7 @@ object SimilarityQueries {
       val q = broadcast(sigd.filter(col("vec_id") === 0)
         .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
           col("emb").as("qw")))
-      val r = math.max(100L, e.count() / 100L).toInt
+      val r = math.min(100000L, math.max(100L, e.count() / 100L)).toInt
       val asym = expr(
         "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + " +
           "CASE WHEN (CASE WHEN i < 32 THEN shiftright(sig_lo, i) " +
@@ -1485,7 +1489,8 @@ object SimilarityQueries {
     // (bit i of half h = sign(emb[32h+i]) · 2^i) — identical integer
     // construction to the Spark fold; the asymmetric shortlist score
     // is the same exact-BIGINT Σ_{bit set} floor(q_i·10⁹) sum (list
-    // of integers — order-free), rank ≤ max(100, N/100) with N = full
+    // of integers — order-free), rank ≤ min(100k, max(100, N/100))
+    // with N = full
     // table count including the query row, mirroring the Spark
     // e.count(); the rounded L2 re-rank mirrors the Spark plan
     // expression for expression.
@@ -1520,7 +1525,7 @@ object SimilarityQueries {
          |           row_number() OVER (ORDER BY asym DESC, vec_id) AS rk,
          |           (SELECT count(*) FROM e) AS n
          |    FROM ranked)
-         |  WHERE rk <= greatest(100, n // 100))
+         |  WHERE rk <= least(100000, greatest(100, n // 100)))
          |SELECT e.vec_id, e.label, sl.hamming,
          |  round(sqrt(list_dot_product(emb, emb) + list_dot_product(qv, qv)
          |             - 2 * list_dot_product(emb, qv)), 6) AS l2_dist
