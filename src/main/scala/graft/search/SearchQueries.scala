@@ -35,6 +35,27 @@ object SearchQueries {
   /** Whitespace tokenizer shared by match + rank queries. */
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
+  /** Welch's t statistic as ONE fixed-order arithmetic string shared
+    * verbatim by both engines — `wide` is the exact integer carrier
+    * for the variance numerators n·Σx² − (Σx)² (DECIMAL(38,0) in
+    * Spark, HUGEINT in DuckDB; they cross 2⁶³ at corpus scale); every
+    * other token is identical, so the double operation sequence — and
+    * therefore the rounded result — is too. NULL when either side has
+    * < 2 samples or both variances are zero (ES `t_test` gap policy).
+    */
+  private def welchT(wide: String): String =
+    s"""CASE WHEN n_a >= 2 AND n_b >= 2
+       | AND (CAST(n_a AS $wide) * qq_a - CAST(s_a AS $wide) * s_a > 0
+       |   OR CAST(n_b AS $wide) * qq_b - CAST(s_b AS $wide) * s_b > 0)
+       |THEN round(
+       |  (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+       |  / sqrt(
+       |      CAST(CAST(n_a AS $wide) * qq_a - CAST(s_a AS $wide) * s_a AS DOUBLE)
+       |        / (CAST(n_a AS DOUBLE) * (n_a - 1)) / n_a
+       |    + CAST(CAST(n_b AS $wide) * qq_b - CAST(s_b AS $wide) * s_b AS DOUBLE)
+       |        / (CAST(n_b AS DOUBLE) * (n_b - 1)) / n_b), 6)
+       |END""".stripMargin
+
   /** One term's Okapi BM25 contribution (k1=1.2, b=0.75, Lucene idf) —
     * the ONE copy of the scoring arithmetic shared by the scan query,
     * the boosted query-string scorer, and the rescorer (their DuckDB
@@ -1702,6 +1723,67 @@ object SearchQueries {
         .orderBy(col("lang"))
     }),
 
+    // ES `boxplot` aggregation per terms bucket — min/q1/q2/q3/max plus
+    // the 1.5·IQR whiskers (the Tukey-fence values ES returns as
+    // lower/upper). ES computes quartiles approximately (TDigest);
+    // exact sort-based percentiles are strictly stronger and affordable
+    // because the sort is per-bucket (the MAD precedent). Two passes:
+    // the per-bucket quartile agg (one row per bucket — bounded), then
+    // a broadcast probe that keeps only in-fence points and takes their
+    // min/max. Fence arithmetic (q1 − 1.5·IQR) is a handful of exact
+    // binary double ops on interpolated quartiles — hash-identical
+    // across engines, like MAD's interpolated medians.
+    "search_facets_boxplot" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val q = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          percentile(col("n_chars"), lit(0.25)).as("q1"),
+          percentile(col("n_chars"), lit(0.5)).as("q2"),
+          percentile(col("n_chars"), lit(0.75)).as("q3"))
+      val iqr = col("q3") - col("q1")
+      docs.join(broadcast(q), "lang")
+        .filter(col("n_chars") >= col("q1") - lit(1.5) * iqr &&
+          col("n_chars") <= col("q3") + lit(1.5) * iqr)
+        .groupBy(col("lang"), col("doc_count"), col("min_chars"),
+          col("max_chars"), col("q1"), col("q2"), col("q3"))
+        .agg(min(col("n_chars")).as("whisker_lo"),
+          max(col("n_chars")).as("whisker_hi"))
+        .orderBy(col("lang"))
+    }),
+
+    // ES `t_test` aggregation (Welch's unpaired two-sample t), per
+    // terms bucket: does mentioning the probe term shift document
+    // length? The two populations are one conditional aggregation
+    // (counts, sums, squared sums per side — the mergeable form, one
+    // partial+final hash agg, scan speed at 100 TB); means and
+    // variances assemble DRIVER-FREE in the projection. Per the repo's
+    // float discipline the variance numerators n·Σx² − (Σx)² are exact
+    // DECIMAL(38,0) integers (they cross 2⁶³ at corpus scale) and the
+    // t statistic is one fixed-order double expression over those
+    // exact integers, rounded at 6 — hash-identical to the HUGEINT
+    // DuckDB twin. Buckets where either side has < 2 samples or both
+    // variances are zero yield NULL (ES's own gap policy).
+    "search_facets_t_test" -> ((s, dir) => {
+      val hit = array_contains(tokens(col("text")), "spark")
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(
+          count_if(hit).as("n_a"),
+          count_if(!hit).as("n_b"),
+          sum(when(hit, col("n_chars")).otherwise(lit(0)))
+            .cast(LongType).as("s_a"),
+          sum(when(!hit, col("n_chars")).otherwise(lit(0)))
+            .cast(LongType).as("s_b"),
+          sum(when(hit, col("n_chars").cast(LongType) * col("n_chars"))
+            .otherwise(lit(0L))).as("qq_a"),
+          sum(when(!hit, col("n_chars").cast(LongType) * col("n_chars"))
+            .otherwise(lit(0L))).as("qq_b"))
+        .withColumn("t_welch", expr(welchT("DECIMAL(38,0)")))
+        .orderBy(col("lang"))
+    }),
+
     // ES pipeline aggregations — the full SIBLING family on one date
     // histogram: `bucket_script` (a per-bucket metric computed from two
     // sub-agg counters), `serial_diff` (lag-2 differencing, the
@@ -2964,6 +3046,45 @@ object SearchQueries {
         |       // (count(*)::HUGEINT * count(*)) AS BIGINT)
         |    AS var_x1e6
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Same exact quartiles (quantile_cont = Spark percentile's linear
+    // interpolation), same Tukey fences, same in-fence min/max.
+    "search_facets_boxplot" ->
+      """WITH q AS (
+        |  SELECT lang, count(*) AS doc_count,
+        |    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+        |    quantile_cont(n_chars, 0.25) AS q1,
+        |    quantile_cont(n_chars, 0.5) AS q2,
+        |    quantile_cont(n_chars, 0.75) AS q3
+        |  FROM documents GROUP BY 1)
+        |SELECT d.lang, doc_count, min_chars, max_chars, q1, q2, q3,
+        |  min(d.n_chars) AS whisker_lo, max(d.n_chars) AS whisker_hi
+        |FROM documents d JOIN q ON d.lang = q.lang
+        |WHERE d.n_chars >= q1 - 1.5 * (q3 - q1)
+        |  AND d.n_chars <= q3 + 1.5 * (q3 - q1)
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7
+        |ORDER BY 1""".stripMargin,
+    // Identical conditional sums; the t expression is the SAME string
+    // as the Spark side with HUGEINT as the wide-integer carrier.
+    "search_facets_t_test" ->
+      s"""WITH f AS (
+         |  SELECT lang, n_chars,
+         |    list_contains(regexp_split_to_array(lower(text), '\\s+'),
+         |                  'spark') AS hit
+         |  FROM documents),
+         |a AS (
+         |  SELECT lang,
+         |    count(*) FILTER (hit) AS n_a,
+         |    count(*) FILTER (NOT hit) AS n_b,
+         |    CAST(sum(CASE WHEN hit THEN n_chars ELSE 0 END) AS BIGINT) AS s_a,
+         |    CAST(sum(CASE WHEN NOT hit THEN n_chars ELSE 0 END) AS BIGINT) AS s_b,
+         |    CAST(sum(CASE WHEN hit THEN CAST(n_chars AS BIGINT) * n_chars
+         |             ELSE 0 END) AS BIGINT) AS qq_a,
+         |    CAST(sum(CASE WHEN NOT hit THEN CAST(n_chars AS BIGINT) * n_chars
+         |             ELSE 0 END) AS BIGINT) AS qq_b
+         |  FROM f GROUP BY 1)
+         |SELECT lang, n_a, n_b, s_a, s_b, qq_a, qq_b,
+         |  ${welchT("HUGEINT")} AS t_welch
+         |FROM a ORDER BY lang""".stripMargin,
     // Pipeline family evaluated in ES order: script + diff on every
     // bucket, selector prunes, sort truncates.
     "search_bucket_pipeline" ->
