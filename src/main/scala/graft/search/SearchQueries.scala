@@ -1253,6 +1253,65 @@ object SearchQueries {
         .orderBy(col("day"))
     }),
 
+    // ES `top_metrics` aggregation per terms bucket — the metric value
+    // AT the top of a sort (here: each event type's `value` at its
+    // latest event, (ts, event_id) ordering so ties are deterministic).
+    // Unlike top_hits this returns just the sort key + metric, and the
+    // plan is the per-bucket top-1 window with the rank filter directly
+    // on row_number → WindowGroupLimit forwards ONE row per bucket per
+    // partition before the exchange; at 100 TB the shuffle carries
+    // O(buckets × partitions) rows, never the corpus.
+    "search_facets_top_metrics" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("ts").as("top_ts"),
+          col("event_id").as("top_event_id"),
+          round(col("value"), 6).as("top_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ES `rate` aggregation inside a date_histogram — bucket counts
+    // normalized to a smaller calendar unit (purchases per DAY within
+    // monthly buckets), the seasonality-comparable form dashboards
+    // plot. The divisor is each bucket's own calendar length
+    // (dayofmonth(last_day(month)) — 28/30/31), so the rate is exact
+    // integer ppm: count·10⁶ DIV days. One partial+final agg, bucket
+    // count bounded by the time span.
+    "search_facets_rate" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("month", col("ts")).as("month"))
+        .agg(count(lit(1)).as("doc_count"))
+        .withColumn("days_in_month",
+          dayofmonth(last_day(col("month"))).cast(LongType))
+        .withColumn("rate_per_day_ppm",
+          expr("(doc_count * 1000000) DIV days_in_month"))
+        .orderBy(col("month"))
+    }),
+
+    // ES `stats_bucket` sibling pipeline aggregation — the 5-stat
+    // panel (count/min/max/sum/avg) computed OVER the buckets of a
+    // date histogram rather than over documents: the one-row summary
+    // ES puts next to the histogram. Two stacked aggregations, the
+    // second over a bucket list bounded by the time span (metadata-
+    // sized); avg is exact integer micro-units like extended_stats.
+    "search_pipeline_stats_bucket" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(col("doc_count")).as("min_bucket"),
+          max(col("doc_count")).as("max_bucket"),
+          sum(col("doc_count")).cast(LongType).as("sum_buckets"))
+        .withColumn("avg_bucket_x1e6",
+          expr("(sum_buckets * 1000000) DIV n_buckets"))
+    }),
+
     // ES `adjacency_matrix` aggregation — for N named filters, the hit
     // count of every filter AND every pairwise intersection, in ONE
     // conditional-aggregation scan (the co-occurrence heatmap behind
@@ -2755,6 +2814,38 @@ object SearchQueries {
         |WHERE score > 0
         |QUALIFY row_number() OVER (PARTITION BY lang ORDER BY score DESC, doc_id) = 1
         |ORDER BY score DESC, doc_id""".stripMargin,
+    // Same (ts, event_id) descending top-1 per type.
+    "search_facets_top_metrics" ->
+      """SELECT event_type, ts AS top_ts, event_id AS top_event_id,
+        |  round(value, 6) AS top_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY event_type
+        |  ORDER BY ts DESC, event_id DESC) = 1
+        |ORDER BY event_type""".stripMargin,
+    // Same calendar-length divisor, same integer ppm.
+    "search_facets_rate" ->
+      """SELECT date_trunc('month', ts) AS month,
+        |  count(*) AS doc_count,
+        |  CAST(day(last_day(CAST(date_trunc('month', ts) AS DATE))) AS BIGINT)
+        |    AS days_in_month,
+        |  (count(*) * 1000000)
+        |    // day(last_day(CAST(date_trunc('month', ts) AS DATE)))
+        |    AS rate_per_day_ppm
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same stacked aggregation over the daily buckets.
+    "search_pipeline_stats_bucket" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1)
+        |SELECT count(*) AS n_buckets,
+        |  CAST(min(doc_count) AS BIGINT) AS min_bucket,
+        |  CAST(max(doc_count) AS BIGINT) AS max_bucket,
+        |  CAST(sum(doc_count) AS BIGINT) AS sum_buckets,
+        |  (CAST(sum(doc_count) AS BIGINT) * 1000000) // count(*)
+        |    AS avg_bucket_x1e6
+        |FROM b""".stripMargin,
     "search_pipeline_aggs" ->
       """WITH b AS (
         |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
