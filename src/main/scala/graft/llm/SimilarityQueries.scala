@@ -658,7 +658,11 @@ object SimilarityQueries {
     // query's 10TH-ranked cell of 16 (diagnosed by cell audit), so
     // widening nProbe 4→6 was measured to buy nothing while scanning
     // 50% more; under dim-64 distance concentration query-to-centroid
-    // ranking carries little signal past the first few cells. That is
+    // ranking carries little signal past the first few cells. A full
+    // config sweep confirms 16/4 is the optimum on this geometry:
+    // nList/nProbe 32/6 → 9/10, 64/8 → 7/10, 64/12 → 7/10 — FINER
+    // quantizers lose MORE (more cells = more boundaries, and the
+    // probe ranking gets noisier), so the fix is not a knob. That is
     // the inherent IVF trade the nProbe dial prices; the exhaustive
     // families (PQ R=max(200,N/50), SQ8, binary-asymmetric, LSH)
     // measure 10/10 at both scales.
