@@ -43,7 +43,7 @@ object SearchQueries {
     * therefore the rounded result — is too. NULL when either side has
     * < 2 samples or both variances are zero (ES `t_test` gap policy).
     */
-  private def welchT(wide: String): String =
+  private[graft] def welchT(wide: String): String =
     s"""CASE WHEN n_a >= 2 AND n_b >= 2
        | AND (CAST(n_a AS $wide) * qq_a - CAST(s_a AS $wide) * s_a > 0
        |   OR CAST(n_b AS $wide) * qq_b - CAST(s_b AS $wide) * s_b > 0)

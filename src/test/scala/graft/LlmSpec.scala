@@ -384,6 +384,40 @@ class LlmSpec extends AnyFunSuite {
       BigInt(x) * 1000000 > BigInt(Long.MaxValue) })
   }
 
+  test("Welch-t decimal variance numerators are exact where int64 products wrap") {
+    import spark.implicits._
+    // (n_a, s_a, qq_a, n_b, s_b, qq_b): the t_test facet's variance
+    // numerators n·Σx² − (Σx)² cross 2⁶³ in the 100 TB regime (3·10⁹
+    // docs per bucket, Σx² near Long.Max), so search's welchT carries
+    // them in DECIMAL(38,0). Reference: BigInt numerators (exact),
+    // then the same fixed-order double assembly and HALF_UP round at
+    // 6 — the reference IS the expression's contract. Cases: small
+    // sanity, an n_a < 2 NULL, a both-variances-zero NULL, and the
+    // adversarial wrap case.
+    val cases = Seq(
+      (10L, 100L, 1100L, 10L, 50L, 300L),
+      (1L, 5L, 25L, 10L, 50L, 300L),          // n_a < 2 -> NULL
+      (4L, 8L, 16L, 4L, 12L, 36L),            // both variances 0 -> NULL
+      (3000000000L, 150000000000000L, 7600000000000000000L,
+        2000000000L, 90000000000000L, 4100000000000000000L))
+    val got = cases.toDF("n_a", "s_a", "qq_a", "n_b", "s_b", "qq_b")
+      .selectExpr(s"${search.SearchQueries.welchT("DECIMAL(38,0)")} AS t")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    val want = cases.map { case (na, sa, qa, nb, sb, qb) =>
+      val va = BigInt(na) * qa - BigInt(sa) * sa
+      val vb = BigInt(nb) * qb - BigInt(sb) * sb
+      if (na >= 2 && nb >= 2 && (va > 0 || vb > 0)) {
+        val t = (sa.toDouble / na - sb.toDouble / nb) /
+          math.sqrt(va.toDouble / (na.toDouble * (na - 1)) / na +
+            vb.toDouble / (nb.toDouble * (nb - 1)) / nb)
+        Some(BigDecimal(t).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      } else None }
+    assert(got == want, s"got=$got want=$want")
+    // The adversarial row's numerators genuinely wrap int64.
+    assert(cases.exists { case (na, _, qa, _, _, _) =>
+      BigInt(na) * qa > BigInt(Long.MaxValue) })
+  }
+
   test("Kneser-Ney decimal arithmetic is exact where int64 products wrap") {
     import spark.implicits._
     // (c12, c1, nctx, ncont, t_types): adversarial 100 TB-regime counts
