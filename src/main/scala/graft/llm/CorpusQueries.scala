@@ -868,7 +868,7 @@ object CorpusQueries {
          |  GROUP BY 1, 2)
          |SELECT i.doc_a, i.doc_b, i.overlap,
          |  CAST(l.len AS BIGINT) AS len_b,
-         |  (i.overlap * 1000000) // l.len AS rouge1_recall_ppm
+         |  CAST((i.overlap * 1000000) // l.len AS BIGINT) AS rouge1_recall_ppm
          |FROM inter i JOIN lens l ON l.doc_id = i.doc_b
          |ORDER BY rouge1_recall_ppm DESC, doc_a, doc_b LIMIT 20""".stripMargin,
     // Same ordered 3-way self-join over the re-derived `good` pair

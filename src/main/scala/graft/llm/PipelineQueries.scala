@@ -398,7 +398,7 @@ object PipelineQueries {
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
         |  CAST(sum(n_blocked) AS BIGINT) AS blocked_occurrences,
-        |  (sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) * 1000000) // count(*) AS drop_ppm
+        |  CAST((sum(CASE WHEN n_blocked > 0 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS drop_ppm
         |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
     "llm_pii_scrub" ->
       s"""SELECT doc_id,

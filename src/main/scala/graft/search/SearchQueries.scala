@@ -2096,13 +2096,17 @@ object SearchQueries {
     // on its key. ES needs parent/child co-routing to a shard; a
     // distributed engine gets the same co-location from hash
     // partitioning on the join key. Child score summed in DECIMAL so
-    // the cross-row sum is exact.
+    // the cross-row sum is exact, then cast to DOUBLE for the output —
+    // integer-valued sums ≤ 2^53 are exact in binary, and both engines'
+    // hashers then see the same 64-bit representation (DuckDB's
+    // sum(DECIMAL(12,2)) widens to DECIMAL(38,2) otherwise).
     "search_has_child" -> ((s, dir) => {
       val hits = Tables(s, dir, "lineitem")
         .filter(col("l_quantity") >= 45)
         .groupBy(col("l_orderkey").as("o_orderkey"))
         .agg(count(lit(1)).as("n_matching_children"),
-          sum(col("l_quantity").cast(DecimalType(12, 2))).as("child_score"))
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+            .as("child_score"))
         .filter(col("n_matching_children") >= 2)
       Tables(s, dir, "orders")
         .join(hits, Seq("o_orderkey"))
@@ -3064,9 +3068,9 @@ object SearchQueries {
         |ORDER BY overlap DESC, doc_id LIMIT 20""".stripMargin,
     "search_facets_percentile_ranks" ->
       """SELECT lang, count(*) AS doc_count,
-        |  (count_if(n_chars <= 100) * 1000000) // count(*) AS rank_100_ppm,
-        |  (count_if(n_chars <= 250) * 1000000) // count(*) AS rank_250_ppm,
-        |  (count_if(n_chars <= 400) * 1000000) // count(*) AS rank_400_ppm
+        |  CAST((count_if(n_chars <= 100) * 1000000) // count(*) AS BIGINT) AS rank_100_ppm,
+        |  CAST((count_if(n_chars <= 250) * 1000000) // count(*) AS BIGINT) AS rank_250_ppm,
+        |  CAST((count_if(n_chars <= 400) * 1000000) // count(*) AS BIGINT) AS rank_400_ppm
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'data')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
@@ -3342,7 +3346,7 @@ object SearchQueries {
       """WITH hits AS (
         |  SELECT l_orderkey AS o_orderkey,
         |    count(*) AS n_matching_children,
-        |    sum(CAST(l_quantity AS DECIMAL(12,2))) AS child_score
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS child_score
         |  FROM lineitem WHERE l_quantity >= 45
         |  GROUP BY 1 HAVING count(*) >= 2)
         |SELECT o.o_orderkey, o_orderstatus, o_totalprice,

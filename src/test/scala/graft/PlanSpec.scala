@@ -272,4 +272,31 @@ class PlanSpec extends AnyFunSuite {
     // "*(n)" prefixes mark WholeStageCodegen spans in the plan rendering.
     assert(df.queryExecution.executedPlan.toString.contains("*("))
   }
+
+  test("EVERY query's output schema is 64-bit-representation-safe") {
+    // The driver's hasher compares value REPRESENTATIONS across engines.
+    // A Spark decimal(22,2) vs DuckDB DECIMAL(38,2), or int64 vs an
+    // uncast HUGEINT the driver materializes as float64, hash-fails even
+    // when every value is equal — this shipped 4 red rows in round 5.
+    // Contract: every output column is reduced to a type both engines
+    // render identically: string / long / int / double / boolean /
+    // timestamp / date / binary, or arrays of those. NO decimal of any
+    // width, NO float32 (cast to double), NO struct/map at the top level
+    // (serialize to JSON strings instead). Wide-carrier arithmetic
+    // (DECIMAL(38), HUGEINT) stays INSIDE the query; the boundary casts
+    // down.
+    import org.apache.spark.sql.types._
+    def ok(dt: DataType): Boolean = dt match {
+      case StringType | LongType | IntegerType | DoubleType | BooleanType |
+           TimestampType | TimestampNTZType | DateType | BinaryType => true
+      case ArrayType(e, _) => ok(e)
+      case _ => false
+    }
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      SparkEntry.queries(name)(spark, sf).schema.fields.collect {
+        case f if !ok(f.dataType) => s"$name.${f.name}: ${f.dataType.simpleString}"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

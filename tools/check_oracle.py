@@ -37,6 +37,14 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
                 df[c] = df[c].map(lambda v: v.hex() if isinstance(v, bytes) else v)
             if df[c].map(lambda v: isinstance(v, (list, np.ndarray))).any():
                 df[c] = df[c].map(lambda v: json.dumps(list(v)) if isinstance(v, (list, np.ndarray)) else v)
+            # pyarrow materializes parquet date32 as object-of-datetime.date
+            # while duckdb's DATE fetches as datetime64[us]; both are DATE in
+            # their engines (driver-green in r05) — normalize, narrowly: only
+            # datetime.date, never datetime.datetime (a date-vs-timestamp
+            # schema divergence must still trip the strict dtype check).
+            import datetime as _dt
+            if df[c].map(lambda v: type(v) is _dt.date).any():
+                df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
         if str(df[c].dtype).startswith("datetime64"):
             df[c] = df[c].astype("datetime64[us]")
         if df[c].dtype in (np.int32, np.int16, np.int8, np.uint32):
@@ -99,6 +107,15 @@ def main():
         bad = []
         for c in a.columns:
             av, bv = a[c], b[c]
+            # Dtype-strict: the driver hashes value REPRESENTATIONS, so an
+            # int64 column vs a float64 column (e.g. an uncast HUGEINT or
+            # DECIMAL(38,x) in the twin) is a driver-side FAIL even when
+            # every value compares equal. Mirror that here, AFTER canon's
+            # int32→int64 / float32→float64 upcasts. This caught nothing
+            # locally in round 5 and shipped 4 red rows — never again.
+            if str(av.dtype) != str(bv.dtype):
+                bad.append(f"{c}: DTYPE-MISMATCH spark={av.dtype} duck={bv.dtype}")
+                continue
             if av.dtype == np.float64 or bv.dtype == np.float64:
                 av_ = av.astype(np.float64).to_numpy()
                 bv_ = bv.astype(np.float64).to_numpy()
