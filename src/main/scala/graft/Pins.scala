@@ -29,9 +29,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Pins {
 
-  private val pinned =
-    new java.util.concurrent.ConcurrentHashMap[
-      SparkSession, java.util.Queue[DataFrame]]()
+  // Weak session keys: a stopped/dropped session's entry becomes
+  // collectable once its queue is drained (the queued DataFrames hold
+  // the session strongly, so an UNreleased queue pins the key — by
+  // design: those cache entries still need a release call). The queue
+  // itself lives for the session's lifetime and is never removed from
+  // the map by release(), so a builder racing release() can never add
+  // to an orphaned queue — its frame lands in the live queue and the
+  // next release drains it.
+  private val pinned = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, java.util.Queue[DataFrame]]())
 
   /** Register a frame the caller just persisted; returns it unchanged.
     * Thread-safe (bulkImportAll runs builders concurrently).
@@ -44,9 +51,16 @@ object Pins {
     df
   }
 
-  /** Unpersist every frame pinned under `spark` (non-blocking). */
+  /** Unpersist every frame pinned under `spark` (non-blocking).
+    * Drains with poll() on the LIVE queue — concurrent pins during the
+    * drain are either unpersisted here or stay queued for the next
+    * release; none are orphaned.
+    */
   def release(spark: SparkSession): Unit = {
-    val q = pinned.remove(spark)
-    if (q != null) q.forEach(df => df.unpersist(blocking = false))
+    val q = pinned.get(spark)
+    if (q != null) {
+      var df = q.poll()
+      while (df != null) { df.unpersist(blocking = false); df = q.poll() }
+    }
   }
 }

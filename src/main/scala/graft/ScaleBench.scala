@@ -18,9 +18,17 @@ import org.apache.spark.sql.functions._
   * Corpus derivation (measurement input only — correctness still
   * gates on the driver fixtures): replica k of `documents` offsets
   * doc_id by k·10¹⁰ and suffixes every whitespace token with `⟨rk⟩`,
-  * so replicas share NO shingles/fingerprints — each replica is an
-  * independent sub-corpus and the TRUE near-dup structure grows
-  * exactly linearly (verbatim replication would instead manufacture
+  * so replicas share NO word-level shingles/fingerprints — the
+  * word-3-gram truth structure grows exactly linearly. CHAR-gram
+  * features are only MOSTLY disjoint: a char-8-gram taken from the
+  * interior of a token ≥ 8 chars (winnowing fingerprints, substring
+  * span grams, CDC grams) is identical across replicas, so a bounded
+  * cross-replica df inflation leaks into the char-gram dedup
+  * operators' measured slopes (conservative direction: it INFLATES
+  * posting sizes, so the reported slopes are an upper bound). Each
+  * replica is otherwise an independent sub-corpus and the TRUE
+  * near-dup structure grows linearly (verbatim replication would
+  * instead manufacture
   * C(factor,2) cross-copy duplicate cliques per doc and superlinear
   * PAIR OUTPUT by construction of the data, not the algorithm).
   * `embeddings` replicas offset vec_id and shift dimension 0 by

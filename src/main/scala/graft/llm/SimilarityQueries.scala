@@ -551,7 +551,8 @@ object SimilarityQueries {
     "llm_dedup_embedding_cosine" -> ((s, dir) => {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .select(col("vec_id"), col("emb"))
-      val k = math.min(MaxTrainSample / 8L, math.max(4L, e.count() / 2000L)).toInt
+      val k = math.min(MaxTrainSample / 8L,
+        math.max(4L, Tables.rowCount(s, dir, "embeddings") / 2000L)).toInt
       val cb = typedlit(trainCentroids(e, k))
       // Each vector lands in its 3 nearest cells — the recall/cost
       // dial of multi-probe blocking (2 cells measured 0.966 recall on
@@ -778,7 +779,8 @@ object SimilarityQueries {
       // and R=N/100 still left a rank-(100..200) true neighbor behind
       // at sf0.1 (9/10); 2% of the corpus keeps the re-rank fetch
       // point lookups, never a scan, and restores the overlap.
-      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
+      val r = math.min(100000L,
+        math.max(200L, Tables.rowCount(s, dir, "embeddings") / 50L)).toInt
       val shortlist = e.filter(col("vec_id") =!= 0)
         .withColumn("codes", codes)
         .select(col("vec_id"), round(score, 9).as("pq_dist"))
@@ -885,7 +887,8 @@ object SimilarityQueries {
         .withColumn("res",
           zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
         .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
-      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
+      val r = math.min(100000L,
+        math.max(200L, Tables.rowCount(s, dir, "embeddings") / 50L)).toInt
       val shortlist = probedRows
         .select(col("vec_id"),
           round(adcScore(col("codes"), element_at(tables, col("cell") + 1), model.m), 9)
@@ -945,7 +948,8 @@ object SimilarityQueries {
         if (model.sub.isEmpty) col("cell")
         else (col("cell") / 4096).cast(org.apache.spark.sql.types.IntegerType)
       val tables = typedlit(adcTablesPerCell(q, model, probed))
-      val r = math.min(100000L, math.max(200L, e.count() / 50L)).toInt
+      val r = math.min(100000L,
+        math.max(200L, Tables.rowCount(s, dir, "embeddings") / 50L)).toInt
       val shortlist = idx
         .filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"),
@@ -1004,7 +1008,8 @@ object SimilarityQueries {
       val q = broadcast(sigd.filter(col("vec_id") === 0)
         .select(col("sig_lo").as("q_lo"), col("sig_hi").as("q_hi"),
           col("emb").as("qw")))
-      val r = math.min(100000L, math.max(100L, e.count() / 100L)).toInt
+      val r = math.min(100000L,
+        math.max(100L, Tables.rowCount(s, dir, "embeddings") / 100L)).toInt
       val asym = expr(
         "aggregate(sequence(0, 63), CAST(0 AS BIGINT), (acc, i) -> acc + " +
           "CASE WHEN (CASE WHEN i < 32 THEN shiftright(sig_lo, i) " +

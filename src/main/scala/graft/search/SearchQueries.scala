@@ -1818,14 +1818,21 @@ object SearchQueries {
     // (counts, sums, squared sums per side — the mergeable form, one
     // partial+final hash agg, scan speed at 100 TB); means and
     // variances assemble DRIVER-FREE in the projection. Per the repo's
-    // float discipline the variance numerators n·Σx² − (Σx)² are exact
-    // DECIMAL(38,0) integers (they cross 2⁶³ at corpus scale) and the
-    // t statistic is one fixed-order double expression over those
-    // exact integers, rounded at 6 — hash-identical to the HUGEINT
-    // DuckDB twin. Buckets where either side has < 2 samples or both
-    // variances are zero yield NULL (ES's own gap policy).
+    // float discipline the squared sums Σx² THEMSELVES accumulate in
+    // DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — per-row x² fits int64
+    // but the cross-corpus SUM crosses 2⁶³ around 10¹¹ ten-kchar docs,
+    // i.e. inside the 100 TB regime, and Spark's int64 sum wraps
+    // SILENTLY there while DuckDB errors — so the wide carrier starts
+    // at the aggregate, not at the n·Σx² − (Σx)² assembly. The t
+    // statistic is one fixed-order double expression over those exact
+    // integers, rounded at 6 — hash-identical to the HUGEINT DuckDB
+    // twin. The qq output columns cast to DOUBLE at the boundary
+    // (IEEE nearest on both engines; exact below 2⁵³). Buckets where
+    // either side has < 2 samples or both variances are zero yield
+    // NULL (ES's own gap policy).
     "search_facets_t_test" -> ((s, dir) => {
       val hit = array_contains(tokens(col("text")), "spark")
+      val wide = DecimalType(38, 0)
       Tables(s, dir, "documents")
         .groupBy(col("lang"))
         .agg(
@@ -1835,11 +1842,13 @@ object SearchQueries {
             .cast(LongType).as("s_a"),
           sum(when(!hit, col("n_chars")).otherwise(lit(0)))
             .cast(LongType).as("s_b"),
-          sum(when(hit, col("n_chars").cast(LongType) * col("n_chars"))
-            .otherwise(lit(0L))).as("qq_a"),
-          sum(when(!hit, col("n_chars").cast(LongType) * col("n_chars"))
-            .otherwise(lit(0L))).as("qq_b"))
+          sum(when(hit, (col("n_chars").cast(LongType) * col("n_chars"))
+            .cast(wide)).otherwise(lit(0).cast(wide))).as("qq_a"),
+          sum(when(!hit, (col("n_chars").cast(LongType) * col("n_chars"))
+            .cast(wide)).otherwise(lit(0).cast(wide))).as("qq_b"))
         .withColumn("t_welch", expr(welchT("DECIMAL(38,0)")))
+        .withColumn("qq_a", col("qq_a").cast(DoubleType))
+        .withColumn("qq_b", col("qq_b").cast(DoubleType))
         .orderBy(col("lang"))
     }),
 
@@ -3172,12 +3181,13 @@ object SearchQueries {
          |    count(*) FILTER (NOT hit) AS n_b,
          |    CAST(sum(CASE WHEN hit THEN n_chars ELSE 0 END) AS BIGINT) AS s_a,
          |    CAST(sum(CASE WHEN NOT hit THEN n_chars ELSE 0 END) AS BIGINT) AS s_b,
-         |    CAST(sum(CASE WHEN hit THEN CAST(n_chars AS BIGINT) * n_chars
-         |             ELSE 0 END) AS BIGINT) AS qq_a,
-         |    CAST(sum(CASE WHEN NOT hit THEN CAST(n_chars AS BIGINT) * n_chars
-         |             ELSE 0 END) AS BIGINT) AS qq_b
+         |    sum(CASE WHEN hit THEN CAST(n_chars AS HUGEINT) * n_chars
+         |             ELSE 0 END) AS qq_a,
+         |    sum(CASE WHEN NOT hit THEN CAST(n_chars AS HUGEINT) * n_chars
+         |             ELSE 0 END) AS qq_b
          |  FROM f GROUP BY 1)
-         |SELECT lang, n_a, n_b, s_a, s_b, qq_a, qq_b,
+         |SELECT lang, n_a, n_b, s_a, s_b,
+         |  CAST(qq_a AS DOUBLE) AS qq_a, CAST(qq_b AS DOUBLE) AS qq_b,
          |  ${welchT("HUGEINT")} AS t_welch
          |FROM a ORDER BY lang""".stripMargin,
     // Pipeline family evaluated in ES order: script + diff on every
