@@ -29,6 +29,8 @@ object SparkEntry {
       relational.IntervalJoin.queries ++
       relational.ComplexTypeQueries.queries ++
       search.SearchQueries.queries ++
+      search.SuggestQueries.queries ++
+      search.GeoQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
       llm.CorpusQueries.queries ++
@@ -54,6 +56,8 @@ object SparkEntry {
       relational.IntervalJoin.oracleSql ++
       relational.ComplexTypeQueries.oracleSql ++
       search.SearchQueries.oracleSql ++
+      search.SuggestQueries.oracleSql ++
+      search.GeoQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
       llm.CorpusQueries.oracleSql ++

@@ -1,0 +1,161 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Elasticsearch geo family — `geo_distance` / `geo_bounding_box`
+  * queries and the `geohash_grid` aggregation, core ES 6.6 search
+  * surface behind every "stores near me" box and map heatmap.
+  *
+  * The fixtures carry no coordinates, so each customer gets a
+  * DETERMINISTIC synthetic location derived from its key by pure int64
+  * modular arithmetic (documented here, mirrored verbatim in the
+  * oracle): lat_e4 = (c_custkey·7919) mod 1800001 − 900000 and
+  * lon_e4 = (c_custkey·104729) mod 3600001 − 1800000, i.e. integer
+  * 1e-4-degree fixed-point spread over the globe (the products stay
+  * far below 2⁶³; both engines' `%` agree because the dividend is
+  * non-negative). All derivation and bucketing stays in INTEGER space;
+  * doubles appear only inside the haversine, whose output is rounded
+  * at 3 decimals (meter precision) before ordering per the repo's
+  * cross-engine float discipline.
+  *
+  * Scale shape: all three are single-pass scans over the point table —
+  * the distance/bbox filters push into the scan's projection (no
+  * shuffle at all before the top-k), and the grid agg is a
+  * partial+final hash aggregate on a 10-bit cell id (1024 cells
+  * regardless of corpus size). At 100 TB the geohash cell id is also
+  * the natural hive-partition key for a served geo index — the same
+  * cell-partitioned layout as the IVF vector index.
+  */
+object GeoQueries {
+
+  /** Geohash base32 alphabet (Niemeyer's original — no a/i/l/o). */
+  private val Base32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+  /** Shared-text SQL for the precision-2 geohash (10 bits: lon gets 5,
+    * lat 5, interleaved MSB-first starting with longitude — the
+    * standard geohash bit order). Parameterized on the integer-division
+    * token (`DIV` in Spark SQL, `//` in DuckDB) so BOTH engines run the
+    * character-identical arithmetic (the welchT pattern). Expects
+    * integer columns `lat_b`, `lon_b` in [0, 32).
+    */
+  private[graft] def geohash2BitsExpr(div: String): String =
+    (0 until 5).map { j =>
+      s"(((lon_b $div ${1L << j}) % 2) * ${1L << (2 * j + 1)} + " +
+        s"((lat_b $div ${1L << j}) % 2) * ${1L << (2 * j)})"
+    }.mkString(" + ")
+
+  /** Shared-text SQL rendering a 10-bit cell id `gh` as the 2-char
+    * base32 geohash string.
+    */
+  private[graft] def geohash2StrExpr(div: String): String =
+    s"concat(substr('$Base32', CAST((gh $div 32) % 32 AS INT) + 1, 1), " +
+      s"substr('$Base32', CAST(gh % 32 AS INT) + 1, 1))"
+
+  /** The synthetic point table: (c_custkey, lat_e4, lon_e4). */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    graft.Tables(s, dir, "customer")
+      .select(col("c_custkey"),
+        (col("c_custkey") * 7919 % 1800001 - 900000).as("lat_e4"),
+        (col("c_custkey") * 104729 % 3600001 - 1800000).as("lon_e4"))
+
+  private val PointsCte =
+    """pts AS (
+      |  SELECT c_custkey,
+      |    (c_custkey * 7919) % 1800001 - 900000 AS lat_e4,
+      |    (c_custkey * 104729) % 3600001 - 1800000 AS lon_e4
+      |  FROM customer)""".stripMargin
+
+  /** Haversine great-circle distance in km from (`lat0`, `lon0`) to the
+    * row's (lat_e4, lon_e4)/1e4 — 12742.0 = 2 × Earth mean radius km.
+    * One fixed evaluation order, mirrored in the twins.
+    */
+  private def haversineKm(lat0: Double, lon0: Double): Column = {
+    val lat = col("lat_e4").cast("double") / 10000.0
+    val lon = col("lon_e4").cast("double") / 10000.0
+    val sdlat = sin(radians(lat - lit(lat0)) / 2)
+    val sdlon = sin(radians(lon - lit(lon0)) / 2)
+    lit(12742.0) * asin(sqrt(
+      sdlat * sdlat + cos(radians(lit(lat0))) * cos(radians(lat)) * sdlon * sdlon))
+  }
+
+  private def haversineSql(lat0: String, lon0: String): String =
+    s"""12742.0 * asin(sqrt(
+       |    sin(radians(lat_e4 / 10000.0 - $lat0) / 2)
+       |      * sin(radians(lat_e4 / 10000.0 - $lat0) / 2)
+       |    + cos(radians($lat0)) * cos(radians(lat_e4 / 10000.0))
+       |      * sin(radians(lon_e4 / 10000.0 - $lon0) / 2)
+       |      * sin(radians(lon_e4 / 10000.0 - $lon0) / 2)))""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ES `geo_distance` query + sort: points within 2000 km of the
+    // origin pin (40.0, -74.0), nearest first. The filter and the
+    // rounded sort key are the same expression; the plan is a pure
+    // scan → filter → TakeOrderedAndProject.
+    "search_geo_distance" -> ((s, dir) => {
+      val d = haversineKm(40.0, -74.0)
+      points(s, dir)
+        .withColumn("dist_km", round(d, 3))
+        .filter(col("dist_km") <= 2000.0)
+        .select(col("c_custkey"), col("lat_e4"), col("lon_e4"), col("dist_km"))
+        .orderBy(col("dist_km"), col("c_custkey"))
+        .limit(20)
+    }),
+
+    // ES `geo_bounding_box` query: pure integer range filter on the
+    // fixed-point coordinates — pushes straight into the parquet scan
+    // (PushedFilters), zero float math anywhere.
+    "search_geo_bounding_box" -> ((s, dir) =>
+      points(s, dir)
+        .filter(col("lat_e4") >= 100000 && col("lat_e4") <= 600000 &&
+          col("lon_e4") >= -300000 && col("lon_e4") <= 400000)
+        .orderBy(col("c_custkey"))
+        .limit(20)),
+
+    // ES `geohash_grid` aggregation at precision 2: every point maps to
+    // its 10-bit interleaved cell (integer-only — the e4 fixed-point
+    // coords bucket by exact cross-multiply, no float), then one
+    // partial+final count per cell. 1024 possible buckets regardless
+    // of corpus size; top cells by doc_count, geohash tie-break.
+    "search_geohash_grid" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("lat_b",
+          least(expr("((lat_e4 + 900000) * 32) DIV 1800001"), lit(31L)))
+        .withColumn("lon_b",
+          least(expr("((lon_e4 + 1800000) * 32) DIV 3600001"), lit(31L)))
+        .withColumn("gh", expr(geohash2BitsExpr("DIV")))
+        .groupBy(expr(geohash2StrExpr("DIV")).as("geohash"))
+        .agg(count(lit(1)).as("doc_count"), min(col("c_custkey")).as("first_key"))
+        .orderBy(col("doc_count").desc, col("geohash"))
+        .limit(20))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "search_geo_distance" ->
+      s"""WITH $PointsCte,
+         |d AS (
+         |  SELECT c_custkey, lat_e4, lon_e4,
+         |    round(${haversineSql("40.0", "(-74.0)")}, 3) AS dist_km
+         |  FROM pts)
+         |SELECT c_custkey, lat_e4, lon_e4, dist_km
+         |FROM d WHERE dist_km <= 2000.0
+         |ORDER BY dist_km, c_custkey LIMIT 20""".stripMargin,
+    "search_geo_bounding_box" ->
+      s"""WITH $PointsCte
+         |SELECT c_custkey, lat_e4, lon_e4 FROM pts
+         |WHERE lat_e4 BETWEEN 100000 AND 600000
+         |  AND lon_e4 BETWEEN -300000 AND 400000
+         |ORDER BY c_custkey LIMIT 20""".stripMargin,
+    "search_geohash_grid" ->
+      s"""WITH $PointsCte,
+         |b AS (
+         |  SELECT c_custkey,
+         |    least(((lat_e4 + 900000) * 32) // 1800001, 31) AS lat_b,
+         |    least(((lon_e4 + 1800000) * 32) // 3600001, 31) AS lon_b
+         |  FROM pts),
+         |g AS (SELECT c_custkey, ${geohash2BitsExpr("//")} AS gh FROM b)
+         |SELECT ${geohash2StrExpr("//")} AS geohash,
+         |  count(*) AS doc_count, min(c_custkey) AS first_key
+         |FROM g GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin)
+}

@@ -2125,6 +2125,44 @@ object SearchQueries {
         .limit(20)
     }),
 
+    // ES `nested`-object query — the OTHER half of ES's
+    // document-relations model next to the join-field (has_child/
+    // has_parent) half: a nested mapping stores an array of sub-objects
+    // INSIDE the parent document, and a `nested` path query requires
+    // the conjunction to match within ONE element. Flattening loses
+    // exactly this: an order with item A (qty 49) and item B (flag 'R')
+    // "matches" qty>=48 AND flag='R' after flattening even though no
+    // single item satisfies both. Here the nested documents are built
+    // the way an ES nested index stores them — orders with their
+    // lineitems as an array<struct(qty, flag)> (one groupBy shuffle on
+    // the order key, array length bounded by items-per-order, ~7) —
+    // then the per-element conjunction runs as a codegen'd higher-order
+    // `filter` over the array. The query returns the FLATTENED-match
+    // superset with `nested_match` marking the truth, so the result
+    // exhibits both classes (flattened-only false positives sort
+    // first); inner-hit columns (count + best qty) are
+    // ORDER-INDEPENDENT aggregates over the matched elements, because
+    // collect_list's element order is nondeterministic by contract.
+    "search_nested_query" -> ((s, dir) => {
+      val matchEl = "x -> x.qty >= 48 AND x.flag = 'R'"
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(collect_list(struct(col("l_quantity").as("qty"),
+          col("l_returnflag").as("flag"))).as("items"))
+        .withColumn("n_items", size(col("items")).cast(LongType))
+        .withColumn("n_inner_hits",
+          size(expr(s"filter(items, $matchEl)")).cast(LongType))
+        .withColumn("nested_match", col("n_inner_hits") > 0)
+        .filter(expr("exists(items, x -> x.qty >= 48)") &&
+          expr("exists(items, x -> x.flag = 'R')"))
+        .withColumn("best_inner_qty",
+          expr(s"array_max(transform(filter(items, $matchEl), x -> x.qty))"))
+        .select(col("o_orderkey"), col("n_items"), col("n_inner_hits"),
+          col("nested_match"), col("best_inner_qty"))
+        .orderBy(col("nested_match"), col("o_orderkey"))
+        .limit(25)
+    }),
+
     // ES parent-child `has_parent`: children (lineitems) returned when
     // their parent (order) matches the parent query — urgent high-value
     // orders. The parent side is filtered and projected to its key
@@ -3363,6 +3401,28 @@ object SearchQueries {
         |       n_matching_children, child_score
         |FROM orders o JOIN hits USING (o_orderkey)
         |ORDER BY child_score DESC, o_orderkey LIMIT 20""".stripMargin,
+    // Same LIST<STRUCT> build via list(struct_pack(...)), per-element
+    // conjunction via list_filter — order-independent inner-hit
+    // aggregates, so DuckDB's own list order nondeterminism is moot.
+    "search_nested_query" ->
+      """WITH nested AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    list(struct_pack(qty := l_quantity, flag := l_returnflag)) AS items
+        |  FROM lineitem GROUP BY 1),
+        |m AS (
+        |  SELECT o_orderkey,
+        |    CAST(len(items) AS BIGINT) AS n_items,
+        |    CAST(len(list_filter(items,
+        |      x -> x.qty >= 48 AND x.flag = 'R')) AS BIGINT) AS n_inner_hits,
+        |    len(list_filter(items, x -> x.qty >= 48)) > 0 AS any_qty,
+        |    len(list_filter(items, x -> x.flag = 'R')) > 0 AS any_flag,
+        |    list_max(list_transform(list_filter(items,
+        |      x -> x.qty >= 48 AND x.flag = 'R'), x -> x.qty)) AS best_inner_qty
+        |  FROM nested)
+        |SELECT o_orderkey, n_items, n_inner_hits,
+        |  n_inner_hits > 0 AS nested_match, best_inner_qty
+        |FROM m WHERE any_qty AND any_flag
+        |ORDER BY nested_match, o_orderkey LIMIT 25""".stripMargin,
     "search_has_parent" ->
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |       o_orderpriority, o_totalprice

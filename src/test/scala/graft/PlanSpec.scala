@@ -187,6 +187,7 @@ class PlanSpec extends AnyFunSuite {
       "rel_hdr_quantiles", // 1-row exact-percentile broadcast next to the sketch row
       "search_rank_eval", // 1-row per-term corpus-stats broadcasts
       "search_synonyms", // 1-row concept-stats broadcast
+      "search_suggest_phrase", // <= 3-row per-word candidate broadcast (suggester size knob)
 
       "rel_null_semantics") // 1-row aggregate-result broadcasts
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
