@@ -1268,10 +1268,24 @@ object SimilarityQueries {
     */
   private[graft] def encodeWithModel(e: DataFrame, model: IvfPqModel): DataFrame = {
     val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
-    val enc = e.withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
+    val assigned = e
+      .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
       .withColumn("c1", argminCell(col("__cd"), model.nList))
       .drop("__cd")
+    encodeAssigned(assigned, model)
+  }
+
+  /** [[encodeWithModel]] for a frame whose level-1 cell `c1` is ALREADY
+    * a column — the build path computes the O(N·nList·dim) coarse
+    * assignment exactly once (a persisted ingest-time frame) and feeds
+    * it to the size census, the sub-codebook sample AND this encode;
+    * recomputing it in each consumer tripled the dominant kernel of
+    * `_build_vec_index` (the round-5 bench regression).
+    */
+  private[graft] def encodeAssigned(e: DataFrame, model: IvfPqModel): DataFrame = {
+    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val enc = e
       .withColumn("res",
         zip_with(col("emb"), element_at(coarseLit, col("c1") + 1), (x, y) => x - y))
       .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))
@@ -1335,17 +1349,11 @@ object SimilarityQueries {
     * bounded per-cell content-hash sample — ALL cells sampled in ONE
     * job (a window ranked per cell; the collect is bounded by
     * max(MaxTrainSample, 8·k2·|oversized|) rows total), same policy as
-    * [[twoLevelCells]]. The level-1 assignment is recomputed for the
-    * size count and the sample (two bounded-output passes over the
-    * columnar source — never cached; same recompute policy as every
-    * query path here).
+    * [[twoLevelCells]]. Takes the level-1 assignment `l1` (vec_id,
+    * emb, c1) as input — the build path persists it once and shares it
+    * with the encode, so the coarse-distance kernel never reruns here.
     */
-  private def trainSubCodebooks(e: DataFrame, model: IvfPqModel): Map[Int, Array[Array[Double]]] = {
-    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-    def l1 = e.select(col("vec_id"), col("emb"))
-      .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
-      .withColumn("c1", argminCell(col("__cd"), model.nList))
-      .drop("__cd")
+  private def trainSubCodebooks(l1: DataFrame, model: IvfPqModel): Map[Int, Array[Array[Double]]] = {
     val sizes = l1.groupBy(col("c1")).agg(count(lit(1)).as("cnt"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val oversized = sizes.filter(_._2 > 4L * IdxTargetCellSize).keys.toSeq.sorted
@@ -1375,10 +1383,24 @@ object SimilarityQueries {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model0 = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
-      val model = model0.copy(sub = trainSubCodebooks(e, model0))
-      val indexed = encodeWithModel(e, model)
+      // The O(N·nList·dim) coarse assignment is the build's dominant
+      // kernel — compute it ONCE into an ingest-scoped persisted frame
+      // shared by the size census + sub-codebook sample (inside
+      // trainSubCodebooks) and the final encode. Recomputing it per
+      // consumer was the round-5 `_build_vec_index` regression (5.0 →
+      // 7.9 s at sf0.1); this is ingest-time cost, released before the
+      // build returns, so the query-path no-cache policy is untouched.
+      val coarseLit = typedlit(model0.coarse.map(_.toSeq).toSeq)
+      val l1 = e
+        .withColumn("__cd", cellDistances(col("emb"), coarseLit, model0.nList))
+        .withColumn("c1", argminCell(col("__cd"), model0.nList))
+        .drop("__cd")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = model0.copy(sub = trainSubCodebooks(l1, model0))
+      val indexed = encodeAssigned(l1, model)
       store.writeArtifact(indexed, VecIndexName, fp,
         partitionCols = Seq("cell"), sidecars = Map(ModelSidecar -> model.serialize))
+      l1.unpersist()
       e.unpersist()
     }
     val model = IvfPqModel.parse(store.artifactSidecar(VecIndexName, ModelSidecar)
