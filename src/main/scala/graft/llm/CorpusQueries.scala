@@ -112,6 +112,18 @@ object CorpusQueries {
         struct(col("doc_a").as("src"), col("doc_b").as("dst")),
         struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      // FAILURE-MODE CONTRACT (the repo's other corpus-proportional
+      // checkpoint site — PlanSpec audits the set): the edge frame is
+      // pair-graph-sized (sparse, df-capped upstream) and materializes
+      // at replication 1 with lineage truncated because every CC round
+      // re-reads it — recompute-per-round would re-run the pair join
+      // O(log d) times, and an unbroken lineage chain across rounds
+      // grows the plan superlinearly. Losing an executor mid-iteration
+      // fails the JOB loudly ("Checkpoint block not found") and the
+      // caller reruns; it can never silently mislabel a component. The
+      // durable belt-and-braces form exists one level up: clusterLabels'
+      // OUTPUT is served through the fingerprinted labels artifact, so
+      // a rerun is a cache rebuild, not a correctness event.
       .localCheckpoint(true)
     val touched = edges.select(col("src").as("doc_id")).distinct()
     val nodes = Tables(s, dir, "documents").select(col("doc_id"))

@@ -1204,6 +1204,19 @@ object SimilarityQueries {
     // projection — computed once, and the ContextCleaner frees the
     // checkpointed partitions when the returned frame is dropped (a
     // cache entry would leak: library callers never see l1).
+    //
+    // FAILURE-MODE CONTRACT (this is one of the repo's two
+    // corpus-proportional checkpoint sites — PlanSpec audits the set):
+    // localCheckpoint materializes at replication 1 on executor-local
+    // disk with lineage truncated, so losing an executor mid-build
+    // fails THIS JOB with "Checkpoint block not found" — loudly, never
+    // with wrong answers — and the caller (an idempotent ingest-time
+    // index build) simply reruns. The trade is deliberate: replicated
+    // storage would double the write cost of a frame that exists for
+    // one build, and the belt-and-braces alternative (routing through
+    // a fingerprinted IndexStore artifact) is exactly what
+    // materializedVecIndex's OUTPUT already is — a transient input
+    // frame does not warrant a second durable artifact.
     val l1 = e.select(col("vec_id"), col("emb"))
       .withColumn("__cd", cellDistances(col("emb"), cb1, k1))
       .withColumn("c1", argminCell(col("__cd"), k1))

@@ -1025,6 +1025,17 @@ object SearchQueries {
     // (low-cardinality — HLL must stay exact-ish there too).
     // Engine-specific sketch -> rows-only gate + ≤5% drift spec
     // (LlmSpec) + RECALL entry.
+    //
+    // ACCURACY BUDGET (measured drift vs exact, RECALL_r05 @ sf0.01:
+    // max 1.8%): the knob is `rsd` (relative standard deviation, 2nd
+    // arg of approx_count_distinct = ES `precision_threshold`'s role).
+    // HLL++ registers scale as ~(1.04/rsd)², so per-bucket sketch
+    // bytes buy accuracy quadratically — all corpus-size-independent:
+    //   rsd 0.05 → ~5%  expected / ~2.7 KB per bucket
+    //   rsd 0.02 → ~2%  expected / ~16 KB  (this operator's setting)
+    //   rsd 0.01 → ~1%  expected / ~64 KB (Spark's floor is 0.000017)
+    // A user needing exact distincts pays the (bucket, value) shuffle
+    // instead — that is `rel_distinct_agg`'s plan, not a facet knob.
     "search_facets_cardinality" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .filter(array_contains(tokens(col("text")), "spark"))
@@ -1084,6 +1095,20 @@ object SearchQueries {
     // fixture scale GK at accuracy 1000 reproduces the exact order
     // statistic, so measured drift is 0). One partial+final hash-agg
     // scan; sketch size is O(accuracy) per bucket, corpus-independent.
+    //
+    // ACCURACY BUDGET (measured drift vs exact, RECALL_r05 @ sf0.01:
+    // max 3.7% — the p99 of a 35-doc bucket, where ±1 rank IS percent-
+    // scale drift; big buckets measure 0): the knob is `accuracy` (3rd
+    // arg — Spark's GK summary inverse-epsilon, ES TDigest
+    // `compression`'s role). GK guarantees RANK error ≤ N/accuracy,
+    // per bucket and corpus-size-independent:
+    //   accuracy   100 → ≤ 1%   rank error / ~0.8 KB per bucket
+    //   accuracy  1000 → ≤ 0.1% rank error  (this operator's setting)
+    //   accuracy 10000 → ≤ 0.01% rank error / ~80 KB per bucket
+    // Note the bound is on rank, not value: a p99 over a tiny bucket
+    // moves whole values per rank step (the 3.7% above), while value
+    // drift on large buckets shrinks with density. Exact order
+    // statistics remain available at sort cost via `rel_percentiles`.
     "search_facets_percentiles" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .filter(array_contains(tokens(col("text")), "spark"))
