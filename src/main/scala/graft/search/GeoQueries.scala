@@ -10,11 +10,17 @@ import org.apache.spark.sql.functions._
   * The fixtures carry no coordinates, so each customer gets a
   * DETERMINISTIC synthetic location derived from its key by pure int64
   * modular arithmetic (documented here, mirrored verbatim in the
-  * oracle): lat_e4 = (c_custkey·7919) mod 1800001 − 900000 and
-  * lon_e4 = (c_custkey·104729) mod 3600001 − 1800000, i.e. integer
-  * 1e-4-degree fixed-point spread over the globe (the products stay
-  * far below 2⁶³; both engines' `%` agree because the dividend is
-  * non-negative). All derivation and bucketing stays in INTEGER space;
+  * oracle): lat_e4 = (c_custkey·2654435761) mod 1800001 − 900000 and
+  * lon_e4 = (c_custkey·2246822519) mod 3600001 − 1800000, i.e. integer
+  * 1e-4-degree fixed-point spread over the globe. The multipliers are
+  * deliberately LARGER than the moduli so even a 150-key sf0.001 key
+  * range wraps them many times (quasi-uniform coverage at every
+  * fixture scale; a small multiplier left tiny corpora confined to a
+  * latitude sliver). Both engines' `%` agree because the dividend is
+  * non-negative; the product wraps int64 only past custkey ≈ 3.4·10⁹ —
+  * and this derivation is FIXTURE SYNTHESIS, not an operator: a real
+  * deployment reads stored coordinates and never computes this. All
+  * derivation and bucketing stays in INTEGER space;
   * doubles appear only inside the haversine, whose output is rounded
   * at 3 decimals (meter precision) before ordering per the repo's
   * cross-engine float discipline.
@@ -52,18 +58,54 @@ object GeoQueries {
     s"concat(substr('$Base32', CAST((gh $div 32) % 32 AS INT) + 1, 1), " +
       s"substr('$Base32', CAST(gh % 32 AS INT) + 1, 1))"
 
+  /** Non-convex test polygon in e4 fixed-point (lat_e4, lon_e4) —
+    * a bowtie-adjacent chevron over the mid-latitudes, so the ray-cast
+    * parity rule is exercised on a shape where convex shortcuts fail.
+    */
+  private[graft] val Polygon: Seq[(Long, Long)] = Seq(
+    (600000L, -1200000L),  //  60°N, 120°W
+    (200000L, -300000L),   //  20°N,  30°W
+    (500000L, 400000L),    //  50°N,  40°E
+    (-100000L, 900000L),   // -10°N,  90°E
+    (-300000L, -600000L))  // -30°N,  60°W
+
+  /** Shared-text SQL for the exact-integer ray-cast parity test against
+    * [[Polygon]] over columns `lat_e4`/`lon_e4`. Pure `*`/`-`/compare —
+    * character-identical in Spark SQL and DuckDB (no dialect parameter
+    * needed). Treats lon as x, lat as y; the ray runs toward +x. The
+    * half-open `(yi > y) != (yj > y)` rule counts a vertex-grazing ray
+    * exactly once, the standard PNPOLY discipline (Franklin).
+    */
+  private[graft] def pointInPolyExpr(poly: Seq[(Long, Long)]): String = {
+    val edges = poly.indices.map { i =>
+      val (yi, xi) = poly(i)
+      val (yj, xj) = poly((i + 1) % poly.size)
+      val d = yj - yi // constant per edge: fold the sign flip at gen time
+      if (d == 0L) "0" // horizontal edge never satisfies the parity rule
+      else {
+        val cmp = if (d > 0) "<" else ">"
+        s"(CASE WHEN (($yi > lat_e4) != ($yj > lat_e4)) AND " +
+          // No 123L literal suffix: DuckDB rejects it, and the factors
+          // are already BIGINT (lon_e4/lat_e4), so both engines promote.
+          s"((lon_e4 - $xi) * $d $cmp ($xj - $xi) * (lat_e4 - $yi)) " +
+          "THEN 1 ELSE 0 END)"
+      }
+    }
+    s"((${edges.mkString(" + ")}) % 2) = 1"
+  }
+
   /** The synthetic point table: (c_custkey, lat_e4, lon_e4). */
   private def points(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "customer")
       .select(col("c_custkey"),
-        (col("c_custkey") * 7919 % 1800001 - 900000).as("lat_e4"),
-        (col("c_custkey") * 104729 % 3600001 - 1800000).as("lon_e4"))
+        (col("c_custkey") * 2654435761L % 1800001 - 900000).as("lat_e4"),
+        (col("c_custkey") * 2246822519L % 3600001 - 1800000).as("lon_e4"))
 
   private val PointsCte =
     """pts AS (
       |  SELECT c_custkey,
-      |    (c_custkey * 7919) % 1800001 - 900000 AS lat_e4,
-      |    (c_custkey * 104729) % 3600001 - 1800000 AS lon_e4
+      |    (c_custkey * 2654435761) % 1800001 - 900000 AS lat_e4,
+      |    (c_custkey * 2246822519) % 3600001 - 1800000 AS lon_e4
       |  FROM customer)""".stripMargin
 
   /** Haversine great-circle distance in km from (`lat0`, `lon0`) to the
@@ -113,6 +155,45 @@ object GeoQueries {
         .orderBy(col("c_custkey"))
         .limit(20)),
 
+    // ES `geo_centroid` aggregation per terms bucket: the arithmetic
+    // mean point of each market segment's customers. All-integer and
+    // wrap-safe: coordinates are summed SHIFTED to non-negative
+    // (lat+90°, lon+180° in e4 units — truncating and flooring integer
+    // division agree on non-negative operands, Spark `DIV` vs DuckDB
+    // `//` differ on negatives) and unshifted after the divide. The
+    // shifted sum stays under 2⁶³ through ~5·10¹² points per bucket —
+    // beyond any bucket at 100 TB; the DuckDB twin casts its HUGEINT
+    // sum down inside that same bound.
+    "search_geo_centroid" -> ((s, dir) =>
+      graft.Tables(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          (col("c_custkey") * 2654435761L % 1800001 - 900000).as("lat_e4"),
+          (col("c_custkey") * 2246822519L % 3600001 - 1800000).as("lon_e4"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_points"),
+          sum(col("lat_e4") + 900000).as("slat"),
+          sum(col("lon_e4") + 1800000).as("slon"))
+        .select(col("c_mktsegment"), col("n_points"),
+          (expr("slat DIV n_points") - 900000).as("centroid_lat_e4"),
+          (expr("slon DIV n_points") - 1800000).as("centroid_lon_e4"))
+        .orderBy(col("c_mktsegment"))),
+
+    // ES `geo_polygon` query: point-in-polygon by EXACT-INTEGER ray
+    // casting — for each polygon edge the "ray from the point crosses
+    // this edge" predicate is two int64 comparisons and two products
+    // (the division-free form: multiply through by the edge's Δlat and
+    // flip the inequality when it is negative), so there is NO float
+    // anywhere and the parity test hash-matches by construction.
+    // Products are bounded by |coord|² < 2⁴⁴ — wrap-free with 2¹⁹ of
+    // headroom. The polygon is a fixed broadcast-literal (5 vertices,
+    // deliberately non-convex to exercise the parity rule); the scan
+    // evaluates 5 codegen'd branches per row, scan-speed at 100 TB.
+    "search_geo_polygon" -> ((s, dir) =>
+      points(s, dir)
+        .filter(expr(pointInPolyExpr(Polygon)))
+        .orderBy(col("c_custkey"))
+        .limit(25)),
+
     // ES `geohash_grid` aggregation at precision 2: every point maps to
     // its 10-bit interleaved cell (integer-only — the e4 fixed-point
     // coords bucket by exact cross-multiply, no float), then one
@@ -147,6 +228,19 @@ object GeoQueries {
          |WHERE lat_e4 BETWEEN 100000 AND 600000
          |  AND lon_e4 BETWEEN -300000 AND 400000
          |ORDER BY c_custkey LIMIT 20""".stripMargin,
+    // The shifted sums are exactly the un-offset modular values.
+    "search_geo_centroid" ->
+      """SELECT c_mktsegment, count(*) AS n_points,
+        |  CAST(sum((c_custkey * 2654435761) % 1800001)
+        |       AS BIGINT) // count(*) - 900000 AS centroid_lat_e4,
+        |  CAST(sum((c_custkey * 2246822519) % 3600001)
+        |       AS BIGINT) // count(*) - 1800000 AS centroid_lon_e4
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_geo_polygon" ->
+      s"""WITH $PointsCte
+         |SELECT c_custkey, lat_e4, lon_e4 FROM pts
+         |WHERE ${pointInPolyExpr(Polygon)}
+         |ORDER BY c_custkey LIMIT 25""".stripMargin,
     "search_geohash_grid" ->
       s"""WITH $PointsCte,
          |b AS (

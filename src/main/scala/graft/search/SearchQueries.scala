@@ -2188,6 +2188,51 @@ object SearchQueries {
         .limit(25)
     }),
 
+    // ES `nested` AGGREGATION + `reverse_nested` — the aggregation
+    // half of the nested mapping (search_nested_query is the query
+    // half): step INTO the items array (nested agg: bucket/metric over
+    // ELEMENTS — n_items counts items, not docs), then `reverse_nested`
+    // jumps BACK to the parent scope inside each bucket (n_orders =
+    // distinct parent documents contributing to the bucket). Computed
+    // through the nested representation (build array → explode), which
+    // is how an ES shard stores and walks it; at 100 TB the nested
+    // frame is the stored index and the explode is its scan. avg_qty
+    // is exact: integer-valued doubles sum exactly under 2⁵³ in any
+    // order, and one IEEE divide is deterministic on both engines.
+    "search_facets_nested_agg" -> ((s, dir) =>
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(collect_list(struct(col("l_quantity").as("qty"),
+          col("l_returnflag").as("flag"))).as("items"))
+        .select(col("o_orderkey"), explode(col("items")).as("it"))
+        .groupBy(col("it.flag").as("flag"))
+        .agg(count(lit(1)).as("n_items"),
+          countDistinct(col("o_orderkey")).as("n_orders"),
+          round(sum(col("it.qty")) / count(lit(1)), 6).as("avg_qty"))
+        .orderBy(col("flag"))),
+
+    // ES RUNTIME FIELD (runtime mappings): a field that exists only at
+    // query time, computed from stored fields by a script, usable in
+    // queries and aggregations with NO reindex. Here `reading_time_s =
+    // n_chars DIV 15` feeds a range filter and a fixed-width histogram
+    // — declared once as a projection and reused by both, exactly the
+    // ES mental model. The honest trade carries over too: a predicate
+    // on a runtime field cannot use the index (here: a filter on the
+    // derived column does not reach the parquet scan as a pushed
+    // min/max bound, where the equivalent base-field form n_chars >=
+    // 150 would) — ES pays the same doc_values-script scan. All-integer
+    // arithmetic → hash-exact twin.
+    "search_runtime_field" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .withColumn("reading_time_s", expr("n_chars DIV 15"))
+        .filter(col("reading_time_s") >= 10)
+        .groupBy((col("reading_time_s") - pmod(col("reading_time_s"), lit(5)))
+          .as("bucket_s"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy(col("bucket_s"))),
+
     // ES parent-child `has_parent`: children (lineitems) returned when
     // their parent (order) matches the parent query — urgent high-value
     // orders. The parent side is filtered and projected to its key
@@ -3426,6 +3471,25 @@ object SearchQueries {
         |       n_matching_children, child_score
         |FROM orders o JOIN hits USING (o_orderkey)
         |ORDER BY child_score DESC, o_orderkey LIMIT 20""".stripMargin,
+    // The twin walks the same nested representation (list → unnest).
+    "search_facets_nested_agg" ->
+      """WITH nested AS (
+        |  SELECT l_orderkey AS o_orderkey,
+        |    list(struct_pack(qty := l_quantity, flag := l_returnflag)) AS items
+        |  FROM lineitem GROUP BY 1),
+        |el AS (SELECT o_orderkey, unnest(items) AS it FROM nested)
+        |SELECT it.flag AS flag, count(*) AS n_items,
+        |  count(DISTINCT o_orderkey) AS n_orders,
+        |  round(sum(it.qty) / count(*), 6) AS avg_qty
+        |FROM el GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_runtime_field" ->
+      """WITH rt AS (
+        |  SELECT n_chars, n_chars // 15 AS reading_time_s FROM documents)
+        |SELECT reading_time_s - (reading_time_s % 5) AS bucket_s,
+        |  count(*) AS doc_count,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM rt WHERE reading_time_s >= 10
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same LIST<STRUCT> build via list(struct_pack(...)), per-element
     // conjunction via list_filter — order-independent inner-hit
     // aggregates, so DuckDB's own list order nondeterminism is moot.

@@ -141,4 +141,77 @@ class SuggestGeoSpec extends AnyFunSuite {
     val p = run("search_geo_distance").queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("geo_centroid equals the exact rational mean, truncated") {
+    val rows = run("search_geo_centroid").collect()
+    assert(rows.nonEmpty)
+    val pts = Tables(spark, sf, "customer")
+      .select(col("c_mktsegment"), col("c_custkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1)
+    rows.foreach { r =>
+      val ks = pts(r.getAs[String]("c_mktsegment")).map(_._2)
+      val lat = ks.map(k => k * 2654435761L % 1800001).sum / ks.length - 900000
+      val lon = ks.map(k => k * 2246822519L % 3600001).sum / ks.length - 1800000
+      assert(r.getAs[Long]("centroid_lat_e4") == lat, r)
+      assert(r.getAs[Long]("centroid_lon_e4") == lon, r)
+    }
+  }
+
+  test("geo_polygon matches a driver-side PNPOLY reference") {
+    // Independent double-precision ray-cast (the classic PNPOLY loop)
+    // over every customer — must agree exactly with the engine's
+    // integer form, since no point sits on an edge of this polygon.
+    val poly = search.GeoQueries.Polygon
+    def inside(lat: Long, lon: Long): Boolean = {
+      var in = false
+      var i = 0
+      while (i < poly.size) {
+        val (yi, xi) = poly(i)
+        val (yj, xj) = poly((i + 1) % poly.size)
+        if ((yi > lat) != (yj > lat) &&
+          lon.toDouble < xi + (xj - xi).toDouble * (lat - yi) / (yj - yi))
+          in = !in
+        i += 1
+      }
+      in
+    }
+    val got = run("search_geo_polygon").collect()
+      .map(_.getAs[Long]("c_custkey")).toSet
+    val want = Tables(spark, sf, "customer").select(col("c_custkey"))
+      .collect().map(_.getLong(0))
+      .filter(k => inside(k * 2654435761L % 1800001 - 900000,
+        k * 2246822519L % 3600001 - 1800000))
+      .sorted.take(25).toSet
+    assert(got == want, s"got=${got.toSeq.sorted} want=${want.toSeq.sorted}")
+    assert(got.nonEmpty, "polygon matched nothing — widen it")
+  }
+
+  test("nested agg: n_items counts elements, reverse_nested counts parents") {
+    val rows = run("search_facets_nested_agg").collect()
+    assert(rows.nonEmpty)
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_returnflag"), col("l_orderkey")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    rows.foreach { r =>
+      val flag = r.getAs[String]("flag")
+      val of = li.filter(_._1 == flag)
+      assert(r.getAs[Long]("n_items") == of.length.toLong, r)
+      assert(r.getAs[Long]("n_orders") == of.map(_._2).distinct.length.toLong, r)
+      // The reverse_nested count can never exceed the element count.
+      assert(r.getAs[Long]("n_orders") <= r.getAs[Long]("n_items"))
+    }
+  }
+
+  test("runtime field: derived filter + histogram agree with base-field math") {
+    val rows = run("search_runtime_field").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket_s")
+      assert(b % 5 == 0 && b >= 10, r)
+      // Bucket bounds in base-field units: n_chars DIV 15 in [b, b+5).
+      assert(r.getAs[Long]("min_chars") / 15 >= b, r)
+      assert(r.getAs[Long]("max_chars") / 15 < b + 5, r)
+    }
+  }
 }
