@@ -2211,6 +2211,29 @@ object SearchQueries {
           round(sum(col("it.qty")) / count(lit(1)), 6).as("avg_qty"))
         .orderBy(col("flag"))),
 
+    // ES `children` AGGREGATION — the join-field counterpart of the
+    // nested agg: bucket PARENT documents (orders by status), then the
+    // `children` agg steps into each bucket's CHILD documents
+    // (lineitems) for element counts and metrics. One shuffle
+    // equi-join on the parent key + partial+final agg — the same plan
+    // ES executes against its global-ordinals join field, re-expressed
+    // relationally. n_parents counts bucket parents that HAVE
+    // children (the join is inner — childless orders contribute no
+    // child rows, exactly as in ES's children agg); the child metric
+    // follows the has_child discipline (exact DECIMAL sum, DOUBLE at
+    // the boundary).
+    "search_facets_children" -> ((s, dir) =>
+      Tables(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .join(Tables(s, dir, "lineitem")
+          .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+          Seq("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_orderkey")).as("n_parents"),
+          count(lit(1)).as("n_children"),
+          sum(col("l_quantity").cast(DecimalType(12, 2))).cast("double")
+            .as("sum_child_qty"))
+        .orderBy(col("o_orderstatus"))),
+
     // ES RUNTIME FIELD (runtime mappings): a field that exists only at
     // query time, computed from stored fields by a script, usable in
     // queries and aggregations with NO reindex. Here `reading_time_s =
@@ -3482,6 +3505,14 @@ object SearchQueries {
         |  count(DISTINCT o_orderkey) AS n_orders,
         |  round(sum(it.qty) / count(*), 6) AS avg_qty
         |FROM el GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_children" ->
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o.o_orderkey) AS n_parents,
+        |  count(*) AS n_children,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        |    AS sum_child_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_runtime_field" ->
       """WITH rt AS (
         |  SELECT n_chars, n_chars // 15 AS reading_time_s FROM documents)

@@ -203,6 +203,24 @@ class SuggestGeoSpec extends AnyFunSuite {
     }
   }
 
+  test("children agg: child counts/metrics per parent bucket re-verified") {
+    val rows = run("search_facets_children").collect()
+    assert(rows.nonEmpty)
+    val orders = Tables(spark, sf, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val li = Tables(spark, sf, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity")).collect()
+      .map(r => (orders(r.getLong(0)), r.getLong(0), r.getDouble(1)))
+    rows.foreach { r =>
+      val st = r.getAs[String]("o_orderstatus")
+      val of = li.filter(_._1 == st)
+      assert(r.getAs[Long]("n_children") == of.length.toLong, r)
+      assert(r.getAs[Long]("n_parents") == of.map(_._2).distinct.length.toLong, r)
+      assert(math.abs(r.getAs[Double]("sum_child_qty") - of.map(_._3).sum) < 1e-6, r)
+    }
+  }
+
   test("runtime field: derived filter + histogram agree with base-field math") {
     val rows = run("search_runtime_field").collect()
     assert(rows.nonEmpty)
