@@ -221,6 +221,71 @@ class SuggestGeoSpec extends AnyFunSuite {
     }
   }
 
+  test("pointInPolyExpr parity matches PNPOLY on 2000 seeded random points") {
+    // The shared-text SQL generator is the single algorithmic source
+    // for BOTH engines — so its correctness is proven once, against an
+    // independent driver-side reference, over far more geometry than
+    // the 150 fixture points cover: 2000 seeded points spanning the
+    // full coordinate domain, plus the polygon's own vertices (the
+    // half-open rule's edge case).
+    val rnd = new scala.util.Random(42)
+    val poly = search.GeoQueries.Polygon
+    val pts = Seq.fill(2000)(
+      (rnd.nextLong(1800001L) - 900000L, rnd.nextLong(3600001L) - 1800000L)) ++
+      poly // vertices exercise the boundary discipline
+    def pnpoly(lat: Long, lon: Long): Boolean = {
+      var in = false
+      for (i <- poly.indices) {
+        val (yi, xi) = poly(i)
+        val (yj, xj) = poly((i + 1) % poly.size)
+        // Exact integer form, independently re-derived: lon strictly
+        // left of the edge's crossing at this latitude.
+        if ((yi > lat) != (yj > lat)) {
+          val lhs = (lon - xi) * (yj - yi)
+          val rhs = (xj - xi) * (lat - yi)
+          if (if (yj - yi > 0) lhs < rhs else lhs > rhs) in = !in
+        }
+      }
+      in
+    }
+    import spark.implicits._
+    val df = pts.toDF("lat_e4", "lon_e4")
+      .withColumn("in_poly",
+        org.apache.spark.sql.functions.expr(
+          search.GeoQueries.pointInPolyExpr(poly)))
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getBoolean(2)).toMap
+    pts.foreach { case (lat, lon) =>
+      assert(got((lat, lon)) == pnpoly(lat, lon), s"($lat, $lon)")
+    }
+  }
+
+  test("geohash2 bits/string round-trip against a driver-side reference") {
+    val rnd = new scala.util.Random(7)
+    val cells = Seq.fill(300)((rnd.nextInt(32).toLong, rnd.nextInt(32).toLong)) ++
+      Seq((0L, 0L), (31L, 31L), (0L, 31L), (31L, 0L))
+    def ref(latB: Long, lonB: Long): (Long, String) = {
+      var gh = 0L
+      for (j <- 0 until 5) {
+        gh |= ((lonB >> j) & 1L) << (2 * j + 1)
+        gh |= ((latB >> j) & 1L) << (2 * j)
+      }
+      val a = "0123456789bcdefghjkmnpqrstuvwxyz"
+      (gh, s"${a((gh >> 5).toInt & 31)}${a(gh.toInt & 31)}")
+    }
+    import spark.implicits._
+    val df = cells.toDF("lat_b", "lon_b")
+      .withColumn("gh", org.apache.spark.sql.functions.expr(
+        search.GeoQueries.geohash2BitsExpr("DIV")))
+      .withColumn("s", org.apache.spark.sql.functions.expr(
+        search.GeoQueries.geohash2StrExpr("DIV")))
+    df.collect().foreach { r =>
+      val (gh, str) = ref(r.getLong(0), r.getLong(1))
+      assert(r.getAs[Long]("gh") == gh, r)
+      assert(r.getAs[String]("s") == str, r)
+    }
+  }
+
   test("runtime field: derived filter + histogram agree with base-field math") {
     val rows = run("search_runtime_field").collect()
     assert(rows.nonEmpty)
