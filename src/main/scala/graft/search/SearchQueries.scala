@@ -2234,6 +2234,46 @@ object SearchQueries {
             .as("sum_child_qty"))
         .orderBy(col("o_orderstatus"))),
 
+    // ES `pinned` query — editorially promoted documents rank ABOVE
+    // all organic results, in the order the pin list gives them; the
+    // organic tail keeps its relevance order. The pin list is an O(1)
+    // literal (array_position gives each pinned doc its curated rank,
+    // 0 = not pinned), so the whole thing is one extra integer sort
+    // key on the existing top-k — still TakeOrderedAndProject, no
+    // extra pass. Integer tf scoring → hash-exact.
+    "search_pinned" -> ((s, dir) => {
+      val pins = array(lit(17L), lit(5L), lit(42L))
+      val score = size(filter(tokens(col("text")), x => x === lit("spark")))
+      Tables(s, dir, "documents")
+        .withColumn("score", score)
+        .withColumn("pin_pos", array_position(pins, col("doc_id")))
+        .filter(col("score") > 0 || col("pin_pos") > 0)
+        .withColumn("pinned", col("pin_pos") > 0)
+        .select(col("doc_id"), col("pinned"), col("pin_pos"), col("score"))
+        .orderBy(col("pinned").desc, col("pin_pos"),
+          col("score").desc, col("doc_id"))
+        .limit(15)
+    }),
+
+    // ES `distance_feature` query — the recency/proximity booster:
+    // score contribution = boost · pivot / (pivot + distance), here on
+    // the date axis (origin = the fixed reference date, pivot = 30
+    // days). Carried as EXACT INTEGER ppm — (30·10⁶) DIV (30 + days) —
+    // so unlike the gauss decay (float exp) this form hash-compares
+    // with zero float anywhere. One scan + top-k; the day distance is
+    // a codegen'd datediff on the scan projection.
+    "search_distance_feature" -> ((s, dir) =>
+      Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "O")
+        .withColumn("days_back",
+          datediff(lit("2001-08-01").cast("date"), col("o_orderdate").cast("date"))
+            .cast(LongType))
+        .withColumn("recency_ppm",
+          expr("(30 * 1000000) DIV (30 + days_back)"))
+        .select(col("o_orderkey"), col("days_back"), col("recency_ppm"))
+        .orderBy(col("recency_ppm").desc, col("o_orderkey"))
+        .limit(20)),
+
     // ES RUNTIME FIELD (runtime mappings): a field that exists only at
     // query time, computed from stored fields by a script, usable in
     // queries and aggregations with NO reindex. Here `reading_time_s =
@@ -3513,6 +3553,26 @@ object SearchQueries {
         |    AS sum_child_qty
         |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_pinned" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        t -> t = 'spark')) AS score,
+        |    COALESCE(list_position([17, 5, 42], doc_id), 0) AS pin_pos
+        |  FROM documents)
+        |SELECT doc_id, pin_pos > 0 AS pinned,
+        |  CAST(pin_pos AS BIGINT) AS pin_pos, CAST(score AS INT) AS score
+        |FROM scored WHERE score > 0 OR pin_pos > 0
+        |ORDER BY pinned DESC, pin_pos, score DESC, doc_id LIMIT 15""".stripMargin,
+    "search_distance_feature" ->
+      """SELECT o_orderkey,
+        |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2001-08-01')
+        |       AS BIGINT) AS days_back,
+        |  (30 * 1000000) // (30 + CAST(date_diff('day',
+        |       CAST(o_orderdate AS DATE), DATE '2001-08-01') AS BIGINT))
+        |    AS recency_ppm
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY recency_ppm DESC, o_orderkey LIMIT 20""".stripMargin,
     "search_runtime_field" ->
       """WITH rt AS (
         |  SELECT n_chars, n_chars // 15 AS reading_time_s FROM documents)

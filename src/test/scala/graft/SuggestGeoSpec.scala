@@ -286,6 +286,30 @@ class SuggestGeoSpec extends AnyFunSuite {
     }
   }
 
+  test("pinned query: curated ids rank first in pin order, organic tail intact") {
+    val rows = run("search_pinned").collect()
+    assert(rows.nonEmpty)
+    val pinned = rows.takeWhile(_.getAs[Boolean]("pinned"))
+    // Fixture doc_ids are dense from 0, so all three pins exist.
+    assert(pinned.map(_.getAs[Long]("doc_id")).toSeq == Seq(17L, 5L, 42L), rows.toSeq)
+    val organic = rows.drop(pinned.length)
+    assert(organic.nonEmpty && organic.forall(!_.getAs[Boolean]("pinned")))
+    val scores = organic.map(_.getAs[Int]("score")).toSeq
+    assert(scores == scores.sorted.reverse) // organic order untouched
+  }
+
+  test("distance_feature: recency ppm is the exact integer hyperbola") {
+    val rows = run("search_distance_feature").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getAs[Long]("days_back")
+      assert(d >= 0)
+      assert(r.getAs[Long]("recency_ppm") == 30L * 1000000L / (30L + d), r)
+    }
+    val ppm = rows.map(_.getAs[Long]("recency_ppm")).toSeq
+    assert(ppm == ppm.sorted.reverse)
+  }
+
   test("runtime field: derived filter + histogram agree with base-field math") {
     val rows = run("search_runtime_field").collect()
     assert(rows.nonEmpty)
