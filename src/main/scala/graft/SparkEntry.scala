@@ -31,6 +31,7 @@ object SparkEntry {
       search.SearchQueries.queries ++
       search.SuggestQueries.queries ++
       search.GeoQueries.queries ++
+      search.EsTailQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
       llm.CorpusQueries.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
       search.SearchQueries.oracleSql ++
       search.SuggestQueries.oracleSql ++
       search.GeoQueries.oracleSql ++
+      search.EsTailQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
       llm.CorpusQueries.oracleSql ++

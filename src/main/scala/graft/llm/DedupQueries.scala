@@ -662,6 +662,57 @@ object DedupQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // URL-keyed dedup — the FIRST dedup stage of the web-corpus
+    // pipelines (RefinedWeb §3.1, CCNet): before any content measure,
+    // collapse documents that are the SAME PAGE fetched under cosmetic
+    // URL variants. Canonicalization (the standard RFC 3986-ish
+    // normalization): lowercase; strip the fragment; drop tracking
+    // parameters (utm_*) but KEEP meaningful ones; strip the trailing
+    // slash. The fixtures carry no URLs, so each doc gets a
+    // DETERMINISTIC synthetic one derived from (source, doc_id) —
+    // deliberately spread across case/slash/utm/fragment variants so
+    // every canonicalization rule is load-bearing (fixture synthesis,
+    // the GeoQueries pattern; a real crawl reads its stored URL).
+    // Scale shape: per-row string normalization (codegen'd HOFs for
+    // the param filter) then ONE hash shuffle of (canonical_url,
+    // doc_id) — identical cost to exact dedup; the URL never needs an
+    // inverted index because equality is the whole measure.
+    "llm_dedup_url" -> ((s, dir) => {
+      val grp = expr("doc_id DIV 100")
+      val raw = concat(
+        lit("https://"),
+        when(col("doc_id") % 4 === 0, upper(col("source"))).otherwise(col("source")),
+        lit(".Example.COM/docs/"), grp.cast(StringType),
+        when(col("doc_id") % 5 === 0, "/").otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("?utm_source=feed&utm_id="),
+            (col("doc_id") % 9).cast(StringType),
+            lit("&page="), grp.cast(StringType)))
+          .otherwise(concat(lit("?page="), grp.cast(StringType))),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("#sec"), (col("doc_id") % 7).cast(StringType)))
+          .otherwise(""))
+      val noFrag = regexp_replace(lower(col("raw_url")), "#.*$", "")
+      val path = regexp_replace(regexp_extract(noFrag, "^[^?]*", 0), "/$", "")
+      val query = when(noFrag.contains("?"),
+        regexp_replace(noFrag, "^[^?]*\\?", "")).otherwise("")
+      val kept = array_join(
+        filter(split(query, "&"),
+          p => length(p) > 0 && !p.startsWith("utm_")), "&")
+      Tables.forCompute(s, dir, "documents")
+        .withColumn("raw_url", raw)
+        .withColumn("canonical_url",
+          concat(path, when(length(kept) > 0, concat(lit("?"), kept))
+            .otherwise("")))
+        .groupBy(col("canonical_url"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("keeper"),
+          countDistinct(col("raw_url")).as("n_raw_variants"))
+        .filter(col("n_docs") > 1)
+        .orderBy(col("n_docs").desc, col("canonical_url"))
+        .limit(25)
+    }),
+
     // N-gram Jaccard near-dup pairs via inverted index. Output keeps
     // integer (intersection, union) — Jaccard ≥ 0.2 as inter*5 >= union,
     // no float anywhere. Stop-shingles (df > MaxShingleDf) are removed
@@ -1020,6 +1071,46 @@ object DedupQueries {
         |QUALIFY row_number() OVER (PARTITION BY md5(lower(trim(text)))
         |                           ORDER BY doc_id) = 1
         |ORDER BY doc_id""".stripMargin,
+    "llm_dedup_url" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |    concat('https://',
+        |      CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END,
+        |      '.Example.COM/docs/', CAST(doc_id // 100 AS VARCHAR),
+        |      CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END,
+        |      CASE WHEN doc_id % 2 = 0
+        |           THEN concat('?utm_source=feed&utm_id=',
+        |                       CAST(doc_id % 9 AS VARCHAR),
+        |                       '&page=', CAST(doc_id // 100 AS VARCHAR))
+        |           ELSE concat('?page=', CAST(doc_id // 100 AS VARCHAR)) END,
+        |      CASE WHEN doc_id % 3 = 0
+        |           THEN concat('#sec', CAST(doc_id % 7 AS VARCHAR))
+        |           ELSE '' END) AS raw_url
+        |  FROM documents),
+        |canon AS (
+        |  SELECT doc_id, raw_url,
+        |    regexp_replace(regexp_extract(
+        |      regexp_replace(lower(raw_url), '#.*$', ''), '^[^?]*'),
+        |      '/$', '') AS path,
+        |    CASE WHEN contains(regexp_replace(lower(raw_url), '#.*$', ''), '?')
+        |         THEN regexp_replace(regexp_replace(lower(raw_url), '#.*$', ''),
+        |                             '^[^?]*\?', '')
+        |         ELSE '' END AS q
+        |  FROM raw),
+        |cu AS (
+        |  SELECT doc_id, raw_url,
+        |    concat(path,
+        |      CASE WHEN len(array_to_string(list_filter(str_split(q, '&'),
+        |                 p -> len(p) > 0 AND NOT starts_with(p, 'utm_')), '&')) > 0
+        |           THEN concat('?', array_to_string(list_filter(str_split(q, '&'),
+        |                 p -> len(p) > 0 AND NOT starts_with(p, 'utm_')), '&'))
+        |           ELSE '' END) AS canonical_url
+        |  FROM canon)
+        |SELECT canonical_url, count(*) AS n_docs,
+        |  min(doc_id) AS keeper,
+        |  count(DISTINCT raw_url) AS n_raw_variants
+        |FROM cu GROUP BY 1 HAVING count(*) > 1
+        |ORDER BY n_docs DESC, canonical_url LIMIT 25""".stripMargin,
     "llm_dedup_ngram_jaccard" ->
       s"""WITH $ngramPairsCtes
          |SELECT doc_a, doc_b, inter, union_sz FROM good

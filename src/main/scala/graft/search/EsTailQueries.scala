@@ -1,0 +1,406 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** The last stretch of the ES 6.6 surface the reference's users reach
+  * through `q=` / `_search` (SURVEY.md §2.3; reference
+  * `indexView.html:13-20`): `significant_text`, `scripted_metric`,
+  * `global` + `missing` aggregation scopes, `date_range` and
+  * `ip_range` aggregations, `span_or` / `span_first` positional
+  * queries, the `common` terms query, and sliced scroll.
+  *
+  * Scale notes shared by the family:
+  *  - every aggregation here is a partial+final hash aggregate on a
+  *    bounded key set (bucket keys, event types, ring/range labels) —
+  *    constant-size output regardless of corpus size;
+  *  - the span queries are served from the positional postings
+  *    artifact with the probed terms pushed as an `In` filter, so cost
+  *    is the probed posting lists, never the corpus (same contract as
+  *    search_span_near);
+  *  - the scripted-metric map/combine/reduce contract is LITERALLY
+  *    Spark's execution model — map = codegen'd per-row projection,
+  *    combine = map-side partial aggregate, reduce = final aggregate
+  *    after one shuffle of partial states — which is why the operator
+  *    costs no more than a plain sum at 100 TB;
+  *  - sliced scroll is the ES analog of a partitioned parallel scan:
+  *    the slice-membership hash predicate pushes into the scan and
+  *    each slice's client reads a disjoint ~1/max of the corpus.
+  *
+  * Cross-engine discipline (see graft-gotchas): money doubles become
+  * exact integer cents via floor(value·100) — floor agrees between
+  * engines, CAST(double AS BIGINT) does not; all ratios that reach
+  * output are rounded doubles or exact integers; every output column
+  * is a 64-bit type.
+  */
+object EsTailQueries {
+
+  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+
+  /** Exact integer cents of the events `value` column (two-decimal
+    * money stored as DOUBLE): floor(value·100) — both engines floor
+    * the identical IEEE product, so the carrier hash-matches.
+    */
+  private val cents: Column = floor(col("value") * lit(100)).cast(LongType)
+  private val CentsSql = "CAST(floor(value * 100) AS BIGINT)"
+
+  /** Shared-text SQL rendering a non-negative 32-bit integer column
+    * `ip32` as a dotted-quad IPv4 string, parameterized on the
+    * integer-division token (`DIV` Spark, `//` DuckDB) — the
+    * geohash2StrExpr pattern.
+    */
+  private def dottedQuadExpr(div: String, c: String): String =
+    s"concat(CAST(($c $div 16777216) % 256 AS STRING), '.', " +
+      s"CAST(($c $div 65536) % 256 AS STRING), '.', " +
+      s"CAST(($c $div 256) % 256 AS STRING), '.', " +
+      s"CAST($c % 256 AS STRING))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ES `significant_text` aggregation with filter_duplicate_text and
+    // the chi_square significance heuristic: foreground = docs whose
+    // RE-ANALYZED text contains 'dup', background = whole corpus.
+    // Unlike significant_terms (which reads pre-indexed terms), the
+    // text form first DEDUPLICATES identical text blocks — exactly the
+    // skew the 'dup' fixture docs would otherwise inject (copy-paste
+    // boilerplate dominating the foreground counts; ES added
+    // filter_duplicate_text for precisely this). Dedup = group by text,
+    // keep min doc_id — one hash shuffle of (text-hash, id) at scale,
+    // the llm_dedup_exact shape. Scoring: chi-square
+    // (fg_rate − bg_rate)²/bg_rate with include_negatives=false,
+    // rounded at 9 before ordering per the float discipline.
+    "search_significant_text" -> ((s, dir) => {
+      val deduped = Tables(s, dir, "documents")
+        .groupBy(col("text")).agg(min(col("doc_id")).as("doc_id"))
+      val toksCol = tokens(col("text"))
+      val base = deduped
+        .withColumn("is_fg", array_contains(toksCol, "dup"))
+        .select(col("doc_id"), col("is_fg"),
+          explode(array_distinct(toksCol)).as("term"))
+      val totals = base.select(col("doc_id"), col("is_fg")).distinct()
+        .agg(sum(when(col("is_fg"), 1L).otherwise(0L)).cast(DoubleType).as("fg_total"),
+          count(lit(1)).cast(DoubleType).as("bg_total"))
+      base.groupBy(col("term"))
+        .agg(sum(when(col("is_fg"), 1L).otherwise(0L)).as("fg_docs"),
+          count(lit(1)).as("bg_docs"))
+        .filter(col("fg_docs") >= 3)
+        .crossJoin(broadcast(totals))
+        .withColumn("fg_rate", col("fg_docs").cast(DoubleType) / col("fg_total"))
+        .withColumn("bg_rate", col("bg_docs").cast(DoubleType) / col("bg_total"))
+        .filter(col("fg_rate") > col("bg_rate")) // include_negatives: false
+        .withColumn("chi2", round(
+          (col("fg_rate") - col("bg_rate")) * (col("fg_rate") - col("bg_rate"))
+            / col("bg_rate"), 9))
+        .select(col("term"), col("fg_docs"), col("bg_docs"), col("chi2"))
+        .orderBy(col("chi2").desc, col("term"))
+        .limit(15)
+    }),
+
+    // ES `scripted_metric` aggregation — the user-defined
+    // map/combine/reduce metric. The script here: map emits each
+    // event's exact cents doubled when its props.k is even (a
+    // "premium" weighting), combine sums partials per shard, reduce
+    // sums shard partials — which IS Spark's partial+final aggregate,
+    // so the custom metric costs exactly one scan + one 5-row
+    // shuffle. All integer arithmetic (cents carrier).
+    "search_scripted_metric" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast(LongType)
+      Tables(s, dir, "events")
+        .select(col("event_type"), cents.as("cents"),
+          when(k % 2 === 0, 1L).otherwise(0L).as("premium"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("premium") === 1L, col("cents") * 2)
+            .otherwise(col("cents"))).as("weighted_cents"),
+          sum(col("premium")).as("n_premium"))
+        .withColumn("avg_weighted_cents",
+          expr("weighted_cents DIV n_events"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ES `global` + `missing` aggregation scopes in one search: the
+    // query scope is event_type='click', a `global` sub-agg escapes
+    // the query to compute corpus-wide totals (ES's "compare my
+    // filtered bucket against everything" idiom), and a `missing` agg
+    // counts docs where the sparse derived field conv_cents (defined
+    // only for purchase/signup — a conversion value) is absent. ONE
+    // scan computes all three scopes as conditional aggregates, then
+    // stacks them — no second pass over the corpus for the global
+    // scope, which is the Spark-native form of ES's
+    // one-pass-multi-collector execution.
+    "search_facets_global" -> ((s, dir) => {
+      val conv = when(col("event_type").isin("purchase", "signup"), cents)
+      val one = Tables(s, dir, "events")
+        .select(col("event_type"), cents.as("cents"), conv.as("conv_cents"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("q_n"),
+          sum(when(col("event_type") === "click", col("cents"))
+            .otherwise(0L)).as("q_cents"),
+          count(lit(1)).as("g_n"), sum(col("cents")).as("g_cents"),
+          sum(when(col("conv_cents").isNull, 1L).otherwise(0L)).as("m_n"))
+      one.select(explode(array(
+          struct(lit("query").as("scope"), col("q_n").as("doc_count"),
+            col("q_cents").as("sum_cents")),
+          struct(lit("global").as("scope"), col("g_n").as("doc_count"),
+            col("g_cents").as("sum_cents")),
+          struct(lit("missing_conv").as("scope"), col("m_n").as("doc_count"),
+            lit(0L).as("sum_cents")))).as("r"))
+        .select(col("r.scope").as("scope"), col("r.doc_count").as("doc_count"),
+          col("r.sum_cents").as("sum_cents"))
+        .orderBy(col("scope"))
+    }),
+
+    // ES `date_range` aggregation with keyed buckets (the from/to
+    // form users write for cohort windows): three keyed ranges over
+    // the event timeline, each with doc_count, distinct users, and
+    // exact cents. CASE bucketing on the raw timestamp, one
+    // partial+final aggregate on a 3-key space.
+    "search_facets_date_range" -> ((s, dir) => {
+      val bucket = when(col("ts") < to_timestamp(lit("2024-02-01 00:00:00")), "early")
+        .when(col("ts") < to_timestamp(lit("2024-04-01 00:00:00")), "spring")
+        .otherwise("late")
+      Tables(s, dir, "events")
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(cents).as("sum_cents"))
+        .orderBy(col("bucket"))
+    }),
+
+    // ES `ip_range` aggregation. The fixtures carry no addresses, so
+    // each event gets a DETERMINISTIC synthetic IPv4 derived from its
+    // user key by the same modular spread the geo family documents
+    // (GeoQueries): ip32 = (user_id·2654435761) mod 2³² — fixture
+    // synthesis, not an operator; a real deployment reads stored
+    // addresses. Buckets are the four /2 CIDR blocks; rendering to
+    // dotted quads is shared-text integer arithmetic (DIV vs //).
+    "search_facets_ip_range" -> ((s, dir) =>
+      Tables(s, dir, "events")
+        .withColumn("ip32", col("user_id") * 2654435761L % 4294967296L)
+        .withColumn("bucket",
+          concat((expr("ip32 DIV 1073741824") * 64).cast(StringType),
+            lit(".0.0.0/2")))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("doc_count"),
+          expr(dottedQuadExpr("DIV", "min(ip32)")).as("min_ip"),
+          expr(dottedQuadExpr("DIV", "max(ip32)")).as("max_ip"))
+        .orderBy(col("bucket"))),
+
+    // ES `span_or` — the union of span clauses: every occurrence of
+    // ANY of {scan, merge} is a span. Served from the positional
+    // postings artifact with In(term) pushed into the range-sorted
+    // scan (row-group skip); per doc the union is sum(tf) spans, the
+    // earliest span start, and how many clauses matched. Posting-list
+    // cost, never corpus cost.
+    "search_span_or" -> ((s, dir) => {
+      val (postings, _, _) = SearchQueries.materializedPostings(s, dir)
+      postings.filter(col("term").isin("scan", "merge"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("tf")).as("n_spans"),
+          min(array_min(col("positions"))).cast(LongType).as("first_pos"),
+          count(lit(1)).as("n_clauses"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ES `span_first` — clause 'join' with end ≤ 8: the span must lie
+    // entirely within the first 8 positions, i.e. 0-based start ≤ 7
+    // for a single-term clause. One pruned posting probe + a per-doc
+    // HOF over the position array.
+    "search_span_first" -> ((s, dir) => {
+      val (postings, _, _) = SearchQueries.materializedPostings(s, dir)
+      postings.filter(col("term") === "join")
+        .withColumn("w", filter(col("positions"), p => p <= lit(7)))
+        .filter(size(col("w")) > 0)
+        .select(col("doc_id"),
+          size(col("w")).cast(LongType).as("n_in_window"),
+          array_min(col("w")).cast(LongType).as("first_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ES `common` terms query (the pre-BM25 stopword-aware match):
+    // query terms are split by DOCUMENT FREQUENCY at
+    // cutoff_frequency=0.5 — low-frequency terms ('dup' here) are
+    // REQUIRED (AND semantics), high-frequency terms ('the', 'a',
+    // 'vector' — stopword-ish in this corpus) only contribute score.
+    // The df split is computed from the corpus, not hardcoded: one
+    // 1-row stats aggregate broadcasts, then one scan filters on the
+    // required terms and scores by summed tf of every query term.
+    // Exact integer scoring ⇒ hash-oracle-able.
+    "search_common_terms" -> ((s, dir) => {
+      val qTerms = Seq("dup", "vector", "the", "a")
+      def tf(t: String): Column =
+        size(filter(tokens(col("text")), x => x === lit(t))).cast(LongType)
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id") +: qTerms.map(t => tf(t).as(s"tf_$t")): _*)
+      val stats = scored.agg(
+        count(lit(1)).as("n_docs"),
+        qTerms.map(t =>
+          sum((col(s"tf_$t") > 0).cast(LongType)).as(s"df_$t")): _*)
+      scored.crossJoin(broadcast(stats))
+        // required: every LOW-frequency term (df·2 ≤ n_docs) must match
+        .filter(qTerms.map(t =>
+          (col(s"df_$t") * 2 > col("n_docs")) || col(s"tf_$t") > 0)
+          .reduce(_ && _))
+        .withColumn("score", qTerms.map(t => col(s"tf_$t")).reduce(_ + _))
+        .withColumn("n_high_matched", qTerms.map(t =>
+          ((col(s"df_$t") * 2 > col("n_docs")) && col(s"tf_$t") > 0)
+            .cast(LongType)).reduce(_ + _))
+        .select(col("doc_id"), col("score"), col("n_high_matched"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(15)
+    }),
+
+    // ES sliced scroll — `slice: {id: 1, max: 4}` + `search_after`
+    // paging: the corpus is split into 4 disjoint slices by a
+    // deterministic hash of the document key ((doc_id·2654435761)
+    // mod 4 — ES slices on a hash of `_id` the same way), and this
+    // client reads slice 1's SECOND page of 20 in doc_id order. The
+    // slice predicate is a codegen'd scan filter — 4 clients each
+    // scan-filter their quarter in parallel, the ES contract for
+    // parallel reindex/export; at 100 TB each slice is an
+    // independent ~25 TB scan with no coordination.
+    "search_scroll_slice" -> ((s, dir) =>
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") * 2654435761L % 4 === 1)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .offset(20).limit(20))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "search_significant_text" ->
+      """WITH deduped AS (
+        |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),
+        |base AS (
+        |  SELECT doc_id,
+        |    list_contains(regexp_split_to_array(lower(text), '\s+'), 'dup') AS is_fg,
+        |    unnest(list_distinct(regexp_split_to_array(lower(text), '\s+'))) AS term
+        |  FROM deduped),
+        |totals AS (
+        |  SELECT CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS DOUBLE) AS fg_total,
+        |         CAST(count(*) AS DOUBLE) AS bg_total
+        |  FROM (SELECT DISTINCT doc_id, is_fg FROM base)),
+        |per_term AS (
+        |  SELECT term,
+        |    CAST(sum(CASE WHEN is_fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_docs,
+        |    count(*) AS bg_docs
+        |  FROM base GROUP BY term
+        |  HAVING sum(CASE WHEN is_fg THEN 1 ELSE 0 END) >= 3),
+        |r AS (
+        |  SELECT term, fg_docs, bg_docs,
+        |    fg_docs / fg_total AS fg_rate, bg_docs / bg_total AS bg_rate
+        |  FROM per_term, totals)
+        |SELECT term, fg_docs, bg_docs,
+        |  round((fg_rate - bg_rate) * (fg_rate - bg_rate) / bg_rate, 9) AS chi2
+        |FROM r WHERE fg_rate > bg_rate
+        |ORDER BY chi2 DESC, term LIMIT 15""".stripMargin,
+    "search_scripted_metric" ->
+      s"""WITH m AS (
+         |  SELECT event_type, $CentsSql AS cents,
+         |    CASE WHEN CAST(json_extract_string(props, '$$.k') AS BIGINT) % 2 = 0
+         |         THEN 1 ELSE 0 END AS premium
+         |  FROM events)
+         |SELECT event_type, count(*) AS n_events,
+         |  CAST(sum(CASE WHEN premium = 1 THEN cents * 2 ELSE cents END)
+         |       AS BIGINT) AS weighted_cents,
+         |  CAST(sum(premium) AS BIGINT) AS n_premium,
+         |  CAST(sum(CASE WHEN premium = 1 THEN cents * 2 ELSE cents END)
+         |       AS BIGINT) // count(*) AS avg_weighted_cents
+         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_global" ->
+      s"""WITH m AS (
+         |  SELECT event_type, $CentsSql AS cents,
+         |    CASE WHEN event_type IN ('purchase', 'signup')
+         |         THEN $CentsSql END AS conv_cents
+         |  FROM events),
+         |one AS (
+         |  SELECT
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS q_n,
+         |    CAST(sum(CASE WHEN event_type = 'click' THEN cents ELSE 0 END) AS BIGINT) AS q_cents,
+         |    count(*) AS g_n, CAST(sum(cents) AS BIGINT) AS g_cents,
+         |    CAST(sum(CASE WHEN conv_cents IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS m_n
+         |  FROM m)
+         |SELECT 'query' AS scope, q_n AS doc_count, q_cents AS sum_cents FROM one
+         |UNION ALL
+         |SELECT 'global', g_n, g_cents FROM one
+         |UNION ALL
+         |SELECT 'missing_conv', m_n, 0 FROM one
+         |ORDER BY scope""".stripMargin,
+    "search_facets_date_range" ->
+      s"""SELECT CASE WHEN ts < TIMESTAMP '2024-02-01 00:00:00' THEN 'early'
+         |            WHEN ts < TIMESTAMP '2024-04-01 00:00:00' THEN 'spring'
+         |            ELSE 'late' END AS bucket,
+         |  count(*) AS doc_count,
+         |  count(DISTINCT user_id) AS n_users,
+         |  CAST(sum($CentsSql) AS BIGINT) AS sum_cents
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_facets_ip_range" ->
+      s"""WITH ips AS (
+         |  SELECT (user_id * 2654435761) % 4294967296 AS ip32 FROM events)
+         |SELECT concat(CAST((ip32 // 1073741824) * 64 AS VARCHAR), '.0.0.0/2') AS bucket,
+         |  count(*) AS doc_count,
+         |  ${dottedQuadExpr("//", "min(ip32)")} AS min_ip,
+         |  ${dottedQuadExpr("//", "max(ip32)")} AS max_ip
+         |FROM ips GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Scan-computed twins of the index-served span queries (the
+    // driver's gate proves index-served == scan-computed, the
+    // search_span_near contract). Positions 0-based (i-1).
+    "search_span_or" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i))
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(min(p) AS BIGINT) AS first_pos,
+        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_clauses
+        |FROM p WHERE tok IN ('scan', 'merge')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_span_first" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, i - 1 AS p, w[i] AS tok
+        |  FROM t, unnest(generate_series(1, len(w))) AS u(i))
+        |SELECT doc_id, count(*) AS n_in_window,
+        |  CAST(min(p) AS BIGINT) AS first_pos
+        |FROM p WHERE tok = 'join' AND p <= 7
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_common_terms" ->
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'dup')) AS BIGINT) AS tf_dup,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'vector')) AS BIGINT) AS tf_vector,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'the')) AS BIGINT) AS tf_the,
+        |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x = 'a')) AS BIGINT) AS tf_a
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*) AS n_docs,
+        |    CAST(sum(CASE WHEN tf_dup > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_dup,
+        |    CAST(sum(CASE WHEN tf_vector > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_vector,
+        |    CAST(sum(CASE WHEN tf_the > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_the,
+        |    CAST(sum(CASE WHEN tf_a > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_a
+        |  FROM scored)
+        |SELECT doc_id,
+        |  tf_dup + tf_vector + tf_the + tf_a AS score,
+        |  CAST((CASE WHEN df_dup * 2 > n_docs AND tf_dup > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN df_vector * 2 > n_docs AND tf_vector > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN df_the * 2 > n_docs AND tf_the > 0 THEN 1 ELSE 0 END)
+        |     + (CASE WHEN df_a * 2 > n_docs AND tf_a > 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS n_high_matched
+        |FROM scored, stats
+        |WHERE (df_dup * 2 > n_docs OR tf_dup > 0)
+        |  AND (df_vector * 2 > n_docs OR tf_vector > 0)
+        |  AND (df_the * 2 > n_docs OR tf_the > 0)
+        |  AND (df_a * 2 > n_docs OR tf_a > 0)
+        |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin,
+    "search_scroll_slice" ->
+      """SELECT doc_id, source, n_chars FROM documents
+        |WHERE (doc_id * 2654435761) % 4 = 1
+        |ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin)
+}

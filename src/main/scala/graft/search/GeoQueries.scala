@@ -194,6 +194,30 @@ object GeoQueries {
         .orderBy(col("c_custkey"))
         .limit(25)),
 
+    // ES `geo_distance` aggregation — the distance-RING buckets behind
+    // every "within 1000 km / 3000 km / farther" facet, the agg
+    // counterpart of the search_geo_distance query: each point buckets
+    // by its haversine distance from the origin pin into four rings,
+    // then one partial+final count per ring (4 buckets regardless of
+    // corpus size). Bucketing compares the ROUNDED distance — the same
+    // 3-decimal quantization the query sorts on, so the two operators
+    // provably agree on every point's ring.
+    "search_geo_distance_rings" -> ((s, dir) => {
+      val d = round(haversineKm(40.0, -74.0), 3)
+      points(s, dir)
+        .withColumn("dist_km", d)
+        .withColumn("ring",
+          when(col("dist_km") < 1000.0, "0-1000")
+            .when(col("dist_km") < 3000.0, "1000-3000")
+            .when(col("dist_km") < 8000.0, "3000-8000")
+            .otherwise("8000+"))
+        .groupBy(col("ring"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("dist_km")).as("nearest_km"),
+          max(col("dist_km")).as("farthest_km"))
+        .orderBy(col("ring"))
+    }),
+
     // ES `geohash_grid` aggregation at precision 2: every point maps to
     // its 10-bit interleaved cell (integer-only — the e4 fixed-point
     // coords bucket by exact cross-multiply, no float), then one
@@ -241,6 +265,19 @@ object GeoQueries {
          |SELECT c_custkey, lat_e4, lon_e4 FROM pts
          |WHERE ${pointInPolyExpr(Polygon)}
          |ORDER BY c_custkey LIMIT 25""".stripMargin,
+    "search_geo_distance_rings" ->
+      s"""WITH $PointsCte,
+         |d AS (
+         |  SELECT c_custkey,
+         |    round(${haversineSql("40.0", "(-74.0)")}, 3) AS dist_km
+         |  FROM pts)
+         |SELECT CASE WHEN dist_km < 1000.0 THEN '0-1000'
+         |            WHEN dist_km < 3000.0 THEN '1000-3000'
+         |            WHEN dist_km < 8000.0 THEN '3000-8000'
+         |            ELSE '8000+' END AS ring,
+         |  count(*) AS doc_count,
+         |  min(dist_km) AS nearest_km, max(dist_km) AS farthest_km
+         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_geohash_grid" ->
       s"""WITH $PointsCte,
          |b AS (
