@@ -116,8 +116,14 @@ object EsTailQueries {
           sum(when(col("premium") === 1L, col("cents") * 2)
             .otherwise(col("cents"))).as("weighted_cents"),
           sum(col("premium")).as("n_premium"))
+        // Exact integer FLOOR division, sign-safe: Spark's DIV truncates
+        // toward zero while DuckDB's // floors (they diverge when a
+        // negative event value drives weighted_cents < 0 — the
+        // geo_centroid divergence note). Subtracting pmod first makes
+        // the dividend an exact multiple, so DIV's truncation IS the
+        // floor, for any sign.
         .withColumn("avg_weighted_cents",
-          expr("weighted_cents DIV n_events"))
+          expr("(weighted_cents - pmod(weighted_cents, n_events)) DIV n_events"))
         .orderBy(col("event_type"))
     }),
 
@@ -173,13 +179,17 @@ object EsTailQueries {
     // ES `ip_range` aggregation. The fixtures carry no addresses, so
     // each event gets a DETERMINISTIC synthetic IPv4 derived from its
     // user key by the same modular spread the geo family documents
-    // (GeoQueries): ip32 = (user_id·2654435761) mod 2³² — fixture
+    // (GeoQueries): ip32 = pmod(user_id·2654435761, 2³²) — fixture
     // synthesis, not an operator; a real deployment reads stored
-    // addresses. Buckets are the four /2 CIDR blocks; rendering to
-    // dotted quads is shared-text integer arithmetic (DIV vs //).
+    // addresses. pmod (not %) keeps ip32 in [0, 2³²) even past the
+    // int64 product wrap at user_id ≳ 3.5e9; the DuckDB twin's plain %
+    // agrees wherever the product doesn't wrap (any realistic oracle
+    // fixture — DuckDB errors on int64 overflow rather than wrapping).
+    // Buckets are the four /2 CIDR blocks; rendering to dotted quads is
+    // shared-text integer arithmetic (DIV vs //).
     "search_facets_ip_range" -> ((s, dir) =>
       Tables(s, dir, "events")
-        .withColumn("ip32", col("user_id") * 2654435761L % 4294967296L)
+        .withColumn("ip32", pmod(col("user_id") * 2654435761L, lit(4294967296L)))
         .withColumn("bucket",
           concat((expr("ip32 DIV 1073741824") * 64).cast(StringType),
             lit(".0.0.0/2")))
@@ -255,16 +265,21 @@ object EsTailQueries {
 
     // ES sliced scroll — `slice: {id: 1, max: 4}` + `search_after`
     // paging: the corpus is split into 4 disjoint slices by a
-    // deterministic hash of the document key ((doc_id·2654435761)
-    // mod 4 — ES slices on a hash of `_id` the same way), and this
-    // client reads slice 1's SECOND page of 20 in doc_id order. The
-    // slice predicate is a codegen'd scan filter — 4 clients each
+    // deterministic hash of the document key (pmod(doc_id·2654435761,
+    // 4) — ES slices on a hash of `_id` the same way), and this
+    // client reads slice 1's SECOND page of 20 in doc_id order. pmod
+    // (not %) is what makes the 4 slices a DISJOINT COVER at any id
+    // magnitude: past doc_id ≈ 3.5e9 the int64 product wraps negative
+    // and % would emit remainders in (-4, 0] that match no slice; the
+    // DuckDB twin's plain % agrees wherever the product doesn't wrap
+    // (all oracle fixtures — DuckDB errors on overflow, not wraps).
+    // The slice predicate is a codegen'd scan filter — 4 clients each
     // scan-filter their quarter in parallel, the ES contract for
     // parallel reindex/export; at 100 TB each slice is an
     // independent ~25 TB scan with no coordination.
     "search_scroll_slice" -> ((s, dir) =>
       Tables(s, dir, "documents")
-        .filter(col("doc_id") * 2654435761L % 4 === 1)
+        .filter(pmod(col("doc_id") * 2654435761L, lit(4)) === 1)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
         .offset(20).limit(20))

@@ -138,64 +138,110 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 
-  test("NO query plans a CartesianProduct; BNLJ only for 1-row broadcasts") {
+  test("NO query plans a CartesianProduct; BNLJ only for provably bounded broadcasts") {
     // The scale invariant for the whole registry: a cartesian at
     // 100 TB is a dead job. BroadcastNestedLoopJoin is tolerated only
-    // where the build side is a single-row query vector (by design in
-    // the similarity queries).
-    // Allowed: build side is a broadcast of O(1) rows (a single query
-    // vector or a handful of KMeans centroids).
-    val bnljAllowed = Set("llm_cosine_topk", "llm_cosine_range", "llm_ann_ivf_topk",
-      "llm_ann_pq_topk", "llm_ann_sq8_topk", "llm_ann_ivfpq_topk", "llm_ann_indexed_topk", // 1-row query vector for the exact re-rank
-      "llm_dedup_embedding_cosine",
-      "llm_cosine_topk_batch", // 5-row query-set broadcast
-      "llm_hard_negatives", // 5-row anchor-set broadcast
-      "search_topk_tfidf", // 1-row corpus-stats broadcast
-      "search_topk_bm25", // 1-row corpus-stats broadcast
-      "search_collapse_field", // 1-row corpus-stats broadcast
-      "search_min_should_match", // 1-row corpus-stats broadcast
-      "search_boosting", // 1-row corpus-stats broadcast
-      "search_query_string_boosted", // 1-row corpus-stats broadcast
-      "search_rescore", // 1-row corpus-stats broadcast on the 50-row window
-      "search_significant_terms", // 1-row fg/bg-totals broadcast
-      "search_hybrid_rrf", // embeds the cosine arm's 1-row query-vector broadcast
-      "search_percolate", // 4-row stored-query broadcast
-      "llm_length_trim", // 1-row total-count broadcast
-      "etl_quality_rules", // 1-row violations × 1-row total per rule
-      "llm_keyword_extract", // 1-row corpus-size broadcast
-      "llm_collocations_pmi", // 1-row token-count broadcast
-      "search_dis_max", // 1-row per-field corpus-stats broadcast
-      "search_cross_fields", // 1-row blended-stats broadcast
-      "search_function_score", // 1-row corpus-stats broadcast
-      "llm_dsir_weights", // 1-row vocab-totals broadcast
-      "llm_temperature_mixture", // 1-row weight-total broadcast
-      "llm_cosine_topk_filtered", // 1-row query vector (filtered exact)
-      "llm_ann_filtered_topk", // 1-row query vector on the probed cells
-      "llm_kneser_ney_quality", // 1-row bigram-type-count broadcast
-      "llm_perplexity_buckets", // same KN scorer's 1-row type-count broadcast
-      "llm_dedup_eval", // 1-row truth-pair-count broadcast
-      "search_explain", // 1-row corpus-stats broadcast
-      "search_decay_scoring", // 1-row corpus-stats broadcast
-      "llm_ann_binary_topk", // 1-row query-signature broadcast
+    // where the build side is PROVABLY bounded — and since round 7 the
+    // audit proves it STRUCTURALLY from the physical plan instead of a
+    // name allowlist (which went stale the moment round 6's snapshot
+    // shipped two new 1-row-stats queries untested). A BNLJ passes iff
+    // its build-side subtree, after stripping row-preserving/-reducing
+    // wrappers, bottoms out in:
+    //   - an UNGROUPED aggregate — one row by construction, the
+    //     crossJoin(broadcast(<grand corpus stats>)) idiom;
+    //   - a LocalRelation of <= K rows — inline query vectors, stored
+    //     query/anchor sets;
+    //   - a limit/top-k of <= K rows — bounded candidate windows;
+    //   - or a cross/hash join of such bounded frames (1-row x 1-row
+    //     stat chains stay bounded).
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+    import org.apache.spark.sql.execution._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ShuffleExchangeExec}
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, CartesianProductExec}
+    import org.apache.spark.sql.execution.window.WindowExec
 
-      "llm_mmr_rerank", // 1-row query vector + 50-row bounded candidate set
-      "llm_graph_triangles", // 1-row census aggregates cross-joined
-      "llm_source_entropy", // 1-row token-total broadcast
-      "llm_kmv_overlap", // sources² pair frame from per-source sketch aggregates
-      "llm_vocab_growth", // 1-row max(doc_id) broadcast
-      "search_string_stats", // 1-row entropy-aggregate broadcast
-      "rel_hdr_quantiles", // 1-row exact-percentile broadcast next to the sketch row
-      "search_rank_eval", // 1-row per-term corpus-stats broadcasts
-      "search_synonyms", // 1-row concept-stats broadcast
-      "search_suggest_phrase", // <= 3-row per-word candidate broadcast (suggester size knob)
+    val K = 64 // bounded-candidate ceiling (suggester knobs, rescore windows)
 
-      "rel_null_semantics") // 1-row aggregate-result broadcasts
+    // Strip wrappers that can only preserve or reduce the row count.
+    // (Deliberately NOT GenerateExec — explode multiplies rows.)
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case e: BroadcastExchangeExec => unwrap(e.child)
+      case e: ShuffleExchangeExec => unwrap(e.child)
+      case e: ProjectExec => unwrap(e.child)
+      case e: FilterExec => unwrap(e.child)
+      case e: SortExec => unwrap(e.child)
+      case e: CoalesceExec => unwrap(e.child)
+      case e: WholeStageCodegenExec => unwrap(e.child)
+      case e: InputAdapter => unwrap(e.child)
+      case e: ColumnarToRowExec => unwrap(e.child)
+      case e: WindowExec => unwrap(e.child)
+      case _ => p
+    }
+    def bounded(p: SparkPlan): Boolean = unwrap(p) match {
+      case a: HashAggregateExec => a.groupingExpressions.isEmpty || bounded(a.child)
+      case a: SortAggregateExec => a.groupingExpressions.isEmpty || bounded(a.child)
+      case a: ObjectHashAggregateExec => a.groupingExpressions.isEmpty || bounded(a.child)
+      case l: LocalTableScanExec => l.rows.lengthCompare(K) <= 0
+      case g: GlobalLimitExec => g.limit <= K
+      case l: LocalLimitExec => l.limit <= K
+      case t: TakeOrderedAndProjectExec => t.limit <= K
+      case j: BroadcastNestedLoopJoinExec => bounded(j.left) && bounded(j.right)
+      case j: BroadcastHashJoinExec => bounded(j.left) && bounded(j.right)
+      case u: UnionExec => u.children.forall(bounded)
+      case g: GenerateExec => false // explode multiplies rows: unprovable here
+      case _ => false
+    }
+    // Walk EVERYTHING reachable: the main tree, AQE's current inner
+    // plan, and every subquery's plan.
+    def nodes(p: SparkPlan): Seq[SparkPlan] =
+      p.collect { case n => n }.flatMap { n =>
+        val inner = n match {
+          case a: AdaptiveSparkPlanExec => nodes(a.executedPlan)
+          case _ => Nil
+        }
+        n +: (inner ++ n.subqueries.flatMap(nodes))
+      }
+
+    // Name escape hatch, kept ONLY for build sides the walker cannot
+    // prove bounded but that are bounded by a documented data-model
+    // invariant (NOT corpus size). Growing this list requires the same
+    // justification style; prefer shapes the structural check accepts.
+    val qvec = "query-vector point lookup: a parquet scan with doc_id = q " +
+      "(or IN of <= 5 ids) pushed — 1 row per id by key uniqueness, a " +
+      "data-model invariant the physical plan cannot express"
+    val bnljAllowed: Map[String, String] = Map(
+      "llm_mmr_rerank" -> "greedy MMR over a 50-row candidate window (explode of a bounded collect_list)",
+      "llm_kmv_overlap" -> "sources x sources pair frame from per-source KMV sketches (|sources| = 20, a catalog not a corpus)",
+      "search_rank_eval" -> "per-rated-query stats frames (3 rated queries in the eval set)",
+      "search_synonyms" -> "per-concept stats (synonym dictionary rows, a lexicon not a corpus)",
+      "llm_cosine_topk" -> qvec, "llm_cosine_range" -> qvec,
+      "llm_cosine_topk_batch" -> qvec, "llm_cosine_topk_filtered" -> qvec,
+      "llm_ann_ivf_topk" -> qvec, "llm_ann_pq_topk" -> qvec,
+      "llm_ann_sq8_topk" -> qvec, "llm_ann_ivfpq_topk" -> qvec,
+      "llm_ann_indexed_topk" -> qvec, "llm_ann_filtered_topk" -> qvec,
+      "llm_ann_binary_topk" -> qvec, "llm_hard_negatives" -> qvec,
+      "search_hybrid_rrf" -> qvec)
+
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
-      val p = planOf(name)
-      val cart = p.contains("CartesianProduct")
-      val bnlj = p.contains("BroadcastNestedLoopJoin") && !bnljAllowed(name)
+      val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+      val all = nodes(plan)
+      val cart = all.exists(_.isInstanceOf[CartesianProductExec])
+      val badBnlj = all.collect { case j: BroadcastNestedLoopJoinExec => j }
+        .filter { j =>
+          val build = j.buildSide match {
+            case BuildLeft => j.left
+            case BuildRight => j.right
+          }
+          !bounded(build)
+        }
       if (cart) Some(s"$name: CartesianProduct")
-      else if (bnlj) Some(s"$name: unexpected BroadcastNestedLoopJoin")
+      else if (badBnlj.nonEmpty && !bnljAllowed.contains(name))
+        Some(s"$name: BroadcastNestedLoopJoin with unproven build side:\n" +
+          badBnlj.map(j => unwrap(j.buildSide match {
+            case BuildLeft => j.left; case BuildRight => j.right
+          }).nodeName).mkString("  ", "\n  ", ""))
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
