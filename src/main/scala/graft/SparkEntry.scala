@@ -32,6 +32,7 @@ object SparkEntry {
       search.SuggestQueries.queries ++
       search.GeoQueries.queries ++
       search.EsTailQueries.queries ++
+      search.SpanRegexQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
       llm.CorpusQueries.queries ++
@@ -60,6 +61,7 @@ object SparkEntry {
       search.SuggestQueries.oracleSql ++
       search.GeoQueries.oracleSql ++
       search.EsTailQueries.oracleSql ++
+      search.SpanRegexQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
       llm.CorpusQueries.oracleSql ++

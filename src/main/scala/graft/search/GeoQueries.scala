@@ -94,6 +94,21 @@ object GeoQueries {
     s"((${edges.mkString(" + ")}) % 2) = 1"
   }
 
+  /** Second indexed shape for the geo_shape registry: a triangle over
+    * the eastern hemisphere (no horizontal edges, so every edge
+    * participates in the parity rule).
+    */
+  private[graft] val Triangle: Seq[(Long, Long)] = Seq(
+    (600000L, 1000000L),   //  60°N, 100°E
+    (-400000L, 1500000L),  // -40°N, 150°E
+    (200000L, 600000L))    //  20°N,  60°E
+
+  /** The geo_shape registry's bbox shape as shared-text SQL (pure
+    * integer range — identical in Spark SQL and DuckDB).
+    */
+  private[graft] val BboxPred: String =
+    "(lat_e4 BETWEEN -200000 AND 500000 AND lon_e4 BETWEEN -700000 AND 100000)"
+
   /** The synthetic point table: (c_custkey, lat_e4, lon_e4). */
   private def points(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "customer")
@@ -218,6 +233,44 @@ object GeoQueries {
         .orderBy(col("ring"))
     }),
 
+    // ES `geo_shape` query over a small indexed shape registry (three
+    // shapes: an envelope/bbox and two polygons), evaluated for the
+    // `intersects` and `disjoint` relations against the point table.
+    // For point documents `within` coincides with `intersects` (a
+    // point intersects a shape iff it lies within it), so the two
+    // relations here cover the full ES relation surface for
+    // point-backed indexes — shape-vs-shape indexing is the remaining
+    // niche (VERDICT "what's missing" #3, now closed for point data).
+    // Execution: ONE scan evaluates every shape's predicate (bbox =
+    // pushable integer ranges; polygons = the exact-integer ray-cast
+    // kernel shared with search_geo_polygon) as conditional
+    // aggregates, then stacks 6 rows — no per-shape rescan, the
+    // search_facets_global one-pass-multi-collector shape. All
+    // integer, hash-exact by construction.
+    "search_geo_shape" -> ((s, dir) => {
+      val shapes = Seq(
+        ("bbox_atlantic", BboxPred),
+        ("tri_east", pointInPolyExpr(Triangle)),
+        ("chevron", pointInPolyExpr(Polygon)))
+      val aggs = count(lit(1)).as("n_total") +: shapes.flatMap { case (n, p) =>
+        Seq(sum(when(expr(p), 1L).otherwise(0L)).as(s"n_$n"),
+          min(when(expr(p), col("c_custkey"))).as(s"ki_$n"),
+          min(when(!expr(p), col("c_custkey"))).as(s"kd_$n"))
+      }
+      val one = points(s, dir).agg(aggs.head, aggs.tail: _*)
+      one.select(explode(array(shapes.flatMap { case (n, _) =>
+          Seq(
+            struct(lit(n).as("shape"), lit("intersects").as("relation"),
+              col(s"n_$n").as("doc_count"), col(s"ki_$n").as("first_key")),
+            struct(lit(n).as("shape"), lit("disjoint").as("relation"),
+              (col("n_total") - col(s"n_$n")).as("doc_count"),
+              col(s"kd_$n").as("first_key")))
+        }: _*)).as("r"))
+        .select(col("r.shape").as("shape"), col("r.relation").as("relation"),
+          col("r.doc_count").as("doc_count"), col("r.first_key").as("first_key"))
+        .orderBy(col("shape"), col("relation"))
+    }),
+
     // ES `geohash_grid` aggregation at precision 2: every point maps to
     // its 10-bit interleaved cell (integer-only — the e4 fixed-point
     // coords bucket by exact cross-multiply, no float), then one
@@ -278,6 +331,31 @@ object GeoQueries {
          |  count(*) AS doc_count,
          |  min(dist_km) AS nearest_km, max(dist_km) AS farthest_km
          |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_geo_shape" -> {
+      val shapes = Seq(
+        ("bbox_atlantic", BboxPred),
+        ("tri_east", pointInPolyExpr(Triangle)),
+        ("chevron", pointInPolyExpr(Polygon)))
+      val aggCols = shapes.map { case (n, p) =>
+        s"""    CAST(sum(CASE WHEN $p THEN 1 ELSE 0 END) AS BIGINT) AS n_$n,
+           |    min(CASE WHEN $p THEN c_custkey END) AS ki_$n,
+           |    min(CASE WHEN NOT $p THEN c_custkey END) AS kd_$n""".stripMargin
+      }.mkString(",\n")
+      val rows = shapes.map { case (n, _) =>
+        s"""SELECT '$n' AS shape, 'intersects' AS relation,
+           |  n_$n AS doc_count, ki_$n AS first_key FROM one
+           |UNION ALL
+           |SELECT '$n', 'disjoint', n_total - n_$n, kd_$n FROM one""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $PointsCte,
+         |one AS (
+         |  SELECT count(*) AS n_total,
+         |$aggCols
+         |  FROM pts)
+         |SELECT * FROM (
+         |$rows
+         |) ORDER BY shape, relation""".stripMargin
+    },
     "search_geohash_grid" ->
       s"""WITH $PointsCte,
          |b AS (
