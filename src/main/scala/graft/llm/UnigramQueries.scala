@@ -14,11 +14,32 @@ import graft.Tables
   * This is the hard-EM (Viterbi) variant with a fixed vocabulary and
   * deterministic tie-breaks, so the whole training run is reproducible
   * bit-for-bit — LlmSpec proves the distributed trainer equals an
-  * independently-written sequential reference piece-for-piece. It is
-  * NOT oracle-checkable: Viterbi compares sums of log-probabilities
-  * (doubles), and the float DP has no exact-integer form (unlike BPE's
-  * pure counts) — the registered row is rows-only by documented
-  * design, with the spec as the hard check.
+  * independently-written sequential reference piece-for-piece, and
+  * since round 7 the run is also HASH-ORACLED against a fully
+  * unrolled DuckDB twin. Cross-engine float contract, per piece of
+  * the DP:
+  *  - the only libm call is ln(c/total); Java `Math.log` and DuckDB
+  *    `ln` are bit-identical on this input class (validated over 6310
+  *    count ratios at build time — the same empirical contract the
+  *    BM25 idf queries have shipped on since round 2);
+  *  - everything else is IEEE adds/divides applied to identical
+  *    operands in identical order (the DP accumulates prefix scores
+  *    left-to-right; the twin's enumeration accumulates the same way),
+  *    so equal inputs give bitwise-equal scores;
+  *  - tie-breaks form a TOTAL order both sides implement: score desc,
+  *    then piece count asc, then REVERSE-sequence lexicographic
+  *    (the DP's "smaller final piece, recursing into the predecessor
+  *    state" rule IS elementwise lex on the reversed piece list, which
+  *    equals string comparison of the space-joined reversed sequence —
+  *    two segmentations of one word differ first at a separator-vs-
+  *    letter position, and ' ' < every letter).
+  * The twin replaces the per-word DP with exhaustive segmentation
+  * enumeration (a recursive CTE): valid because the DP's order is
+  * prefix-decomposable — extending two prefix states by the same
+  * suffix preserves their relative order in all three components — so
+  * the DP optimum IS the enumeration optimum. Enumeration is
+  * oracle-side only (compositions of short words; the engine keeps
+  * the linear DP).
   *
   * Scale shape (the part that matters at 100 TB):
   *  - everything trains on the word-TYPE table (bounded by vocabulary,
@@ -173,8 +194,9 @@ object UnigramQueries {
 
     // The trained unigram tokenizer: top-20 pieces by final EM count,
     // with the exact-integer probability (parts per billion of the
-    // final count mass). rows-only by design (float Viterbi inside);
-    // LlmSpec pins the whole chain against a sequential reference.
+    // final count mass). Hash-oracled against the unrolled DuckDB twin
+    // (see the module contract above); LlmSpec additionally pins the
+    // whole chain against a sequential reference.
     "llm_unigram_train" -> ((s, dir) => {
       val (counts, total) = trainUnigram(s, dir)
       import s.implicits._
@@ -192,9 +214,10 @@ object UnigramQueries {
     // likelihood loss) re-segments the corpus in one more distributed
     // E-step; the output compares corpus token mass before and after
     // the shrink — the number that says what the dropped pieces were
-    // actually worth. rows-only like the trainer (same float Viterbi);
-    // LlmSpec pins prune + re-segment against the sequential
-    // reference.
+    // actually worth. Hash-oracled like the trainer (the loss ranking
+    // compares identical doubles: cnt·(lp − altScore) where altScore
+    // is a max over identical enumerated sums); LlmSpec pins prune +
+    // re-segment against the sequential reference.
     "llm_unigram_prune" -> ((s, dir) => {
       import s.implicits._
       val (counts, _) = trainUnigram(s, dir)
@@ -218,6 +241,136 @@ object UnigramQueries {
     })
   )
 
-  /** Float Viterbi ⇒ no SQL twin; the driver records rows-only. */
-  val oracleSql: Map[String, String] = Map.empty
+  // ---------------------------------------------------------------
+  // Unrolled DuckDB twins. Shared generator text, parameterized on the
+  // training constants so a knob change cannot desynchronize the twin.
+  // ---------------------------------------------------------------
+
+  /** Word-type table + seed counts + initial vocabulary (chars ∪ top
+    * [[MultiVocab]] multi-char candidates by (cnt desc, piece)).
+    */
+  private def seedSql: String =
+    s"""w0 AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+       |    FROM documents)
+       |  WHERE len(word) > 0 GROUP BY 1),
+       |seeds AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT substr(word, i, l) AS piece, freq
+       |    FROM w0,
+       |      unnest(generate_series(1, len(word))) AS u(i),
+       |      unnest(generate_series(1, least($SeedMaxLen, len(word) - i + 1))) AS v(l))
+       |  GROUP BY 1),
+       |vocab0 AS MATERIALIZED (
+       |  SELECT piece, cnt FROM seeds WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM seeds WHERE len(piece) > 1) WHERE rn <= $MultiVocab)""".stripMargin
+
+  /** One E+M step: log-probs from the floored previous counts, the
+    * per-word best segmentation by (score desc, npc asc, reversed-
+    * sequence lex asc) over an exhaustive recursive-CTE enumeration,
+    * then the piece recount over the fixed vocab0 key set.
+    */
+  private def emIterSql(n: Int): String = {
+    val p = n - 1
+    s"""lp$n AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(greatest(cnt, 1) AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lp
+       |  FROM vocab$p, (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total FROM vocab$p) t),
+       |seg$n AS (
+       |  SELECT word, freq, 0 AS pos, CAST(0 AS DOUBLE) AS score, 0 AS npc, '' AS rseq FROM w0
+       |  UNION ALL
+       |  SELECT s.word, s.freq, s.pos + len(v.piece), s.score + v.lp, s.npc + 1,
+       |         CASE WHEN s.rseq = '' THEN v.piece ELSE v.piece || ' ' || s.rseq END
+       |  FROM seg$n s JOIN lp$n v
+       |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+       |  WHERE s.pos < len(s.word)),
+       |best$n AS MATERIALIZED (
+       |  SELECT word, freq, rseq FROM (
+       |    SELECT word, freq, rseq,
+       |      row_number() OVER (PARTITION BY word ORDER BY score DESC, npc, rseq) AS rn
+       |    FROM seg$n WHERE pos = len(word)) WHERE rn = 1),
+       |cnt$n AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT b.freq, t.piece
+       |    FROM best$n b, unnest(str_split(b.rseq, ' ')) AS t(piece))
+       |  GROUP BY 1),
+       |vocab$n AS MATERIALIZED (
+       |  SELECT v.piece, coalesce(c.cnt, 0) AS cnt
+       |  FROM vocab0 v LEFT JOIN cnt$n c USING (piece))""".stripMargin
+  }
+
+  private def trainChainSql: String =
+    (seedSql +: (1 to EmIters).map(emIterSql)).mkString(",\n")
+
+  /** The prune twin's tail: likelihood-loss ranking (each multi piece
+    * vs the best segmentation of its own string WITHOUT itself), keep
+    * the top half, one more E-step with the pruned vocabulary.
+    */
+  private def pruneTailSql: String = {
+    val k = EmIters
+    s"""flp AS MATERIALIZED (SELECT piece, greatest(cnt, 1) AS fc FROM vocab$k),
+       |plp AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(fc AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lp
+       |  FROM flp, (SELECT CAST(sum(fc) AS BIGINT) AS total FROM flp) t),
+       |multi AS MATERIALIZED (SELECT piece FROM vocab$k WHERE len(piece) > 1),
+       |altseg AS (
+       |  SELECT piece AS target, 0 AS pos, CAST(0 AS DOUBLE) AS score FROM multi
+       |  UNION ALL
+       |  SELECT s.target, s.pos + len(v.piece), s.score + v.lp
+       |  FROM altseg s JOIN plp v
+       |    ON v.piece = substr(s.target, s.pos + 1, len(v.piece)) AND v.piece <> s.target
+       |  WHERE s.pos < len(s.target)),
+       |alt AS MATERIALIZED (
+       |  SELECT target, max(score) AS alt FROM altseg WHERE pos = len(target) GROUP BY 1),
+       |loss AS MATERIALIZED (
+       |  SELECT m.piece, CAST(v.cnt AS DOUBLE) * (l.lp - a.alt) AS loss
+       |  FROM multi m JOIN vocab$k v USING (piece) JOIN plp l USING (piece)
+       |  JOIN alt a ON a.target = m.piece),
+       |kept AS MATERIALIZED (
+       |  SELECT piece FROM (
+       |    SELECT piece, row_number() OVER (ORDER BY loss DESC, piece) AS rn FROM loss)
+       |  WHERE rn <= (SELECT count(*) // 2 FROM multi)),
+       |pvocab AS MATERIALIZED (
+       |  SELECT piece, cnt FROM vocab$k WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT v.piece, v.cnt FROM vocab$k v JOIN kept USING (piece)),
+       |lpf AS MATERIALIZED (
+       |  SELECT piece, ln(CAST(greatest(cnt, 1) AS DOUBLE) / CAST(t.total AS DOUBLE)) AS lp
+       |  FROM pvocab, (SELECT CAST(sum(greatest(cnt, 1)) AS BIGINT) AS total FROM pvocab) t),
+       |segf AS (
+       |  SELECT word, freq, 0 AS pos, CAST(0 AS DOUBLE) AS score, 0 AS npc, '' AS rseq FROM w0
+       |  UNION ALL
+       |  SELECT s.word, s.freq, s.pos + len(v.piece), s.score + v.lp, s.npc + 1,
+       |         CASE WHEN s.rseq = '' THEN v.piece ELSE v.piece || ' ' || s.rseq END
+       |  FROM segf s JOIN lpf v
+       |    ON v.piece = substr(s.word, s.pos + 1, len(v.piece))
+       |  WHERE s.pos < len(s.word)),
+       |bestf AS MATERIALIZED (
+       |  SELECT word, freq, rseq FROM (
+       |    SELECT word, freq, rseq,
+       |      row_number() OVER (PARTITION BY word ORDER BY score DESC, npc, rseq) AS rn
+       |    FROM segf WHERE pos = len(word)) WHERE rn = 1)""".stripMargin
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_unigram_train" ->
+      s"""WITH RECURSIVE
+         |$trainChainSql
+         |SELECT piece, CAST(len(piece) AS INT) AS piece_len, cnt,
+         |  CAST((cnt * 1000000000)
+         |    // CAST((SELECT sum(cnt) FROM vocab$EmIters) AS BIGINT) AS BIGINT) AS prob_ppb
+         |FROM vocab$EmIters
+         |ORDER BY cnt DESC, piece LIMIT 20""".stripMargin,
+    "llm_unigram_prune" ->
+      s"""WITH RECURSIVE
+         |$trainChainSql,
+         |$pruneTailSql
+         |SELECT piece, CAST(len(piece) AS INT) AS piece_len,
+         |  CAST(sum(freq) AS BIGINT) AS cnt
+         |FROM (SELECT b.freq, t.piece
+         |      FROM bestf b, unnest(str_split(b.rseq, ' ')) AS t(piece))
+         |GROUP BY 1 ORDER BY cnt DESC, piece LIMIT 20""".stripMargin)
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the round-7 search-surface additions: the `regexp` term
+  * query, the `span_containing` / `span_within` combinators, and the
+  * `geo_shape` relation query. The driver's DuckDB gate hash-checks
+  * values; these pin the SEMANTIC invariants and the plan shapes the
+  * operators claim.
+  */
+class SpanRegexGeoShapeSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  // --- regexp -----------------------------------------------------------
+
+  test("regexp matches exactly the alternation's four dictionary terms") {
+    val rows = run("search_regexp").collect()
+    assert(rows.nonEmpty)
+    // Independent recompute from the raw corpus: per-doc occurrence
+    // count of tokens the pattern accepts.
+    val want = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("tok"))
+      .filter(col("tok").isin("scan", "sort", "slow", "stream"))
+      .groupBy("doc_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      assert(want(r.getAs[Long]("doc_id")) == r.getAs[Long]("n_matches"), r)
+    }
+    // Ranking: n_matches desc, doc_id asc.
+    val pairs = rows.map(r => (r.getAs[Long]("n_matches"), r.getAs[Long]("doc_id")))
+    assert(pairs.sameElements(pairs.sortBy { case (n, id) => (-n, id) }))
+  }
+
+  test("regexp probe pushes the literal prefix into the postings scan") {
+    val p = run("search_regexp").queryExecution.executedPlan.toString
+    assert(p.contains("StringStartsWith(term,s)") ||
+      p.contains("StringStartsWith(term, s)"), p)
+  }
+
+  // --- span combinators -------------------------------------------------
+
+  test("span_containing and span_within agree doc-for-doc with a scan recompute") {
+    // Brute-force recompute: big spans = 'group'..'order' gap <= 5 in
+    // order; little = 'join' positions.
+    val toks = Tables(spark, sf, "documents").collect().map { r =>
+      r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split("\\s+").toSeq
+    }
+    val want = toks.flatMap { case (id, ts) =>
+      val pos = ts.zipWithIndex
+      val ga = pos.filter(_._1 == "group").map(_._2)
+      val ob = pos.filter(_._1 == "order").map(_._2)
+      val jn = pos.filter(_._1 == "join").map(_._2)
+      val big = for (a <- ga; b <- ob if b > a && b - a <= 5) yield (a, b)
+      val cont = big.filter { case (a, b) => jn.exists(q => q >= a && q <= b) }
+      val within = jn.filter(q => big.exists { case (a, b) => q >= a && q <= b })
+      if (cont.isEmpty) None else Some(id -> (cont.length, within.length))
+    }.toMap
+    val gotC = run("search_span_containing").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_spans")).toMap
+    val gotW = run("search_span_within").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_within")).toMap
+    assert(gotC.keySet == want.keySet, s"containing docs: $gotC vs $want")
+    assert(gotW.keySet == want.keySet, s"within docs: $gotW vs $want")
+    want.foreach { case (id, (nc, nw)) =>
+      assert(gotC(id) == nc.toLong, s"doc $id containing")
+      assert(gotW(id) == nw.toLong, s"doc $id within")
+    }
+  }
+
+  // --- geo_shape --------------------------------------------------------
+
+  test("geo_shape relations partition the corpus per shape") {
+    val rows = run("search_geo_shape").collect()
+    assert(rows.length == 6) // 3 shapes x {intersects, disjoint}
+    val total = Tables(spark, sf, "customer").count()
+    rows.groupBy(_.getAs[String]("shape")).foreach { case (shape, rs) =>
+      // intersects + disjoint = everything, per shape.
+      assert(rs.map(_.getAs[Long]("doc_count")).sum == total, shape)
+    }
+    // The chevron shape row agrees with the standalone geo_polygon
+    // query's predicate (same ray-cast kernel, same polygon).
+    val chevron = rows.find(r => r.getAs[String]("shape") == "chevron" &&
+      r.getAs[String]("relation") == "intersects").get
+    val polyCount = Tables(spark, sf, "customer")
+      .select(col("c_custkey"),
+        (col("c_custkey") * 2654435761L % 1800001 - 900000).as("lat_e4"),
+        (col("c_custkey") * 2246822519L % 3600001 - 1800000).as("lon_e4"))
+      .filter(expr(graft.search.GeoQueries.pointInPolyExpr(
+        graft.search.GeoQueries.Polygon)))
+      .count()
+    assert(chevron.getAs[Long]("doc_count") == polyCount)
+  }
+}
