@@ -76,7 +76,17 @@ object GeoQueries {
     * half-open `(yi > y) != (yj > y)` rule counts a vertex-grazing ray
     * exactly once, the standard PNPOLY discipline (Franklin).
     */
-  private[graft] def pointInPolyExpr(poly: Seq[(Long, Long)]): String = {
+  private[graft] def pointInPolyExpr(poly: Seq[(Long, Long)]): String =
+    pointInPolyExprAt(poly, "lat_e4", "lon_e4")
+
+  /** [[pointInPolyExpr]] generalized to arbitrary integer point
+    * expressions (`latSql`, `lonSql`) — the form the shape-vs-shape
+    * relation test ray-casts each BOX CORNER through. The expressions
+    * must be BIGINT-valued; everything stays `*`/`-`/compare,
+    * character-identical in Spark SQL and DuckDB.
+    */
+  private[graft] def pointInPolyExprAt(poly: Seq[(Long, Long)],
+                                       latSql: String, lonSql: String): String = {
     val edges = poly.indices.map { i =>
       val (yi, xi) = poly(i)
       val (yj, xj) = poly((i + 1) % poly.size)
@@ -84,14 +94,72 @@ object GeoQueries {
       if (d == 0L) "0" // horizontal edge never satisfies the parity rule
       else {
         val cmp = if (d > 0) "<" else ">"
-        s"(CASE WHEN (($yi > lat_e4) != ($yj > lat_e4)) AND " +
+        s"(CASE WHEN (($yi > $latSql) != ($yj > $latSql)) AND " +
           // No 123L literal suffix: DuckDB rejects it, and the factors
           // are already BIGINT (lon_e4/lat_e4), so both engines promote.
-          s"((lon_e4 - $xi) * $d $cmp ($xj - $xi) * (lat_e4 - $yi)) " +
+          s"((($lonSql) - $xi) * $d $cmp ($xj - $xi) * (($latSql) - $yi)) " +
           "THEN 1 ELSE 0 END)"
       }
     }
     s"((${edges.mkString(" + ")}) % 2) = 1"
+  }
+
+  /** Shared-text SQL classifying an axis-aligned integer box
+    * (columns `x1 <= x2` = lon bounds, `y1 <= y2` = lat bounds, e4
+    * fixed-point) against [[poly]] as 'within' / 'intersects' /
+    * 'disjoint' — the exact-integer shape-vs-shape kernel behind
+    * search_geo_shape_relation. Machinery, all division-free:
+    *  - edge-vs-box intersection by the separating-axis theorem (both
+    *    shapes convex, so the only candidate axes are the box's x/y
+    *    — folded to constant bbox bounds per edge at gen time — the
+    *    edge's normal (four corner cross-product signs must not all
+    *    agree strictly), and the edge's direction (integer interval
+    *    overlap; the box's extreme projections fold to the correct
+    *    corner by the edge deltas' signs at gen time);
+    *  - corner-in-polygon by the same PNPOLY parity rule as the point
+    *    queries ([[pointInPolyExprAt]]);
+    *  - polygon-vertex-in-box by four integer comparisons.
+    * relation := within  iff all 4 corners inside and no edge meets
+    *                     the box (the box is connected, so an uncrossed
+    *                     boundary cannot leave the polygon);
+    *             intersects iff any corner inside, any vertex inside,
+    *                     or any edge meets the box;
+    *             disjoint otherwise.
+    * Products are bounded by 2·|coord|² < 2⁴⁵ — wrap-free. Grazing
+    * contacts resolve by the shared half-open/SAT conventions — both
+    * engines run the identical text, so the classification hash-matches
+    * by construction.
+    */
+  private[graft] def boxPolyRelationExpr(poly: Seq[(Long, Long)]): String = {
+    val corners = Seq(("x1", "y1"), ("x1", "y2"), ("x2", "y1"), ("x2", "y2"))
+    val edgeX = poly.indices.map { i =>
+      val (ay, ax) = poly(i)
+      val (by, bx) = poly((i + 1) % poly.size)
+      val (dx, dy) = (bx - ax, by - ay)
+      val bbox = s"(${math.max(ax, bx)} >= x1 AND ${math.min(ax, bx)} <= x2 AND " +
+        s"${math.max(ay, by)} >= y1 AND ${math.min(ay, by)} <= y2)"
+      val sides = corners.map { case (cx, cy) =>
+        s"($dx * (($cy) - $ay) - $dy * (($cx) - $ax))"
+      }
+      val normal = s"(NOT (${sides.map(_ + " > 0").mkString(" AND ")}) AND " +
+        s"NOT (${sides.map(_ + " < 0").mkString(" AND ")}))"
+      val (ta, tb) = (dx * ax + dy * ay, dx * bx + dy * by)
+      val boxTMin = s"($dx * ${if (dx > 0) "x1" else "x2"} + $dy * ${if (dy > 0) "y1" else "y2"})"
+      val boxTMax = s"($dx * ${if (dx > 0) "x2" else "x1"} + $dy * ${if (dy > 0) "y2" else "y1"})"
+      val dir = s"($boxTMax >= ${math.min(ta, tb)} AND $boxTMin <= ${math.max(ta, tb)})"
+      s"($bbox AND $normal AND $dir)"
+    }.mkString("(", " OR ", ")")
+    val cornersIn = corners.map { case (cx, cy) =>
+      s"(${pointInPolyExprAt(poly, cy, cx)})"
+    }
+    val allCornersIn = cornersIn.mkString("(", " AND ", ")")
+    val anyCornerIn = cornersIn.mkString("(", " OR ", ")")
+    val anyVertexIn = poly.map { case (vy, vx) =>
+      s"($vx >= x1 AND $vx <= x2 AND $vy >= y1 AND $vy <= y2)"
+    }.mkString("(", " OR ", ")")
+    s"""CASE WHEN $allCornersIn AND NOT $edgeX THEN 'within'
+       |     WHEN $anyCornerIn OR $anyVertexIn OR $edgeX THEN 'intersects'
+       |     ELSE 'disjoint' END""".stripMargin
   }
 
   /** Second indexed shape for the geo_shape registry: a triangle over
@@ -271,6 +339,30 @@ object GeoQueries {
         .orderBy(col("shape"), col("relation"))
     }),
 
+    // FULL shape-vs-shape `geo_shape` — the indexed documents are
+    // SHAPES, not points (each customer an axis-aligned box around its
+    // synthetic location, half-extent 0.5°–6.5° by key), classified
+    // against the chevron query polygon into the three ES relations
+    // in ONE scan by the exact-integer SAT + ray-cast kernel
+    // ([[boxPolyRelationExpr]]). This closes the last geo niche: the
+    // point-backed geo_shape above degenerates within==intersects;
+    // here the relations are genuinely distinct. Scan-speed (a wide
+    // but branch-only codegen'd CASE per row), then a partial+final
+    // count on a 3-key space.
+    "search_geo_shape_relation" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("r", (col("c_custkey") % 7) * 10000 + 5000)
+        .withColumn("x1", col("lon_e4") - col("r"))
+        .withColumn("x2", col("lon_e4") + col("r"))
+        .withColumn("y1", col("lat_e4") - col("r"))
+        .withColumn("y2", col("lat_e4") + col("r"))
+        .withColumn("relation", expr(boxPolyRelationExpr(Polygon)))
+        .groupBy(col("relation"))
+        .agg(count(lit(1)).as("doc_count"),
+          min(col("c_custkey")).as("first_key"),
+          max(col("c_custkey")).as("last_key"))
+        .orderBy(col("relation"))),
+
     // ES `geohash_grid` aggregation at precision 2: every point maps to
     // its 10-bit interleaved cell (integer-only — the e4 fixed-point
     // coords bucket by exact cross-multiply, no float), then one
@@ -356,6 +448,19 @@ object GeoQueries {
          |$rows
          |) ORDER BY shape, relation""".stripMargin
     },
+    "search_geo_shape_relation" ->
+      s"""WITH $PointsCte,
+         |boxes AS (
+         |  SELECT c_custkey,
+         |    lon_e4 - ((c_custkey % 7) * 10000 + 5000) AS x1,
+         |    lon_e4 + ((c_custkey % 7) * 10000 + 5000) AS x2,
+         |    lat_e4 - ((c_custkey % 7) * 10000 + 5000) AS y1,
+         |    lat_e4 + ((c_custkey % 7) * 10000 + 5000) AS y2
+         |  FROM pts)
+         |SELECT ${boxPolyRelationExpr(Polygon)} AS relation,
+         |  count(*) AS doc_count,
+         |  min(c_custkey) AS first_key, max(c_custkey) AS last_key
+         |FROM boxes GROUP BY 1 ORDER BY 1""".stripMargin,
     "search_geohash_grid" ->
       s"""WITH $PointsCte,
          |b AS (

@@ -94,4 +94,62 @@ class SpanRegexGeoShapeSpec extends AnyFunSuite {
       .count()
     assert(chevron.getAs[Long]("doc_count") == polyCount)
   }
+
+  test("geo_shape_relation matches an independent Scala SAT + PNPOLY reference") {
+    val poly = graft.search.GeoQueries.Polygon // (lat, lon) vertices
+    def inPoly(y: Long, x: Long): Boolean = {
+      var c = 0
+      for (i <- poly.indices) {
+        val (yi, xi) = poly(i)
+        val (yj, xj) = poly((i + 1) % poly.size)
+        val d = yj - yi
+        if (d != 0 && ((yi > y) != (yj > y))) {
+          val lhs = (x - xi) * d
+          val rhs = (xj - xi) * (y - yi)
+          if (if (d > 0) lhs < rhs else lhs > rhs) c += 1
+        }
+      }
+      c % 2 == 1
+    }
+    def segMeetsBox(ax: Long, ay: Long, bx: Long, by: Long,
+                    x1: Long, x2: Long, y1: Long, y2: Long): Boolean = {
+      if (math.max(ax, bx) < x1 || math.min(ax, bx) > x2 ||
+        math.max(ay, by) < y1 || math.min(ay, by) > y2) return false
+      val (dx, dy) = (bx - ax, by - ay)
+      val sides = Seq((x1, y1), (x1, y2), (x2, y1), (x2, y2))
+        .map { case (cx, cy) => dx * (cy - ay) - dy * (cx - ax) }
+      if (sides.forall(_ > 0) || sides.forall(_ < 0)) return false
+      val (ta, tb) = (dx * ax + dy * ay, dx * bx + dy * by)
+      val ts = Seq((x1, y1), (x1, y2), (x2, y1), (x2, y2))
+        .map { case (cx, cy) => dx * cx + dy * cy }
+      ts.max >= math.min(ta, tb) && ts.min <= math.max(ta, tb)
+    }
+    def relation(x1: Long, x2: Long, y1: Long, y2: Long): String = {
+      val corners = Seq((x1, y1), (x1, y2), (x2, y1), (x2, y2))
+      val edgeX = poly.indices.exists { i =>
+        val (ay, ax) = poly(i)
+        val (by, bx) = poly((i + 1) % poly.size)
+        segMeetsBox(ax, ay, bx, by, x1, x2, y1, y2)
+      }
+      val cornersIn = corners.map { case (cx, cy) => inPoly(cy, cx) }
+      val vertexIn = poly.exists { case (vy, vx) =>
+        vx >= x1 && vx <= x2 && vy >= y1 && vy <= y2 }
+      if (cornersIn.forall(identity) && !edgeX) "within"
+      else if (cornersIn.exists(identity) || vertexIn || edgeX) "intersects"
+      else "disjoint"
+    }
+    val want = Tables(spark, sf, "customer").select(col("c_custkey")).collect()
+      .map(_.getLong(0)).map { k =>
+        val lat = k * 2654435761L % 1800001 - 900000
+        val lon = k * 2246822519L % 3600001 - 1800000
+        val r = (k % 7) * 10000 + 5000
+        relation(lon - r, lon + r, lat - r, lat + r)
+      }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = run("search_geo_shape_relation").collect()
+      .map(r => r.getAs[String]("relation") -> r.getAs[Long]("doc_count")).toMap
+    assert(got == want, s"got=$got want=$want")
+    // All three relations are genuinely populated at this SF (the
+    // whole point of the shape-backed variant vs the point-backed one).
+    assert(want.keySet == Set("within", "intersects", "disjoint"), want)
+  }
 }
