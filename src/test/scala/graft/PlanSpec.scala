@@ -224,6 +224,18 @@ class PlanSpec extends AnyFunSuite {
       "llm_ann_binary_topk" -> qvec, "llm_hard_negatives" -> qvec,
       "search_hybrid_rrf" -> qvec)
 
+    // The qvec escape hatch is SELF-VERIFYING: an unproven build side
+    // excused as a point lookup must actually BE one — its subtree must
+    // contain a scan with a pushed single-key equality, an In, or a
+    // LessThan with literal <= K (the vec_id < 5 query/anchor-set
+    // idiom) on the lookup key. A future edit that swaps the point
+    // lookup for a corpus scan under a stale allowlist entry fails
+    // here.
+    val pointLookup = raw"PushedFilters: \[[^\]]*(?:EqualTo|In)\((?:doc_id|vec_id)".r
+    val keyPrefix = raw"PushedFilters: \[[^\]]*LessThan\((?:doc_id|vec_id),(\d+)\)".r
+    def isPointLookup(s: String): Boolean =
+      pointLookup.findFirstIn(s).isDefined ||
+        keyPrefix.findFirstMatchIn(s).exists(_.group(1).toLong <= K)
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
       val all = nodes(plan)
@@ -236,12 +248,22 @@ class PlanSpec extends AnyFunSuite {
           }
           !bounded(build)
         }
+      def buildOf(j: BroadcastNestedLoopJoinExec) = j.buildSide match {
+        case BuildLeft => j.left
+        case BuildRight => j.right
+      }
       if (cart) Some(s"$name: CartesianProduct")
-      else if (badBnlj.nonEmpty && !bnljAllowed.contains(name))
-        Some(s"$name: BroadcastNestedLoopJoin with unproven build side:\n" +
-          badBnlj.map(j => unwrap(j.buildSide match {
-            case BuildLeft => j.left; case BuildRight => j.right
-          }).nodeName).mkString("  ", "\n  ", ""))
+      else if (badBnlj.nonEmpty) bnljAllowed.get(name) match {
+        case None =>
+          Some(s"$name: BroadcastNestedLoopJoin with unproven build side:\n" +
+            badBnlj.map(j => unwrap(buildOf(j)).nodeName)
+              .mkString("  ", "\n  ", ""))
+        case Some(`qvec`)
+          if !badBnlj.forall(j => isPointLookup(buildOf(j).toString)) =>
+          Some(s"$name: allowlisted as a query-vector point lookup but no " +
+            "pushed doc_id/vec_id equality found in the build side")
+        case Some(_) => None
+      }
       else None
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))

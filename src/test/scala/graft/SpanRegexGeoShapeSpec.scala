@@ -95,9 +95,13 @@ class SpanRegexGeoShapeSpec extends AnyFunSuite {
     assert(chevron.getAs[Long]("doc_count") == polyCount)
   }
 
-  test("geo_shape_relation matches an independent Scala SAT + PNPOLY reference") {
-    val poly = graft.search.GeoQueries.Polygon // (lat, lon) vertices
-    def inPoly(y: Long, x: Long): Boolean = {
+  /** Independent Scala reference for the shape-vs-shape kernel —
+    * written from PNPOLY + separating-axis first principles, no shared
+    * code with [[graft.search.GeoQueries.boxPolyRelationExpr]].
+    * poly is (lat, lon) vertices, boxes are lon=x / lat=y.
+    */
+  private object ShapeRef {
+    def inPoly(poly: Seq[(Long, Long)], y: Long, x: Long): Boolean = {
       var c = 0
       for (i <- poly.indices) {
         val (yi, xi) = poly(i)
@@ -124,26 +128,31 @@ class SpanRegexGeoShapeSpec extends AnyFunSuite {
         .map { case (cx, cy) => dx * cx + dy * cy }
       ts.max >= math.min(ta, tb) && ts.min <= math.max(ta, tb)
     }
-    def relation(x1: Long, x2: Long, y1: Long, y2: Long): String = {
+    def relation(poly: Seq[(Long, Long)],
+                 x1: Long, x2: Long, y1: Long, y2: Long): String = {
       val corners = Seq((x1, y1), (x1, y2), (x2, y1), (x2, y2))
       val edgeX = poly.indices.exists { i =>
         val (ay, ax) = poly(i)
         val (by, bx) = poly((i + 1) % poly.size)
         segMeetsBox(ax, ay, bx, by, x1, x2, y1, y2)
       }
-      val cornersIn = corners.map { case (cx, cy) => inPoly(cy, cx) }
+      val cornersIn = corners.map { case (cx, cy) => inPoly(poly, cy, cx) }
       val vertexIn = poly.exists { case (vy, vx) =>
         vx >= x1 && vx <= x2 && vy >= y1 && vy <= y2 }
       if (cornersIn.forall(identity) && !edgeX) "within"
       else if (cornersIn.exists(identity) || vertexIn || edgeX) "intersects"
       else "disjoint"
     }
+  }
+
+  test("geo_shape_relation matches an independent Scala SAT + PNPOLY reference") {
+    val poly = graft.search.GeoQueries.Polygon // (lat, lon) vertices
     val want = Tables(spark, sf, "customer").select(col("c_custkey")).collect()
       .map(_.getLong(0)).map { k =>
         val lat = k * 2654435761L % 1800001 - 900000
         val lon = k * 2246822519L % 3600001 - 1800000
         val r = (k % 7) * 10000 + 5000
-        relation(lon - r, lon + r, lat - r, lat + r)
+        ShapeRef.relation(poly, lon - r, lon + r, lat - r, lat + r)
       }.groupBy(identity).view.mapValues(_.length.toLong).toMap
     val got = run("search_geo_shape_relation").collect()
       .map(r => r.getAs[String]("relation") -> r.getAs[Long]("doc_count")).toMap
@@ -151,5 +160,32 @@ class SpanRegexGeoShapeSpec extends AnyFunSuite {
     // All three relations are genuinely populated at this SF (the
     // whole point of the shape-backed variant vs the point-backed one).
     assert(want.keySet == Set("within", "intersects", "disjoint"), want)
+  }
+
+  test("boxPolyRelationExpr matches the reference on 2000 seeded random boxes x 2 polygons") {
+    // Generated-SQL-vs-reference property sweep (the pointInPolyExpr
+    // random-points pattern): boxes of wildly varying size and aspect
+    // all over the world, evaluated through the engine's generated
+    // CASE text by Spark itself, against ShapeRef.
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    val boxes = Seq.fill(2000) {
+      val cx = rnd.nextLong(3400001) - 1700000
+      val cy = rnd.nextLong(1700001) - 850000
+      val (rx, ry) = (rnd.nextLong(400000) + 1, rnd.nextLong(400000) + 1)
+      (cx - rx, cx + rx, cy - ry, cy + ry)
+    }
+    val df = boxes.toDF("x1", "x2", "y1", "y2")
+    for (poly <- Seq(graft.search.GeoQueries.Polygon,
+      graft.search.GeoQueries.Triangle)) {
+      val got = df.withColumn("relation",
+          expr(graft.search.GeoQueries.boxPolyRelationExpr(poly)))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)) -> r.getString(4)).toMap
+      boxes.foreach { case b @ (x1, x2, y1, y2) =>
+        val want = ShapeRef.relation(poly, x1, x2, y1, y2)
+        assert(got(b) == want, s"box $b poly $poly: got ${got(b)} want $want")
+      }
+    }
   }
 }
