@@ -239,6 +239,12 @@ object Bench {
           .format("noop").mode("overwrite").save()
       }
     }
+    val runGeoBuild = only.forall(_.contains("_build_geo_cells"))
+    val geoBuildSecs = if (!runGeoBuild) -1.0 else
+      buildArtifact("_build_geo_cells", search.GeoQueries.GeoIndexName) {
+        search.GeoQueries.materializedGeoIndex(spark, sfDir).write
+          .format("noop").mode("overwrite").save()
+      }
 
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
@@ -294,6 +300,7 @@ object Bench {
       (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
       (if (runBpeBuild) Seq("_build_bpe" -> ((bpeBuildSecs, bpeBuildSecs))) else Nil) ++
       (if (runWpBuild) Seq("_build_wordpiece" -> ((wpBuildSecs, wpBuildSecs))) else Nil) ++
+      (if (runGeoBuild) Seq("_build_geo_cells" -> ((geoBuildSecs, geoBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
       (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
 

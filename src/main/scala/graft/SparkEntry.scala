@@ -33,6 +33,7 @@ object SparkEntry {
       search.GeoQueries.queries ++
       search.EsTailQueries.queries ++
       search.SpanRegexQueries.queries ++
+      search.RelevanceTailQueries.queries ++
       llm.TextQueries.queries ++
       llm.DedupQueries.queries ++
       llm.CorpusQueries.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
       search.GeoQueries.oracleSql ++
       search.EsTailQueries.oracleSql ++
       search.SpanRegexQueries.oracleSql ++
+      search.RelevanceTailQueries.oracleSql ++
       llm.TextQueries.oracleSql ++
       llm.DedupQueries.oracleSql ++
       llm.CorpusQueries.oracleSql ++

@@ -587,6 +587,53 @@ class IndexStore(spark: SparkSession, root: String) {
       }
     }
 
+  /** Partition-granular incremental maintenance of a hive-PARTITIONED
+    * artifact: rewrite ONLY the partitions present in `df` (plus
+    * explicit `dropPartitionValues` for partitions the batch emptied),
+    * leaving every other partition's files physically untouched — the
+    * cell-local upsert path for cell-partitioned indexes (geo cells,
+    * IVF cells). At 100 TB a moved point costs its source and target
+    * CELL rewrites, never a corpus rebuild.
+    *
+    * Failure contract (the upsertPostings discipline, made
+    * partition-granular): dynamic partition overwrite commits PER
+    * PARTITION, so a crash mid-job can leave a subset of touched
+    * partitions updated. The provenance fingerprint is therefore
+    * cleared BEFORE any data moves and restamped only after the last
+    * partition commits + empties drop — a crashed upsert leaves a
+    * fingerprint mismatch that forces readers to REBUILD rather than
+    * serve a half-applied batch. `df` is staged to a sibling directory
+    * first (one bounded materialization of the touched partitions), so
+    * its lineage may freely READ the artifact being rewritten.
+    */
+  def overwritePartitions(df: DataFrame, name: String, partitionCol: String,
+                          fingerprint: String,
+                          dropPartitionValues: Seq[String] = Nil): Unit = {
+    val d = dir(name)
+    require(fs.exists(d), s"overwritePartitions: no artifact $name")
+    fs.delete(new Path(d, MetaFile), false)
+    val stage = new Path(root, s"${name.toLowerCase}__stage")
+    fs.delete(stage, true)
+    try {
+      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+      val staged = spark.read.parquet(stage.toString)
+      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try staged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+        .parquet(d.toString)
+      finally prev match {
+        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      dropPartitionValues.foreach { v =>
+        fs.delete(new Path(d, s"$partitionCol=$v"), true)
+      }
+    } finally fs.delete(stage, true)
+    val out = fs.create(new Path(d, MetaFile), true)
+    try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
   /** A sidecar metadata file of an artifact, if present. */
   def artifactSidecar(name: String, file: String): Option[String] = {
     val p = new Path(dir(name), file)

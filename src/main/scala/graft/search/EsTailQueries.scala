@@ -282,7 +282,131 @@ object EsTailQueries {
         .filter(pmod(col("doc_id") * 2654435761L, lit(4)) === 1)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .orderBy(col("doc_id"))
-        .offset(20).limit(20))
+        .offset(20).limit(20)),
+
+    // ES `post_filter` — the search-body field whose entire point is
+    // SCOPE ASYMMETRY: aggregations are computed over the QUERY scope
+    // (docs matching 'data'), while hits are additionally filtered by
+    // the post_filter (lang = en) — the faceted-navigation contract
+    // (click a facet, the other facets' counts must not collapse).
+    // Output stacks both result sets ES returns in one response:
+    // ('agg', lang, scope_count) rows over ALL langs in scope +
+    // ('hit', doc_id, tf) rows for the post-filtered top-10. One
+    // shared scan feeds both collectors; the agg is a bounded-key
+    // partial+final, the hits a TakeOrderedAndProject.
+    "search_post_filter" -> ((s, dir) => {
+      val scope = Tables(s, dir, "documents")
+        .withColumn("tf_data",
+          size(filter(tokens(col("text")), t => t === lit("data"))))
+        .filter(col("tf_data") > 0)
+      val aggs = scope.groupBy(col("lang"))
+        .agg(count(lit(1)).as("v"))
+        .select(lit("agg").as("row_type"), col("lang").as("key"), col("v"))
+      val hits = scope.filter(col("lang") === "en")
+        .orderBy(col("tf_data").desc, col("doc_id")).limit(10)
+        .select(lit("hit").as("row_type"),
+          col("doc_id").cast("string").as("key"),
+          col("tf_data").cast(LongType).as("v"))
+      aggs.unionByName(hits).orderBy(col("row_type"), col("key"))
+    }),
+
+    // ES `moving_avg` models `simple`, `linear`, `ewma` (window 3)
+    // over a date_histogram — with `holt` shipped earlier
+    // (search_holt_forecast) this covers every moving_avg model except
+    // `holt_winters`, whose period-length seasonal state vector is the
+    // documented omission (ES itself deprecated moving_avg for
+    // moving_fn in 6.4). All three are CLOSED FORMS over the 3-bucket
+    // window, so the usual recurrence floats vanish into exact integer
+    // micro-units: simple = Σ·1e6 DIV 3; linear = (1·x₋₃+2·x₋₂+3·x₋₁)
+    // ·1e6 DIV 6; ewma α=0.3 unrolls to (49·x₋₃+21·x₋₂+30·x₋₁)·1e6
+    // DIV 100 (weights are exact rationals over a fixed window).
+    // Wrap-free while daily counts < 10¹¹. The window runs over the
+    // BOUNDED bucket list (days), the corpus-scale work is the one
+    // histogram agg — the search_pipeline_aggs shape.
+    "search_moving_avg_models" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day"))
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+        .withColumn("x1", lag(col("doc_count"), 1).over(w))
+        .withColumn("x2", lag(col("doc_count"), 2).over(w))
+        .withColumn("x3", lag(col("doc_count"), 3).over(w))
+        .filter(col("x3").isNotNull)
+        .select(col("day").as("window_start"), col("doc_count"),
+          expr("(x3 + x2 + x1) * 1000000 DIV 3").as("simple_x1e6"),
+          expr("(x3 + 2 * x2 + 3 * x1) * 1000000 DIV 6").as("linear_x1e6"),
+          expr("(49 * x3 + 21 * x2 + 30 * x1) * 1000000 DIV 100").as("ewma_x1e6"))
+        .orderBy(col("window_start"))
+    }),
+
+    // ES `percentiles_bucket` — p25/p50/p75 over a date_histogram's
+    // per-bucket doc_counts (the "typical daily volume" panel),
+    // computed EXACTLY in integer micro-units: the sibling buckets
+    // sort into one array (bucket cardinality is days — bounded, the
+    // sum-bucket contract), then linear interpolation at rank
+    // (n−1)·p/100 is carried as v_lo·1e6 + (v_hi−v_lo)·rem·10⁴ with
+    // rem = (n−1)·p mod 100 — pure int64 (wrap-free while bucket
+    // counts < ~9·10¹², far past any daily count), so the twin
+    // hash-matches with no float interpolation in either engine.
+    // This closes the ES 6.6 pipeline-agg family (stats/min/max/avg/
+    // sum_bucket, bucket_script/selector/sort, cumulative_sum,
+    // derivative, serial_diff, moving_fn shipped earlier).
+    "search_pipeline_percentiles_bucket" -> ((s, dir) => {
+      val buckets = Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+      def pExpr(p: Int): Column = {
+        val pos = s"((n - 1) * $p)"
+        def at(i: String) = s"element_at(a, CAST($i AS INT))"
+        expr(s"${at(s"$pos DIV 100 + 1")} * 1000000 + " +
+          s"(${at(s"least($pos DIV 100 + 2, n)")} - " +
+          s"${at(s"$pos DIV 100 + 1")}) * ($pos % 100) * 10000")
+          .as(s"p${p}_x1e6")
+      }
+      buckets
+        .agg(array_sort(collect_list(col("doc_count"))).as("a"))
+        .withColumn("n", size(col("a")).cast(LongType))
+        .select(col("n").as("n_buckets"), pExpr(25), pExpr(50), pExpr(75))
+    }),
+
+    // ES `extended_stats_bucket` over the same sibling buckets:
+    // count/min/max/sum exact, avg and POPULATION variance in integer
+    // micro-units via the cross-multiplied moments (n·Σx² − (Σx)²)
+    // carried in DECIMAL(38,0) — the anomaly-hours/t-test carrier —
+    // then cast to int64 within the documented domain (variance·1e6
+    // fits while per-bucket counts < 3·10⁶; past that drop the ppm
+    // scaling — the metric, not the carrier, outgrows 64 bits).
+    // σ/std_bounds are presentation-layer sqrt of the exact variance.
+    "search_pipeline_extended_stats_bucket" -> ((s, dir) => {
+      val d38 = DecimalType(38, 0)
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+        .agg(count(lit(1)).as("n_buckets"),
+          min(col("doc_count")).as("min_bucket"),
+          max(col("doc_count")).as("max_bucket"),
+          sum(col("doc_count")).cast(LongType).as("sum_buckets"),
+          sum(col("doc_count").cast(d38) * col("doc_count").cast(d38))
+            .cast(d38).as("sum_sq"))
+        .select(col("n_buckets"), col("min_bucket"), col("max_bucket"),
+          col("sum_buckets"),
+          // IntegralDivide (DIV) on the decimal carriers returns LONG
+          // with exact truncation — matching DuckDB's `//` floor on
+          // the non-negative operands (decimal `/` would HALF_UP-round
+          // at result scale first and can diverge by one ulp).
+          expr("CAST(sum_buckets AS DECIMAL(38,0)) * 1000000 DIV n_buckets")
+            .as("avg_x1e6"),
+          expr("""(CAST(n_buckets AS DECIMAL(38,0)) * sum_sq -
+                 | CAST(sum_buckets AS DECIMAL(38,0)) *
+                 | CAST(sum_buckets AS DECIMAL(38,0))) * 1000000 DIV
+                 | (CAST(n_buckets AS DECIMAL(38,0)) *
+                 |  CAST(n_buckets AS DECIMAL(38,0)))""".stripMargin)
+            .as("variance_x1e6"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -417,5 +541,76 @@ object EsTailQueries {
     "search_scroll_slice" ->
       """SELECT doc_id, source, n_chars FROM documents
         |WHERE (doc_id * 2654435761) % 4 = 1
-        |ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin)
+        |ORDER BY doc_id LIMIT 20 OFFSET 20""".stripMargin,
+    "search_post_filter" ->
+      """WITH scope AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        t -> t = 'data')) AS tf_data
+        |  FROM documents),
+        |sc AS (SELECT * FROM scope WHERE tf_data > 0),
+        |a AS (
+        |  SELECT 'agg' AS row_type, lang AS key, count(*) AS v
+        |  FROM sc GROUP BY 2),
+        |h AS (
+        |  SELECT 'hit' AS row_type, CAST(doc_id AS VARCHAR) AS key,
+        |    CAST(tf_data AS BIGINT) AS v
+        |  FROM sc WHERE lang = 'en'
+        |  ORDER BY tf_data DESC, doc_id LIMIT 10)
+        |SELECT * FROM a UNION ALL SELECT * FROM h
+        |ORDER BY row_type, key""".stripMargin,
+    "search_moving_avg_models" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |l AS (
+        |  SELECT day, doc_count,
+        |    lag(doc_count, 1) OVER (ORDER BY day) AS x1,
+        |    lag(doc_count, 2) OVER (ORDER BY day) AS x2,
+        |    lag(doc_count, 3) OVER (ORDER BY day) AS x3
+        |  FROM b)
+        |SELECT day AS window_start, doc_count,
+        |  (x3 + x2 + x1) * 1000000 // 3 AS simple_x1e6,
+        |  (x3 + 2 * x2 + 3 * x1) * 1000000 // 6 AS linear_x1e6,
+        |  (49 * x3 + 21 * x2 + 30 * x1) * 1000000 // 100 AS ewma_x1e6
+        |FROM l WHERE x3 IS NOT NULL
+        |ORDER BY window_start""".stripMargin,
+    "search_pipeline_percentiles_bucket" -> {
+      def p(pct: Int): String = {
+        val pos = s"((n - 1) * $pct)"
+        s"a[$pos // 100 + 1] * 1000000 + " +
+          s"(a[least($pos // 100 + 2, n)] - a[$pos // 100 + 1]) * " +
+          s"($pos % 100) * 10000 AS p${pct}_x1e6"
+      }
+      s"""WITH b AS (
+         |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+         |  FROM events WHERE event_type IN ('click', 'purchase')
+         |  GROUP BY 1),
+         |s AS (
+         |  SELECT list_sort(list(doc_count)) AS a,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM b)
+         |SELECT n AS n_buckets, ${p(25)}, ${p(50)}, ${p(75)}
+         |FROM s""".stripMargin
+    },
+    "search_pipeline_extended_stats_bucket" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n, min(doc_count) AS mn, max(doc_count) AS mx,
+        |    sum(doc_count) AS sm,
+        |    sum(CAST(doc_count AS HUGEINT) * doc_count) AS q
+        |  FROM b)
+        |SELECT CAST(n AS BIGINT) AS n_buckets,
+        |  CAST(mn AS BIGINT) AS min_bucket,
+        |  CAST(mx AS BIGINT) AS max_bucket,
+        |  CAST(sm AS BIGINT) AS sum_buckets,
+        |  CAST((CAST(sm AS HUGEINT) * 1000000) // n AS BIGINT) AS avg_x1e6,
+        |  CAST(((CAST(n AS HUGEINT) * q - CAST(sm AS HUGEINT) * CAST(sm AS HUGEINT))
+        |        * 1000000) // (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))
+        |       AS BIGINT) AS variance_x1e6
+        |FROM s""".stripMargin)
 }

@@ -58,6 +58,42 @@ object GeoQueries {
     s"concat(substr('$Base32', CAST((gh $div 32) % 32 AS INT) + 1, 1), " +
       s"substr('$Base32', CAST(gh % 32 AS INT) + 1, 1))"
 
+  /** ES geotile_grid zoom (4 → a 16×16 web-mercator tile grid). */
+  private[graft] val TileZoom = 4
+  private[graft] val TileN: Int = 1 << TileZoom
+
+  /** Web-mercator tile-ROW boundary latitudes in e4 fixed point,
+    * floored — boundary j separates row j−1 (north) from row j,
+    * j = 1..TileN−1: lat(j) = atan(sinh(π(1 − 2j/N))) degrees. The
+    * transcendental is evaluated ONCE here at GENERATION time and the
+    * resulting integer constants are embedded verbatim in BOTH
+    * engines' SQL, so the per-row test is pure integer comparison —
+    * no cross-engine libm hazard. Quantizing a boundary to e4 moves
+    * that tile edge by < 1e-4° (below the fixture's coordinate
+    * resolution), deterministically and identically in both engines.
+    */
+  private[graft] val TileLatBoundsE4: Seq[Long] = (1 until TileN).map { j =>
+    val latDeg =
+      math.toDegrees(math.atan(math.sinh(math.Pi * (1.0 - 2.0 * j / TileN))))
+    math.floor(latDeg * 10000.0).toLong
+  }
+
+  /** Shared-text SQL for the tile row (y, 0 = northmost): the count of
+    * boundaries at or above the point. A point exactly on a floored
+    * boundary goes to the southern row — the fixed half-open edge
+    * rule, identical text in both engines.
+    */
+  private[graft] def tileYExpr: String =
+    TileLatBoundsE4.map(b => s"(CASE WHEN lat_e4 <= $b THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** Shared-text SQL for the tile column x = floor((lon+180)/360·N)
+    * (div token parameterized — Spark `DIV` vs DuckDB `//`; the
+    * dividend is non-negative so truncation and floor agree).
+    */
+  private[graft] def tileXExpr(div: String): String =
+    s"(((lon_e4 + 1800000) * $TileN) $div 3600001)"
+
   /** Non-convex test polygon in e4 fixed-point (lat_e4, lon_e4) —
     * a bowtie-adjacent chevron over the mid-latitudes, so the ray-cast
     * parity rule is exercised on a shape where convex shortcuts fail.
@@ -177,6 +213,124 @@ object GeoQueries {
   private[graft] val BboxPred: String =
     "(lat_e4 BETWEEN -200000 AND 500000 AND lon_e4 BETWEEN -700000 AND 100000)"
 
+  private[graft] val GeoIndexName = "geo_points"
+
+  /** The SERVED geo index: the point table hive-partitioned by its
+    * 10-bit precision-2 geohash cell (the geohash_grid bucketing). At
+    * 100 TB this is the layout a "stores near me" query prunes:
+    * candidate cells resolve to partition DIRECTORIES, so the scan
+    * reads ~circle-bbox/earth-area of the corpus instead of all of it
+    * — the postings/IVF cell discipline applied to geo. Built once
+    * per fixture fingerprint through the crash-safe artifact swap.
+    */
+  private[graft] def materializedGeoIndex(s: SparkSession, dir: String): DataFrame = {
+    val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    val fp = "geo_points_v1_gh2:" +
+      graft.etl.IndexStore.pathFingerprint(s, s"$dir/customer.parquet")
+    if (!store.artifactFingerprint(GeoIndexName).contains(fp))
+      store.writeArtifact(withCell(points(s, dir)),
+        GeoIndexName, fp, partitionCols = Seq("gh"))
+    store.read(GeoIndexName)
+  }
+
+  /** The cell-id projection shared by the index build and incremental
+    * maintenance (a streamed batch's rows cell through the same code).
+    */
+  private def withCell(points: DataFrame): DataFrame =
+    points
+      .withColumn("lat_b",
+        least(expr("((lat_e4 + 900000) * 32) DIV 1800001"), lit(31L)))
+      .withColumn("lon_b",
+        least(expr("((lon_e4 + 1800000) * 32) DIV 3600001"), lit(31L)))
+      .withColumn("gh", expr(geohash2BitsExpr("DIV")).cast("int"))
+      .drop("lat_b", "lon_b")
+
+  /** Incremental geo-index maintenance for one ingest batch of point
+    * rows (c_custkey, lat_e4, lon_e4): keys upsert LAST-WRITE-WINS and
+    * only the CELLS involved are rewritten — the cells the batch's new
+    * coordinates land in plus the cells its keys currently occupy, so
+    * a moved point leaves no stale row in its source cell (and a
+    * source cell the batch emptied is dropped outright). Locating
+    * current cells is a column-pruned key probe of the index (at
+    * 100 TB a key→cell sidecar would serve it; the (c_custkey, gh)
+    * projection scan is the documented stand-in) — the REWRITE cost is
+    * bounded by the touched partitions, never the corpus. Failure
+    * contract lives in [[graft.etl.IndexStore.overwritePartitions]].
+    * Returns the number of touched cells.
+    */
+  private[graft] def upsertGeoPoints(s: SparkSession, dir: String,
+                                     batch: DataFrame): Int = {
+    val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    val idx = store.read(GeoIndexName)
+    val batchG = withCell(batch)
+    val keys = batch.select(col("c_custkey")).distinct()
+    val oldCells = idx.join(broadcast(keys), Seq("c_custkey"))
+      .select(col("gh")).distinct().collect().map(_.getInt(0)).toSet
+    val newCells = batchG.select(col("gh")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val touched = oldCells ++ newCells
+    val replacement = idx.filter(col("gh").isInCollection(touched.toSeq))
+      .join(broadcast(keys), Seq("c_custkey"), "left_anti")
+      .unionByName(batchG)
+    val remaining = replacement.select(col("gh")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    store.overwritePartitions(replacement, GeoIndexName, "gh",
+      "geo_points_v1_gh2:stream-maintained",
+      dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+    touched.size
+  }
+
+  /** The 10-bit cell id of bucket coordinates — the Scala mirror of
+    * [[geohash2BitsExpr]] (lon gets the odd bits, lat the even,
+    * LSB-first interleave).
+    */
+  private[graft] def cellId(latB: Int, lonB: Int): Int =
+    (0 until 5).map { j =>
+      (((lonB >> j) & 1) << (2 * j + 1)) + (((latB >> j) & 1) << (2 * j))
+    }.sum
+
+  /** Precision-2 cells that can contain a point within `radiusKm` of
+    * the pin — the plan-time prune set (O(1024) driver work, never a
+    * data scan). PROVABLY conservative bounds from the haversine
+    * itself (R = 6371, matching [[haversineKm]]'s 12742/2):
+    *  - dist >= R·|Δφ|  (asin(sin x) = x for |x| <= π/2), so any hit
+    *    has |Δlat| <= radius/R;
+    *  - dist >= 2R·cos(maxAbsLat)·sin(|Δλ|/2), so any hit has
+    *    |Δλ| <= 2·asin(min(1, radius/(2R·cos(maxAbsLat)))), with
+    *    maxAbsLat over the already-bounded latitude band.
+    * Both padded by 0.1° (≫ the e4 quantization and the round-3
+    * distance quantization at the filter). Longitude wrap handled by
+    * splitting the box at ±180°.
+    */
+  private[graft] def candidateCells(latDeg: Double, lonDeg: Double,
+                                    radiusKm: Double): Seq[Int] = {
+    val R = 6371.0
+    val dLat = math.toDegrees(radiusKm / R) + 0.1
+    val latLo = math.max(-90.0, latDeg - dLat)
+    val latHi = math.min(90.0, latDeg + dLat)
+    val cosMin = math.cos(math.toRadians(
+      math.min(89.999, math.max(math.abs(latLo), math.abs(latHi)))))
+    val dLon = math.min(180.0, math.toDegrees(
+      2 * math.asin(math.min(1.0, radiusKm / (2 * R * cosMin)))) + 0.1)
+    val lonSegs: Seq[(Double, Double)] = {
+      val (a, b) = (lonDeg - dLon, lonDeg + dLon)
+      if (b - a >= 360.0) Seq((-180.0, 180.0))
+      else if (a < -180.0) Seq((a + 360.0, 180.0), (-180.0, b))
+      else if (b > 180.0) Seq((a, 180.0), (-180.0, b - 360.0))
+      else Seq((a, b))
+    }
+    (for {
+      latB <- 0 until 32
+      lonB <- 0 until 32
+      cLatLo = latB * 1800001L / 32.0 / 10000.0 - 90.0
+      cLatHi = (latB + 1) * 1800001L / 32.0 / 10000.0 - 90.0
+      if cLatHi >= latLo && cLatLo <= latHi
+      cLonLo = lonB * 3600001L / 32.0 / 10000.0 - 180.0
+      cLonHi = (lonB + 1) * 3600001L / 32.0 / 10000.0 - 180.0
+      if lonSegs.exists { case (a, b) => cLonHi >= a && cLonLo <= b }
+    } yield cellId(latB, lonB)).toSeq
+  }
+
   /** The synthetic point table: (c_custkey, lat_e4, lon_e4). */
   private def points(s: SparkSession, dir: String): DataFrame =
     graft.Tables(s, dir, "customer")
@@ -228,6 +382,28 @@ object GeoQueries {
         .limit(20)
     }),
 
+    // search_geo_distance SERVED from the cell-partitioned geo index:
+    // plan-time candidate cells (provably conservative circle bbox →
+    // 10-bit cell ids, driver O(1024)) become a partition IN-filter —
+    // the scan reads only the matching partition directories, then the
+    // exact haversine refines. Same results as the scan query by
+    // construction (identical oracle SQL); the plan difference IS the
+    // operator: PartitionFilters prune ~85% of the corpus here and
+    // ~(1 − bbox/earth) at any scale. This is how the "near me" query
+    // stays sub-second at 100 TB — the IVF/postings serving discipline
+    // applied to geo.
+    "search_geo_distance_indexed" -> ((s, dir) => {
+      val idx = materializedGeoIndex(s, dir)
+      val cells = candidateCells(40.0, -74.0, 2000.0)
+      val d = haversineKm(40.0, -74.0)
+      idx.filter(col("gh").isInCollection(cells))
+        .withColumn("dist_km", round(d, 3))
+        .filter(col("dist_km") <= 2000.0)
+        .select(col("c_custkey"), col("lat_e4"), col("lon_e4"), col("dist_km"))
+        .orderBy(col("dist_km"), col("c_custkey"))
+        .limit(20)
+    }),
+
     // ES `geo_bounding_box` query: pure integer range filter on the
     // fixed-point coordinates — pushes straight into the parquet scan
     // (PushedFilters), zero float math anywhere.
@@ -237,6 +413,31 @@ object GeoQueries {
           col("lon_e4") >= -300000 && col("lon_e4") <= 400000)
         .orderBy(col("c_custkey"))
         .limit(20)),
+
+    // geo_bounding_box SERVED from the cell-partitioned index: for an
+    // axis-aligned integer box the cell cover is EXACT (cells are
+    // coordinate ranges — the bucket rectangle [latB(lo)..latB(hi)] ×
+    // [lonB(lo)..lonB(hi)] contains precisely the cells the box can
+    // touch, no haversine bound needed), so the partition IN-filter
+    // prunes to the box's cells and the pushed integer ranges refine
+    // within them. Identical results to the scan query under the
+    // shared twin.
+    "search_geo_bounding_box_indexed" -> ((s, dir) => {
+      val (latLo, latHi, lonLo, lonHi) = (100000L, 600000L, -300000L, 400000L)
+      def latB(v: Long) = math.min(31L, (v + 900000L) * 32 / 1800001L).toInt
+      def lonB(v: Long) = math.min(31L, (v + 1800000L) * 32 / 3600001L).toInt
+      val cells = for {
+        lb <- latB(latLo) to latB(latHi)
+        gb <- lonB(lonLo) to lonB(lonHi)
+      } yield cellId(lb, gb)
+      materializedGeoIndex(s, dir)
+        .filter(col("gh").isInCollection(cells))
+        .filter(col("lat_e4") >= latLo && col("lat_e4") <= latHi &&
+          col("lon_e4") >= lonLo && col("lon_e4") <= lonHi)
+        .select(col("c_custkey"), col("lat_e4"), col("lon_e4"))
+        .orderBy(col("c_custkey"))
+        .limit(20)
+    }),
 
     // ES `geo_centroid` aggregation per terms bucket: the arithmetic
     // mean point of each market segment's customers. All-integer and
@@ -378,25 +579,71 @@ object GeoQueries {
         .groupBy(expr(geohash2StrExpr("DIV")).as("geohash"))
         .agg(count(lit(1)).as("doc_count"), min(col("c_custkey")).as("first_key"))
         .orderBy(col("doc_count").desc, col("geohash"))
-        .limit(20))
+        .limit(20)),
+
+    // ES `geotile_grid` aggregation at zoom 4 — the web-mercator
+    // z/x/y map-tile counterpart of geohash_grid. x is exact integer
+    // arithmetic; y needs the mercator projection, whose 15 row
+    // boundary latitudes are precomputed at generation time into
+    // integer constants ([[TileLatBoundsE4]]), so per-row work is 15
+    // integer comparisons + one divide — scan-speed, zero libm in
+    // either engine. ≤256 buckets at any corpus size; at 100 TB the
+    // tile id is the hive-partition key of a served tile index,
+    // exactly the geohash/IVF cell layout.
+    "search_geotile_grid" -> ((s, dir) =>
+      points(s, dir)
+        .withColumn("tile_x", expr(tileXExpr("DIV")))
+        .withColumn("tile_y", expr(tileYExpr))
+        .groupBy(concat(lit(s"$TileZoom/"), col("tile_x").cast("string"),
+          lit("/"), col("tile_y").cast("string")).as("tile"))
+        .agg(count(lit(1)).as("doc_count"), min(col("c_custkey")).as("first_key"))
+        .orderBy(col("doc_count").desc, col("tile"))
+        .limit(30)),
+
+    // ES `geo_bounds` aggregation per terms bucket: the tight
+    // bounding box (top-left / bottom-right corners, ES's field
+    // names) of each market segment's points — pure integer min/max
+    // conditional on nothing, ONE partial+final agg over 5 buckets.
+    "search_geo_bounds" -> ((s, dir) =>
+      graft.Tables(s, dir, "customer")
+        .select(col("c_mktsegment"),
+          (col("c_custkey") * 2654435761L % 1800001 - 900000).as("lat_e4"),
+          (col("c_custkey") * 2246822519L % 3600001 - 1800000).as("lon_e4"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("doc_count"),
+          max(col("lat_e4")).as("top_lat_e4"),
+          min(col("lon_e4")).as("left_lon_e4"),
+          min(col("lat_e4")).as("bottom_lat_e4"),
+          max(col("lon_e4")).as("right_lon_e4"))
+        .orderBy(col("c_mktsegment")))
   )
 
+  private lazy val GeoBboxOracle: String =
+    s"""WITH $PointsCte
+       |SELECT c_custkey, lat_e4, lon_e4 FROM pts
+       |WHERE lat_e4 BETWEEN 100000 AND 600000
+       |  AND lon_e4 BETWEEN -300000 AND 400000
+       |ORDER BY c_custkey LIMIT 20""".stripMargin
+
+  private lazy val GeoDistanceOracle: String =
+    s"""WITH $PointsCte,
+       |d AS (
+       |  SELECT c_custkey, lat_e4, lon_e4,
+       |    round(${haversineSql("40.0", "(-74.0)")}, 3) AS dist_km
+       |  FROM pts)
+       |SELECT c_custkey, lat_e4, lon_e4, dist_km
+       |FROM d WHERE dist_km <= 2000.0
+       |ORDER BY dist_km, c_custkey LIMIT 20""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "search_geo_distance" ->
-      s"""WITH $PointsCte,
-         |d AS (
-         |  SELECT c_custkey, lat_e4, lon_e4,
-         |    round(${haversineSql("40.0", "(-74.0)")}, 3) AS dist_km
-         |  FROM pts)
-         |SELECT c_custkey, lat_e4, lon_e4, dist_km
-         |FROM d WHERE dist_km <= 2000.0
-         |ORDER BY dist_km, c_custkey LIMIT 20""".stripMargin,
-    "search_geo_bounding_box" ->
-      s"""WITH $PointsCte
-         |SELECT c_custkey, lat_e4, lon_e4 FROM pts
-         |WHERE lat_e4 BETWEEN 100000 AND 600000
-         |  AND lon_e4 BETWEEN -300000 AND 400000
-         |ORDER BY c_custkey LIMIT 20""".stripMargin,
+    "search_geo_distance" -> GeoDistanceOracle,
+    // The indexed serving path must produce byte-identical results to
+    // the scan path — ONE twin proves both (the bm25 scan/indexed
+    // contract).
+    "search_geo_distance_indexed" -> GeoDistanceOracle,
+    "search_geo_bounding_box" -> GeoBboxOracle,
+    // Exact cell cover + refine must equal the scan — one shared twin.
+    "search_geo_bounding_box_indexed" -> GeoBboxOracle,
     // The shifted sums are exactly the un-offset modular values.
     "search_geo_centroid" ->
       """SELECT c_mktsegment, count(*) AS n_points,
@@ -471,5 +718,20 @@ object GeoQueries {
          |g AS (SELECT c_custkey, ${geohash2BitsExpr("//")} AS gh FROM b)
          |SELECT ${geohash2StrExpr("//")} AS geohash,
          |  count(*) AS doc_count, min(c_custkey) AS first_key
-         |FROM g GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin)
+         |FROM g GROUP BY 1 ORDER BY doc_count DESC, geohash LIMIT 20""".stripMargin,
+    "search_geotile_grid" ->
+      s"""WITH $PointsCte,
+         |g AS (
+         |  SELECT c_custkey, ${tileXExpr("//")} AS tile_x, $tileYExpr AS tile_y
+         |  FROM pts)
+         |SELECT '$TileZoom/' || CAST(tile_x AS VARCHAR) || '/' || CAST(tile_y AS VARCHAR) AS tile,
+         |  count(*) AS doc_count, min(c_custkey) AS first_key
+         |FROM g GROUP BY 1 ORDER BY doc_count DESC, tile LIMIT 30""".stripMargin,
+    "search_geo_bounds" ->
+      """SELECT c_mktsegment, count(*) AS doc_count,
+        |  max((c_custkey * 2654435761) % 1800001 - 900000) AS top_lat_e4,
+        |  min((c_custkey * 2246822519) % 3600001 - 1800000) AS left_lon_e4,
+        |  min((c_custkey * 2654435761) % 1800001 - 900000) AS bottom_lat_e4,
+        |  max((c_custkey * 2246822519) % 3600001 - 1800000) AS right_lon_e4
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)
 }

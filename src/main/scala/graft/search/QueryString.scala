@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   *   notExpr := NOT notExpr
   *            | '(' orExpr ')' ['^' number]
   *            | atom
-  *   atom    := [field ':'] ( '"' phrase '"' | word['*'] ) ['^' number]
+  *   atom    := [field ':'] ( '"' phrase '"' | '/' regexp '/' | word['*'] ) ['^' number]
   * }}}
   *
   * Precedence NOT > AND > OR, left-associative — Lucene's "classic"
@@ -32,6 +32,13 @@ import org.apache.spark.sql.functions._
   *                (`search_prefix_match` shape)
   *  - `"a b"`   — whitespace-normalized containment
   *                (`search_phrase_match` shape)
+  *  - `/re/`    — Lucene regexp term: some token matches the WHOLE
+  *                pattern (Lucene regexps are implicitly anchored —
+  *                compiled as `^(?:re)$`; the alternation/class/
+  *                quantifier core shared by Lucene and Java regex is
+  *                supported, Lucene-only extras like `~` complement
+  *                and `<n-m>` intervals are not; whitespace inside
+  *                the pattern is not supported — use `\s`)
   *  - no field  — disjunction over every column, like the ES `_all`
   *                search the reference delegates to
   *  - `x^2.5`   — Lucene boost on a term, phrase, or parenthesized
@@ -51,6 +58,7 @@ object QueryString {
   sealed trait Node
   final case class Term(field: Option[String], word: String, prefix: Boolean) extends Node
   final case class Phrase(field: Option[String], phrase: String) extends Node
+  final case class Regex(field: Option[String], pattern: String) extends Node
   final case class And(l: Node, r: Node) extends Node
   final case class Or(l: Node, r: Node) extends Node
   final case class Not(n: Node) extends Node
@@ -65,6 +73,7 @@ object QueryString {
   private case object NotT extends Tok
   private final case class PhraseT(field: Option[String], s: String) extends Tok
   private final case class WordT(field: Option[String], s: String, prefix: Boolean) extends Tok
+  private final case class RegexT(field: Option[String], pattern: String) extends Tok
   private final case class CaretT(boost: Double) extends Tok // `^2.5` after ')' or '"'
 
   /** A Lucene boost literal: a positive number after `^`. */
@@ -90,6 +99,30 @@ object QueryString {
         out += PhraseT(None, q.substring(i + 1, end)); i = end + 1
       } else {
         val start = i
+        // A regexp literal (`/re/` or `field:/re/`) scans to its
+        // closing '/' like a quoted phrase does — the pattern may
+        // contain the word delimiters ( ) " freely. A '/' elsewhere
+        // inside a word (a path token like `a/b`) stays a word.
+        while (i < q.length && !q(i).isWhitespace && q(i) != '(' &&
+          q(i) != ')' && q(i) != '"' && q(i) != '/') i += 1
+        if (i < q.length && q(i) == '/' && (i == start || q(i - 1) == ':')) {
+          val fld = if (i == start) None else Some(q.substring(start, i - 1))
+          val end = q.indexOf('/', i + 1)
+          if (end < 0 || end == i + 1) throw new IllegalArgumentException(
+            s"query_string: unterminated or empty regexp at offset $i in <$q>")
+          out += RegexT(fld, q.substring(i + 1, end))
+          i = end + 1
+          if (i < q.length && q(i) == '^') { // trailing boost
+            val bs = i + 1
+            while (i < q.length && !q(i).isWhitespace &&
+              q(i) != '(' && q(i) != ')' && q(i) != '"') i += 1
+            parseBoost(q.substring(bs, i)) match {
+              case Some(b) => out += CaretT(b)
+              case None => throw new IllegalArgumentException(
+                s"query_string: bad boost after regexp at offset $bs in <$q>")
+            }
+          }
+        } else {
         while (i < q.length && !q(i).isWhitespace &&
           q(i) != '(' && q(i) != ')' && q(i) != '"') i += 1
         val w = q.substring(start, i)
@@ -126,6 +159,7 @@ object QueryString {
             out += WordT(field, word, pre)
             boost.foreach(b => out += CaretT(b))
         }
+        }
       }
     }
     out.toList
@@ -144,7 +178,7 @@ object QueryString {
       var continue = true
       while (continue) peek match {
         case Some(OrT) => next(); n = Or(n, parseAnd())
-        case Some(LP | NotT | _: WordT | _: PhraseT) => // adjacency = OR
+        case Some(LP | NotT | _: WordT | _: PhraseT | _: RegexT) => // adjacency = OR
           n = Or(n, parseAnd())
         case _ => continue = false
       }
@@ -176,6 +210,7 @@ object QueryString {
         withBoost(n)
       case Some(w: WordT)   => next(); withBoost(Term(w.field, w.s, w.prefix))
       case Some(p: PhraseT) => next(); withBoost(Phrase(p.field, p.s))
+      case Some(r: RegexT)  => next(); withBoost(Regex(r.field, r.pattern))
       case t => throw new IllegalArgumentException(
         s"query_string: expected clause, found $t in <$q>")
     }
@@ -209,6 +244,8 @@ object QueryString {
       case Term(_, w, true)  => exists(t, x => x.startsWith(w.toLowerCase))
       case Phrase(_, p) =>
         concat_ws(" ", t).contains(p.toLowerCase.trim.replaceAll("\\s+", " "))
+      // Lucene regexp terms match the ENTIRE token (implicit anchors).
+      case Regex(_, p) => exists(t, x => x.rlike(s"^(?:$p)$$"))
       case other => throw new IllegalArgumentException(s"not an atom: $other")
     }
     coalesce(raw, lit(false))
@@ -227,6 +264,7 @@ object QueryString {
   def compile(df: DataFrame, node: Node): Column = node match {
     case t @ Term(f, _, _)   => atomMatch(df, f, t)
     case p @ Phrase(f, _)    => atomMatch(df, f, p)
+    case r @ Regex(f, _)     => atomMatch(df, f, r)
     case And(l, r)           => compile(df, l) && compile(df, r)
     case Or(l, r)            => compile(df, l) || compile(df, r)
     case Not(n)              => !compile(df, n)
@@ -246,6 +284,7 @@ object QueryString {
       case Term(f, w, false) => Seq((f, w.toLowerCase, mult))
       case Term(_, _, true)  => Seq.empty
       case Phrase(_, _)      => Seq.empty
+      case Regex(_, _)       => Seq.empty // multi-term: match-only, like prefix
       case And(l, r)         => boostedTerms(l, mult) ++ boostedTerms(r, mult)
       case Or(l, r)          => boostedTerms(l, mult) ++ boostedTerms(r, mult)
       case Not(_)            => Seq.empty

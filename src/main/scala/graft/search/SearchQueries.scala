@@ -33,7 +33,7 @@ object SearchQueries {
       .reduce(_ || _)
 
   /** Whitespace tokenizer shared by match + rank queries. */
-  private def tokens(c: Column): Column = split(lower(c), "\\s+")
+  private[search] def tokens(c: Column): Column = split(lower(c), "\\s+")
 
   /** Welch's t statistic as ONE fixed-order arithmetic string shared
     * verbatim by both engines — `wide` is the exact integer carrier
@@ -63,8 +63,8 @@ object SearchQueries {
     * bit-identical). Constants written literally (2.2 = k1+1,
     * 0.25 = 1−b) so both engines evaluate the same literals.
     */
-  private def bm25Part(tfc: Column, dfc: Column, nToks: Column,
-                       nDocs: Column, sumDl: Column): Column =
+  private[search] def bm25Part(tfc: Column, dfc: Column, nToks: Column,
+                               nDocs: Column, sumDl: Column): Column =
     log(lit(1.0) + (nDocs - dfc + lit(0.5)) / (dfc + lit(0.5))) *
       ((tfc * lit(2.2)) /
         (tfc + lit(1.2) *
@@ -767,6 +767,21 @@ object SearchQueries {
       d.filter(QueryString(d, "lang:en AND (spark OR vector*) NOT \"the lazy dog\""))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Lucene `/regexp/` literals in the query-string grammar — the
+    // `field:/re/` syntax ES's query_string parser accepts from the
+    // reference's search box (the standalone `regexp` query's
+    // search-box spelling). Implicitly anchored per Lucene (the token
+    // must match the WHOLE pattern); composes with the boolean grammar
+    // like any atom. Same scan + codegen'd predicate plan as every
+    // query_string query — the regexp costs one RLIKE per token.
+    "search_query_string_regexp" -> ((s, dir) => {
+      val d = Tables(s, dir, "documents")
+      d.filter(QueryString(d, "text:/s(can|ort|low|tream)/ AND lang:en NOT text:batch"))
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+        .limit(20)
     }),
 
     // Boosted query-string scoring — the `term^boost` / `field:term^2`
@@ -2828,6 +2843,14 @@ object SearchQueries {
     // unfielded atoms search EVERY column's stringified token stream
     // (the ES _all behavior); precedence (lang:en AND (spark OR
     // vector*)) AND NOT <phrase>.
+    "search_query_string_regexp" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> regexp_full_match(x, 's(can|ort|low|tream)'))) > 0
+        |  AND lang = 'en'
+        |  AND NOT len(list_filter(regexp_split_to_array(lower(text), '\s+'),
+        |        x -> x = 'batch')) > 0
+        |ORDER BY doc_id LIMIT 20""".stripMargin,
     "search_query_string" ->
       """WITH tok AS (
         |  SELECT doc_id, lang, source,

@@ -41,6 +41,12 @@ object SpanRegexQueries {
     */
   private val BigGap = 5
 
+  /** span_multi proximity window: any 's*' term, then 'order' within
+    * this many positions. The prefix expands to six dictionary terms
+    * (scan/slow/sort/spark/stream/small) — a real multi-term union.
+    */
+  private val MultiGap = 3
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // ES `regexp` term query: match any dictionary term accepted by
@@ -94,6 +100,39 @@ object SpanRegexQueries {
           array_min(transform(col("containing"),
             sp => sp.getField("p2") - sp.getField("p1")))
             .cast(LongType).as("min_width"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // ES `span_multi` — a span wrapping a MULTI-TERM query (here
+    // prefix 's*') in proximity with a literal term: any position of
+    // any dictionary term starting with 's', followed by 'order'
+    // within [[MultiGap]] positions. The dictionary probe is ONE
+    // pushed StringStartsWith over the range-sorted postings (exactly
+    // Lucene's SpanMultiTermQueryWrapper rewrite: the multi-term
+    // expands against the term dictionary, never the corpus); the
+    // matched terms' position lists union per doc (flatten+sort —
+    // positions are distinct across terms, so the union is
+    // deterministic under any partitioning), then the span_near
+    // pair kernel runs per doc (O(tf_multi·tf_b), never tokens²).
+    "search_span_multi" -> ((s, dir) => {
+      val (postings, _, _) = SearchQueries.materializedPostings(s, dir)
+      val multi = postings.filter(col("term").startsWith("s"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(flatten(collect_list(col("positions")))).as("pm"),
+          countDistinct(col("term")).as("n_multi_terms"))
+      val other = postings.filter(col("term") === "order")
+        .select(col("doc_id").as("d_o"), col("positions").as("po"))
+      multi.join(other, col("doc_id") === col("d_o"))
+        .withColumn("pairs", flatten(transform(col("pm"), p1 =>
+          transform(
+            filter(col("po"), p2 => p2 > p1 && p2 - p1 <= lit(MultiGap)),
+            p2 => struct(p1.as("p1"), p2.as("p2"))))))
+        .filter(size(col("pairs")) > 0)
+        .select(col("doc_id"),
+          size(col("pairs")).cast(LongType).as("n_pairs"),
+          array_min(transform(col("pairs"), p => p.getField("p1")))
+            .cast(LongType).as("first_start"),
+          col("n_multi_terms"))
         .orderBy(col("doc_id"))
     }),
 
@@ -161,6 +200,23 @@ object SpanRegexQueries {
          |  CAST(min(p1) AS BIGINT) AS first_start,
          |  CAST(min(p2 - p1) AS BIGINT) AS min_width
          |FROM cont GROUP BY 1 ORDER BY 1""".stripMargin,
+    "search_span_multi" ->
+      s"""WITH $PosCte,
+         |a AS (SELECT doc_id, p AS p1 FROM p WHERE tok LIKE 's%'),
+         |b AS (SELECT doc_id, p AS p2 FROM p WHERE tok = 'order'),
+         |m AS (
+         |  SELECT doc_id, count(DISTINCT tok) AS n_multi_terms
+         |  FROM p WHERE tok LIKE 's%' GROUP BY 1),
+         |pr AS (
+         |  SELECT a.doc_id, p1, p2
+         |  FROM a JOIN b ON a.doc_id = b.doc_id
+         |  WHERE p2 > p1 AND p2 - p1 <= $MultiGap),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_pairs, CAST(min(p1) AS BIGINT) AS first_start
+         |  FROM pr GROUP BY 1)
+         |SELECT agg.doc_id, n_pairs, first_start, n_multi_terms
+         |FROM agg JOIN m ON agg.doc_id = m.doc_id
+         |ORDER BY agg.doc_id""".stripMargin,
     "search_span_within" ->
       s"""WITH $PosCte,
          |$BigLittleCte,

@@ -64,6 +64,37 @@ class QueryStringSpec extends AnyFunSuite {
     assert(intercept[IllegalArgumentException](parse("lang:")).getMessage.contains("empty term"))
   }
 
+  test("parsing: Lucene /regexp/ literals — bare, fielded, boosted; '/' in words") {
+    assert(parse("/ab+c/") == Regex(None, "ab+c"))
+    assert(parse("text:/s(can|ort)/") == Regex(Some("text"), "s(can|ort)"))
+    // Delimiters ( ) " are legal INSIDE the pattern; boost binds after.
+    assert(parse("text:/a(b|c)*/^2") == Boost(Regex(Some("text"), "a(b|c)*"), 2.0))
+    assert(parse("x NOT text:/y+/") ==
+      And(Term(None, "x", false), Not(Regex(Some("text"), "y+"))))
+    // A mid-word slash is a word character, not a regexp opener.
+    assert(parse("a/b") == Term(None, "a/b", false))
+    assert(parse("f:a/b") == Term(Some("f"), "a/b", false))
+    assert(intercept[IllegalArgumentException](
+      parse("text:/unterminated")).getMessage.contains("regexp"))
+    assert(intercept[IllegalArgumentException](
+      parse("//")).getMessage.contains("regexp"))
+  }
+
+  test("regexp atoms match whole tokens (Lucene implicit anchors)") {
+    // /spark/ must NOT match 'sparks'-style supertokens: doc 5 has
+    // 'spark' (exact) and 'vectorized' — /vector/ matches only doc 2's
+    // exact 'vector' token, never 'vectorized'/'vectors'.
+    assert(ids("text:/vector/") == Set(2L))
+    assert(ids("text:/vector.*/") == Set(2L, 3L, 5L))
+    assert(ids("text:/s(park|leeps)/") == Set(1L, 2L, 3L, 5L))
+    // Composes with the boolean grammar; boost stays match-transparent.
+    assert(ids("text:/s(park|leeps)/ NOT lang:de") == Set(1L, 2L, 3L))
+    assert(ids("text:/vector.*/^3") == ids("text:/vector.*/"))
+    // NULL text is a non-match, not an UNKNOWN that flips under NOT:
+    // /.*/ matches every non-null text, so only the NULL-text doc survives.
+    assert(ids("lang:en NOT text:/.*/") == Set(6L))
+  }
+
   // ---- semantics ----------------------------------------------------------
 
   test("terms are token-equality, all fields, case-insensitive") {
