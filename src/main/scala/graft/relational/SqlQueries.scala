@@ -402,6 +402,134 @@ object SqlQueries {
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin,
 
+    // TPC-H Q2 shape: minimum-cost supplier — a correlated MIN
+    // subquery that re-walks the same supplier→nation→region join as
+    // the outer query, the classic pick-the-argmin-per-group-via-
+    // requery pattern. The fixture has no partsupp table, so the
+    // (part, supplier) supply cost is DERIVED: the cheapest price the
+    // pair ever actually traded at, MIN(l_extendedprice) per
+    // (l_partkey, l_suppkey) — MIN is order-independent so the
+    // surrogate is exact in both engines, and the one CTE is read by
+    // BOTH the outer query and the correlated subquery (a shared-scan
+    // reuse Catalyst handles via subquery dedup). Plan: the ps
+    // aggregate shuffles lineitem once on (part, supp); the region
+    // filter then prunes suppliers through two broadcast dims.
+    "sql_q2_min_cost_supplier" ->
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
+        |       CAST(ps_supplycost AS DOUBLE) AS supplycost
+        |FROM part
+        |JOIN ps ON p_partkey = ps_partkey
+        |JOIN supplier ON s_suppkey = ps_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM ps ps2
+        |    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+        |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+        |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+        |    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    // TPC-H Q9 shape: product-type profit by nation × year — the
+    // widest join tree in the suite (lineitem × 4 dims) with an
+    // arithmetic measure mixing two tables' money columns. Supply
+    // cost surrogate (no partsupp): the part's retail price, so
+    // profit = discounted revenue − retailprice·qty, all in DECIMAL
+    // until the output cast. The year is grouped as BIGINT so both
+    // engines emit the same 64-bit schema.
+    "sql_q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))
+        |        - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN part ON p_partkey = l_partkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
+        |ORDER BY nation, o_year DESC""".stripMargin,
+
+    // TPC-H Q11 shape: important stock — a grouped aggregate kept
+    // only where it exceeds a FRACTION of the grand total, i.e. a
+    // scalar subquery that re-aggregates the same filtered join. Part
+    // value surrogate (no partsupp availqty/supplycost): total traded
+    // value qty·extendedprice of the part through the nation's
+    // suppliers. The 0.0001 fraction multiplies in DECIMAL so the
+    // threshold compare is exact in both engines (a fraction an order
+    // looser than TPC-H's SF-scaled one: per-part share dilutes as
+    // the part dimension grows, and this stays selective-but-nonempty
+    // at both gate scales); ties on the DOUBLE output value break by
+    // part key.
+    "sql_q11_important_stock" ->
+      """SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+        |FROM (
+        |  SELECT l_partkey AS ps_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7'
+        |  GROUP BY l_partkey
+        |) t
+        |WHERE value > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * CAST(0.0001 AS DECIMAL(7,6))
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_7')
+        |ORDER BY value DESC, ps_partkey""".stripMargin,
+
+    // TPC-H Q12 shape: shipping-mode service-level audit — join +
+    // date-window filter + two complementary conditional counts per
+    // mode. Fixture surrogates: ship mode = parity of l_linenumber
+    // (no l_shipmode column; deterministic and identical text in both
+    // engines), "late" = shipped >30 days after the order date (no
+    // commit/receipt dates — the q21 convention).
+    "sql_q12_shipmode_priority" ->
+      """SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'MAIL' ELSE 'SHIP' END AS l_shipmode,
+        |  CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // TPC-H Q20 shape: excess-stock suppliers — a three-deep
+    // correlated nest: IN(part filter) inside IN(supplier candidates)
+    // gated by a correlated scalar SUM over a second lineitem scan.
+    // Stock surrogates (no partsupp): availqty = the pair's all-time
+    // shipped quantity; the threshold compares DOUBLED availqty to
+    // the 1997 shipped quantity (availqty·2 > shipped ⇔ availqty >
+    // 0.5·shipped), division-free so the DECIMAL compare is exact. A
+    // pair with no 1997 shipments yields a NULL threshold and drops,
+    // matching TPC-H's semantics.
+    "sql_q20_excess_stock" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(12,2))) AS availqty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_3'
+        |  AND s_suppkey IN (
+        |    SELECT l_suppkey FROM ps
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+        |      AND availqty * 2 > (
+        |        SELECT SUM(CAST(l_quantity AS DECIMAL(12,2)))
+        |        FROM lineitem l2
+        |        WHERE l2.l_partkey = ps.l_partkey AND l2.l_suppkey = ps.l_suppkey
+        |          AND l2.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |          AND l2.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+        |ORDER BY s_suppkey""".stripMargin,
+
     // Recursive CTE (Spark 4's UnionLoop execution; SPARK-24497):
     // iterative hierarchy walk — every supplier climbs an implicit
     // binary-tree ancestry (parent = ⌊node/2⌋) to the root, the

@@ -38,6 +38,12 @@ import graft.Tables
   */
 object EsTailQueries {
 
+  /** holt_winters seasonal period (daily buckets, weekly seasonality).
+    * The 30-day fixture span gives 2 full seasons for seeding + 23
+    * recurrence steps at every SF.
+    */
+  private val HwPeriod = 7
+
   private def tokens(c: Column): Column = split(lower(c), "\\s+")
 
   /** Exact integer cents of the events `value` column (two-decimal
@@ -311,11 +317,10 @@ object EsTailQueries {
     }),
 
     // ES `moving_avg` models `simple`, `linear`, `ewma` (window 3)
-    // over a date_histogram — with `holt` shipped earlier
-    // (search_holt_forecast) this covers every moving_avg model except
-    // `holt_winters`, whose period-length seasonal state vector is the
-    // documented omission (ES itself deprecated moving_avg for
-    // moving_fn in 6.4). All three are CLOSED FORMS over the 3-bucket
+    // over a date_histogram — with `holt` (search_holt_forecast) and
+    // `holt_winters` (search_holt_winters, below) this completes
+    // every ES 6.6 moving_avg model (ES itself deprecated moving_avg
+    // for moving_fn in 6.4). All three here are CLOSED FORMS over the 3-bucket
     // window, so the usual recurrence floats vanish into exact integer
     // micro-units: simple = Σ·1e6 DIV 3; linear = (1·x₋₃+2·x₋₂+3·x₋₁)
     // ·1e6 DIV 6; ewma α=0.3 unrolls to (49·x₋₃+21·x₋₂+30·x₋₁)·1e6
@@ -339,6 +344,70 @@ object EsTailQueries {
           expr("(x3 + 2 * x2 + 3 * x1) * 1000000 DIV 6").as("linear_x1e6"),
           expr("(49 * x3 + 21 * x2 + 30 * x1) * 1000000 DIV 100").as("ewma_x1e6"))
         .orderBy(col("window_start"))
+    }),
+
+    // ES `moving_avg` model `holt_winters` (additive, period 7) over
+    // the daily histogram — triple exponential smoothing: level,
+    // trend, and a PERIOD-LENGTH seasonal state vector, the last
+    // moving_avg model. Seeding is the textbook additive init (level =
+    // first-season mean, trend = mean season-over-season delta,
+    // seasonals = first-season residuals); the recurrence with
+    // α=3/10, β=1/10, γ=3/10 then runs t = L..n−1 on a ×100
+    // fixed-point carrier:
+    //   l_t = (3(x_t − s[t mod 7]) + 7(l + b)) div 10
+    //   b_t = ((l_t − l) + 9b)                div 10
+    //   s[t mod 7] = (3(x_t − l_t) + 7·s[t mod 7]) div 10
+    // Every step is integer multiply + `div`, which truncates toward
+    // zero in BOTH engines (Spark IntegralDivide and DuckDB `//` —
+    // verified on negative operands, where a floor-semantics engine
+    // would diverge: seasonal residuals go negative by construction).
+    // Scale shape: identical to holt — the corpus-scale work is the
+    // one partial+final histogram agg; the inherently-sequential
+    // recurrence folds through one aggregate() HOF over the BOUNDED
+    // (days-long) bucket array on a single row, never a driver loop.
+    // The DuckDB twin walks the same recurrence as a recursive CTE
+    // carrying the seasonal vector as a list.
+    "search_holt_winters" -> ((s, dir) => {
+      val L = HwPeriod
+      // l_t / b_t / s_t inlined (HOF lambdas have no let-binding) —
+      // the idx sub-expressions reference the PRE-update state, so
+      // textual duplication is semantically safe.
+      val idx1 = s"(pmod(acc.i, $L) + 1)" // 1-based seasonal slot of t
+      val lNew = s"((3 * (x.x - element_at(acc.s, $idx1)) + 7 * (acc.l + acc.b)) div 10)"
+      val bNew = s"((($lNew) - acc.l + 9 * acc.b) div 10)"
+      val sNew = s"((3 * (x.x - ($lNew)) + 7 * element_at(acc.s, $idx1)) div 10)"
+      val sUpd = s"concat(slice(acc.s, 1, pmod(acc.i, $L)), array($sNew), " +
+        s"slice(acc.s, pmod(acc.i, $L) + 2, $L - pmod(acc.i, $L) - 1))"
+      val step = s"""struct(
+        |  concat(acc.out, array(struct(
+        |    x.day as day, x.x div 100 as doc_count,
+        |    $lNew as l, $bNew as b, $sNew as s_emit,
+        |    ($lNew) + ($bNew) + element_at($sUpd, pmod(acc.i + 1, $L) + 1) as fc))) as out,
+        |  $lNew as l, $bNew as b, $sUpd as s, acc.i + 1 as i)""".stripMargin
+      Tables(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg((count(lit(1)) * 100).as("x"))
+        .agg(sort_array(collect_list(struct(col("day"), col("x")))).as("xs"))
+        .withColumn("l0", expr(
+          s"aggregate(slice(xs, 1, $L), 0L, (a, e) -> a + e.x) div $L"))
+        .withColumn("b0", expr(
+          s"(aggregate(slice(xs, ${L + 1}, $L), 0L, (a, e) -> a + e.x) - " +
+          s"aggregate(slice(xs, 1, $L), 0L, (a, e) -> a + e.x)) div ${L * L}"))
+        .withColumn("s0", expr(s"transform(slice(xs, 1, $L), e -> e.x - l0)"))
+        .select(explode(expr(
+          s"""aggregate(
+             |  slice(xs, ${L + 1}, size(xs) - $L),
+             |  struct(
+             |    cast(array() as array<struct<day:timestamp,doc_count:bigint,
+             |                                 l:bigint,b:bigint,s_emit:bigint,fc:bigint>>) as out,
+             |    l0 as l, b0 as b, s0 as s, $L as i),
+             |  (acc, x) -> $step,
+             |  acc -> acc.out)""".stripMargin)).as("h"))
+        .select(col("h.day").as("day"), col("h.doc_count").as("doc_count"),
+          col("h.l").as("level_x100"), col("h.b").as("trend_x100"),
+          col("h.s_emit").as("season_x100"), col("h.fc").as("forecast_next_x100"))
+        .orderBy(col("day"))
     }),
 
     // ES `percentiles_bucket` — p25/p50/p75 over a date_histogram's
@@ -576,6 +645,47 @@ object EsTailQueries {
         |  (49 * x3 + 21 * x2 + 30 * x1) * 1000000 // 100 AS ewma_x1e6
         |FROM l WHERE x3 IS NOT NULL
         |ORDER BY window_start""".stripMargin,
+    // The same truncating-div recurrence as a recursive CTE; the
+    // seasonal vector rides the recursion as a list, updated by
+    // slice-concat at the t mod 7 slot. `//` truncates toward zero in
+    // DuckDB (verified on negatives) — identical to Spark's div.
+    "search_holt_winters" -> {
+      val L = HwPeriod
+      val idx1 = s"((r.t + 1) % $L) + 1" // 1-based seasonal slot of the new t
+      val lNew = s"(3*(x.x - r.s[$idx1]) + 7*(r.l + r.b)) // 10"
+      val sNew = s"(3*(x.x - ($lNew)) + 7*r.s[$idx1]) // 10"
+      val sUpd = s"r.s[1:((r.t + 1) % $L)] || [$sNew] || r.s[((r.t + 1) % $L) + 2:$L]"
+      s"""WITH RECURSIVE base AS (
+         |  SELECT date_trunc('day', ts) AS d, count(*)*100 AS x
+         |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+         |xs AS (SELECT row_number() OVER (ORDER BY d) - 1 AS t, d, x FROM base),
+         |init AS (
+         |  SELECT
+         |    (SELECT CAST(sum(x) AS BIGINT) FROM xs WHERE t < $L) // $L AS l0,
+         |    ((SELECT CAST(sum(x) AS BIGINT) FROM xs WHERE t >= $L AND t < ${2 * L})
+         |     - (SELECT CAST(sum(x) AS BIGINT) FROM xs WHERE t < $L)) // ${L * L} AS b0),
+         |s0 AS (
+         |  SELECT list(x - (SELECT l0 FROM init) ORDER BY t) AS s
+         |  FROM xs WHERE t < $L),
+         |rec AS (
+         |  SELECT ${L - 1} AS t, CAST(NULL AS TIMESTAMP) AS d, CAST(NULL AS BIGINT) AS cnt,
+         |         (SELECT l0 FROM init) AS l, (SELECT b0 FROM init) AS b,
+         |         (SELECT s FROM s0) AS s,
+         |         CAST(NULL AS BIGINT) AS s_emit, CAST(NULL AS BIGINT) AS fc
+         |  UNION ALL
+         |  SELECT x.t, x.d, x.x // 100 AS cnt,
+         |    $lNew AS l,
+         |    (($lNew) - r.l + 9*r.b) // 10 AS b,
+         |    $sUpd AS s,
+         |    $sNew AS s_emit,
+         |    ($lNew) + ((($lNew) - r.l + 9*r.b) // 10)
+         |      + ($sUpd)[((x.t + 1) % $L) + 1] AS fc
+         |  FROM rec r JOIN xs x ON x.t = r.t + 1)
+         |SELECT d AS day, cnt AS doc_count, l AS level_x100, b AS trend_x100,
+         |  s_emit AS season_x100, fc AS forecast_next_x100
+         |FROM rec WHERE d IS NOT NULL ORDER BY day""".stripMargin
+    },
+
     "search_pipeline_percentiles_bucket" -> {
       def p(pct: Int): String = {
         val pos = s"((n - 1) * $pct)"

@@ -378,4 +378,39 @@ class RelevanceTileSpec extends AnyFunSuite {
     }.toMap
     assert(got == want)
   }
+
+  test("holt_winters: the HOF fold matches a sequential JVM recurrence") {
+    // Independent recompute: the textbook additive triple-exponential
+    // recurrence as a plain var-loop with truncating division —
+    // sequential by construction, so agreement proves the aggregate()
+    // fold threads (level, trend, seasonal vector) in series order.
+    val L = 7
+    val xs = Tables(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("day", col("ts")).as("day"))
+      .agg((count(lit(1)) * 100).as("x"))
+      .orderBy(col("day")).collect()
+      .map(r => (r.getTimestamp(0), r.getAs[Long]("x")))
+    assert(xs.length >= 2 * L + 1)
+    def tdiv(a: Long, b: Long): Long = a / b // JVM / truncates like div
+    val sum1 = xs.take(L).map(_._2).sum
+    val sum2 = xs.slice(L, 2 * L).map(_._2).sum
+    var l = tdiv(sum1, L)
+    var b = tdiv(sum2 - sum1, L.toLong * L)
+    val s = Array.tabulate(L)(j => xs(j)._2 - l)
+    val want = (L until xs.length).map { t =>
+      val idx = t % L
+      val lNew = tdiv(3 * (xs(t)._2 - s(idx)) + 7 * (l + b), 10)
+      val bNew = tdiv((lNew - l) + 9 * b, 10)
+      val sNew = tdiv(3 * (xs(t)._2 - lNew) + 7 * s(idx), 10)
+      s(idx) = sNew; l = lNew; b = bNew
+      (xs(t)._1, xs(t)._2 / 100, lNew, bNew, sNew, lNew + bNew + s((t + 1) % L))
+    }
+    val got = run("search_holt_winters").collect().map { r =>
+      (r.getTimestamp(0), r.getAs[Long]("doc_count"),
+        r.getAs[Long]("level_x100"), r.getAs[Long]("trend_x100"),
+        r.getAs[Long]("season_x100"), r.getAs[Long]("forecast_next_x100"))
+    }
+    assert(got.toSeq == want)
+  }
 }
