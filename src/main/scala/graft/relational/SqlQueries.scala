@@ -462,8 +462,11 @@ object SqlQueries {
     // only where it exceeds a FRACTION of the grand total, i.e. a
     // scalar subquery that re-aggregates the same filtered join. Part
     // value surrogate (no partsupp availqty/supplycost): total traded
-    // value qty·extendedprice of the part through the nation's
-    // suppliers. The 0.0001 fraction multiplies in DECIMAL so the
+    // value qty·extendedprice of the part through the filtered
+    // nation group's suppliers (a name-prefix RANGE of 12 nations
+    // rather than TPC-H's single 'GERMANY' — the sf0.001 fixture has
+    // ~5 suppliers total, so any single nation can be supplier-empty
+    // and the non-empty-at-every-SF invariant needs the wider cut). The 0.0001 fraction multiplies in DECIMAL so the
     // threshold compare is exact in both engines (a fraction an order
     // looser than TPC-H's SF-scaled one: per-part share dilutes as
     // the part dimension grows, and this stays selective-but-nonempty
@@ -476,14 +479,14 @@ object SqlQueries {
         |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
         |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |                JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7'
+        |  WHERE n_name < 'NATION_2'
         |  GROUP BY l_partkey
         |) t
         |WHERE value > (
         |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * CAST(0.0001 AS DECIMAL(7,6))
         |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
         |                JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name = 'NATION_7')
+        |  WHERE n_name < 'NATION_2')
         |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     // TPC-H Q12 shape: shipping-mode service-level audit — join +
