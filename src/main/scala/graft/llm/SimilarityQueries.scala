@@ -1422,16 +1422,25 @@ object SimilarityQueries {
   }
 
   /** Incremental maintenance of the served vector index — the ANN twin
-    * of the postings index's doc-granular upsert: a batch of new or
+    * of the geo index's CELL-granular upsert: a batch of new or
     * changed vectors encodes under the index's FROZEN sidecar model
     * (cell assignment + residual codes — never retrains: quantizer
     * drift big enough to matter is a REBUILD, which the provenance
     * fingerprint forces when the corpus changes out from under the
-    * index) and replaces its rows key-granularly through the artifact
-    * upsert. Cost is O(batch) encode + the copy-on-write swap — the
-    * corpus is never re-encoded; the model sidecar is carried through
-    * the swap untouched, so served probes before and after the upsert
-    * run the same geometry.
+    * index), then ONLY the touched cells rewrite — the cells the
+    * batch's vectors now land in plus the cells its keys currently
+    * occupy, so a re-encoded vector leaves no stale code in its
+    * source cell (and a source cell the batch emptied is dropped
+    * outright). Locating current cells is a column-pruned key probe
+    * of the (vec_id, cell) projection. Cost is O(batch) encode +
+    * O(touched cells) rewrite — at 100 TB a micro-batch costs its
+    * ~nProbe-scale cell set, never a corpus re-write (the previous
+    * whole-artifact upsert re-staged every cell per batch). The model
+    * sidecar lives at the artifact root, which the partition-granular
+    * path never clears, so served probes before and after the upsert
+    * run the same geometry; the failure contract is
+    * [[graft.etl.IndexStore.overwritePartitions]]'s fingerprint-
+    * cleared-first discipline.
     */
   private[graft] def upsertVecIndex(store: graft.etl.IndexStore,
                                     batch: DataFrame,
@@ -1441,8 +1450,21 @@ object SimilarityQueries {
         sys.error(s"$VecIndexName has no model sidecar — build the index " +
           "before upserting into it")))
     val enc = encodeWithModel(embDouble(batch), model)
-    store.upsertArtifact(enc, VecIndexName, "vec_id", fingerprint,
-      partitionCols = Seq("cell"))
+    val idx = store.read(VecIndexName)
+    val keys = batch.select(col("vec_id")).distinct()
+    val oldCells = idx.join(broadcast(keys), Seq("vec_id"))
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
+    val newCells = enc.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    val touched = oldCells ++ newCells
+    val replacement = idx.filter(col("cell").isInCollection(touched.toSeq))
+      .join(broadcast(keys), Seq("vec_id"), "left_anti")
+      .unionByName(enc.select(idx.columns.map(col).toSeq: _*))
+    val remaining = replacement.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    store.overwritePartitions(replacement, VecIndexName, "cell", fingerprint,
+      dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+    store.count(VecIndexName)
   }
 
   val oracleSql: Map[String, String] = Map(
