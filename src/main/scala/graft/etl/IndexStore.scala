@@ -503,8 +503,14 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def count(indexName: String): Long = {
     val d = dir(indexName)
+    // Data present = a top-level part file (flat layout) OR a hive
+    // partition directory (cell-/key-partitioned artifacts, which
+    // have ONLY `col=value` dirs at the top level — they counted as
+    // forever-empty before this check).
     val hasFiles = fs.exists(d) &&
-      fs.listStatus(d).exists(st => st.isFile && !st.getPath.getName.startsWith("_"))
+      fs.listStatus(d).exists(st =>
+        (st.isFile && !st.getPath.getName.startsWith("_")) ||
+        (st.isDirectory && st.getPath.getName.contains("=")))
     if (!hasFiles) 0L else spark.read.parquet(d.toString).count()
   }
 

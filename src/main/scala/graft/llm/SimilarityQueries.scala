@@ -1457,6 +1457,10 @@ object SimilarityQueries {
     val newCells = enc.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSet
     val touched = oldCells ++ newCells
+    // An empty micro-batch (routine under foreachBatch) touches no
+    // cells — return before staging: overwritePartitions would write
+    // an empty stage dir that parquet cannot re-read (no schema).
+    if (touched.isEmpty) return store.count(VecIndexName)
     val replacement = idx.filter(col("cell").isInCollection(touched.toSeq))
       .join(broadcast(keys), Seq("vec_id"), "left_anti")
       .unionByName(enc.select(idx.columns.map(col).toSeq: _*))

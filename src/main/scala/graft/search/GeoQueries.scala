@@ -269,6 +269,10 @@ object GeoQueries {
     val newCells = batchG.select(col("gh")).distinct()
       .collect().map(_.getInt(0)).toSet
     val touched = oldCells ++ newCells
+    // An empty micro-batch (routine under foreachBatch) touches no
+    // cells — return before staging: overwritePartitions would write
+    // an empty stage dir that parquet cannot re-read (no schema).
+    if (touched.isEmpty) return 0
     val replacement = idx.filter(col("gh").isInCollection(touched.toSeq))
       .join(broadcast(keys), Seq("c_custkey"), "left_anti")
       .unionByName(batchG)

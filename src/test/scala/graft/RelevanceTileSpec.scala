@@ -273,6 +273,16 @@ class RelevanceTileSpec extends AnyFunSuite {
     store.deleteIndex(graft.search.GeoQueries.GeoIndexName)
   }
 
+  test("geo index upsert: an empty batch is a no-op (no staging crash)") {
+    import spark.implicits._
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sf))
+    graft.search.GeoQueries.materializedGeoIndex(spark, sf)
+    val before = store.count(graft.search.GeoQueries.GeoIndexName)
+    val batch = Seq.empty[(Long, Long, Long)].toDF("c_custkey", "lat_e4", "lon_e4")
+    assert(graft.search.GeoQueries.upsertGeoPoints(spark, sf, batch) == 0)
+    assert(store.count(graft.search.GeoQueries.GeoIndexName) == before)
+  }
+
   // --- pipeline bucket aggs ---------------------------------------------
 
   private lazy val dailyCounts: Seq[Long] = {

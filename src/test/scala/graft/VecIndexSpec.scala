@@ -141,6 +141,41 @@ class VecIndexSpec extends AnyFunSuite {
       "replayed batch must upsert, not append")
   }
 
+  test("vec upsert is CELL-granular: a 1-vector batch rewrites <=2 cell dirs; empty batch no-ops") {
+    // The partition-granular contract made PHYSICAL (the geo test's
+    // mtime discipline): untouched cell directories must not be
+    // rewritten by a micro-batch, and an empty foreachBatch batch
+    // (routine in streaming) must not crash the staging path.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_g").toString
+    def corpus(from: Long, until: Long) =
+      spark.range(from, until)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((col("id") * 3 + d) % 23).cast("float")).as("embedding"),
+          (col("id") % 3).cast("string").as("label"))
+    corpus(0, 300).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val (idx0, _) = SimilarityQueries.materializedVecIndex(spark, dir)
+    assert(idx0.count() == 300)
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    val root = new java.io.File(etl.IndexStore.artifactRoot(dir),
+      SimilarityQueries.VecIndexName)
+    def dirMtimes: Map[String, Long] = root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val mt0 = dirMtimes
+    assert(mt0.size > 1, "need a multi-cell layout for the granularity claim")
+    // ONE new vector: lands in exactly one cell, its key occupies none.
+    val n1 = SimilarityQueries.upsertVecIndex(store, corpus(300, 301), "one-vec")
+    assert(n1 == 301)
+    val changed = dirMtimes.filter { case (d, t) => mt0.get(d).forall(_ != t) }.keySet
+    assert(changed.size <= 2, s"one-vector batch rewrote cell dirs: $changed")
+    // Empty batch: count unchanged, zero cell dirs rewritten, no crash.
+    val mt1 = dirMtimes
+    val n2 = SimilarityQueries.upsertVecIndex(store, corpus(0, 0), "noop")
+    assert(n2 == 301)
+    assert(dirMtimes == mt1, "empty batch must not rewrite any cell")
+  }
+
   test("two-level layout: past the capped-quantizer regime probes prune inside cells") {
     // 8000 genuinely-varied vectors at nList=16 is ~500 members per
     // cell — past 4×IdxTargetCellSize, the capped-quantizer regime
