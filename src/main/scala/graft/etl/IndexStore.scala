@@ -572,10 +572,18 @@ class IndexStore(spark: SparkSession, root: String) {
                     rangeSortCols: Seq[String] = Nil,
                     sidecars: Map[String, String] = Map.empty): Unit =
     swapIn(name) { tmp =>
-      require(partitionCols.isEmpty || rangeSortCols.isEmpty,
-        "partitionCols and rangeSortCols are alternative layouts")
       val writer =
-        if (partitionCols.nonEmpty)
+        if (partitionCols.nonEmpty && rangeSortCols.nonEmpty)
+          // Combined layout (segmented artifacts): hive-partitioned on
+          // partitionCols with every FILE range-sorted on rangeSortCols
+          // — each range task writes its slice under the (usually
+          // constant) partition value, so within every partition dir
+          // the files tile the sort-key space and min/max row-group
+          // skipping works exactly as in the flat range layout.
+          df.repartitionByRange(numShards, rangeSortCols.map(col): _*)
+            .sortWithinPartitions(rangeSortCols.map(col): _*)
+            .write.partitionBy(partitionCols: _*)
+        else if (partitionCols.nonEmpty)
           // EXPLICIT partition count: a bare repartition(cols) is an
           // AQE-coalescible shuffle, and a small-SF build collapses to
           // ONE task that then opens every hive-partition's parquet
@@ -651,6 +659,65 @@ class IndexStore(spark: SparkSession, root: String) {
     try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
+
+  /** Clear an artifact's provenance fingerprint — the FIRST step of a
+    * multi-write maintenance bracket (segment append + tombstones +
+    * sidecar updates): with the fingerprint gone, a crash anywhere
+    * before [[stampArtifact]] leaves a mismatch that forces readers to
+    * REBUILD rather than serve a half-applied batch.
+    */
+  def clearArtifactFingerprint(name: String): Unit =
+    fs.delete(new Path(dir(name), MetaFile), false)
+
+  /** Re-stamp fingerprint + sidecars — the LAST step of a maintenance
+    * bracket opened by [[clearArtifactFingerprint]].
+    */
+  def stampArtifact(name: String, fingerprint: String,
+                    sidecars: Map[String, String] = Map.empty): Unit = {
+    val d = dir(name)
+    (sidecars + (MetaFile -> fingerprint)).foreach { case (file, content) =>
+      require(file.startsWith("_"),
+        s"sidecar must be underscore-prefixed (hidden from scans): $file")
+      val out = fs.create(new Path(d, file), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Append ONE new hive partition — a SEGMENT — to a partitioned
+    * artifact without touching any existing file: the Lucene-style
+    * maintenance primitive (new postings land as a fresh range-sorted
+    * segment dir; existing segments are immutable until compaction).
+    * The segment stages under an underscore-hidden dir inside the
+    * artifact and renames into place, so readers never see a partial
+    * segment. Does NOT manage the provenance fingerprint — callers
+    * bracket the whole batch with [[clearArtifactFingerprint]] /
+    * [[stampArtifact]].
+    */
+  def appendPartition(df: DataFrame, name: String, partitionCol: String,
+                      value: String, numShards: Int = 5,
+                      rangeSortCols: Seq[String] = Nil): Unit = {
+    val d = dir(name)
+    require(fs.exists(d), s"appendPartition: no artifact $name")
+    val target = new Path(d, s"$partitionCol=$value")
+    require(!fs.exists(target), s"appendPartition: $target already exists")
+    val stage = new Path(d, s"__append_$value")
+    fs.delete(stage, true)
+    val w =
+      if (rangeSortCols.nonEmpty)
+        df.repartitionByRange(numShards, rangeSortCols.map(col): _*)
+          .sortWithinPartitions(rangeSortCols.map(col): _*)
+      else df.repartition(numShards)
+    w.write.mode(SaveMode.Overwrite).parquet(stage.toString)
+    fs.delete(new Path(stage, "_SUCCESS"), false)
+    require(fs.rename(stage, target), s"appendPartition: rename failed: $target")
+  }
+
+  /** Absolute path of an artifact/index directory — for maintenance
+    * structures that live INSIDE it under underscore-hidden names
+    * (e.g. a tombstone set), which plain [[read]] scans never see.
+    */
+  def artifactPath(name: String): String = dir(name).toString
 
   /** A sidecar metadata file of an artifact, if present. */
   def artifactSidecar(name: String, file: String): Option[String] = {

@@ -117,53 +117,127 @@ object SearchQueries {
     */
   private[graft] def materializedPostings(s: SparkSession, dir: String): (DataFrame, Double, Double) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    val fp = "postings_v2_positional:" +
+    val fp = "postings_v3_segmented:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/documents.parquet")
     if (!store.artifactFingerprint(PostingsName).contains(fp)) {
       val docs = Tables.forCompute(s, dir, "documents")
       val (nDocs, sumDl) = corpusStatsOf(docs)
-      store.writeArtifact(postingsOf(docs), PostingsName, fp,
-        rangeSortCols = Seq("term"),
+      store.writeArtifact(postingsOf(docs).withColumn("seg", lit(0)),
+        PostingsName, fp,
+        partitionCols = Seq("seg"), rangeSortCols = Seq("term"),
         sidecars = Map(PostingsStatsSidecar -> statsSidecarText(nDocs, sumDl)))
     }
     val Array(nDocs, sumDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
       .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
       .split(' ').map(_.toDouble)
-    (store.read(PostingsName), nDocs, sumDl)
+    (resolvedPostings(store), nDocs, sumDl)
   }
 
-  /** Incremental postings maintenance for one ingest batch — the ES
-    * continuous-indexing loop for the SEARCH index: the batch's docs
-    * replace their posting rows DOC-GRANULARLY (anti-join + union, so
-    * a changed doc that lost a term leaves no stale posting), and the
-    * corpus-stats sidecar advances by the batch DELTA (removed docs'
-    * contribution comes from the index itself, one distinct row per
-    * doc — never a corpus rescan). Copy-on-write through the same
-    * crash-safe swap; retokenization policy changes are a rebuild
+  /** Tombstone set of the segmented postings artifact: (doc_id,
+    * kill_seg) rows under the underscore-hidden `_deleted` dir inside
+    * the artifact — invisible to plain scans, applied by
+    * [[resolvedPostings]]. Bounded by update volume since the last
+    * [[compactPostings]], the Lucene deleted-docs model.
+    */
+  private[graft] val PostingsDeleted = "_deleted"
+
+  private def postingsDeletedPath(store: graft.etl.IndexStore): String =
+    s"${store.artifactPath(PostingsName)}/$PostingsDeleted"
+
+  /** The SERVED view of the segmented postings: every segment's rows
+    * minus tombstoned (doc, seg<=kill_seg) rows — a doc updated in a
+    * later segment leaves its old rows physically in place (segments
+    * are immutable) but logically dead. With no tombstones (the
+    * built-once case and every driver-gate query) this IS the raw
+    * scan: the anti-join is added only when `_deleted` exists, so
+    * query plans are unchanged until maintenance actually happens.
+    */
+  private[graft] def resolvedPostings(store: graft.etl.IndexStore): DataFrame = {
+    val raw = store.read(PostingsName)
+    val s = raw.sparkSession
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val deleted = new org.apache.hadoop.fs.Path(postingsDeletedPath(store))
+    if (!fs.exists(deleted)) raw
+    else {
+      val tomb = s.read.parquet(deleted.toString)
+        .groupBy(col("doc_id")).agg(max(col("kill_seg")).as("kill_seg"))
+      raw.join(broadcast(tomb),
+        raw("doc_id") === tomb("doc_id") && raw("seg") <= tomb("kill_seg"),
+        "left_anti")
+    }
+  }
+
+  /** Incremental postings maintenance for one ingest batch — the ES/
+    * Lucene continuous-indexing loop for the SEARCH index, SEGMENT-
+    * APPEND shaped: the batch's postings land as one new immutable
+    * range-sorted segment (O(batch) write — no existing file is
+    * touched), the batch's doc ids tombstone their rows in every
+    * older segment (so a changed doc that lost a term serves no stale
+    * posting), and the corpus-stats sidecar advances by the batch
+    * DELTA (removed docs' contribution comes from the resolved index,
+    * one distinct row per doc — never a corpus rescan). At 100 TB a
+    * micro-batch therefore costs its own size, not a corpus rewrite —
+    * the vec/geo cell-granularity discipline applied to an artifact
+    * whose sort key (term) every batch straddles. Read amplification
+    * grows with segment count; [[compactPostings]] folds it back.
+    * Crash contract: the whole batch runs inside a fingerprint
+    * cleared-first bracket — segment, tombstones, or sidecar missing
+    * at a crash leaves a mismatch that forces readers to rebuild.
+    * Retokenization policy changes are a rebuild
     * ([[materializedPostings]] fingerprint), not an upsert.
     */
   private[graft] def upsertPostings(store: graft.etl.IndexStore,
                                     batch: DataFrame,
                                     fingerprint: String = "stream-maintained"): Long = {
-    val existing = store.read(PostingsName)
+    val s = batch.sparkSession
     val ids = batch.select(col("doc_id")).distinct()
     val Array(oldN, oldDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
       .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
       .split(' ').map(_.toDouble)
-    val removed = existing.join(ids, Seq("doc_id"), "left_semi")
+    val resolved = resolvedPostings(store)
+    val removed = resolved.join(ids, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("n_tokens")).distinct()
       .agg(coalesce(count(lit(1)), lit(0L)).cast(DoubleType),
         coalesce(sum(col("n_tokens")), lit(0L)).cast(DoubleType)).head
     val (batchN, batchDl) = corpusStatsOf(batch)
-    val cleaned = existing.join(ids, Seq("doc_id"), "left_anti")
-    val merged = cleaned.unionByName(
-      postingsOf(batch).select(cleaned.columns.map(col): _*))
-    store.writeArtifact(merged, PostingsName, fingerprint,
-      rangeSortCols = Seq("term"),
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      s.sparkContext.hadoopConfiguration)
+    val gen = 1 + fs.listStatus(
+        new org.apache.hadoop.fs.Path(store.artifactPath(PostingsName)))
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+      .map(_.getPath.getName.stripPrefix("seg=").toInt)
+      .foldLeft(-1)(math.max)
+    store.clearArtifactFingerprint(PostingsName)
+    store.appendPartition(postingsOf(batch), PostingsName, "seg",
+      gen.toString, rangeSortCols = Seq("term"))
+    ids.withColumn("kill_seg", lit(gen - 1))
+      .write.mode("append").parquet(postingsDeletedPath(store))
+    store.stampArtifact(PostingsName, fingerprint,
       sidecars = Map(PostingsStatsSidecar -> statsSidecarText(
         oldN - removed.getDouble(0) + batchN,
         oldDl - removed.getDouble(1) + batchDl)))
-    store.count(PostingsName)
+    gen.toLong // the new segment's id — O(1), unlike a resolved count
+  }
+
+  /** Fold the maintained postings back to a single segment: resolve
+    * tombstones, rewrite as seg=0 through the crash-safe swap (the
+    * swap replaces the whole artifact dir, so the tombstone set
+    * vanishes with the dead rows), carry the stats sidecar and the
+    * current fingerprint. The Lucene force-merge — run it when the
+    * per-query segment fan-in or the tombstone set has grown past
+    * taste; the resolved CONTENT is unchanged by construction.
+    */
+  private[graft] def compactPostings(store: graft.etl.IndexStore): Unit = {
+    val fp = store.artifactFingerprint(PostingsName)
+      .getOrElse(sys.error(s"compactPostings: $PostingsName has no " +
+        "fingerprint — a crashed upsert must rebuild, not compact"))
+    val stats = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
+      .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
+    val folded = resolvedPostings(store).drop("seg").withColumn("seg", lit(0))
+    store.writeArtifact(folded, PostingsName, fp,
+      partitionCols = Seq("seg"), rangeSortCols = Seq("term"),
+      sidecars = Map(PostingsStatsSidecar -> stats))
   }
 
   /** BM25 top-k computed FROM postings (shared by the registered

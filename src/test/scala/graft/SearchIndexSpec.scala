@@ -95,11 +95,28 @@ class SearchIndexSpec extends AnyFunSuite {
       q.awaitTermination(180000)
     }
 
+    // Physical immutability baseline: the built segment's files.
+    val root = new java.io.File(
+      etl.IndexStore.artifactRoot(dir), SearchQueries.PostingsName)
+    def segMtimes: Map[String, Long] = root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("seg="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val mtBefore = segMtimes
+    assert(mtBefore.keySet == Set("seg=0"), s"fresh build layout: $mtBefore")
+
     // Batch 1: 15 NEW docs + 5 CHANGED docs (ids 35..39 get new text,
     // so their old postings must vanish).
     stage(docsDf(40, 55).unionByName(
       docsDf(35, 40).withColumn("text", lit("table row fast"))), "b1.parquet")
     runPass()
+
+    // SEGMENT-APPEND physical claim: the batch landed as a NEW segment
+    // and the existing segment's files were not touched (O(batch)
+    // maintenance I/O — never a corpus rewrite).
+    val mtAfter = segMtimes
+    assert(mtAfter.keySet.size > 1, s"no new segment appended: $mtAfter")
+    assert(mtAfter("seg=0") == mtBefore("seg=0"),
+      "segment append rewrote the immutable base segment")
     // The same batch lands in the document index with UPSERT semantics
     // (doc_id is the `_id`): the corpus after ingest is old∖batch ∪
     // batch — rewrite documents.parquet to that state so the scan side
@@ -113,13 +130,15 @@ class SearchIndexSpec extends AnyFunSuite {
       SearchQueries.PostingsName, SearchQueries.PostingsStatsSidecar)
       .get.split(' ').map(_.toDouble)
     assert(nDocs == 55.0, s"stats sidecar nDocs=$nDocs")
-    // Changed docs must have NO stale postings: their term set is now
-    // exactly {table, row, fast}.
-    val staleTerms = store.read(SearchQueries.PostingsName)
+    // Changed docs must serve NO stale postings: old-segment rows are
+    // physically present (segments are immutable) but tombstoned out
+    // of the RESOLVED view — their served term set is now exactly
+    // {table, row, fast}.
+    val staleTerms = SearchQueries.resolvedPostings(store)
       .filter(col("doc_id") >= 35 && col("doc_id") < 40)
       .filter(!col("term").isin("table", "row", "fast"))
       .count()
-    assert(staleTerms == 0, "doc-granular replace left stale postings")
+    assert(staleTerms == 0, "segment replace served stale postings")
 
     // THE correctness proof: index-served BM25 over the maintained
     // index == scan-based BM25 over the grown corpus. The scan query
@@ -127,11 +146,29 @@ class SearchIndexSpec extends AnyFunSuite {
     // NOTE: deliberately NOT materializedPostings here — that would
     // rebuild from the corpus; the point is the MAINTAINED index.
     val served = SearchQueries.bm25FromPostings(
-      store.read(SearchQueries.PostingsName), nDocs, sumDl,
+      SearchQueries.resolvedPostings(store), nDocs, sumDl,
       Seq("spark", "vector", "join")).collect()
     val scanned = SparkEntry.queries("search_topk_bm25")(spark, dir).collect()
     assert(served.map(_.toString).toSeq == scanned.map(_.toString).toSeq,
       s"served=${served.mkString("; ")}\nscanned=${scanned.mkString("; ")}")
+
+    // COMPACTION (the Lucene force-merge): folds every segment +
+    // tombstone back to a single seg=0 with identical resolved content
+    // — BM25 byte-identical before/after — and the tombstone set gone.
+    def servedContent: Seq[String] = SearchQueries.resolvedPostings(store)
+      .select("term", "doc_id", "n_tokens", "tf", "positions") // seg is physical
+      .orderBy(col("term"), col("doc_id")).collect().map(_.toString).toSeq
+    val resolvedBefore = servedContent
+    SearchQueries.compactPostings(store)
+    assert(segMtimes.keySet == Set("seg=0"), s"compaction layout: $segMtimes")
+    assert(!new java.io.File(root, SearchQueries.PostingsDeleted).exists(),
+      "compaction must clear the tombstone set")
+    val resolvedAfter = servedContent
+    assert(resolvedAfter == resolvedBefore, "compaction changed served content")
+    val servedCompact = SearchQueries.bm25FromPostings(
+      SearchQueries.resolvedPostings(store), nDocs, sumDl,
+      Seq("spark", "vector", "join")).collect()
+    assert(servedCompact.map(_.toString).toSeq == scanned.map(_.toString).toSeq)
   }
 
   test("postings artifact builds once, carries corpus stats, and is reused") {
