@@ -231,6 +231,29 @@ class VecIndexSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(got == exact,
       s"two-level probe lost exactness: got=$got exact=$exact")
+
+    // Upsert into the COMPOSITE layout: the frozen sidecar model must
+    // reproduce the build's two-level cell assignment (the sub-
+    // codebooks ride the serialized model), the new vector must land
+    // in a valid composite cell dir, and only its cell may rewrite.
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    def segDirs: Map[String, Long] = root.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
+    val mt0 = segDirs
+    val one = spark.range(8000, 8001)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)),
+          d => (((col("id") * 37 + d * 11) % 101).cast("float") / lit(10.0f))).as("embedding"),
+        (col("id") % 3).cast("string").as("label"))
+    val n = SimilarityQueries.upsertVecIndex(store, one, "two-level-upsert")
+    assert(n == 8001)
+    val changed = segDirs.filter { case (d, t) => mt0.get(d).forall(_ != t) }.keySet
+    assert(changed.size <= 2, s"two-level upsert rewrote: $changed")
+    val newCell = store.read(SimilarityQueries.VecIndexName)
+      .filter(col("vec_id") === 8000).select(col("cell")).head.getInt(0).toLong
+    assert(newCell % 4096 == 0 || model.sub.contains((newCell / 4096).toInt),
+      s"upserted vector landed in a non-composite cell id $newCell")
   }
 
   test("model sidecar serialization round-trips bit-exactly") {
