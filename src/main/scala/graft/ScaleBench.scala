@@ -117,6 +117,36 @@ object ScaleBench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Served-index maintenance cost vs corpus size — the O(batch)
+    * claim measured: build the postings index at this corpus size
+    * (expected ~linear), then upsert a FIXED 100-doc batch (expected
+    * ~flat: the segment write is O(batch); the one corpus-coupled
+    * term is the stats-delta probe, a 2-column column-pruned scan of
+    * the postings for the replaced docs' length contribution — tiny
+    * constant, reported honestly by this very measurement). The
+    * artifact is deleted after timing so downstream runs see no
+    * maintained state.
+    */
+  private def timePostingsMaint(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    store.deleteIndex(search.SearchQueries.PostingsName)
+    val t0 = System.nanoTime()
+    search.SearchQueries.materializedPostings(spark, dir)._1
+      .write.format("noop").mode("overwrite").save()
+    val build = (System.nanoTime() - t0) / 1e9
+    val batch = Tables(spark, dir, "documents")
+      .orderBy(col("doc_id")).limit(100)
+      .withColumn("doc_id", col("doc_id") + lit(500L * IdStride))
+      .persist()
+    batch.count() // materialize the fixed batch off the clock
+    val t1 = System.nanoTime()
+    search.SearchQueries.upsertPostings(store, batch, "scale-upsert")
+    val up = (System.nanoTime() - t1) / 1e9
+    batch.unpersist()
+    store.deleteIndex(search.SearchQueries.PostingsName)
+    Seq("_build_text_postings" -> build, "_upsert_postings_100docs" -> up)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -161,6 +191,11 @@ object ScaleBench {
       Pins.release(spark)
       System.gc()
       System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${pb._2}%.2f s")
+      val pm = timePostingsMaint(spark, dir)
+      Pins.release(spark)
+      System.gc()
+      pm.foreach { case (n, s) =>
+        System.err.println(f"[scale] $n @ $dir: $s%.2f s") }
       val q = Timed.map { name =>
         val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
         Pins.release(spark)
@@ -168,14 +203,15 @@ object ScaleBench {
         System.err.println(f"[scale] $name @ $dir: $secs%.2f s")
         name -> secs
       }
-      pb +: q
+      (pb +: pm) ++ q
     }
 
     val base = runAll(baseDir).toMap
     val scaled = runAll(scaledDir).toMap
 
     def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
-    val rows = (Timed :+ "_build_neardup_pairs").map { n =>
+    val rows = (Timed ++ Seq("_build_neardup_pairs",
+      "_build_text_postings", "_upsert_postings_100docs")).map { n =>
       val r = scaled(n) / math.max(base(n), 1e-9)
       s""""$n":{"base_s":${fmt(base(n))},"scaled_s":${fmt(scaled(n))},"ratio":${fmt(r)}}"""
     }
