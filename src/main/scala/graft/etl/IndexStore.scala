@@ -743,38 +743,6 @@ class IndexStore(spark: SparkSession, root: String) {
     read(name)
   }
 
-  /** Typed artifact merge — the continuous-maintenance path for derived
-    * indexes (e.g. streaming embedding ingest keeping the ANN index
-    * fresh): last-write-wins on `idCol` like [[upsert]], but KEEPING
-    * native types (bulkImport's stringify is the document-import
-    * contract; artifacts are typed), and carrying every existing
-    * sidecar (the quantizer model must survive the swap — incremental
-    * encode uses the FROZEN model; retraining is a rebuild, not an
-    * upsert). Copy-on-write through the same crash-safe swap; at 100 TB
-    * the rewrite shards by the partition columns so only touched
-    * partitions rewrite.
-    */
-  def upsertArtifact(incoming: DataFrame, name: String, idCol: String,
-                     fingerprint: String, partitionCols: Seq[String] = Nil,
-                     rangeSortCols: Seq[String] = Nil,
-                     numShards: Int = 5,
-                     sidecars: Map[String, String] = Map.empty): Long = {
-    // Carry existing sidecars through the swap; caller-provided entries
-    // override (e.g. refreshed corpus stats), the rest (e.g. a frozen
-    // quantizer model) survive untouched.
-    val carried = fs.listStatus(dir(name))
-      .map(_.getPath.getName)
-      .filter(f => f.startsWith("_") && f != MetaFile && f != "_SUCCESS")
-      .map(f => f -> artifactSidecar(name, f).get).toMap
-    val existing = read(name).withColumn("__gen", lit(0))
-    val next = incoming.withColumn("__gen", lit(1))
-    val merged = dedupByKey(existing.unionByName(next), idCol,
-      ordPrefix = Seq("__gen"))
-    writeArtifact(merged, name, fingerprint,
-      numShards = numShards, partitionCols = partitionCols,
-      rangeSortCols = rangeSortCols, sidecars = carried ++ sidecars)
-    count(name)
-  }
 }
 
 object IndexStore {
