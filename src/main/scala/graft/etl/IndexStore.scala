@@ -111,8 +111,8 @@ class IndexStore(spark: SparkSession, root: String) {
     * window form shuffles and sorts every duplicate — at a 100 TB
     * re-import that is shuffling the delta, not the corpus.
     */
-  private def dedupByKey(df: DataFrame, idCol: String,
-                         ordPrefix: Seq[String] = Nil): DataFrame = {
+  private[graft] def dedupByKey(df: DataFrame, idCol: String,
+                                ordPrefix: Seq[String] = Nil): DataFrame = {
     val dataCols = df.columns.filterNot(c => c == idCol || ordPrefix.contains(c))
     val packed = struct((ordPrefix ++ dataCols).map(col): _*)
     val outCols = df.columns.filterNot(ordPrefix.contains)
@@ -638,8 +638,13 @@ class IndexStore(spark: SparkSession, root: String) {
     val d = dir(name)
     require(fs.exists(d), s"overwritePartitions: no artifact $name")
     fs.delete(new Path(d, MetaFile), false)
-    val stage = new Path(root, s"${name.toLowerCase}__stage")
-    fs.delete(stage, true)
+    // `.tmp_` prefix: hidden from listIndexes/catalog scans, and a
+    // crash mid-upsert leaves a dir the age-guarded recoverOrphans GC
+    // sweep already collects (a bare-named stage dir would masquerade
+    // as an index forever). Unique suffix keeps concurrent upserts on
+    // one root from clobbering each other's stage.
+    val stage = new Path(root, s".tmp_${name.toLowerCase}_stage_" +
+      java.util.UUID.randomUUID().toString.take(8))
     try {
       df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
       val staged = spark.read.parquet(stage.toString)
@@ -651,8 +656,16 @@ class IndexStore(spark: SparkSession, root: String) {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      // Hadoop delete reports failure by returning FALSE — unchecked,
+      // a failed drop leaves the emptied partition's STALE rows served
+      // under a fingerprint stamped valid below. Fail loudly instead
+      // (the fingerprint stays cleared, forcing a rebuild), mirroring
+      // swapIn's rename discipline.
       dropPartitionValues.foreach { v =>
-        fs.delete(new Path(d, s"$partitionCol=$v"), true)
+        val p = new Path(d, s"$partitionCol=$v")
+        if (!fs.delete(p, true) && fs.exists(p))
+          throw new java.io.IOException(
+            s"overwritePartitions: failed to drop emptied partition $p")
       }
     } finally fs.delete(stage, true)
     val out = fs.create(new Path(d, MetaFile), true)

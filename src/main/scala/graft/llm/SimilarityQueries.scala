@@ -1449,9 +1449,16 @@ object SimilarityQueries {
       store.artifactSidecar(VecIndexName, ModelSidecar).getOrElse(
         sys.error(s"$VecIndexName has no model sidecar — build the index " +
           "before upserting into it")))
-    val enc = encodeWithModel(embDouble(batch), model)
+    // A micro-batch can carry TWO updates to one vec_id; without a
+    // batch-internal dedup both rows survive the union below and the
+    // index serves duplicate keys — violating the last-write-wins
+    // contract. Survivor is the deterministic per-key struct-max
+    // (same discipline as bulkImport's dedupByKey); callers that care
+    // which in-batch write wins must carry an order column themselves.
+    val b = store.dedupByKey(batch, "vec_id")
+    val enc = encodeWithModel(embDouble(b), model)
     val idx = store.read(VecIndexName)
-    val keys = batch.select(col("vec_id")).distinct()
+    val keys = b.select(col("vec_id")).distinct()
     val oldCells = idx.join(broadcast(keys), Seq("vec_id"))
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     val newCells = enc.select(col("cell")).distinct()

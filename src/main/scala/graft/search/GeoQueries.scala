@@ -262,8 +262,13 @@ object GeoQueries {
                                      batch: DataFrame): Int = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
     val idx = store.read(GeoIndexName)
-    val batchG = withCell(batch)
-    val keys = batch.select(col("c_custkey")).distinct()
+    // Batch-internal key dedup: two updates to one c_custkey in a
+    // micro-batch would BOTH survive the union (the anti-join only
+    // removes OLD index rows) and the index would serve duplicate
+    // keys. Deterministic per-key struct-max survivor, same
+    // discipline as bulkImport's dedupByKey.
+    val batchG = withCell(store.dedupByKey(batch, "c_custkey"))
+    val keys = batchG.select(col("c_custkey")).distinct()
     val oldCells = idx.join(broadcast(keys), Seq("c_custkey"))
       .select(col("gh")).distinct().collect().map(_.getInt(0)).toSet
     val newCells = batchG.select(col("gh")).distinct()

@@ -38,7 +38,10 @@ import org.apache.spark.sql.functions._
   *                quantifier core shared by Lucene and Java regex is
   *                supported, Lucene-only extras like `~` complement
   *                and `<n-m>` intervals are not; whitespace inside
-  *                the pattern is not supported — use `\s`)
+  *                the pattern is not supported — use `\s`; a literal
+  *                '/' inside the pattern must be escaped `\/` (Lucene
+  *                rule), and `field:/...` ALWAYS reads as a regexp,
+  *                never a path-like word — Lucene precedence)
   *  - no field  — disjunction over every column, like the ES `_all`
   *                search the reference delegates to
   *  - `x^2.5`   — Lucene boost on a term, phrase, or parenthesized
@@ -107,7 +110,17 @@ object QueryString {
           q(i) != ')' && q(i) != '"' && q(i) != '/') i += 1
         if (i < q.length && q(i) == '/' && (i == start || q(i - 1) == ':')) {
           val fld = if (i == start) None else Some(q.substring(start, i - 1))
-          val end = q.indexOf('/', i + 1)
+          // Lucene allows `\/` inside a regexp literal — skip escape
+          // pairs when scanning for the closing delimiter, so
+          // `path:/a\/b/` is ONE pattern matching `a/b` (Java regex
+          // treats `\/` as an escaped literal '/', so the pattern
+          // passes through to rlike unmodified). Note `field:/...`
+          // always reads as a regexp, never a path-like word — the
+          // Lucene precedence; escape the slash to get the word.
+          var j = i + 1
+          while (j < q.length && q(j) != '/')
+            j += (if (q(j) == '\\' && j + 1 < q.length) 2 else 1)
+          val end = if (j < q.length) j else -1
           if (end < 0 || end == i + 1) throw new IllegalArgumentException(
             s"query_string: unterminated or empty regexp at offset $i in <$q>")
           out += RegexT(fld, q.substring(i + 1, end))

@@ -360,6 +360,42 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.listIndexes() == Seq("orders"))
   }
 
+  test("overwritePartitions: stage dir is hidden from listings and a crashed stage is GC'd") {
+    import spark.implicits._
+    val (store, root) = newStoreWithRoot
+    val df = Seq((1L, "a", "p0"), (2L, "b", "p1")).toDF("id", "v", "part")
+    store.writeArtifact(df, "arti", "fp1", partitionCols = Seq("part"))
+    store.overwritePartitions(
+      Seq((3L, "c", "p1")).toDF("id", "v", "part"), "arti", "part", "fp2")
+    // No stage residue survives a successful upsert.
+    val leftover = new java.io.File(root).listFiles()
+      .map(_.getName).filter(_.contains("stage"))
+    assert(leftover.isEmpty, s"stage residue: ${leftover.toSeq}")
+    // A crash mid-upsert leaves the dot-prefixed stage dir: the
+    // catalog must NOT list it as an index and the age-guard GC must
+    // collect it (a bare-named dir would satisfy neither).
+    val orphan = new java.io.File(root, ".tmp_arti_stage_deadbeef")
+    assert(orphan.mkdir())
+    assert(!store.listIndexes().exists(_.contains("stage")))
+    store.recoverOrphans(maxAgeMs = -1L)
+    assert(!orphan.exists(), "GC must collect an orphaned stage dir")
+  }
+
+  test("overwritePartitions: duplicate-key rows in one call are the caller's contract") {
+    // IndexStore.overwritePartitions is partition-replacement, not
+    // key-merge — the keyed upsert paths (upsertVecIndex /
+    // upsertGeoPoints) dedup by key BEFORE calling it. This pins the
+    // lower-level contract so the dedup lives exactly one layer up.
+    import spark.implicits._
+    val (store, _) = newStoreWithRoot
+    store.writeArtifact(Seq((1L, "a", "p0")).toDF("id", "v", "part"),
+      "arti2", "fp1", partitionCols = Seq("part"))
+    store.overwritePartitions(
+      Seq((7L, "x", "p0"), (7L, "y", "p0")).toDF("id", "v", "part"),
+      "arti2", "part", "fp2")
+    assert(store.read("arti2").filter(col("id") === 7L).count() == 2)
+  }
+
   test("bulkImport's hash-agg survivor == sort-window survivor") {
     import org.apache.spark.sql.expressions.Window
     // bulkImport dedups via max_by(struct) hash agg (map-side combine);

@@ -78,6 +78,25 @@ class QueryStringSpec extends AnyFunSuite {
       parse("text:/unterminated")).getMessage.contains("regexp"))
     assert(intercept[IllegalArgumentException](
       parse("//")).getMessage.contains("regexp"))
+    // Lucene `\/`: an escaped slash does NOT terminate the pattern.
+    assert(parse("""/a\/b/""") == Regex(None, """a\/b"""))
+    assert(parse("""url:/idx\/v[0-9]/""") == Regex(Some("url"), """idx\/v[0-9]"""))
+    // An escape pair mid-pattern (e.g. \d) passes through untouched.
+    assert(parse("""text:/a\db/""") == Regex(Some("text"), """a\db"""))
+    // Escaped-slash pattern that never closes still errors.
+    assert(intercept[IllegalArgumentException](
+      parse("""text:/a\/b""")).getMessage.contains("regexp"))
+  }
+
+  test("escaped-slash regexp matches a slash-bearing token end-to-end") {
+    import spark.implicits._
+    val d = Seq((1L, "GET /api/v1 ok"), (2L, "GET /api/v2 ok"), (3L, "plain"))
+      .toDF("doc_id", "text")
+    def hits(q: String): Set[Long] =
+      d.filter(QueryString(d, q)).select("doc_id").collect().map(_.getLong(0)).toSet
+    // `\/` passes through to Java regex as an escaped literal '/'.
+    assert(hits("""text:/\/api\/v1/""") == Set(1L))
+    assert(hits("""text:/\/api\/v[0-9]/""") == Set(1L, 2L))
   }
 
   test("regexp atoms match whole tokens (Lucene implicit anchors)") {

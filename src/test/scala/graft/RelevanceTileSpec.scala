@@ -273,6 +273,32 @@ class RelevanceTileSpec extends AnyFunSuite {
     store.deleteIndex(graft.search.GeoQueries.GeoIndexName)
   }
 
+  test("geo index upsert: duplicate keys WITHIN a batch serve one row per key") {
+    // A micro-batch can legitimately carry two updates to one key
+    // (two events for one customer in one trigger interval). The
+    // anti-join only removes OLD index rows — without a batch-internal
+    // dedup both batch rows would survive the union and the served
+    // index would violate the one-row-per-key contract.
+    import spark.implicits._
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sf))
+    store.deleteIndex(graft.search.GeoQueries.GeoIndexName)
+    val before = graft.search.GeoQueries
+      .materializedGeoIndex(spark, sf).count()
+    val k = 987654321L
+    val batch = Seq((k, 111111L, 222222L), (k, 333333L, 444444L))
+      .toDF("c_custkey", "lat_e4", "lon_e4")
+    graft.search.GeoQueries.upsertGeoPoints(spark, sf, batch)
+    val rows = store.read(graft.search.GeoQueries.GeoIndexName)
+      .filter(col("c_custkey") === k).collect()
+    assert(rows.length == 1,
+      s"duplicate-key batch must serve ONE row, got ${rows.length}")
+    // Deterministic struct-max survivor: the lexicographically larger
+    // (lat_e4, lon_e4) pair wins.
+    assert(rows.head.getAs[Long]("lat_e4") == 333333L)
+    assert(store.count(graft.search.GeoQueries.GeoIndexName) == before + 1)
+    store.deleteIndex(graft.search.GeoQueries.GeoIndexName)
+  }
+
   test("geo index upsert: an empty batch is a no-op (no staging crash)") {
     import spark.implicits._
     val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sf))

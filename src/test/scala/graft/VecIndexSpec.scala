@@ -176,6 +176,35 @@ class VecIndexSpec extends AnyFunSuite {
     assert(dirMtimes == mt1, "empty batch must not rewrite any cell")
   }
 
+  test("vec upsert: duplicate keys WITHIN a batch serve one row per key") {
+    // Two updates to one vec_id in a single micro-batch: the anti-join
+    // only removes OLD index rows, so without batch-internal dedup
+    // both rows survive the union — duplicate keys in a served index.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_d").toString
+    def corpus(from: Long, until: Long) =
+      spark.range(from, until)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)),
+            d => ((col("id") * 3 + d) % 23).cast("float")).as("embedding"),
+          (col("id") % 3).cast("string").as("label"))
+    corpus(0, 300).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    SimilarityQueries.materializedVecIndex(spark, dir)
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    // Batch: vec_id 300 twice (different embeddings) + vec_id 0 twice
+    // (an EXISTING key, also updated twice).
+    val batch = corpus(300, 301).unionByName(
+        corpus(301, 302).withColumn("vec_id", lit(300L)))
+      .unionByName(corpus(0, 1))
+      .unionByName(corpus(5, 6).withColumn("vec_id", lit(0L)))
+    val n = SimilarityQueries.upsertVecIndex(store, batch, "dup-batch")
+    assert(n == 301, s"301 distinct keys expected, index serves $n rows")
+    val idx = store.read(SimilarityQueries.VecIndexName)
+    assert(idx.filter(col("vec_id") === 300L).count() == 1)
+    assert(idx.filter(col("vec_id") === 0L).count() == 1)
+    assert(idx.groupBy(col("vec_id")).count()
+      .filter(col("count") > 1).count() == 0, "no key may serve >1 row")
+  }
+
   test("two-level layout: past the capped-quantizer regime probes prune inside cells") {
     // 8000 genuinely-varied vectors at nList=16 is ~500 members per
     // cell — past 4×IdxTargetCellSize, the capped-quantizer regime
