@@ -103,11 +103,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("hll_est"),
       new ExpressionInfo(classOf[graft.functions.HllEstAgg].getName, "hll_est",
-        "hll_est(value) - HyperLogLog (m=64) distinct estimate; md5-derived registers, " +
-          "integer estimator with linear-counting small-range correction"),
+        "hll_est(value[, registers]) - HyperLogLog distinct estimate; md5-derived " +
+          "registers (default m=64; 128..65536 buys ~1.04/sqrt(m) error for m bytes " +
+          "of partial state per group), integer estimator with linear-counting " +
+          "small-range correction"),
       (children: Exprs) => {
-        arity("hll_est", 1, children)
-        graft.functions.HllEstAgg(children.head)
+        if (children.size != 1 && children.size != 2)
+          throw new IllegalArgumentException(
+            s"hll_est expects 1 or 2 arguments, got ${children.size}")
+        if (children.size == 1) graft.functions.HllEstAgg(children.head)
+        else graft.functions.HllEstAgg(children(0), children(1))
       }))
     // Optimizer rule, not a function: bounded-levenshtein predicates
     // rewrite to the early-exit threshold form wherever they appear.

@@ -150,48 +150,13 @@ object Recall {
     val filteredTruth = idsOf("llm_cosine_topk_filtered")
     val filteredAnn = idsOf("llm_ann_filtered_topk")
 
-    // Approx aggregates: max relative error of HLL distinct vs exact.
-    val approx = SparkEntry.queries("rel_approx_agg")(spark, sfDir)
-    val exactDistinct = Tables(spark, sfDir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
-    val maxRelErr = approx.join(exactDistinct, "l_returnflag")
-      .select(max(abs(col("approx_parts") - col("exact_parts"))
-        .cast(DoubleType) / col("exact_parts")).as("e"))
-      .collect()(0).getDouble(0)
-
-    // Per-bucket cardinality facet: max relative error of the HLL
-    // sub-aggregation vs exact distinct, across buckets and both
-    // measured fields.
-    val cardApprox = SparkEntry.queries("search_facets_cardinality")(spark, sfDir)
-    val cardExact = Tables(spark, sfDir, "documents")
-      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
-      .groupBy(col("lang"))
-      .agg(countDistinct(md5(col("text"))).as("exact_contents"),
-        countDistinct(col("source")).as("exact_sources"))
-    val cardErr = cardApprox.join(cardExact, "lang")
-      .select(max(greatest(
-        abs(col("approx_unique_contents") - col("exact_contents"))
-          .cast(DoubleType) / col("exact_contents"),
-        abs(col("approx_unique_sources") - col("exact_sources"))
-          .cast(DoubleType) / col("exact_sources"))).as("e"))
-      .collect()(0).getDouble(0)
-
-    // Percentiles facet: max relative error of the GK sketch vs the
-    // exact (interpolated) order statistics, across buckets and all
-    // three measured percentiles.
-    val pctApprox = SparkEntry.queries("search_facets_percentiles")(spark, sfDir)
-    val pctExact = Tables(spark, sfDir, "documents")
-      .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
-      .groupBy(col("lang"))
-      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"))
-    val pctErr = pctApprox.join(pctExact, "lang")
-      .select(max(greatest(
-        abs(col("p50") - element_at(col("ex"), 1)) / element_at(col("ex"), 1),
-        abs(col("p90") - element_at(col("ex"), 2)) / element_at(col("ex"), 2),
-        abs(col("p99") - element_at(col("ex"), 3)) / element_at(col("ex"), 3))).as("e"))
-      .collect()(0).getDouble(0)
-
+    // rel_approx_agg / search_facets_cardinality /
+    // search_facets_percentiles no longer appear here: since round 8
+    // they run on the ENGINE-OWNED deterministic sketches (hll_est
+    // m=4096, HDR 6-bit buckets) and are hash-checked by the DuckDB
+    // oracle directly — drift bounds live in LlmSpec. RECALL now
+    // quantifies only the genuinely seeded/approximate families
+    // (dedup recall, ANN overlap).
     val json =
       s"""{
          |"sf":"$sfDir",
@@ -207,10 +172,7 @@ object Recall {
          |"llm_ann_ivfpq_topk":{"overlap_at_10":${(exactL2Top & ivfpqTop).size}},
          |"llm_ann_indexed_topk":{"overlap_at_10":${(exactL2Top & indexedTop).size}},
          |"llm_ann_binary_topk":{"overlap_at_10":${(exactL2Top & binaryTop).size}},
-         |"llm_ann_filtered_topk":{"overlap_at_10":${(filteredTruth & filteredAnn).size}},
-         |"rel_approx_agg":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, maxRelErr)}},
-         |"search_facets_cardinality":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, cardErr)}},
-         |"search_facets_percentiles":{"max_rel_err":${"%.5f".formatLocal(java.util.Locale.US, pctErr)}}
+         |"llm_ann_filtered_topk":{"overlap_at_10":${(filteredTruth & filteredAnn).size}}
          |}""".stripMargin
     Files.writeString(Paths.get(outFile), json)
     println(json)

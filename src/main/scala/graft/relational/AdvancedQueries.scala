@@ -131,16 +131,42 @@ object AdvancedQueries {
 
     // Approximate aggregates — the 100 TB workhorses: HLL distinct
     // (fixed relative error, tiny sketch vs a full distinct shuffle)
-    // and t-digest-style percentiles. Engine-specific sketches have no
-    // DuckDB twin -> rows-only + accuracy-vs-exact spec in PlanSpec.
+    // and log-bucket percentiles. Both ENGINE-OWNED and deterministic:
+    // distinct parts via the native `hll_est` aggregate at m=4096
+    // (md5 registers + integer estimator, 4 KB partial state per
+    // group), percentiles via the HdrHistogram-style 6-significand-bit
+    // sketch (bucket LOWER BOUNDS in exact integer cents, ≤1.6%
+    // guaranteed relative error, bounded bucket table). Replacing
+    // approx_count_distinct/approx_percentile — whose engine-internal
+    // sketches cannot hash-compare — keeps the identical mergeable
+    // partial+final scale shape while making the sketch itself
+    // DuckDB-oracle-verified; drift vs exact is additionally bounded
+    // in LlmSpec.
     "rel_approx_agg" -> ((s, dir) => {
-      Tables(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-          approx_percentile(col("l_extendedprice"), lit(0.5), lit(1000)).as("approx_median_price"),
-          approx_percentile(col("l_extendedprice"), lit(0.99), lit(1000)).as("approx_p99_price"))
-        .orderBy(col("l_returnflag"))
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_partkey").cast(StringType).as("pk"),
+          (col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
+            .cast(LongType).as("v"))
+      val card = li.groupBy(col("l_returnflag"))
+        .agg(call_function("hll_est", col("pk"), lit(4096)).as("approx_parts"))
+      val sketch = li
+        .withColumn("shift", greatest(length(bin(col("v"))) - 7, lit(0)))
+        .withColumn("lb", expr("shiftleft(shiftright(v, shift), shift)"))
+        .groupBy(col("l_returnflag"), col("lb")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("l_returnflag")).orderBy(col("lb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("l_returnflag"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = sketch
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+      def pick(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("lb")))
+      val pcts = cum.groupBy(col("l_returnflag"))
+        .agg(pick(50).as("approx_median_price_cents"),
+          pick(99).as("approx_p99_price_cents"))
+      card.join(pcts, "l_returnflag").orderBy(col("l_returnflag"))
     }),
 
     // Aggregate pushdown to parquet FOOTER STATISTICS: with the DSv2
@@ -331,8 +357,65 @@ object AdvancedQueries {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |GROUP BY CUBE (l_returnflag, l_linestatus)
-        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
-    // rel_approx_agg: sketch-based, engine-specific -> rows-only +
-    // accuracy spec.
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // Engine-owned sketches, hash-exact: hll_est m=4096 registers
+    // (HUGEINT estimator — the BigInt branch's twin) + 6-significand-
+    // bit HDR bucket lower bounds on integer cents.
+    "rel_approx_agg" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(l_partkey AS VARCHAR) AS pk,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM lineitem),
+        |flags AS (SELECT DISTINCT l_returnflag FROM li),
+        |mb AS (SELECT unnest(generate_series(0, 4095)) AS bucket),
+        |h AS (
+        |  SELECT l_returnflag,
+        |    ('0x' || substr(md5(pk), 1, 8))::BIGINT % 4096 AS bucket,
+        |    ('0x' || substr(md5(pk), 9, 8))::BIGINT AS w
+        |  FROM li),
+        |regs AS (
+        |  SELECT l_returnflag, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS rho
+        |  FROM h GROUP BY 1, 2),
+        |full_regs AS (
+        |  SELECT f.l_returnflag, b.bucket, coalesce(r.rho, 0) AS rho
+        |  FROM flags f CROSS JOIN mb b
+        |  LEFT JOIN regs r ON r.l_returnflag = f.l_returnflag AND r.bucket = b.bucket),
+        |per AS (
+        |  SELECT l_returnflag,
+        |    CAST(sum(1::BIGINT << (33 - rho)) AS BIGINT) AS s_sum,
+        |    CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nz
+        |  FROM full_regs GROUP BY 1),
+        |card AS (
+        |  SELECT l_returnflag,
+        |    CASE WHEN raw <= 10240 AND nz < 4096
+        |         THEN CAST(round(4096.0 * ln(4096.0 / (4096 - nz)), 0) AS BIGINT)
+        |         ELSE raw END AS approx_parts
+        |  FROM (SELECT l_returnflag, nz,
+        |          CAST((7213::HUGEINT * 4096 * 4096 * 4096 * 8589934592) //
+        |               (10::HUGEINT * 4097079 * s_sum) AS BIGINT) AS raw
+        |        FROM per) t),
+        |b2 AS (
+        |  SELECT l_returnflag,
+        |    ((v >> shift) << shift) AS lb
+        |  FROM (SELECT l_returnflag, v,
+        |          greatest(len(bin(v)) - 7, 0) AS shift FROM li) t),
+        |sk AS (SELECT l_returnflag, lb, count(*) AS c FROM b2 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT l_returnflag, lb,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY lb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM sk),
+        |pct AS (
+        |  SELECT l_returnflag,
+        |    min(CASE WHEN cum*100 >= n*50 THEN lb END) AS approx_median_price_cents,
+        |    min(CASE WHEN cum*100 >= n*99 THEN lb END) AS approx_p99_price_cents
+        |  FROM cum GROUP BY 1)
+        |SELECT l_returnflag, approx_parts,
+        |  approx_median_price_cents, approx_p99_price_cents
+        |FROM card JOIN pct USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -1106,32 +1106,36 @@ object SearchQueries {
 
     // ES `cardinality` sub-aggregation inside a terms facet — the
     // approx-distinct count a search UI shows per bucket ("1.2k unique
-    // sources"). HLL++ (rsd 0.02) is the 100 TB path exactly as in
-    // rel_approx_agg: a mergeable O(1)-per-bucket sketch through the
-    // partial+final agg, where exact distinct would shuffle every
-    // (bucket, value) pair. Two cardinalities per bucket: distinct
-    // content fingerprints (high-cardinality) and distinct sources
-    // (low-cardinality — HLL must stay exact-ish there too).
-    // Engine-specific sketch -> rows-only gate + ≤5% drift spec
-    // (LlmSpec) + RECALL entry.
+    // sources"). Served by the ENGINE-OWNED `hll_est` aggregate
+    // ([[graft.functions.HllEstAgg]]) at m=4096 registers instead of
+    // Spark's approx_count_distinct: identical scale shape (a
+    // mergeable 4 KB-per-bucket sketch through the partial+final agg,
+    // where exact distinct would shuffle every (bucket, value) pair)
+    // but DETERMINISTIC md5-derived registers and an integer
+    // estimator, so the result hash-checks against a DuckDB twin —
+    // the sketch itself is oracle-verified, not just drift-bounded.
+    // Two cardinalities per bucket: distinct contents
+    // (high-cardinality) and distinct sources (low-cardinality — the
+    // linear-counting small range, exact-ish by construction).
     //
-    // ACCURACY BUDGET (measured drift vs exact, RECALL_r05 @ sf0.01:
-    // max 1.8%): the knob is `rsd` (relative standard deviation, 2nd
-    // arg of approx_count_distinct = ES `precision_threshold`'s role).
-    // HLL++ registers scale as ~(1.04/rsd)², so per-bucket sketch
-    // bytes buy accuracy quadratically — all corpus-size-independent:
-    //   rsd 0.05 → ~5%  expected / ~2.7 KB per bucket
-    //   rsd 0.02 → ~2%  expected / ~16 KB  (this operator's setting)
-    //   rsd 0.01 → ~1%  expected / ~64 KB (Spark's floor is 0.000017)
-    // A user needing exact distincts pays the (bucket, value) shuffle
-    // instead — that is `rel_distinct_agg`'s plan, not a facet knob.
+    // ACCURACY BUDGET: expected relative error ~1.04/√m, all
+    // corpus-size-independent (the knob is the register count, ES
+    // `precision_threshold`'s role):
+    //   m=1024 → ~3.3% / 1 KB per bucket
+    //   m=4096 → ~1.6% / 4 KB  (this operator's setting)
+    //   m=16384 → ~0.8% / 16 KB
+    // Measured drift vs exact stays ≤5% (LlmSpec). A user needing
+    // exact distincts pays the (bucket, value) shuffle instead — that
+    // is `rel_distinct_agg`'s plan, not a facet knob.
     "search_facets_cardinality" -> ((s, dir) => {
       Tables(s, dir, "documents")
         .filter(array_contains(tokens(col("text")), "spark"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("doc_count"),
-          approx_count_distinct(md5(col("text")), 0.02).as("approx_unique_contents"),
-          approx_count_distinct(col("source"), 0.02).as("approx_unique_sources"))
+          call_function("hll_est", col("text"), lit(4096))
+            .as("approx_unique_contents"),
+          call_function("hll_est", col("source"), lit(4096))
+            .as("approx_unique_sources"))
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
@@ -1176,39 +1180,46 @@ object SearchQueries {
 
     // Percentiles facet (the ES `percentiles` sub-aggregation — the
     // latency-dashboard staple): p50/p90/p99 of a numeric field per
-    // terms bucket via the mergeable percentile sketch
-    // (approx_percentile — Spark's GK summaries, ES's TDigest role).
-    // Like the cardinality facet this is inherently approximate →
-    // no SQL oracle; the drift vs exact order statistics is bounded in
-    // SimilaritySampleSpec and quantified per-round in RECALL (at
-    // fixture scale GK at accuracy 1000 reproduces the exact order
-    // statistic, so measured drift is 0). One partial+final hash-agg
-    // scan; sketch size is O(accuracy) per bucket, corpus-independent.
+    // terms bucket, served from the ENGINE-OWNED HdrHistogram-style
+    // sketch (the rel_hdr_quantiles machinery, per-bucket): log-scale
+    // buckets with SIX significand bits (shift = max(bitlen−1−6, 0)),
+    // so each reported percentile is the exact LOWER BOUND of a
+    // bucket whose width is ≤ 1/64 of its value — values below 128
+    // are their own bucket (exact), larger values carry ≤1.6%
+    // guaranteed relative error. Everything is integer arithmetic →
+    // the result hash-checks against a DuckDB twin (Spark's
+    // approx_percentile GK sketch, which this replaces, is
+    // engine-internal and cannot).
     //
-    // ACCURACY BUDGET (measured drift vs exact, RECALL_r05 @ sf0.01:
-    // max 3.7% — the p99 of a 35-doc bucket, where ±1 rank IS percent-
-    // scale drift; big buckets measure 0): the knob is `accuracy` (3rd
-    // arg — Spark's GK summary inverse-epsilon, ES TDigest
-    // `compression`'s role). GK guarantees RANK error ≤ N/accuracy,
-    // per bucket and corpus-size-independent:
-    //   accuracy   100 → ≤ 1%   rank error / ~0.8 KB per bucket
-    //   accuracy  1000 → ≤ 0.1% rank error  (this operator's setting)
-    //   accuracy 10000 → ≤ 0.01% rank error / ~80 KB per bucket
-    // Note the bound is on rank, not value: a p99 over a tiny bucket
-    // moves whole values per rank step (the 3.7% above), while value
-    // drift on large buckets shrinks with density. Exact order
-    // statistics remain available at sort cost via `rel_percentiles`.
+    // Scale shape: the sketch is a (lang, bucket-lb) groupBy — a few
+    // hundred buckets per lang regardless of corpus size, merged by
+    // plain sum through the partial+final agg; quantile selection is
+    // the exact integer cross-multiply 100·cum ≥ N·q over a window on
+    // the BOUNDED bucket table (cheap by construction — per-lang
+    // partitions of ≤ ~64·33 rows). The accuracy knob is the
+    // significand-bit count: b bits → ≤2^−b relative error at
+    // ≤ 2^b·64 buckets. Exact order statistics remain available at
+    // sort cost via `rel_percentiles`.
     "search_facets_percentiles" -> ((s, dir) => {
-      Tables(s, dir, "documents")
+      import org.apache.spark.sql.expressions.Window
+      val hits = Tables(s, dir, "documents")
         .filter(array_contains(tokens(col("text")), "spark"))
-        .groupBy(col("lang"))
-        .agg(count(lit(1)).as("doc_count"),
-          approx_percentile(col("n_chars"),
-            array(lit(0.5), lit(0.9), lit(0.99)), lit(1000)).as("pcts"))
-        .select(col("lang"), col("doc_count"),
-          element_at(col("pcts"), 1).as("p50"),
-          element_at(col("pcts"), 2).as("p90"),
-          element_at(col("pcts"), 3).as("p99"))
+        .select(col("lang"), col("n_chars").cast(LongType).as("v"))
+      val sketch = hits
+        .withColumn("shift", greatest(length(bin(col("v"))) - 7, lit(0)))
+        .withColumn("lb", expr("shiftleft(shiftright(v, shift), shift)"))
+        .groupBy(col("lang"), col("lb")).agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy(col("lang")).orderBy(col("lb"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = sketch
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+      def pick(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("lb")))
+      cum.groupBy(col("lang"))
+        .agg(max(col("n")).as("doc_count"),
+          pick(50).as("p50"), pick(90).as("p90"), pick(99).as("p99"))
         .orderBy(col("doc_count").desc, col("lang"))
     }),
 
@@ -3027,6 +3038,94 @@ object SearchQueries {
         |FROM documents
         |WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')
         |GROUP BY lang
+        |ORDER BY doc_count DESC, lang""".stripMargin,
+    // Engine-owned HLL (m=4096, md5 registers, integer estimator —
+    // the HllEstAgg BigInt branch's HUGEINT twin), per lang bucket,
+    // over both measured fields.
+    "search_facets_cardinality" ->
+      """WITH hits AS (
+        |  SELECT lang, text, source FROM documents
+        |  WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')),
+        |langs AS (SELECT lang, count(*) AS doc_count FROM hits GROUP BY 1),
+        |mb AS (SELECT unnest(generate_series(0, 4095)) AS bucket),
+        |hc AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT % 4096 AS bucket,
+        |    ('0x' || substr(md5(text), 9, 8))::BIGINT AS w
+        |  FROM hits),
+        |rc AS (
+        |  SELECT lang, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS rho
+        |  FROM hc GROUP BY 1, 2),
+        |fc AS (
+        |  SELECT l.lang, b.bucket, coalesce(rc.rho, 0) AS rho
+        |  FROM langs l CROSS JOIN mb b
+        |  LEFT JOIN rc ON rc.lang = l.lang AND rc.bucket = b.bucket),
+        |pc AS (
+        |  SELECT lang,
+        |    CAST(sum(1::BIGINT << (33 - rho)) AS BIGINT) AS s_sum,
+        |    CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nz
+        |  FROM fc GROUP BY 1),
+        |ec AS (
+        |  SELECT lang,
+        |    CASE WHEN raw <= 10240 AND nz < 4096
+        |         THEN CAST(round(4096.0 * ln(4096.0 / (4096 - nz)), 0) AS BIGINT)
+        |         ELSE raw END AS approx_unique_contents
+        |  FROM (SELECT lang, nz,
+        |          CAST((7213::HUGEINT * 4096 * 4096 * 4096 * 8589934592) //
+        |               (10::HUGEINT * 4097079 * s_sum) AS BIGINT) AS raw
+        |        FROM pc) t),
+        |hs AS (
+        |  SELECT lang,
+        |    ('0x' || substr(md5(source), 1, 8))::BIGINT % 4096 AS bucket,
+        |    ('0x' || substr(md5(source), 9, 8))::BIGINT AS w
+        |  FROM hits),
+        |rs AS (
+        |  SELECT lang, bucket,
+        |    max(CASE WHEN w = 0 THEN 33 ELSE 33 - len(bin(w)) END) AS rho
+        |  FROM hs GROUP BY 1, 2),
+        |fs AS (
+        |  SELECT l.lang, b.bucket, coalesce(rs.rho, 0) AS rho
+        |  FROM langs l CROSS JOIN mb b
+        |  LEFT JOIN rs ON rs.lang = l.lang AND rs.bucket = b.bucket),
+        |ps AS (
+        |  SELECT lang,
+        |    CAST(sum(1::BIGINT << (33 - rho)) AS BIGINT) AS s_sum,
+        |    CAST(count(*) FILTER (rho > 0) AS BIGINT) AS nz
+        |  FROM fs GROUP BY 1),
+        |es AS (
+        |  SELECT lang,
+        |    CASE WHEN raw <= 10240 AND nz < 4096
+        |         THEN CAST(round(4096.0 * ln(4096.0 / (4096 - nz)), 0) AS BIGINT)
+        |         ELSE raw END AS approx_unique_sources
+        |  FROM (SELECT lang, nz,
+        |          CAST((7213::HUGEINT * 4096 * 4096 * 4096 * 8589934592) //
+        |               (10::HUGEINT * 4097079 * s_sum) AS BIGINT) AS raw
+        |        FROM ps) t)
+        |SELECT l.lang, l.doc_count, ec.approx_unique_contents, es.approx_unique_sources
+        |FROM langs l JOIN ec USING (lang) JOIN es USING (lang)
+        |ORDER BY doc_count DESC, lang""".stripMargin,
+    // Engine-owned HDR quantile sketch per lang bucket: 6-significand-
+    // bit log buckets, exact integer cum/cross-multiply selection.
+    "search_facets_percentiles" ->
+      """WITH hits AS (
+        |  SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents
+        |  WHERE list_contains(regexp_split_to_array(lower(text), '\s+'), 'spark')),
+        |b2 AS (
+        |  SELECT lang, ((v >> shift) << shift) AS lb
+        |  FROM (SELECT lang, v, greatest(len(bin(v)) - 7, 0) AS shift FROM hits) t),
+        |sk AS (SELECT lang, lb, count(*) AS c FROM b2 GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT lang, lb,
+        |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY lb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+        |  FROM sk)
+        |SELECT lang, max(n) AS doc_count,
+        |  min(CASE WHEN cum*100 >= n*50 THEN lb END) AS p50,
+        |  min(CASE WHEN cum*100 >= n*90 THEN lb END) AS p90,
+        |  min(CASE WHEN cum*100 >= n*99 THEN lb END) AS p99
+        |FROM cum GROUP BY lang
         |ORDER BY doc_count DESC, lang""".stripMargin,
     "search_facets_date_histogram" ->
       """SELECT date_trunc('day', ts) AS day, count(*) AS doc_count,

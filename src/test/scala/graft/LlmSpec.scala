@@ -124,11 +124,16 @@ class LlmSpec extends AnyFunSuite {
     val approx = SparkEntry.queries("rel_approx_agg")(spark, sf)
     val exact = Tables(spark, sf, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(countDistinct(col("l_partkey")).as("exact_parts"))
+      .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+        expr("percentile(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5D)")
+          .as("exact_median_cents"))
     val bad = approx.join(exact, "l_returnflag")
       .filter(abs(col("approx_parts") - col("exact_parts"))
-        > col("exact_parts") * 0.05)
-    assert(bad.isEmpty, "HLL(rsd=0.02) drifted >5% from exact distinct")
+          > col("exact_parts") * 0.05 ||
+        abs(col("approx_median_price_cents") - col("exact_median_cents"))
+          > col("exact_median_cents") * 0.05)
+    assert(bad.isEmpty,
+      "hll_est(m=4096) or the HDR median drifted >5% from exact")
   }
 
   test("cardinality facet lands within tolerance of exact per-bucket distincts") {
@@ -139,27 +144,48 @@ class LlmSpec extends AnyFunSuite {
       .groupBy(col("lang"))
       .agg(countDistinct(md5(col("text"))).as("exact_contents"),
         countDistinct(col("source")).as("exact_sources"))
+    // 5% relative with a ±2 absolute floor: at n ≪ m the linear-
+    // counting estimate quantizes to whole register collisions, so a
+    // 20-value bucket can legitimately read 19 (one md5 bucket
+    // collision) — sub-resolution for ANY fixed-register HLL, and
+    // deterministic here (the oracle reproduces it bit-for-bit).
     val bad = approx.join(exact, "lang")
       .filter(abs(col("approx_unique_contents") - col("exact_contents"))
-          > col("exact_contents") * 0.05 ||
+          > greatest(col("exact_contents") * 0.05, lit(2.0)) ||
         abs(col("approx_unique_sources") - col("exact_sources"))
-          > col("exact_sources") * 0.05)
-    assert(bad.isEmpty, "per-bucket HLL(rsd=0.02) drifted >5% from exact distinct")
+          > greatest(col("exact_sources") * 0.05, lit(2.0)))
+    assert(bad.isEmpty, "per-bucket hll_est(m=4096) drifted >5% from exact distinct")
   }
 
-  test("percentiles facet lands within tolerance of exact order statistics") {
+  test("percentiles facet lands within the HDR bucket-width bound of exact") {
     import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
     val approx = SparkEntry.queries("search_facets_percentiles")(spark, sf)
-    val exact = Tables(spark, sf, "documents")
+    // Exact twin under the SAME discrete selection rule (first value
+    // whose cumulative count crosses ⌈N·q⌉) so the only divergence
+    // left is the HDR bucketing itself — guaranteed ≤ 1/64 of the
+    // value (6 significand bits), with the reported lb never above
+    // the exact order statistic.
+    val hits = Tables(spark, sf, "documents")
       .filter(array_contains(split(lower(col("text")), "\\s+"), "spark"))
-      .groupBy(col("lang"))
-      .agg(expr("percentile(n_chars, array(0.5D, 0.9D, 0.99D))").as("ex"))
+      .select(col("lang"), col("n_chars").cast("long").as("v"))
+    val cum = hits.groupBy(col("lang"), col("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(
+        Window.partitionBy(col("lang"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+    def pick(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("v")))
+    val exact = cum.groupBy(col("lang"))
+      .agg(pick(50).as("ex50"), pick(90).as("ex90"), pick(99).as("ex99"))
     val bad = approx.join(exact, "lang")
       .filter(
-        abs(col("p50") - element_at(col("ex"), 1)) > element_at(col("ex"), 1) * 0.05 ||
-        abs(col("p90") - element_at(col("ex"), 2)) > element_at(col("ex"), 2) * 0.05 ||
-        abs(col("p99") - element_at(col("ex"), 3)) > element_at(col("ex"), 3) * 0.05)
-    assert(bad.isEmpty, "per-bucket GK percentile sketch drifted >5% from exact")
+        col("p50") > col("ex50") || col("ex50") - col("p50") > col("ex50") / 64 ||
+        col("p90") > col("ex90") || col("ex90") - col("p90") > col("ex90") / 64 ||
+        col("p99") > col("ex99") || col("ex99") - col("p99") > col("ex99") / 64)
+    assert(bad.isEmpty,
+      "HDR percentile lb violated the 6-significand-bit (1/64) bound")
   }
 
   test("exact dedup is idempotent") {
