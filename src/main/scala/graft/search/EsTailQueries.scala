@@ -475,10 +475,101 @@ object EsTailQueries {
                  | (CAST(n_buckets AS DECIMAL(38,0)) *
                  |  CAST(n_buckets AS DECIMAL(38,0)))""".stripMargin)
             .as("variance_x1e6"))
+    }),
+
+    // ES `_mget` — the multi-get-by-id-list endpoint (GET /index/_mget
+    // {"ids": [...]}): one entry PER REQUESTED ID, in request order,
+    // with found=false rows for ids the index lacks and duplicates
+    // honored (ES answers each entry independently). The engine form:
+    // the request ids compile to ONE `In` filter pushed to the parquet
+    // scan — at 100 TB the scan touches only row groups whose min/max
+    // straddle a requested key (the same footer-stats pruning a real
+    // point-read service leans on) — and the tiny request list
+    // LEFT-joins the hits to restore request order and found flags
+    // (BroadcastHashJoin; the ≤k-row hit set is the build side).
+    "search_mget" -> ((s, dir) => {
+      import s.implicits._
+      // 42 twice (duplicate entry), 999999999 absent at every SF.
+      val ids = Seq(3L, 999999999L, 7L, 42L, 42L)
+      val req = ids.zipWithIndex
+        .map { case (id, ord) => (ord.toLong, id) }
+        .toDF("req_ord", "doc_id")
+      val hits = Tables(s, dir, "documents")
+        .filter(col("doc_id").isin(ids.distinct: _*))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          lit(true).as("hit"))
+      req.join(broadcast(hits), Seq("doc_id"), "left")
+        .select(col("req_ord"), col("doc_id"),
+          coalesce(col("hit"), lit(false)).as("found"),
+          col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("req_ord"))
+    }),
+
+    // ES `moving_fn` with an ARBITRARY script — the general form the
+    // four named models (simple/linear/ewma via moving_avg, holt,
+    // holt_winters, moving_fn(sum)) specialize: ES hands the script
+    // the window's `values` ARRAY and takes back one number. The
+    // engine primitive is exactly that: collect_list over a row-frame
+    // window materializes the values array per bucket, then any
+    // HOF expression computes the script body. Two representative
+    // scripts, both integer-exact so the twin hash-matches:
+    // mid-range ((max+min)·1e6 DIV 2, the smoothing ES docs use as
+    // the custom-script example) and the scaled squared deviation
+    // Σ(n·x−s)² (a volatility panel — integer because the mean is
+    // carried as the (n·x−s) cross-multiply, never divided).
+    // Scale shape: pipeline-agg contract — the corpus-scale work is
+    // the one histogram agg; the window runs over the BOUNDED bucket
+    // list, and partial leading windows are served (ES gives the
+    // script whatever window exists), with w_size exposing the width.
+    "search_moving_fn_scripted" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("day")).rowsBetween(-4, Window.currentRow)
+      Tables(s, dir, "events")
+        .filter(col("event_type").isin("click", "purchase"))
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .agg(count(lit(1)).as("doc_count"))
+        .withColumn("vals", collect_list(col("doc_count")).over(w))
+        .withColumn("w_size", size(col("vals")).cast(LongType))
+        .withColumn("w_sum", expr("aggregate(vals, 0L, (a, x) -> a + x)"))
+        .select(col("day"), col("doc_count"), col("w_size"),
+          expr("(array_max(vals) + array_min(vals)) * 1000000 DIV 2")
+            .as("script_midrange_x1e6"),
+          expr("""aggregate(vals, 0L,
+                 |  (a, x) -> a + (w_size * x - w_sum) * (w_size * x - w_sum))"""
+            .stripMargin).as("script_sq_dev_nx2"))
+        .orderBy(col("day"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    "search_mget" ->
+      """WITH req(req_ord, doc_id) AS (
+        |  VALUES (0::BIGINT, 3::BIGINT), (1, 999999999), (2, 7),
+        |         (3, 42), (4, 42))
+        |SELECT req_ord, req.doc_id,
+        |  d.doc_id IS NOT NULL AS found,
+        |  d.lang, d.source, d.n_chars
+        |FROM req LEFT JOIN documents d ON req.doc_id = d.doc_id
+        |ORDER BY req_ord""".stripMargin,
+    "search_moving_fn_scripted" ->
+      """WITH b AS (
+        |  SELECT date_trunc('day', ts) AS day, count(*) AS doc_count
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |  GROUP BY 1),
+        |wv AS (
+        |  SELECT day, doc_count,
+        |    list(doc_count) OVER (ORDER BY day
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM b)
+        |SELECT day, doc_count,
+        |  CAST(len(vals) AS BIGINT) AS w_size,
+        |  (list_aggregate(vals, 'max') + list_aggregate(vals, 'min'))
+        |    * 1000000 // 2 AS script_midrange_x1e6,
+        |  CAST(list_sum(list_transform(vals,
+        |    x -> (len(vals) * x - list_sum(vals))
+        |       * (len(vals) * x - list_sum(vals)))) AS BIGINT)
+        |    AS script_sq_dev_nx2
+        |FROM wv ORDER BY day""".stripMargin,
     "search_significant_text" ->
       """WITH deduped AS (
         |  SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text),

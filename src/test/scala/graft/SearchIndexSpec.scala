@@ -32,6 +32,27 @@ class SearchIndexSpec extends AnyFunSuite {
       s"term filter not pushed: ${scanLine.get}")
   }
 
+  test("mget: request order, found flags, duplicates honored, In pushed to the scan") {
+    val df = SparkEntry.queries("search_mget")(spark, sf)
+    val rows = df.collect()
+    // One row per REQUEST entry, request order, duplicate id twice.
+    assert(rows.map(_.getAs[Long]("req_ord")).toSeq == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq ==
+      Seq(3L, 999999999L, 7L, 42L, 42L))
+    assert(rows.map(_.getAs[Boolean]("found")).toSeq ==
+      Seq(true, false, true, true, true))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("lang")),
+      "missing id must carry null fields, like an ES found=false entry")
+    // The id list reaches the corpus scan as a pushed In filter — the
+    // footer-stats point-read path, not a corpus scan + join filter.
+    val plan = df.queryExecution.executedPlan.toString
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("documents"))
+    assert(scanLine.isDefined, s"no documents scan in:\n$plan")
+    assert(scanLine.get.contains("PushedFilters: [In(doc_id"),
+      s"id list not pushed: ${scanLine.get}")
+  }
+
   test("span_near probes prune the postings scan (pushed per-clause term filters)") {
     // The ordered-span query reads three posting lists; every clause's
     // term must reach the scan as a pushed equality/In filter so probe
