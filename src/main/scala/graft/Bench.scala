@@ -292,9 +292,24 @@ object Bench {
       dt
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted
+    val coldResults = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-      .map(n => n -> runOnce(n)) ++
+      .map(n => n -> runOnce(n))
+
+    // Warm-serving pass: the served-index queries re-run in the SAME
+    // session after the full sweep — artifacts on disk, parquet
+    // footers and codegen hot — so the record carries the
+    // steady-state latency a serving deployment sees next to the
+    // cold number (which bills plan-time candidate enumeration and
+    // first-touch I/O). `_warm_` entries land in BENCH_LOCAL.json.
+    val servedIndexQueries = Seq("search_topk_bm25_indexed",
+      "search_geo_distance_indexed", "llm_ann_indexed_topk")
+    val warmResults = servedIndexQueries
+      .filter(n => only.forall(_.contains(n)))
+      .filter(n => coldResults.exists(_._1 == n))
+      .map(n => s"_warm_$n" -> runOnce(n))
+
+    val results = coldResults ++ warmResults ++
       (if (runPairBuild) Seq("_build_neardup_pairs" -> ((pairBuildSecs, pairBuildSecs))) else Nil) ++
       (if (runVecBuild) Seq("_build_vec_index" -> ((vecBuildSecs, vecBuildSecs))) else Nil) ++
       (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
@@ -313,7 +328,13 @@ object Bench {
     val total = results.map(_._2._1).filter(_ >= 0).sum
     val totalOp = results.map(_._2._2).filter(_ >= 0).sum
     val loadEnd = loadAvg()
-    val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},"cores":$cores}"""
+    // `contended` rides on BOTH emissions: a driver-tail record taken
+    // on a loaded host self-identifies, so a per-query regression in a
+    // contended record is inadmissible without an idle re-measure
+    // (the `_build_wordpiece` phantom class).
+    val contended = loadStart > 1.0
+    val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},""" +
+      s""""cores":$cores,"contended":$contended}"""
     // Two emissions: the full record (per-query op times + shuffle) goes
     // to a committed file; stdout gets a LEAN driver-contract line —
     // round 1's full line was truncated by the driver's stdout capture,
@@ -321,7 +342,7 @@ object Bench {
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"load":$loadJson,"sf":"$sfDir"}"""
     val lean =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"load":$loadJson,"sf":"$sfDir"}"""
     // Subset runs are dev probes — don't clobber the committed full
     // record.
     if (only.isEmpty)
