@@ -171,6 +171,16 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Controlled-probe mode (dev-only; the per-round records run the
+    // full set once): SPARK_GRAFT_SCALE_ONLY=a,b limits the timed set,
+    // SPARK_GRAFT_SCALE_REPEAT=n times each operator n× BACK-TO-BACK
+    // in one session — the I/O-controlled repeat that separates an
+    // algorithmic slope from page-cache/host variance (first run cold,
+    // later runs warm; a real superlinearity shows in EVERY run, I/O
+    // noise only in the cold one).
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "1").toInt
+
     deriveCorpus(spark, baseDir, scaledDir, factor)
     val nBase = Tables(spark, baseDir, "documents").count()
     val nScaled = Tables(spark, scaledDir, "documents").count()
@@ -180,47 +190,71 @@ object ScaleBench {
       .format("noop").mode("overwrite").save()
     Pins.release(spark)
 
-    def runAll(dir: String): Seq[(String, Double)] = {
+    def runAll(dir: String): Seq[(String, Seq[Double])] = {
       // Pair build FIRST (freshest heap), and an explicit GC after
       // every query: stale broadcast relations from prior queries are
       // reference-collected, and at the 30× corpus their accumulated
       // driver footprint was the difference between the build
       // succeeding (fresh JVM) and a broadcast-build OOM (13th query
       // of the run).
-      val pb = "_build_neardup_pairs" -> timePairBuild(spark, dir)
-      Pins.release(spark)
-      System.gc()
-      System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${pb._2}%.2f s")
-      val pm = timePostingsMaint(spark, dir)
-      Pins.release(spark)
-      System.gc()
-      pm.foreach { case (n, s) =>
-        System.err.println(f"[scale] $n @ $dir: $s%.2f s") }
-      val q = Timed.map { name =>
-        val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
-        Pins.release(spark)
-        System.gc()
-        System.err.println(f"[scale] $name @ $dir: $secs%.2f s")
-        name -> secs
+      val pb =
+        if (!only.forall(_.contains("_build_neardup_pairs"))) Nil
+        else {
+          val t = "_build_neardup_pairs" -> Seq(timePairBuild(spark, dir))
+          Pins.release(spark)
+          System.gc()
+          System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${t._2.head}%.2f s")
+          Seq(t)
+        }
+      val pm =
+        if (!only.forall(_.contains("_build_text_postings"))) Nil
+        else {
+          val t = timePostingsMaint(spark, dir).map { case (n, s) => n -> Seq(s) }
+          Pins.release(spark)
+          System.gc()
+          t.foreach { case (n, s) =>
+            System.err.println(f"[scale] $n @ $dir: ${s.head}%.2f s") }
+          t
+        }
+      val q = Timed.filter(n => only.forall(_.contains(n))).map { name =>
+        val runs = (1 to repeat).map { i =>
+          val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
+          Pins.release(spark)
+          System.gc()
+          System.err.println(f"[scale] $name @ $dir run $i: $secs%.2f s")
+          secs
+        }
+        name -> runs.toSeq
       }
-      (pb +: pm) ++ q
+      pb ++ pm ++ q
     }
 
     val base = runAll(baseDir).toMap
     val scaled = runAll(scaledDir).toMap
 
     def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
-    val rows = (Timed ++ Seq("_build_neardup_pairs",
-      "_build_text_postings", "_upsert_postings_100docs")).map { n =>
-      val r = scaled(n) / math.max(base(n), 1e-9)
-      s""""$n":{"base_s":${fmt(base(n))},"scaled_s":${fmt(scaled(n))},"ratio":${fmt(r)}}"""
+    val rows = base.keys.toSeq.sorted.map { n =>
+      // Ratio of MINIMA when repeats were asked for: the minimum is
+      // the standard noise-floor estimator — transient host I/O only
+      // ever ADDS time, so min-over-repeats at both sizes isolates
+      // the algorithmic slope the probe exists to measure.
+      val r = scaled(n).min / math.max(base(n).min, 1e-9)
+      val runsJson =
+        if (repeat == 1) ""
+        else s""","base_runs":[${base(n).map(fmt).mkString(",")}]""" +
+          s""","scaled_runs":[${scaled(n).map(fmt).mkString(",")}]"""
+      s""""$n":{"base_s":${fmt(base(n).min)},"scaled_s":${fmt(scaled(n).min)},"ratio":${fmt(r)}$runsJson}"""
     }
     val json =
       s"""{"base":"$baseDir","base_docs":$nBase,"factor":$factor,""" +
-        s""""scaled_docs":$nScaled,"queries":{${rows.mkString(",")}}}"""
+        s""""scaled_docs":$nScaled,"repeat":$repeat,"queries":{${rows.mkString(",")}}}"""
+    // Probe runs (subset or repeats) get their own file — the
+    // committed SCALE_<factor>x.json stays the full single-pass record.
+    val outName =
+      if (only.isEmpty && repeat == 1) s"SCALE_${factor}x.json"
+      else s"SCALE_${factor}x_probe.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(s"SCALE_${factor}x.json"),
-      json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(outName), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

@@ -48,11 +48,15 @@ class IndexStore(spark: SparkSession, root: String) {
     if (!fs.exists(rootPath)) return
     // .aliastmp_ files are setAlias write-asides orphaned by a crash
     // before the atomic rename-over — never live state, safe to GC by
-    // age like the swap leftovers.
+    // age like the swap leftovers. .lock_ files are maintenance locks
+    // ([[withMaintenanceLock]]) a crashed writer failed to release —
+    // a live maintenance batch runs seconds, so an hour-old lock is a
+    // crash leftover blocking all future maintenance.
     def dotDirs = fs.listStatus(rootPath).filter(e =>
       (e.isDirectory && (e.getPath.getName.startsWith(".old_") ||
         e.getPath.getName.startsWith(".tmp_"))) ||
-        e.getPath.getName.startsWith(".aliastmp_"))
+        e.getPath.getName.startsWith(".aliastmp_") ||
+        e.getPath.getName.startsWith(".lock_"))
     dotDirs.filter(_.getPath.getName.startsWith(".old_"))
       .groupBy(_.getPath.getName.stripPrefix(".old_").dropRight(9)) // drop _<8-char id>
       .foreach { case (name, backups) =>
@@ -681,6 +685,43 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def clearArtifactFingerprint(name: String): Unit =
     fs.delete(new Path(dir(name), MetaFile), false)
+
+  /** Single-writer maintenance lock — the Lucene `write.lock` model.
+    * Every partition-granular maintenance path (segment append,
+    * cell overwrite, compaction) is a read-modify-write of SHARED
+    * artifact state (segment generation numbers, the stats sidecar,
+    * the fingerprint bracket): two interleaved writers would race the
+    * generation listing (same seg id), lose one writer's sidecar
+    * delta, or stamp a fingerprint over the other's half-applied
+    * batch. One writer per artifact is therefore the CONTRACT, and
+    * contention fails LOUDLY here rather than corrupting silently —
+    * the caller routes batches through one maintainer (the streaming
+    * foreachBatch loop is naturally serial) or retries after the
+    * holder finishes. Acquisition is an atomic create-if-absent
+    * (`O_EXCL` on local paths, create-no-overwrite — atomic on HDFS —
+    * elsewhere); a CRASHED writer's leftover lock is collected by the
+    * same age guard as swap leftovers ([[recoverOrphans]]), matching
+    * the it-takes-seconds profile of a maintenance batch.
+    */
+  private[graft] def withMaintenanceLock[T](name: String)(body: => T): T = {
+    val lock = new Path(root, s".lock_${name.toLowerCase}")
+    val acquired = lock.toUri.getScheme match {
+      case null | "file" =>
+        val f = new java.io.File(lock.toUri.getPath)
+        f.getParentFile.mkdirs()
+        f.createNewFile() // POSIX O_CREAT|O_EXCL — atomic
+      case _ =>
+        try { fs.create(lock, false).close(); true }
+        catch { case _: java.io.IOException => false }
+    }
+    if (!acquired)
+      throw new java.util.ConcurrentModificationException(
+        s"maintenance lock for '$name' is held ($lock): one writer per " +
+          "artifact — route batches through a single maintainer or retry " +
+          "after the holder finishes; a crashed writer's lock is GC'd by " +
+          "age on store construction")
+    try body finally fs.delete(lock, false)
+  }
 
   /** Re-stamp fingerprint + sidecars — the LAST step of a maintenance
     * bracket opened by [[clearArtifactFingerprint]].

@@ -1444,7 +1444,8 @@ object SimilarityQueries {
     */
   private[graft] def upsertVecIndex(store: graft.etl.IndexStore,
                                     batch: DataFrame,
-                                    fingerprint: String): Long = {
+                                    fingerprint: String): Long =
+    store.withMaintenanceLock(VecIndexName) {
     val model = IvfPqModel.parse(
       store.artifactSidecar(VecIndexName, ModelSidecar).getOrElse(
         sys.error(s"$VecIndexName has no model sidecar — build the index " +
@@ -1467,16 +1468,20 @@ object SimilarityQueries {
     // An empty micro-batch (routine under foreachBatch) touches no
     // cells — return before staging: overwritePartitions would write
     // an empty stage dir that parquet cannot re-read (no schema).
-    if (touched.isEmpty) return store.count(VecIndexName)
-    val replacement = idx.filter(col("cell").isInCollection(touched.toSeq))
-      .join(broadcast(keys), Seq("vec_id"), "left_anti")
-      .unionByName(enc.select(idx.columns.map(col).toSeq: _*))
-    val remaining = replacement.select(col("cell")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    store.overwritePartitions(replacement, VecIndexName, "cell", fingerprint,
-      dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
-    store.count(VecIndexName)
-  }
+    // (A `return` inside the lock body would bypass the by-name
+    // wrapper's finally on some Scala lowerings — use if/else.)
+    if (touched.isEmpty) store.count(VecIndexName)
+    else {
+      val replacement = idx.filter(col("cell").isInCollection(touched.toSeq))
+        .join(broadcast(keys), Seq("vec_id"), "left_anti")
+        .unionByName(enc.select(idx.columns.map(col).toSeq: _*))
+      val remaining = replacement.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      store.overwritePartitions(replacement, VecIndexName, "cell", fingerprint,
+        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+      store.count(VecIndexName)
+    }
+    }
 
   val oracleSql: Map[String, String] = Map(
     "llm_cosine_topk" ->

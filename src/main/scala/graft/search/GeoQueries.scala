@@ -261,6 +261,7 @@ object GeoQueries {
   private[graft] def upsertGeoPoints(s: SparkSession, dir: String,
                                      batch: DataFrame): Int = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
+    store.withMaintenanceLock(GeoIndexName) {
     val idx = store.read(GeoIndexName)
     // Batch-internal key dedup: two updates to one c_custkey in a
     // micro-batch would BOTH survive the union (the anti-join only
@@ -277,16 +278,21 @@ object GeoQueries {
     // An empty micro-batch (routine under foreachBatch) touches no
     // cells — return before staging: overwritePartitions would write
     // an empty stage dir that parquet cannot re-read (no schema).
-    if (touched.isEmpty) return 0
-    val replacement = idx.filter(col("gh").isInCollection(touched.toSeq))
-      .join(broadcast(keys), Seq("c_custkey"), "left_anti")
-      .unionByName(batchG)
-    val remaining = replacement.select(col("gh")).distinct()
-      .collect().map(_.getInt(0)).toSet
-    store.overwritePartitions(replacement, GeoIndexName, "gh",
-      "geo_points_v1_gh2:stream-maintained",
-      dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
-    touched.size
+    // (if/else, not `return`: a non-local return from the lock's
+    // by-name body would skip its release path.)
+    if (touched.isEmpty) 0
+    else {
+      val replacement = idx.filter(col("gh").isInCollection(touched.toSeq))
+        .join(broadcast(keys), Seq("c_custkey"), "left_anti")
+        .unionByName(batchG)
+      val remaining = replacement.select(col("gh")).distinct()
+        .collect().map(_.getInt(0)).toSet
+      store.overwritePartitions(replacement, GeoIndexName, "gh",
+        "geo_points_v1_gh2:stream-maintained",
+        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+      touched.size
+    }
+    }
   }
 
   /** The 10-bit cell id of bucket coordinates — the Scala mirror of

@@ -189,7 +189,8 @@ object SearchQueries {
     */
   private[graft] def upsertPostings(store: graft.etl.IndexStore,
                                     batch: DataFrame,
-                                    fingerprint: String = "stream-maintained"): Long = {
+                                    fingerprint: String = "stream-maintained"): Long =
+    store.withMaintenanceLock(PostingsName) {
     val s = batch.sparkSession
     val ids = batch.select(col("doc_id")).distinct()
     val Array(oldN, oldDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
@@ -218,7 +219,7 @@ object SearchQueries {
         oldN - removed.getDouble(0) + batchN,
         oldDl - removed.getDouble(1) + batchDl)))
     gen.toLong // the new segment's id — O(1), unlike a resolved count
-  }
+    }
 
   /** Fold the maintained postings back to a single segment: resolve
     * tombstones, rewrite as seg=0 through the crash-safe swap (the
@@ -228,7 +229,8 @@ object SearchQueries {
     * per-query segment fan-in or the tombstone set has grown past
     * taste; the resolved CONTENT is unchanged by construction.
     */
-  private[graft] def compactPostings(store: graft.etl.IndexStore): Unit = {
+  private[graft] def compactPostings(store: graft.etl.IndexStore): Unit =
+    store.withMaintenanceLock(PostingsName) {
     val fp = store.artifactFingerprint(PostingsName)
       .getOrElse(sys.error(s"compactPostings: $PostingsName has no " +
         "fingerprint — a crashed upsert must rebuild, not compact"))
@@ -238,7 +240,7 @@ object SearchQueries {
     store.writeArtifact(folded, PostingsName, fp,
       partitionCols = Seq("seg"), rangeSortCols = Seq("term"),
       sidecars = Map(PostingsStatsSidecar -> stats))
-  }
+    }
 
   /** BM25 top-k computed FROM postings (shared by the registered
     * indexed query and the streaming-maintenance spec, which scores
