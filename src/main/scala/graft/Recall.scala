@@ -35,6 +35,13 @@ object Recall {
       // broadcast() on bounded frames is unaffected.
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      // Partition discovery of cell-partitioned artifacts (up to 1024
+      // geo/IVF cell dirs) runs DRIVER-SIDE below this threshold: a
+      // 1024-task listing JOB costs ~1.7 s of pure task overhead per
+      // query CONSTRUCTION (measured, geo probe r8) vs ~50 ms of
+      // driver listStatus calls. Above ~8k dirs the distributed
+      // listing wins again - exactly Spark's intended use of the knob.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.files.maxPartitionBytes", "1m")
