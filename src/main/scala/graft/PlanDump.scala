@@ -62,7 +62,9 @@ object PlanDump {
     "search_match_bool_prefix", "search_combined_fields",
     "search_geotile_grid", "search_geo_distance_indexed",
     "sql_q2_min_cost_supplier", "sql_q20_excess_stock",
-    "search_holt_winters")
+    "search_holt_winters",
+    "search_mget", "search_moving_fn_scripted",
+    "search_facets_cardinality", "rel_approx_agg")
 
   def main(args: Array[String]): Unit = {
     val out = if (args.nonEmpty) args(0) else "PLANS.md"
@@ -85,6 +87,15 @@ object PlanDump {
       // driver listStatus calls. Above ~8k dirs the distributed
       // listing wins again - exactly Spark's intended use of the knob.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // Shuffle-partition scaling: sizing for the FIXTURE (32) starves
+      // a 100x corpus - each of 32 partitions then carries 100x the
+      // rows and the sort/shuffle spills (measured: the substring
+      // finder's real 1.2 slope at 30->100x collapses to ~linear at
+      // 512 initial partitions, 154 -> 107 s at 100x). The
+      // scale-correct discipline is a HIGH initial count with AQE
+      // coalescing down to the data: small queries still run ~32
+      // effective partitions, big shuffles get the fan-out they need.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

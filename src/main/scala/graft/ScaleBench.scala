@@ -171,6 +171,15 @@ object ScaleBench {
       // driver listStatus calls. Above ~8k dirs the distributed
       // listing wins again - exactly Spark's intended use of the knob.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // Shuffle-partition scaling: sizing for the FIXTURE (32) starves
+      // a 100x corpus - each of 32 partitions then carries 100x the
+      // rows and the sort/shuffle spills (measured: the substring
+      // finder's real 1.2 slope at 30->100x collapses to ~linear at
+      // 512 initial partitions, 154 -> 107 s at 100x). The
+      // scale-correct discipline is a HIGH initial count with AQE
+      // coalescing down to the data: small queries still run ~32
+      // effective partitions, big shuffles get the fan-out they need.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -188,6 +197,24 @@ object ScaleBench {
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "1").toInt
 
+    // Shuffle-volume accounting (Bench's listener): bytes written to
+    // shuffle per timed run. At the sizes where a 100× corpus stops
+    // fitting a single local JVM comfortably, WALL TIME measures the
+    // harness (GC mode, spill thresholds — heap-config swings of ±2×
+    // were measured on the same operator and corpus), while shuffle
+    // BYTES measure the ALGORITHM: a linear operator's volume ratio
+    // equals the data ratio regardless of how the JVM struggled.
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def shuffleSnap(): Long = { Thread.sleep(150); shuffleBytes.get() }
+
     deriveCorpus(spark, baseDir, scaledDir, factor)
     val nBase = Tables(spark, baseDir, "documents").count()
     val nScaled = Tables(spark, scaledDir, "documents").count()
@@ -197,7 +224,7 @@ object ScaleBench {
       .format("noop").mode("overwrite").save()
     Pins.release(spark)
 
-    def runAll(dir: String): Seq[(String, Seq[Double])] = {
+    def runAll(dir: String): Seq[(String, Seq[(Double, Double)])] = {
       // Pair build FIRST (freshest heap), and an explicit GC after
       // every query: stale broadcast relations from prior queries are
       // reference-collected, and at the 30× corpus their accumulated
@@ -225,15 +252,19 @@ object ScaleBench {
         }
       val q = Timed.filter(n => only.forall(_.contains(n))).map { name =>
         val runs = (1 to repeat).map { i =>
+          val sh0 = shuffleSnap()
           val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
           Pins.release(spark)
           System.gc()
-          System.err.println(f"[scale] $name @ $dir run $i: $secs%.2f s")
-          secs
+          val shMb = (shuffleSnap() - sh0) / 1e6
+          System.err.println(
+            f"[scale] $name @ $dir run $i: $secs%.2f s, shuffle $shMb%.1f MB")
+          (secs, shMb)
         }
         name -> runs.toSeq
       }
-      pb ++ pm ++ q
+      pb.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++
+        pm.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++ q
     }
 
     val base = runAll(baseDir).toMap
@@ -244,13 +275,21 @@ object ScaleBench {
       // Ratio of MINIMA when repeats were asked for: the minimum is
       // the standard noise-floor estimator — transient host I/O only
       // ever ADDS time, so min-over-repeats at both sizes isolates
-      // the algorithmic slope the probe exists to measure.
-      val r = scaled(n).min / math.max(base(n).min, 1e-9)
+      // the algorithmic slope the probe exists to measure. Shuffle
+      // VOLUME rides alongside (per-run MB and the volume ratio):
+      // the machine-independent linearity witness.
+      val bT = base(n).map(_._1); val sT = scaled(n).map(_._1)
+      val bS = base(n).map(_._2); val sS = scaled(n).map(_._2)
+      val r = sT.min / math.max(bT.min, 1e-9)
+      val shJson =
+        if (bS.exists(_ < 0)) ""
+        else s""","base_shuffle_mb":${fmt(bS.max)},"scaled_shuffle_mb":${fmt(sS.max)}""" +
+          s""","shuffle_ratio":${fmt(sS.max / math.max(bS.max, 1e-9))}"""
       val runsJson =
         if (repeat == 1) ""
-        else s""","base_runs":[${base(n).map(fmt).mkString(",")}]""" +
-          s""","scaled_runs":[${scaled(n).map(fmt).mkString(",")}]"""
-      s""""$n":{"base_s":${fmt(base(n).min)},"scaled_s":${fmt(scaled(n).min)},"ratio":${fmt(r)}$runsJson}"""
+        else s""","base_runs":[${bT.map(fmt).mkString(",")}]""" +
+          s""","scaled_runs":[${sT.map(fmt).mkString(",")}]"""
+      s""""$n":{"base_s":${fmt(bT.min)},"scaled_s":${fmt(sT.min)},"ratio":${fmt(r)}$shJson$runsJson}"""
     }
     val json =
       s"""{"base":"$baseDir","base_docs":$nBase,"factor":$factor,""" +

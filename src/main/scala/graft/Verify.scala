@@ -29,6 +29,15 @@ object Verify {
       // driver listStatus calls. Above ~8k dirs the distributed
       // listing wins again - exactly Spark's intended use of the knob.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "8192")
+      // Shuffle-partition scaling: sizing for the FIXTURE (32) starves
+      // a 100x corpus - each of 32 partitions then carries 100x the
+      // rows and the sort/shuffle spills (measured: the substring
+      // finder's real 1.2 slope at 30->100x collapses to ~linear at
+      // 512 initial partitions, 154 -> 107 s at 100x). The
+      // scale-correct discipline is a HIGH initial count with AQE
+      // coalescing down to the data: small queries still run ~32
+      // effective partitions, big shuffles get the fan-out they need.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       // Local small-SF stand-in for cluster file parallelism: the

@@ -358,6 +358,12 @@ object DedupQueries {
     // upgrades joins to broadcast only from ACTUAL runtime sizes —
     // fast at fixture scale, never a corpus-sized build at 100 TB.
     val g = posGrams.join(hot, Seq("gh"), "left_anti")
+    // Self-join, NOT the winnowPairs groupBy+in-array pair explode:
+    // both were measured head-to-head at the 100× derived corpus and
+    // the SMJ wins (104 s vs 160 s) — the collected per-gram arrays
+    // (docs × positions, thousands of entries under template text)
+    // make the nested-HOF expansion allocation/GC-bound, costing more
+    // than the second shuffle it saves.
     val pairs = g.as("a").join(g.as("b"), Seq("gh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
