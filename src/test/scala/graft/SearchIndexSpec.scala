@@ -32,6 +32,59 @@ class SearchIndexSpec extends AnyFunSuite {
       s"term filter not pushed: ${scanLine.get}")
   }
 
+  test("doclen sidecar: maintained per segment, coverage-gap fallback, compaction heals") {
+    // The stats-delta probe reads the 1-row-per-doc `_doclen` table
+    // instead of semi-scanning the full postings. The sidecar follows
+    // the same segment lifecycle; a PARTIAL table (e.g. a pre-doclen
+    // artifact that received one upsert) must NOT be trusted — the
+    // stats would silently under-count removed docs.
+    import org.apache.spark.sql.functions._
+    val words = Seq("spark", "vector", "join", "table", "fast", "row")
+    def docsDf(from: Long, until: Long) =
+      spark.range(from, until).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 12).map(i =>
+          element_at(typedlit(words), ((col("id") + i * 7) % 6 + 1).cast("int"))): _*)
+          .as("text"),
+        lit("en").as("lang"), lit("src0").as("source"), lit(60L).as("n_chars"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_doclen").toString
+    docsDf(0, 40).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    SearchQueries.materializedPostings(spark, dir)
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    val doclenDir = new java.io.File(
+      store.artifactPath(SearchQueries.PostingsName), "_doclen")
+    assert(new java.io.File(doclenDir, "seg=0").isDirectory,
+      "build must write doclen seg=0")
+    def statsOk(): Unit = {
+      val Array(n, sumDl) = store.artifactSidecar(SearchQueries.PostingsName,
+        SearchQueries.PostingsStatsSidecar).get.split(' ').map(_.toDouble)
+      val perDoc = SearchQueries.resolvedPostings(store)
+        .select(col("doc_id"), col("n_tokens")).distinct()
+      assert(perDoc.count().toDouble == n, "sidecar doc count drifted")
+      assert(perDoc.agg(sum(col("n_tokens"))).head.getLong(0).toDouble == sumDl,
+        "sidecar token sum drifted")
+    }
+    // Upsert (re-writes docs 0..9 → removed contribution from doclen).
+    SearchQueries.upsertPostings(store, docsDf(0, 10))
+    assert(new java.io.File(doclenDir, "seg=1").isDirectory,
+      "upsert must append its doclen segment")
+    statsOk()
+    // Coverage gap: nuke seg=0's doclen only — the probe must fall
+    // back to derive-from-postings and stats stay exact.
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete() }
+    rm(new java.io.File(doclenDir, "seg=0"))
+    SearchQueries.upsertPostings(store, docsDf(10, 20))
+    statsOk()
+    // Compaction heals: one seg=0 doclen table again, covering all.
+    SearchQueries.compactPostings(store)
+    assert(new java.io.File(doclenDir, "seg=0").isDirectory)
+    assert(!new java.io.File(doclenDir, "seg=1").exists(),
+      "compaction must fold doclen to a single segment")
+    SearchQueries.upsertPostings(store, docsDf(20, 25))
+    statsOk()
+  }
+
   test("mget: request order, found flags, duplicates honored, In pushed to the scan") {
     val df = SparkEntry.queries("search_mget")(spark, sf)
     val rows = df.collect()
