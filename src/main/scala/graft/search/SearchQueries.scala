@@ -277,6 +277,21 @@ object SearchQueries {
     val Array(oldN, oldDl) = store.artifactSidecar(PostingsName, PostingsStatsSidecar)
       .getOrElse(sys.error(s"$PostingsName has no corpus-stats sidecar"))
       .split(' ').map(_.toDouble)
+    // An empty micro-batch (routine under foreachBatch) must not burn
+    // a segment generation or write empty segment/tombstone files —
+    // return the current max gen untouched (if/else, not `return`:
+    // the lock body is by-name).
+    val curGen = {
+      val fs0 = org.apache.hadoop.fs.FileSystem.get(
+        s.sparkContext.hadoopConfiguration)
+      fs0.listStatus(
+          new org.apache.hadoop.fs.Path(store.artifactPath(PostingsName)))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("seg="))
+        .map(_.getPath.getName.stripPrefix("seg=").toInt)
+        .foldLeft(0)(math.max)
+    }
+    if (batch.isEmpty) curGen.toLong
+    else {
     // Stats-delta probe against the DOCLEN sidecar table, with the
     // batch's id list PUSHED into its doc-sorted scan when the batch
     // is micro-batch-sized (the normal streaming case — row-group
@@ -313,6 +328,7 @@ object SearchQueries {
         oldN - removed.getDouble(0) + batchN,
         oldDl - removed.getDouble(1) + batchDl)))
     gen.toLong // the new segment's id — O(1), unlike a resolved count
+    }
     }
 
   /** Fold the maintained postings back to a single segment: resolve

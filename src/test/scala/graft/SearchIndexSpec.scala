@@ -83,6 +83,16 @@ class SearchIndexSpec extends AnyFunSuite {
       "compaction must fold doclen to a single segment")
     SearchQueries.upsertPostings(store, docsDf(20, 25))
     statsOk()
+    // Empty micro-batch: no new segment generation, stats untouched.
+    val segsBefore = new java.io.File(
+      store.artifactPath(SearchQueries.PostingsName)).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSet
+    SearchQueries.upsertPostings(store, docsDf(0, 0))
+    val segsAfter = new java.io.File(
+      store.artifactPath(SearchQueries.PostingsName)).listFiles()
+      .map(_.getName).filter(_.startsWith("seg=")).toSet
+    assert(segsAfter == segsBefore, "empty batch must not burn a segment")
+    statsOk()
   }
 
   test("mget: request order, found flags, duplicates honored, In pushed to the scan") {
