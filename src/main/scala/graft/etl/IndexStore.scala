@@ -574,6 +574,7 @@ class IndexStore(spark: SparkSession, root: String) {
   def writeArtifact(df: DataFrame, name: String, fingerprint: String,
                     numShards: Int = 5, partitionCols: Seq[String] = Nil,
                     rangeSortCols: Seq[String] = Nil,
+                    withinFileSortCols: Seq[String] = Nil,
                     sidecars: Map[String, String] = Map.empty): Unit =
     swapIn(name) { tmp =>
       val writer =
@@ -598,9 +599,19 @@ class IndexStore(spark: SparkSession, root: String) {
           // ~cells/tasks files — while still producing exactly one
           // file per (task, cell), so the file count per cell dir
           // stays 1 and reader-side pruning is unchanged.
+          // `withinFileSortCols` additionally sorts every (task, cell)
+          // file by the given KEY columns — partition pruning on the
+          // hive columns stays the primary skip, and a pushed
+          // key-filter (the maintenance probes' In(id) list) then
+          // prunes ROW GROUPS inside each cell file via min/max stats.
+          // Unlike the combined range layout above, the tasks stay
+          // partition-spread, so cell-writer creation keeps its
+          // parallelism (the 17 s single-task lesson).
           df.repartition(
             spark.conf.get("spark.sql.shuffle.partitions").toInt,
             partitionCols.map(col): _*)
+            .sortWithinPartitions(
+              (partitionCols ++ withinFileSortCols).map(col): _*)
             .write.partitionBy(partitionCols: _*)
         else if (rangeSortCols.nonEmpty)
           df.repartitionByRange(numShards, rangeSortCols.map(col): _*)
@@ -638,7 +649,8 @@ class IndexStore(spark: SparkSession, root: String) {
     */
   def overwritePartitions(df: DataFrame, name: String, partitionCol: String,
                           fingerprint: String,
-                          dropPartitionValues: Seq[String] = Nil): Unit = {
+                          dropPartitionValues: Seq[String] = Nil,
+                          withinFileSortCols: Seq[String] = Nil): Unit = {
     val d = dir(name)
     require(fs.exists(d), s"overwritePartitions: no artifact $name")
     fs.delete(new Path(d, MetaFile), false)
@@ -654,7 +666,16 @@ class IndexStore(spark: SparkSession, root: String) {
       val staged = spark.read.parquet(stage.toString)
       val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      try staged.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+      // Rewritten cells keep the build's within-file KEY sort (see
+      // writeArtifact's withinFileSortCols) so maintenance never
+      // degrades the row-group-pruning layout the probes rely on.
+      val sorted =
+        if (withinFileSortCols.isEmpty) staged
+        else staged.repartition(
+            spark.conf.get("spark.sql.shuffle.partitions").toInt,
+            col(partitionCol))
+          .sortWithinPartitions((partitionCol +: withinFileSortCols).map(col): _*)
+      try sorted.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
         .parquet(d.toString)
       finally prev match {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)

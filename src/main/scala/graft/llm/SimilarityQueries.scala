@@ -1411,8 +1411,12 @@ object SimilarityQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val model = model0.copy(sub = trainSubCodebooks(l1, model0))
       val indexed = encodeAssigned(l1, model)
+      // Within-cell vec_id sort: partition pruning on `cell` stays the
+      // probe-time skip; the maintenance key probe's pushed In(vec_id)
+      // then prunes ROW GROUPS inside each cell file.
       store.writeArtifact(indexed, VecIndexName, fp,
-        partitionCols = Seq("cell"), sidecars = Map(ModelSidecar -> model.serialize))
+        partitionCols = Seq("cell"), withinFileSortCols = Seq("vec_id"),
+        sidecars = Map(ModelSidecar -> model.serialize))
       l1.unpersist()
       e.unpersist()
     }
@@ -1460,7 +1464,20 @@ object SimilarityQueries {
     val enc = encodeWithModel(embDouble(b), model)
     val idx = store.read(VecIndexName)
     val keys = b.select(col("vec_id")).distinct()
-    val oldCells = idx.join(broadcast(keys), Seq("vec_id"))
+    // Locating the batch keys' CURRENT cells: for a micro-batch the id
+    // list pushes into the index scan as an In filter — the build's
+    // within-cell vec_id sort turns it into row-group pruning, so the
+    // probe reads O(batch) row groups instead of the whole (vec_id,
+    // cell) projection; a bulk batch past the push cap falls back to
+    // the distributed semi-join probe (same rule as the postings
+    // doclen probe).
+    val MaxInPush = 10000
+    val keyList = keys.limit(MaxInPush + 1).collect().map(_.getLong(0))
+    val oldCellsDf =
+      if (keyList.length <= MaxInPush)
+        idx.filter(col("vec_id").isin(keyList.toSeq: _*))
+      else idx.join(broadcast(keys), Seq("vec_id"))
+    val oldCells = oldCellsDf
       .select(col("cell")).distinct().collect().map(_.getInt(0)).toSet
     val newCells = enc.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -1478,7 +1495,8 @@ object SimilarityQueries {
       val remaining = replacement.select(col("cell")).distinct()
         .collect().map(_.getInt(0)).toSet
       store.overwritePartitions(replacement, VecIndexName, "cell", fingerprint,
-        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString),
+        withinFileSortCols = Seq("vec_id"))
       store.count(VecIndexName)
     }
     }

@@ -228,8 +228,12 @@ object GeoQueries {
     val fp = "geo_points_v1_gh2:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/customer.parquet")
     if (!store.artifactFingerprint(GeoIndexName).contains(fp))
+      // Within-cell c_custkey sort: partition pruning on `gh` stays
+      // the query-time skip; the maintenance key probe's pushed
+      // In(c_custkey) then prunes ROW GROUPS inside each cell file.
       store.writeArtifact(withCell(points(s, dir)),
-        GeoIndexName, fp, partitionCols = Seq("gh"))
+        GeoIndexName, fp, partitionCols = Seq("gh"),
+        withinFileSortCols = Seq("c_custkey"))
     store.read(GeoIndexName)
   }
 
@@ -270,7 +274,17 @@ object GeoQueries {
     // discipline as bulkImport's dedupByKey.
     val batchG = withCell(store.dedupByKey(batch, "c_custkey"))
     val keys = batchG.select(col("c_custkey")).distinct()
-    val oldCells = idx.join(broadcast(keys), Seq("c_custkey"))
+    // Current-cell probe: micro-batch id lists push into the index
+    // scan as an In filter (row-group-pruned by the within-cell key
+    // sort); past the cap, the distributed semi-join (the doclen
+    // probe rule).
+    val MaxInPush = 10000
+    val keyList = keys.limit(MaxInPush + 1).collect().map(_.getLong(0))
+    val oldCellsDf =
+      if (keyList.length <= MaxInPush)
+        idx.filter(col("c_custkey").isin(keyList.toSeq: _*))
+      else idx.join(broadcast(keys), Seq("c_custkey"))
+    val oldCells = oldCellsDf
       .select(col("gh")).distinct().collect().map(_.getInt(0)).toSet
     val newCells = batchG.select(col("gh")).distinct()
       .collect().map(_.getInt(0)).toSet
@@ -289,7 +303,8 @@ object GeoQueries {
         .collect().map(_.getInt(0)).toSet
       store.overwritePartitions(replacement, GeoIndexName, "gh",
         "geo_points_v1_gh2:stream-maintained",
-        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString))
+        dropPartitionValues = (touched -- remaining).toSeq.sorted.map(_.toString),
+        withinFileSortCols = Seq("c_custkey"))
       touched.size
     }
     }
