@@ -142,6 +142,12 @@ case class HllEstAgg(
         .contains(registers.dataType))
       TypeCheckResult.TypeCheckFailure(
         "hll_est register count must be a foldable integer literal")
+    // A foldable NULL (hll_est(x, CAST(NULL AS INT))) passes the two
+    // checks above; guard before `m` dereferences it or the analyzer
+    // surfaces an NPE instead of a type error.
+    else if (registers.eval() == null)
+      TypeCheckResult.TypeCheckFailure(
+        "hll_est register count must be a non-NULL integer literal")
     else if (m != 64 && (m < 128 || m > 65536))
       TypeCheckResult.TypeCheckFailure(
         s"hll_est register count must be 64 or in [128, 65536], got $m")

@@ -517,6 +517,13 @@ object EsTailQueries {
     // the custom-script example) and the scaled squared deviation
     // Σ(n·x−s)² (a volatility panel — integer because the mean is
     // carried as the (n·x−s) cross-multiply, never divided).
+    // The squared deviation rides the DECIMAL(38,0) carrier (HUGEINT
+    // in the twin) — in 64-bit Long the square wraps SILENTLY past
+    // per-day doc_count ≈ 8.6e8 while DuckDB raises, a silent
+    // engine/oracle divergence exactly at the 100 TB regime (round-8
+    // advice). The final BIGINT cast keeps the same documented domain
+    // as the other ppm metrics (overflow now surfaces as NULL/error,
+    // never a wrapped value); past it, serve the carrier undowncast.
     // Scale shape: pipeline-agg contract — the corpus-scale work is
     // the one histogram agg; the window runs over the BOUNDED bucket
     // list, and partial leading windows are served (ES gives the
@@ -534,9 +541,10 @@ object EsTailQueries {
         .select(col("day"), col("doc_count"), col("w_size"),
           expr("(array_max(vals) + array_min(vals)) * 1000000 DIV 2")
             .as("script_midrange_x1e6"),
-          expr("""aggregate(vals, 0L,
-                 |  (a, x) -> a + (w_size * x - w_sum) * (w_size * x - w_sum))"""
-            .stripMargin).as("script_sq_dev_nx2"))
+          expr("""CAST(aggregate(vals, CAST(0 AS DECIMAL(38,0)),
+                 |  (a, x) -> a + (CAST(w_size AS DECIMAL(38,0)) * x - w_sum)
+                 |              * (CAST(w_size AS DECIMAL(38,0)) * x - w_sum))
+                 |  AS BIGINT)""".stripMargin).as("script_sq_dev_nx2"))
         .orderBy(col("day"))
     })
   )
@@ -566,8 +574,8 @@ object EsTailQueries {
         |  (list_aggregate(vals, 'max') + list_aggregate(vals, 'min'))
         |    * 1000000 // 2 AS script_midrange_x1e6,
         |  CAST(list_sum(list_transform(vals,
-        |    x -> (len(vals) * x - list_sum(vals))
-        |       * (len(vals) * x - list_sum(vals)))) AS BIGINT)
+        |    x -> (CAST(len(vals) AS HUGEINT) * x - list_sum(vals))
+        |       * (CAST(len(vals) AS HUGEINT) * x - list_sum(vals)))) AS BIGINT)
         |    AS script_sq_dev_nx2
         |FROM wv ORDER BY day""".stripMargin,
     "search_significant_text" ->

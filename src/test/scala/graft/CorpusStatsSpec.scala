@@ -78,6 +78,22 @@ class CorpusStatsSpec extends AnyFunSuite {
     assert(skewed == native, "estimate changed under repartitioning")
   }
 
+  test("hll_est rejects a foldable NULL register count as a type error, not an NPE") {
+    // hll_est(x, CAST(NULL AS INT)) is foldable and typed INT — it used
+    // to pass both checks and NPE inside the `m` dereference during
+    // analysis (round-8 advice). It must surface as an AnalysisException
+    // (TypeCheckFailure), never a NullPointerException.
+    val e = intercept[Exception] {
+      Tables(spark, sf, "documents")
+        .selectExpr("hll_est(source, CAST(NULL AS INT)) AS est")
+        .collect()
+    }
+    assert(!e.isInstanceOf[NullPointerException],
+      s"NULL register count NPE'd instead of failing the type check: $e")
+    assert(e.getMessage.contains("non-NULL"),
+      s"expected the non-NULL type-check message, got: ${e.getMessage}")
+  }
+
   test("KMV estimates equal a sequential k-min fold; small-set rule exact") {
     val k = 32
     val H = 72057594037927936L // 2^56
