@@ -50,6 +50,22 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val cores = Runtime.getRuntime.availableProcessors()
+    // Bounded wait-for-idle (round-8 verdict #5): every driver-tail
+    // record to date was taken on a contended host and is noise for
+    // per-query comparison. Poll the 1-min load and delay start until
+    // the host is idle (load < 1.0 — the same bar the `contended`
+    // flag uses) or the 10-min bound expires; a record that STILL
+    // starts loaded self-identifies via `contended: true` below.
+    locally {
+      val deadline = System.currentTimeMillis() + 10 * 60 * 1000L
+      var l = loadAvg()
+      while (l > 1.0 && System.currentTimeMillis() < deadline) {
+        System.err.println(f"[bench] host 1-min load $l%.2f — waiting for idle " +
+          f"(bounded, ${(deadline - System.currentTimeMillis()) / 1000}s left)")
+        Thread.sleep(15000)
+        l = loadAvg()
+      }
+    }
     val loadStart = loadAvg()
     if (loadStart > 0.5 * cores)
       System.err.println(f"[bench] WARNING: host 1-min load $loadStart%.1f exceeds " +
@@ -197,6 +213,26 @@ object Bench {
         col("id").cast("double"), (col("id") % 7).cast("double"))).as("features"))
       new KMeans().setK(2).setSeed(1L).setMaxIter(1).fit(tiny)
     }
+    // RocksDB state-store + transformWithState warm-up (round-8 verdict
+    // #3): stream_distinct_users_hll swung 1.04 → 3.66 s between records
+    // with its code untouched — the delta is one-time provider init
+    // (RocksDB native-library load + state-store coordinator + TWS batch
+    // codegen), which this tiny run absorbs so the real entry tracks the
+    // operator (measured: ~2.3 s one-time; see BENCH_LOCAL.md).
+    locally {
+      val s2 = spark.newSession()
+      s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      org.apache.spark.sql.GraftSqlAccess.ensureStateStoreCoordinator(s2)
+      import s2.implicits._
+      val tiny = s2.range(16)
+        .select((org.apache.spark.sql.functions.col("id") % 3).cast("string"),
+          org.apache.spark.sql.functions.col("id").cast("string"))
+        .as[(String, String)]
+        .map { case (k, v) => streaming.TwsHll.Keyed(k, v) }
+      streaming.TwsHll.distinctPerKey(tiny).toDF().write
+        .format("noop").mode("overwrite").save()
+    }
 
     // Derived-artifact builds (the near-dup pair graph, the IVFADC
     // vector index) are INGEST-time work shared by many queries.
@@ -308,18 +344,72 @@ object Bench {
       dt
     }
 
+    // True Structured-Streaming ingest latency (round-8 verdict #8):
+    // the 14 stream_* entries bench their batch twins; this entry runs
+    // the real micro-batch runtime end-to-end — the events table
+    // staged as 5 files, readStream(maxFilesPerTrigger=1) → foreachBatch
+    // keyed upsert into an IndexStore index (the reference's continuous
+    // bulk-import shape, StreamingIndexSpec's pipeline) — and records
+    // wall seconds for the 5-micro-batch drain; stderr carries the
+    // per-batch mean. Checkpointed, AvailableNow trigger.
+    val runStreamLatency = only.forall(_.contains("_stream_latency"))
+    val streamLatencySecs = if (!runStreamLatency) -1.0 else {
+      import org.apache.spark.sql.streaming.Trigger
+      val src = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
+      val wh = java.nio.file.Files.createTempDirectory("bench_stream_wh").toString
+      Tables(spark, sfDir, "events").repartition(5)
+        .write.mode("overwrite").parquet(s"$src/in")
+      val store = new etl.IndexStore(spark, wh)
+      val schema = spark.read.parquet(s"$src/in").schema
+      val nBatches = 5
+      val t0 = System.nanoTime()
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$src/in")
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (store.listIndexes().contains("events_live"))
+            store.upsert(batch, "events_live", "event_id")
+          else store.bulkImport(batch, "events_live", "event_id")
+          ()
+        }
+        .option("checkpointLocation", s"$src/.ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(600000)
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] _stream_latency: $nBatches micro-batches in " +
+        f"$dt%.2f s (${dt / nBatches}%.2f s/batch, keyed upsert into served index)")
+      Pins.release(spark)
+      snapShuffle("_stream_latency")
+      dt
+    }
+
     val coldResults = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
       .map(n => n -> runOnce(n))
 
-    // Warm-serving pass: the served-index queries re-run in the SAME
-    // session after the full sweep — artifacts on disk, parquet
+    // Warm-serving pass: EVERY artifact-served query re-runs in the
+    // SAME session after the full sweep — artifacts on disk, parquet
     // footers and codegen hot — so the record carries the
     // steady-state latency a serving deployment sees next to the
     // cold number (which bills plan-time candidate enumeration and
     // first-touch I/O). `_warm_` entries land in BENCH_LOCAL.json.
-    val servedIndexQueries = Seq("search_topk_bm25_indexed",
-      "search_geo_distance_indexed", "llm_ann_indexed_topk")
+    // The list is every query that reads a materialized IndexStore
+    // artifact (postings / geo cells / vec index), plus search_mget
+    // (the point-lookup serving path, artifact-free but footer-bound).
+    val servedIndexQueries = Seq(
+      // postings-served (SearchQueries + span/suggest/relevance/es files)
+      "search_topk_bm25_indexed", "search_phrase_indexed", "search_suggest",
+      "search_span_near", "search_intervals_unordered",
+      "search_regexp", "search_span_containing", "search_span_multi",
+      "search_span_within", "search_span_or", "search_span_first",
+      "search_match_bool_prefix", "search_rank_feature",
+      "search_suggest_term", "search_suggest_phrase",
+      // geo-cell-served
+      "search_geo_distance_indexed", "search_geo_bounding_box_indexed",
+      // vec-index-served
+      "llm_ann_indexed_topk",
+      // point-lookup serving path
+      "search_mget")
     val warmResults = servedIndexQueries
       .filter(n => only.forall(_.contains(n)))
       .filter(n => coldResults.exists(_._1 == n))
@@ -333,7 +423,8 @@ object Bench {
       (if (runWpBuild) Seq("_build_wordpiece" -> ((wpBuildSecs, wpBuildSecs))) else Nil) ++
       (if (runGeoBuild) Seq("_build_geo_cells" -> ((geoBuildSecs, geoBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
-      (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil)
+      (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil) ++
+      (if (runStreamLatency) Seq("_stream_latency" -> ((streamLatencySecs, streamLatencySecs))) else Nil)
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }.mkString("{", ",", "}")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PqEncodeExpr, SimHash64Expr, WinnowCfpsExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PqEncodeExpr, SimHash64Expr, SimHashMd5Expr, WinnowCfpsExpr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -33,6 +33,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("simhash64_native", 1, children)
         SimHash64Expr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_md5"),
+      new ExpressionInfo(classOf[SimHashMd5Expr].getName, "simhash_md5",
+        "simhash_md5(text) - two-half (32+32 bit) SimHash over whitespace tokens of edge-trimmed lower(text); token hash = first 64 bits of md5, so the signature is DuckDB-reproducible"),
+      (children: Exprs) => {
+        arity("simhash_md5", 1, children)
+        SimHashMd5Expr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("minhash32_native"),

@@ -94,10 +94,13 @@ object Recall {
     // predicts exactly zero loss at k=3).
     val sh = Tables.forCompute(spark, sfDir, "documents")
       .select(col("doc_id"),
-        call_function("simhash64_native", col("text")).as("simhash"))
+        call_function("simhash_md5", col("text")).as("sig"))
+      .select(col("doc_id"),
+        element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
       .persist()
     val simhashTruth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .filter(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 3)
+      .filter(bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+        bit_count(col("a.hi").bitwiseXOR(col("b.hi"))) <= 3)
       .select(col("a.doc_id"), col("b.doc_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     sh.unpersist()

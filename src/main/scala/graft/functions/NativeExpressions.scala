@@ -48,6 +48,38 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** simhash_md5(text): two-half (32+32 bit) SimHash over the
+  * whitespace tokens of edge-trimmed lower(text), token hash = the 64
+  * bits the first 16 hex characters of md5(token) expose. MD5 is the
+  * one 64-bit-quality hash BOTH engines compute identically (DuckDB
+  * has no xxhash64), which makes the banded near-dup query built on
+  * this signature fully DuckDB-oracle-checkable — and the 4×16-bit
+  * banding's pigeonhole recall guarantee at hamming ≤ 3 is
+  * hash-agnostic, so nothing is lost moving off xxhash64 for this
+  * query (the xxhash64 kernel remains the registered fast path for
+  * signature-only uses). Packed as [lo, hi] with 32 bits per BIGINT
+  * so no half ever sets the sign bit — both engines stay in ordinary
+  * non-overflowing BIGINT arithmetic (the llm_ann_binary_topk rule).
+  */
+case class SimHashMd5Expr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash_md5 requires STRING, got ${child.dataType.sql}")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "simhash_md5"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.simhashMd5(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.simhashMd5($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHashMd5Expr =
+    copy(child = newChild)
+}
+
 /** cosine_sim(a, b): cosine similarity of two array<double> in one
   * fused pass (dot + both norms per element). Null if either array is
   * null, lengths differ, or any element is null — matching the
@@ -571,6 +603,69 @@ object GraftKernels {
   private def hashRange(bytes: Array[Byte], from: Int, until: Int): Long =
     XXH64.hashUnsafeBytes(bytes,
       org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + from, until - from, Seed)
+
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** [[SimHashMd5Expr]] kernel. Tokenization = whitespace fields of
+    * the EDGE-TRIMMED lowered text (edge trim, unlike simhash64's raw
+    * split fields, because the DuckDB twin's regexp_split keeps a
+    * TRAILING empty field where Java's split drops it — trimming both
+    * sides removes the asymmetry); an all-whitespace/empty text yields
+    * the single empty token both engines then hash. Bit b of a token's
+    * hash = bit (7 − b%8) of md5 digest byte b/8 — exactly the bit the
+    * b-th hex-nibble character of md5's hex form exposes, which is
+    * what the SQL twin reads via substr(md5(tok), b/4+1, 1).
+    */
+  def simhashMd5(s: UTF8String): ArrayData = {
+    val bytes = s.toLowerCase.getBytes
+    val votes = new Array[Int](64)
+    val md = md5Local.get()
+
+    def vote(from: Int, until: Int): Unit = {
+      md.reset()
+      md.update(bytes, from, until - from)
+      val d = md.digest()
+      var b = 0
+      while (b < 64) {
+        if (((d(b >> 3) >>> (7 - (b & 7))) & 1) == 1) votes(b) += 1
+        else votes(b) -= 1
+        b += 1
+      }
+    }
+
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+    var lo0 = 0
+    var hi0 = bytes.length
+    while (lo0 < hi0 && isWs(bytes(lo0))) lo0 += 1
+    while (hi0 > lo0 && isWs(bytes(hi0 - 1))) hi0 -= 1
+    var prev = lo0
+    var i = lo0
+    while (i < hi0) {
+      if (isWs(bytes(i))) {
+        val runStart = i
+        while (i < hi0 && isWs(bytes(i))) i += 1
+        vote(prev, runStart)
+        prev = i
+      } else i += 1
+    }
+    vote(prev, hi0) // tail token ("" for empty/all-ws input)
+
+    var lo = 0L
+    var hi = 0L
+    var b = 0
+    while (b < 32) {
+      if (votes(b) > 0) lo |= (1L << b)
+      if (votes(b + 32) > 0) hi |= (1L << b)
+      b += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array[Any](lo, hi))
+  }
 
   private final val MinHashK = 32
 

@@ -260,6 +260,31 @@ object DedupQueries {
         |  JOIN sizes sb ON doc_b = sb.doc_id
         |  WHERE inter * 5 >= sa.n_shingles + sb.n_shingles - inter)""".stripMargin
 
+  /** No-df-cap exact-Jaccard pair CTEs ending in
+    * `scored(doc_a, doc_b, inter, union_sz)` — the twin base for the
+    * MinHash verify stages, which count EVERY shingle (the ngram
+    * pair-finder twin above drops hot shingles by design; the MinHash
+    * verify does not).
+    */
+  private[graft] val MinhashExactCtes: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |    w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+      |  FROM t, unnest(generate_series(1, greatest(len(w) - 2, 0))) AS g(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pairs AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT doc_a, doc_b, inter, sa.n + sb.n - inter AS union_sz
+      |  FROM pairs
+      |  JOIN sizes sa ON doc_a = sa.doc_id
+      |  JOIN sizes sb ON doc_b = sb.doc_id)""".stripMargin
+
   /** 64-bit SimHash of a text column named `text`: for each bit b, sum
     * +1/-1 votes from every token's xxhash64 bit b; result bit b is set
     * iff the vote is positive. Pure higher-order functions (nested
@@ -814,27 +839,39 @@ object DedupQueries {
     // at least one band identical (pigeonhole), so the band join has
     // GUARANTEED 100% recall at this threshold (measured in
     // RECALL_r04.json) while staying linear in corpus size, never
-    // pairwise. xxhash64 has no DuckDB twin -> rows-only check +
-    // property tests in LlmSpec.
+    // pairwise. Since round 9 the signature is the MD5-derived
+    // [[graft.functions.SimHashMd5Expr]] (two 32-bit halves), the one
+    // token hash both engines compute — and because the pigeonhole
+    // recall is 1.0 by construction at this threshold, the banded
+    // output EQUALS all-pairs hamming<=3 and hash-checks against the
+    // DuckDB md5-nibble twin: the whole query, blocking included, is
+    // now a full oracle row, not rows-only.
     "llm_dedup_simhash" -> ((s, dir) => {
-      // Signature computation (64 nested folds per doc) is the
-      // expensive narrow stage — persist it so the self-join's two
-      // sides don't recompute it.
+      // Signature computation (md5 per token) is the expensive narrow
+      // stage — persist it so the self-join's two sides don't
+      // recompute it.
       val sh = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"),
-          call_function("simhash64_native", col("text")).as("simhash"))
+          call_function("simhash_md5", col("text")).as("sig"))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("lo"), element_at(col("sig"), 2).as("hi"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
-      val banded = sh.select(col("doc_id"), col("simhash"),
-        explode(array((0 until 4).map(b =>
-          struct(lit(b).as("band"),
-            shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-        .select(col("doc_id"), col("simhash"),
+      val banded = sh.select(col("doc_id"), col("lo"), col("hi"),
+        explode(array(
+          struct(lit(0).as("band"), col("lo").bitwiseAND(lit(0xFFFFL)).as("key")),
+          struct(lit(1).as("band"),
+            shiftright(col("lo"), 16).bitwiseAND(lit(0xFFFFL)).as("key")),
+          struct(lit(2).as("band"), col("hi").bitwiseAND(lit(0xFFFFL)).as("key")),
+          struct(lit(3).as("band"),
+            shiftright(col("hi"), 16).bitwiseAND(lit(0xFFFFL)).as("key")))).as("bk"))
+        .select(col("doc_id"), col("lo"), col("hi"),
           col("bk.band").as("band"), col("bk.key").as("key"))
       banded.as("a").join(banded.as("b"),
           col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+          (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+            bit_count(col("a.hi").bitwiseXOR(col("b.hi")))).as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy(col("doc_a"), col("doc_b"))
@@ -895,11 +932,18 @@ object DedupQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
-    // MinHash+LSH near-dup candidates via spark.ml: distinct word
-    // shingles -> fixed-seed HashingTF (2^18 dims) -> MinHashLSH
-    // signature -> approxSimilarityJoin (band-bucket join inside).
-    // Fixed seed => deterministic, but not SQL-expressible ->
-    // rows-only check + recall property test in LlmSpec.
+    // MinHash+LSH near-dup via spark.ml: distinct word shingles ->
+    // fixed-seed HashingTF (2^18 dims) -> MinHashLSH signature ->
+    // approxSimilarityJoin (band-bucket join inside) for CANDIDATES,
+    // then EXACT Jaccard over the candidates' shingle arrays as the
+    // verify stage — same slim-candidates/verify-late shape as the
+    // native banded variant above, and the same oracle contract: the
+    // output is exact integer arithmetic over a candidate set whose
+    // recall is 1.0 at both SFs (RECALL), so it hash-checks against
+    // the all-pairs exact-Jaccard DuckDB twin. (The ml join's own
+    // jaccard_dist is over HASHED features — collisions make it
+    // engine-specific — so it is candidate-selection only, at the
+    // 0.8-distance threshold matching exact J >= 0.2.)
     "llm_dedup_minhash" -> ((s, dir) => {
       import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
       // Persist-before-filter for the same pushdown reason as the
@@ -920,11 +964,19 @@ object DedupQueries {
       val lsh = new MinHashLSH().setInputCol("features").setOutputCol("sig")
         .setNumHashTables(4).setSeed(42L)
       val model = lsh.fit(feat)
-      model.approxSimilarityJoin(feat, feat, 0.8, "jaccard_dist")
+      val cand = model.approxSimilarityJoin(feat, feat, 0.8, "hashed_dist")
         .select(col("datasetA.doc_id").as("doc_a"),
-          col("datasetB.doc_id").as("doc_b"),
-          round(col("jaccard_dist"), 6).as("jaccard_dist"))
+          col("datasetB.doc_id").as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+        .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+        .filter(col("inter") * 5 >= col("union_sz")) // exact jaccard >= 0.2
+        .select(col("doc_a"), col("doc_b"),
+          round(lit(1.0) - col("inter").cast("double") / col("union_sz"), 6)
+            .as("jaccard_dist"))
         .orderBy(col("doc_a"), col("doc_b"))
     })
   )
@@ -1174,6 +1226,67 @@ object DedupQueries {
         |FROM ch GROUP BY 1
         |HAVING count(DISTINCT doc_id) >= 2
         |ORDER BY n_docs DESC, chunk_md5""".stripMargin,
+    // SimHash twin: recompute the MD5-nibble two-half signature in SQL
+    // (bit b of a token's hash = bit 3−b%4 of the b/4-th hex nibble of
+    // md5 — the same bit SimHashMd5Expr reads from digest bytes), then
+    // ALL-PAIRS hamming <= 3. The engine's banded form equals this by
+    // the pigeonhole guarantee (<=3 differing bits over 4 bands leaves
+    // a band identical), so blocking loss cannot hide here — any
+    // mismatch is a real signature or join bug. All-pairs is the
+    // TWIN's cost at the 500-doc gate SF only; the engine never joins
+    // all pairs.
+    "llm_dedup_simhash" ->
+      raw"""WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(
+        |      regexp_replace(lower(text), '^\s+|\s+$$', '', 'g'), '\s+') AS w
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, md5(tok) AS h
+        |  FROM (SELECT doc_id, unnest(w) AS tok FROM t)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN
+        |      ((strpos('0123456789abcdef', substr(h, (b // 4) + 1, 1)) - 1)
+        |        >> (3 - (b % 4))) & 1 = 1
+        |      THEN 1 ELSE -1 END) AS vote
+        |  FROM tok, unnest(generate_series(0, 63)) AS g(b)
+        |  GROUP BY doc_id, b),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN b < 32 AND vote > 0
+        |                  THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN b >= 32 AND vote > 0
+        |                  THEN CAST(1 AS BIGINT) << (b - 32) ELSE 0 END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.lo, b.lo))
+        |       + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // MinHash oracles — exact-verify contract (round-8 verdict #2):
+    // both MinHash variants OUTPUT pairs passing an EXACT-Jaccard
+    // verify over approximate candidates, and candidate recall is 1.0
+    // at both SFs with the banding/tables dials documented in-query —
+    // so the result equals the all-pairs exact answer and hash-checks
+    // against this full shingle-self-join twin. Unlike the ngram
+    // pair-finder twin there is NO df cap here: the verify stage
+    // counts every shingle, so the twin must too (at the gate SF hot
+    // shingles cost nothing; the ENGINE's scale path is the banded
+    // join, which never materializes all pairs).
+    "llm_dedup_minhash_banded" ->
+      s"""WITH $MinhashExactCtes
+         |SELECT doc_a, doc_b, CAST(inter AS INT) AS inter,
+         |  CAST(union_sz AS INT) AS union_sz
+         |FROM scored WHERE inter * 5 >= union_sz
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    "llm_dedup_minhash" ->
+      s"""WITH $MinhashExactCtes
+         |SELECT doc_a, doc_b,
+         |  round(1.0 - CAST(inter AS DOUBLE) / union_sz, 6) AS jaccard_dist
+         |FROM scored WHERE inter * 5 >= union_sz
+         |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_incremental" ->
       """WITH t AS (
         |  SELECT doc_id, source, regexp_split_to_array(lower(text), '\s+') AS w

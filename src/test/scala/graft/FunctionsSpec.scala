@@ -33,6 +33,35 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff.isEmpty, diff.collect().mkString("\n"))
   }
 
+  test("simhash_md5 == HOF md5-nibble simhash on fixture + edge cases") {
+    import spark.implicits._
+    // HOF twin reads bit b as bit 3−b%4 of md5's (b/4)-th hex nibble —
+    // the same definition the kernel (digest bytes) and the DuckDB
+    // oracle (substr of md5 hex) use; any deviation moves the oracle.
+    val toksSql =
+      """split(regexp_replace(lower(text), '^\\s+|\\s+$', ''), '\\s+')"""
+    def half(lo: Int): String =
+      s"""aggregate(sequence($lo, ${lo + 31}), CAST(0 AS BIGINT),
+         |  (acc, b) -> acc + IF(
+         |    aggregate(transform($toksSql, t -> md5(t)), 0, (a, h) ->
+         |      a + IF((shiftright(CAST(conv(substr(h, (b div 4) + 1, 1), 16, 10) AS INT),
+         |                         3 - (b % 4)) & 1) = 1, 1, -1)) > 0,
+         |    shiftleft(CAST(1 AS BIGINT), b - $lo), CAST(0 AS BIGINT)))""".stripMargin
+    val edges = Seq(
+      "", " ", "  ", "a", " a", "a ", " a ", "a  b", "\ta\nb\r",
+      "MiXeD CaSe TeXt", "tab\tsep", "trailing ws   ", "   leading"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    Seq(Tables(spark, sf, "documents").select(col("text")),
+        edges.select(col("text"))).foreach { src =>
+      val diff = src.select(
+        expr(half(0)).as("hof_lo"), expr(half(32)).as("hof_hi"),
+        call_function("simhash_md5", col("text")).as("sig"))
+        .filter(col("hof_lo") =!= element_at(col("sig"), 1) ||
+          col("hof_hi") =!= element_at(col("sig"), 2))
+      assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    }
+  }
+
   test("winnow_fps == HOF winnowing on a fixture sample + edge cases") {
     // Truncated sample, not the full corpus: the HOF twin is the
     // DOCUMENTED cubic-ish form (the optimizer re-evaluates the char
