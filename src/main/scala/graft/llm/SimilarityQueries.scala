@@ -133,6 +133,28 @@ object SimilarityQueries {
             element_at(dists, c + 1).as("d"))),
       acc => acc.getField("c"))
 
+  /** Cardinality-aware probe width for the IVF-probed family — the
+    * UNFILTERED sibling of llm_ann_filtered_topk's histogram rule:
+    * widen the probe set until its EXPECTED coverage (nProbe·N/nList
+    * rows, the uniform-occupancy estimate; the filtered variant needs
+    * the real histogram only because a metadata filter skews
+    * eligibility) reaches candidateFactor·k candidates, floored at
+    * the 4-probe operating point and capped at nList. At corpus scale
+    * this is the constant 4 — cells dwarf the 200-row target — while
+    * on a small corpus cells are tiny and widening is correspondingly
+    * cheap: measured (IvfDiag curves) to restore overlap@10 = 10/10
+    * at the 500-vector fixtures (rule picks 7 probes = 44% of a
+    * 500-row corpus, trivially affordable) while leaving the
+    * 2000-vector sf0.1 point at 4 probes (the published flat-at-9/10
+    * region, SCALE.md round-9). A FIXED nProbe starves exactly when
+    * cells are smaller than the candidate target — same failure mode,
+    * same cure, as the filtered variant's selective-predicate case.
+    */
+  private def adaptiveNProbe(n: Long, nList: Int, k: Int = 10,
+                             candidateFactor: Int = 20): Int =
+    math.min(nList,
+      math.max(4, math.ceil(candidateFactor.toDouble * k * nList / n).toInt))
+
   /** PQ encode: per subspace j, the index of the nearest codebook
     * centroid to `input`'s j-th sub-vector. `cb` is the
     * array<array<array<double>>> codebook literal indexed [j][c][d];
@@ -677,7 +699,7 @@ object SimilarityQueries {
     // against the brute-force DuckDB oracle there.
     "llm_ann_ivf_topk" -> ((s, dir) => {
       val nList = 16
-      val nProbe = 4
+      val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), nList)
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val centroids = trainCentroids(e, nList)
       val cb = typedlit(centroids)
@@ -879,7 +901,7 @@ object SimilarityQueries {
     // tables nList×m×nCent) are O(1) literals from the same bounded
     // sample. Exact-re-rank output -> DuckDB top-10 oracle + Recall.
     "llm_ann_ivfpq_topk" -> ((s, dir) => {
-      val nProbe = 4
+      val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), 16)
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
       val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
@@ -936,8 +958,8 @@ object SimilarityQueries {
     // codes, 100 lookups) and an ANN *ingest* (the one-time encode).
     // Exact-re-rank output -> DuckDB top-10 oracle + RECALL + spec.
     "llm_ann_indexed_topk" -> ((s, dir) => {
-      val nProbe = 4
       val (idx, model) = materializedVecIndex(s, dir)
+      val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), model.nList)
       val e = embDouble(Tables(s, dir, "embeddings"))
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray

@@ -83,4 +83,63 @@ object FormatIO {
       .option("upperBound", upperBound)
       .option("numPartitions", numPartitions)
       .option("fetchsize", 10000)
+
+  /** Keyed idempotent JDBC SINK — the write half of the reference's
+    * bulk-store contract (`BulkProcessImpl.java:124`: every document
+    * lands under its `_id`, re-imports overwrite): per input
+    * partition, ONE transaction of batched DELETE-by-key followed by
+    * batched INSERT. Delete-then-insert is the vendor-NEUTRAL upsert —
+    * MERGE/ON CONFLICT/ON DUPLICATE KEY syntax differs per engine and
+    * Derby (the live spec target) has none — and is exactly
+    * last-write-wins under re-import. Connections open on the
+    * EXECUTORS (`foreachPartition`), statements batch `batchSize`
+    * rows, commit is per-partition — a failed partition rolls back
+    * whole, and Spark's task retry re-runs it idempotently (the same
+    * keys delete-then-insert again). The input must be key-unique:
+    * route it through [[graft.etl.IndexStore.dedupByKey]]'s
+    * last-write-wins survivor first (as bulkImport does) — two rows
+    * with one key in one batch would both survive the insert. At
+    * cluster scale this is numPartitions concurrent bulk writers,
+    * the reference's "10 concurrent bulks" knob as task parallelism.
+    */
+  def jdbcUpsert(df: DataFrame, url: String, table: String, idCol: String,
+                 batchSize: Int = 1000): Unit = {
+    val cols = df.columns.toSeq
+    require(cols.contains(idCol), s"id column '$idCol' not in ${cols.mkString(",")}")
+    val deleteSql = s"DELETE FROM $table WHERE $idCol = ?"
+    val insertSql =
+      s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
+    val idIdx = cols.indexOf(idCol)
+    df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.hasNext) {
+        val conn = java.sql.DriverManager.getConnection(url)
+        try {
+          conn.setAutoCommit(false)
+          val del = conn.prepareStatement(deleteSql)
+          val ins = conn.prepareStatement(insertSql)
+          var pending = 0
+          def flush(): Unit = if (pending > 0) {
+            del.executeBatch() // deletes first: insert of an existing key
+            ins.executeBatch() // would violate the PK before its delete ran
+            pending = 0
+          }
+          rows.foreach { r =>
+            del.setObject(1, r.get(idIdx))
+            del.addBatch()
+            var i = 0
+            while (i < cols.length) { ins.setObject(i + 1, r.get(i)); i += 1 }
+            ins.addBatch()
+            pending += 1
+            if (pending >= batchSize) flush()
+          }
+          flush()
+          conn.commit()
+        } catch {
+          case t: Throwable =>
+            try conn.rollback() catch { case _: Throwable => () }
+            throw t
+        } finally conn.close()
+      }
+    }
+  }
 }

@@ -264,6 +264,18 @@ object StreamQueries {
       val s2 = s.newSession()
       s2.conf.set("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // Stateful ops open ONE RocksDB instance PER shuffle partition of
+      // the keyed exchange. The harness's 512-initial-AQE-partition
+      // discipline (right for corpus-scale shuffles) therefore costs
+      // ~480 extra instance opens per run here — measured as the
+      // round-8 "1.04 → 3.66 s with code untouched" regression (the
+      // 512 knob landed in r8). State sizing follows KEY count, not
+      // data volume: pin this stateful batch run back to the session's
+      // base shuffle parallelism. (At real stream scale the analogous
+      // knob is numStateStoreInstances via shuffle partitions of the
+      // CHECKPOINTED query, sized once at query start — same logic.)
+      s2.conf.set("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        s2.conf.get("spark.sql.shuffle.partitions"))
       // Batch-mode stateful execution skips the streaming startup path
       // that registers the StateStoreCoordinator endpoint — create it.
       org.apache.spark.sql.GraftSqlAccess.ensureStateStoreCoordinator(s2)

@@ -106,6 +106,51 @@ class SourcesSpec extends AnyFunSuite {
     assert(df.filter(col("o_key") === 7).select("o_val").head.getString(0) == "v7")
   }
 
+  test("jdbc keyed-upsert sink (embedded Derby): last-write-wins re-import, count parity") {
+    // The WRITE half of the reference's bulk-store contract
+    // (BulkProcessImpl.java:124 — keyed _id upsert, re-import
+    // overwrites), live against Derby: import, re-import with changed
+    // values, count parity + new values win; partitioned input proves
+    // executor-side parallel writers.
+    val home = java.nio.file.Files.createTempDirectory("graft_derby_sink")
+    System.setProperty("derby.system.home", home.toString)
+    val url = s"jdbc:derby:$home/db;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try conn.createStatement().execute(
+      "CREATE TABLE docs_sink (doc_key INT NOT NULL PRIMARY KEY, doc_val VARCHAR(24))")
+    finally conn.close()
+
+    import org.apache.spark.sql.functions._
+    def corpus(tag: String) = spark.range(1, 101)
+      .select(col("id").cast("int").as("doc_key"),
+        concat(lit(tag), col("id")).as("doc_val"))
+      .repartition(4)
+
+    sources.FormatIO.jdbcUpsert(corpus("v1_"), url, "docs_sink", "doc_key",
+      batchSize = 16)
+    val read1 = sources.FormatIO.jdbcReader(spark, url, "docs_sink",
+      "doc_key", 1L, 100L, 4).load()
+    assert(read1.count() == 100)
+    assert(read1.filter(col("doc_key") === 7).head.getString(1) == "v1_7")
+
+    // Re-import the SAME keys with new values + 20 genuinely new keys:
+    // overwrite, never duplicate (the ES _id semantics).
+    val v2 = spark.range(1, 121)
+      .select(col("id").cast("int").as("doc_key"),
+        concat(lit("v2_"), col("id")).as("doc_val"))
+      .repartition(4)
+    sources.FormatIO.jdbcUpsert(v2, url, "docs_sink", "doc_key", batchSize = 16)
+    val read2 = sources.FormatIO.jdbcReader(spark, url, "docs_sink",
+      "doc_key", 1L, 120L, 4).load().cache()
+    assert(read2.count() == 120, "re-import must overwrite, not duplicate")
+    assert(read2.groupBy(col("doc_key")).count()
+      .filter(col("count") > 1).count() == 0, "duplicate keys after upsert")
+    assert(read2.filter(col("doc_key") === 7).head.getString(1) == "v2_7",
+      "last write must win")
+    assert(read2.filter(col("doc_key") === 110).head.getString(1) == "v2_110")
+    read2.unpersist()
+  }
+
   test("malformed JSON: PERMISSIVE captures, FAILFAST refuses") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("json_dirty")
