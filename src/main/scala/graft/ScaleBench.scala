@@ -147,6 +147,39 @@ object ScaleBench {
     Seq("_build_text_postings" -> build, "_upsert_postings_100docs" -> up)
   }
 
+  /** Plain-index partition-granular maintenance vs corpus size — the
+    * [[graft.etl.IndexStore.upsertPartitioned]] O(batch) claim
+    * measured. Layout: id-RANGE buckets (floor(doc_id/10000)) as the
+    * partition column — the append-mostly stream shape, where
+    * partitions grow in NUMBER with the corpus while each stays
+    * bounded (≤10k docs), so a fixed 100-doc batch of new ids touches
+    * ONE bounded partition at ANY corpus size. Build is expected
+    * ~linear; the upsert expected ~flat (its only corpus-coupled term
+    * is the key probe, In-pushed and row-group-pruned by the
+    * within-file id sort). Index deleted after timing.
+    */
+  private def timePartitionedMaint(spark: SparkSession, dir: String): Seq[(String, Double)] = {
+    val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(dir))
+    store.deleteIndex("docs_live")
+    def bucketed(df: DataFrame) =
+      df.withColumn("id_bucket", floor(col("doc_id") / 10000L))
+    val docs = bucketed(Tables(spark, dir, "documents"))
+    val t0 = System.nanoTime()
+    store.bulkImportPartitioned(docs, "docs_live", "doc_id", "id_bucket")
+    val build = (System.nanoTime() - t0) / 1e9
+    val batch = bucketed(Tables(spark, dir, "documents")
+        .orderBy(col("doc_id")).limit(100)
+        .withColumn("doc_id", col("doc_id") + lit(500L * IdStride)))
+      .persist()
+    batch.count() // materialize the fixed batch off the clock
+    val t1 = System.nanoTime()
+    store.upsertPartitioned(batch, "docs_live", "doc_id", "id_bucket")
+    val up = (System.nanoTime() - t1) / 1e9
+    batch.unpersist()
+    store.deleteIndex("docs_live")
+    Seq("_build_docs_partitioned" -> build, "_upsert_partitioned_100docs" -> up)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
@@ -250,6 +283,16 @@ object ScaleBench {
             System.err.println(f"[scale] $n @ $dir: ${s.head}%.2f s") }
           t
         }
+      val up =
+        if (!only.forall(_.contains("_build_docs_partitioned"))) Nil
+        else {
+          val t = timePartitionedMaint(spark, dir).map { case (n, s) => n -> Seq(s) }
+          Pins.release(spark)
+          System.gc()
+          t.foreach { case (n, s) =>
+            System.err.println(f"[scale] $n @ $dir: ${s.head}%.2f s") }
+          t
+        }
       val q = Timed.filter(n => only.forall(_.contains(n))).map { name =>
         val runs = (1 to repeat).map { i =>
           val sh0 = shuffleSnap()
@@ -264,7 +307,8 @@ object ScaleBench {
         name -> runs.toSeq
       }
       pb.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++
-        pm.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++ q
+        pm.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++
+        up.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++ q
     }
 
     val base = runAll(baseDir).toMap

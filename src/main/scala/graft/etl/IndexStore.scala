@@ -202,9 +202,9 @@ class IndexStore(spark: SparkSession, root: String) {
     * incoming (incoming tagged newer), re-run last-write-wins keyed
     * on `idCol` with the recency tag leading the order, rewrite.
     * This is a copy-on-write merge (read + shuffle + write of one
-    * index); at 100 TB per-index you'd shard the rewrite by key range
-    * so only touched ranges rewrite — the per-range logic is
-    * identical to this.
+    * index) — right for full re-imports and schema widening; the
+    * 100 TB continuous-ingest form is [[upsertPartitioned]], which
+    * rewrites only the partitions a batch touches.
     */
   def upsert(incoming: DataFrame, indexName: String, idCol: String,
              numShards: Int = 5): Long = {
@@ -229,6 +229,93 @@ class IndexStore(spark: SparkSession, root: String) {
     }
     count(indexName)
   }
+
+  /** Bootstrap a PARTITIONED document index for [[upsertPartitioned]]:
+    * bulkImport's stringify + last-write-wins dedup, laid out as hive
+    * partitions on `partCol` (a LOW-cardinality locality column — the
+    * ingest date for an event stream, a tenant/source id for a
+    * multi-source corpus) with every partition's files sorted on
+    * `idCol` so the maintenance key probe prunes row groups. This is
+    * the upsert layout [[upsert]]'s scaladoc promises at 100 TB:
+    * sharded so a keyed merge rewrites touched shards, not the index.
+    */
+  def bulkImportPartitioned(df: DataFrame, indexName: String, idCol: String,
+                            partCol: String): Long = {
+    val deduped = dedupByKey(Stringify.all(df), idCol)
+    writeArtifact(deduped, indexName, fingerprint = "live",
+      partitionCols = Seq(partCol), withinFileSortCols = Seq(idCol))
+    count(indexName)
+  }
+
+  /** Partition-granular keyed upsert — [[upsert]]'s 100 TB form, on
+    * an index laid out by [[bulkImportPartitioned]]: only the
+    * partitions the batch TOUCHES rewrite (the partitions its rows
+    * land in, plus the partitions its keys currently occupy, so a row
+    * whose locality value changed leaves no stale copy behind);
+    * every other partition's files are physically untouched. A
+    * time-local micro-batch (the streaming ingest case — events
+    * arrive roughly in event-time order) therefore costs O(batch +
+    * its few date partitions) per commit instead of [[upsert]]'s
+    * O(index) copy-on-write — the difference between a stream you
+    * can run forever and one whose commit cost grows with history.
+    * Same single-writer lock, key-probe, fingerprint-bracket and
+    * dynamic-overwrite discipline as the served-artifact upserts
+    * (postings/vec/geo); the incoming schema must match the index
+    * (schema widening is [[upsert]]'s full-rewrite job — a partition
+    * subset cannot widen the rest). Returns the number of docs
+    * UPSERTED (the ES bulk acknowledgment), NOT the index size —
+    * counting the index per commit would list every file, an
+    * O(index) driver step this O(batch) path must not hide.
+    */
+  def upsertPartitioned(incoming: DataFrame, indexName: String, idCol: String,
+                        partCol: String): Long =
+    withMaintenanceLock(indexName) {
+      // Hive partition-value TYPE INFERENCE can read the (stringified)
+      // partition column back as date/int; pin it to string so the
+      // union with the stringified batch and the touched-value compare
+      // stay type-stable (directory names are unchanged — a date's
+      // string form IS the directory value).
+      val existing = read(indexName)
+        .withColumn(partCol, col(partCol).cast("string"))
+      require(existing.columns.sorted.sameElements(
+          Stringify.all(incoming).columns.sorted),
+        s"upsertPartitioned: incoming schema must match index $indexName " +
+          s"(got ${incoming.columns.sorted.mkString(",")}, index has " +
+          s"${existing.columns.sorted.mkString(",")}); use upsert() to widen")
+      val b = dedupByKey(Stringify.all(incoming), idCol)
+      val keys = b.select(col(idCol)).distinct()
+      // Touched partitions = batch's target values + the batch keys'
+      // CURRENT values (In-pushed probe for micro-batches, row-group
+      // pruned by the idCol file sort; distributed semi-join past the
+      // push cap — the upsertVecIndex rule).
+      val MaxInPush = 10000
+      val keyList = keys.limit(MaxInPush + 1).collect().map(_.get(0))
+      val oldRows =
+        if (keyList.length <= MaxInPush)
+          existing.filter(col(idCol).isin(keyList.toSeq: _*))
+        else existing.join(broadcast(keys), Seq(idCol))
+      val oldParts = oldRows.select(col(partCol)).distinct()
+        .collect().map(_.get(0).toString).toSet
+      val newParts = b.select(col(partCol)).distinct()
+        .collect().map(_.get(0).toString).toSet
+      val touched = oldParts ++ newParts
+      val upserted =
+        if (keyList.length <= MaxInPush) keyList.length.toLong else keys.count()
+      if (touched.isEmpty) 0L
+      else {
+        val replacement = existing
+          .filter(col(partCol).cast("string").isInCollection(touched.toSeq))
+          .join(broadcast(keys), Seq(idCol), "left_anti")
+          .unionByName(b.select(existing.columns.map(col).toSeq: _*))
+        val remaining = replacement.select(col(partCol)).distinct()
+          .collect().map(_.get(0).toString).toSet
+        overwritePartitions(replacement, indexName, partCol,
+          fingerprint = "live",
+          dropPartitionValues = (touched -- remaining).toSeq.sorted,
+          withinFileSortCols = Seq(idCol))
+        upserted
+      }
+    }
 
   /** Delete-by-query (ES `_delete_by_query`): rewrite the index
     * without matching docs. Copy-on-write like [[upsert]]; returns
@@ -781,14 +868,8 @@ class IndexStore(spark: SparkSession, root: String) {
           "artifact — route batches through a single maintainer or retry " +
           "after the holder finishes; a dead writer's lease expires (no " +
           "heartbeat for an hour) and is GC'd on store construction")
-    def readToken(): Option[String] =
-      try {
-        val in = fs.open(lock)
-        val bos = new java.io.ByteArrayOutputStream()
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
-        finally in.close()
-        Some(new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
-      } catch { case _: java.io.IOException => None }
+    IndexStore.heldLeases.put((root, name.toLowerCase), token)
+    def readToken(): Option[String] = readLockToken(lock)
     // Lease renewal: touch the lock mtime on a daemon heartbeat so the
     // age GC can tell a live long batch from a dead holder. Touch
     // failures are swallowed (a transient FS hiccup must not kill the
@@ -810,6 +891,7 @@ class IndexStore(spark: SparkSession, root: String) {
     catch { case t: Throwable => bodyFailed = true; throw t }
     finally {
       hb.shutdownNow()
+      IndexStore.heldLeases.remove((root, name.toLowerCase), token)
       if (readToken().contains(token)) fs.delete(lock, false)
       else if (!bodyFailed)
         // Do NOT delete: the file now belongs to whoever took it.
@@ -821,11 +903,43 @@ class IndexStore(spark: SparkSession, root: String) {
     }
   }
 
+  /** Contents of a maintenance lock file (the owner token), None when
+    * unreadable/absent.
+    */
+  private def readLockToken(lock: Path): Option[String] =
+    try {
+      val in = fs.open(lock)
+      val bos = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, bos, 4096, false)
+      finally in.close()
+      Some(new String(bos.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: java.io.IOException => None }
+
   /** Re-stamp fingerprint + sidecars — the LAST step of a maintenance
     * bracket opened by [[clearArtifactFingerprint]].
     */
   def stampArtifact(name: String, fingerprint: String,
                     sidecars: Map[String, String] = Map.empty): Unit = {
+    // Lease-loss guard (round-8 advice: "re-verify lock ownership
+    // before the final stampArtifact"): the stamp is what makes a
+    // maintenance bracket LOOK valid to readers — if this store's
+    // lease was lost mid-batch (pathological: a paused holder outliving
+    // the hour guard despite the heartbeat, or a manual break-lock),
+    // refuse to certify a possibly-interleaved batch. The fingerprint
+    // stays cleared, so readers rebuild — the safe outcome. Only
+    // brackets opened by withMaintenanceLock in THIS JVM are checked;
+    // bootstrap writes (writeArtifact's swap) stamp outside any lease.
+    IndexStore.heldLeases.get((root, name.toLowerCase)) match {
+      case null => ()
+      case token =>
+        val lock = new Path(root, s".lock_${name.toLowerCase}")
+        if (!readLockToken(lock).contains(token))
+          throw new java.util.ConcurrentModificationException(
+            s"refusing to stamp '$name': this writer's maintenance lease " +
+              s"was lost mid-batch ($lock no longer carries our token) — " +
+              "the batch may have interleaved with another writer; the " +
+              "cleared fingerprint forces readers to rebuild")
+    }
     val d = dir(name)
     (sidecars + (MetaFile -> fingerprint)).foreach { case (file, content) =>
       require(file.startsWith("_"),
@@ -907,6 +1021,13 @@ object IndexStore {
     * the hour.
     */
   private[graft] val LockHeartbeatMs: Long = 5 * 60 * 1000L
+
+  /** Live maintenance leases held by THIS JVM: (artifact root, name) →
+    * owner token. [[IndexStore.stampArtifact]] consults it to refuse
+    * certifying a bracket whose lease was lost mid-batch.
+    */
+  private val heldLeases =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]()
 
   /** URI schemes where create-no-overwrite is a client-side
     * check-then-write rather than an atomic operation — maintenance

@@ -515,6 +515,59 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(recovered.count("idx") == 1L, "live index untouched by GC")
   }
 
+  test("upsertPartitioned rewrites ONLY touched partitions; moves and drops are clean") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_up_part").toString
+    val store = new etl.IndexStore(spark, root)
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "part", "payload")
+    store.bulkImportPartitioned(
+      docs((1, "a", "p1"), (2, "a", "p2"), (3, "b", "p3"), (4, "c", "p4")),
+      "pidx", "doc_id", "part")
+    assert(store.count("pidx") == 4)
+    def partFiles(v: String): Map[String, Long] = {
+      val d = new java.io.File(s"$root/pidx/part=$v")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val bBefore = partFiles("b")
+    val cBefore = partFiles("c")
+    assert(bBefore.nonEmpty && cBefore.nonEmpty)
+    // Update a key in 'a' + add a new key to 'a': b and c files must be
+    // PHYSICALLY untouched (same names, same mtimes) — the whole point
+    // of the partition-granular path.
+    Thread.sleep(1100) // mtime granularity guard
+    store.upsertPartitioned(docs((1, "a", "p1v2"), (5, "a", "p5")),
+      "pidx", "doc_id", "part")
+    assert(store.count("pidx") == 5)
+    assert(partFiles("b") == bBefore, "untouched partition b was rewritten")
+    assert(partFiles("c") == cBefore, "untouched partition c was rewritten")
+    val afterA = store.read("pidx").filter(col("part") === "a")
+      .select("doc_id", "payload").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(afterA == Map("1" -> "p1v2", "2" -> "p2", "5" -> "p5"))
+    // Move key 3 from b to c: no stale copy in b (b emptied -> dir
+    // dropped), present in c; a untouched this time.
+    val aBefore = partFiles("a")
+    Thread.sleep(1100)
+    store.upsertPartitioned(docs((3, "c", "p3moved")), "pidx", "doc_id", "part")
+    assert(partFiles("a") == aBefore, "untouched partition a was rewritten")
+    assert(partFiles("b").isEmpty, "emptied source partition must drop")
+    val inC = store.read("pidx").filter(col("part") === "c")
+      .select("doc_id").collect().map(_.getString(0)).toSet
+    assert(inC == Set("3", "4"))
+    assert(store.count("pidx") == 5)
+    // Schema drift is a loud error, not a silent widen.
+    val widened = Seq((9L, "a", "x", "extra")).toDF("doc_id", "part", "payload", "new_col")
+    intercept[IllegalArgumentException] {
+      store.upsertPartitioned(widened, "pidx", "doc_id", "part")
+    }
+    // Idempotent replay: same batch, same result (task-retry safety).
+    store.upsertPartitioned(docs((3, "c", "p3moved")), "pidx", "doc_id", "part")
+    assert(store.count("pidx") == 5)
+  }
+
   test("pathFingerprint tracks file metadata, not path strings only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = tmp.resolve("t.parquet")

@@ -231,6 +231,34 @@ class MaintenanceConcurrencySpec extends AnyFunSuite {
     assert(lock.delete())
   }
 
+  test("a lost lease refuses to STAMP the artifact (bracket stays cleared)") {
+    // The stamp is what certifies a maintenance bracket to readers —
+    // after a mid-batch lease loss it must refuse (round-8 advice:
+    // re-verify ownership before the final stampArtifact), leaving the
+    // fingerprint cleared so readers rebuild instead of serving a
+    // possibly-interleaved batch.
+    val (dir, storeA) = freshPostingsFixture()
+    val root = new java.io.File(etl.IndexStore.artifactRoot(dir))
+    val name = search.SearchQueries.PostingsName
+    val lock = new java.io.File(root, s".lock_${name.toLowerCase}")
+    var stampRefused = false
+    intercept[ConcurrentModificationException] { // release fails loudly too
+      storeA.withMaintenanceLock(name) {
+        storeA.clearArtifactFingerprint(name)
+        assert(lock.delete())
+        java.nio.file.Files.write(lock.toPath, "thief-token".getBytes("UTF-8"))
+        intercept[ConcurrentModificationException] {
+          storeA.stampArtifact(name, "fp-after-steal")
+        }
+        stampRefused = true
+      }
+    }
+    assert(stampRefused, "stampArtifact did not refuse after the lease was lost")
+    assert(storeA.artifactFingerprint(name).isEmpty,
+      "fingerprint must stay cleared after a refused stamp")
+    assert(lock.delete())
+  }
+
   test("maintenance locking refuses object-store schemes (non-atomic create)") {
     intercept[IllegalArgumentException] {
       etl.IndexStore.requireLockableScheme("s3a")
