@@ -231,6 +231,46 @@ class MaintenanceConcurrencySpec extends AnyFunSuite {
     assert(lock.delete())
   }
 
+  test("interleaved upsertPartitioned writers: batches land whole or fail loudly") {
+    import org.apache.spark.sql.functions.{col => c}
+    val whDir = java.nio.file.Files.createTempDirectory("graft_conc_up").toString
+    val storeA = new etl.IndexStore(spark, whDir)
+    val storeB = new etl.IndexStore(spark, whDir)
+    def rows(from: Long, until: Long) = {
+      import SparkTestSession.spark.implicits._
+      (from until until).map(i => (i, (i % 3).toString, s"p$i"))
+        .toDF("doc_id", "part", "payload")
+    }
+    storeA.bulkImportPartitioned(rows(0, 30), "pidx", "doc_id", "part")
+    val start = new CountDownLatch(1)
+    val pool = Executors.newFixedThreadPool(2)
+    def submit(store: etl.IndexStore, from: Long, until: Long) =
+      pool.submit(new java.util.concurrent.Callable[Option[Throwable]] {
+        def call(): Option[Throwable] = {
+          start.await(30, TimeUnit.SECONDS)
+          try { store.upsertPartitioned(rows(from, until), "pidx", "doc_id", "part"); None }
+          catch { case e: Throwable => Some(e) }
+        }
+      })
+    val fa = submit(storeA, 100, 110)
+    val fb = submit(storeB, 200, 210)
+    start.countDown()
+    val (ra, rb) = (fa.get(180, TimeUnit.SECONDS), fb.get(180, TimeUnit.SECONDS))
+    pool.shutdown()
+    Seq(ra, rb).flatten.foreach(e =>
+      assert(e.isInstanceOf[ConcurrentModificationException],
+        s"unexpected failure class: $e"))
+    val ids = storeA.read("pidx").select("doc_id")
+      .collect().map(_.getString(0).toLong).toSet
+    Seq((ra, (100L until 110L).toSet), (rb, (200L until 210L).toSet)).foreach {
+      case (None, batch) => assert(batch.subsetOf(ids), "landed batch incomplete")
+      case (Some(_), batch) => assert((batch & ids).isEmpty, "rejected batch leaked rows")
+    }
+    assert((0L until 30L).toSet.subsetOf(ids), "base rows lost")
+    assert(!new java.io.File(whDir).listFiles().exists(_.getName.startsWith(".lock_")),
+      "maintenance lock leaked")
+  }
+
   test("a lost lease refuses to STAMP the artifact (bracket stays cleared)") {
     // The stamp is what certifies a maintenance bracket to readers —
     // after a mid-batch lease loss it must refuse (round-8 advice:
