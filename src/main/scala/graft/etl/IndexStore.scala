@@ -290,10 +290,14 @@ class IndexStore(spark: SparkSession, root: String) {
       // push cap — the upsertVecIndex rule).
       val MaxInPush = 10000
       val keyList = keys.limit(MaxInPush + 1).collect().map(_.get(0))
+      // Plain semi-join past the push cap (no broadcast HINT): a bulk
+      // batch's key set is unbounded, and the session's AQE promotes
+      // the join from ACTUAL runtime sizes — the broadcast-discipline
+      // rule every probe here follows.
       val oldRows =
         if (keyList.length <= MaxInPush)
           existing.filter(col(idCol).isin(keyList.toSeq: _*))
-        else existing.join(broadcast(keys), Seq(idCol))
+        else existing.join(keys, Seq(idCol), "left_semi")
       val oldParts = oldRows.select(col(partCol)).distinct()
         .collect().map(_.get(0).toString).toSet
       val newParts = b.select(col(partCol)).distinct()
@@ -305,7 +309,7 @@ class IndexStore(spark: SparkSession, root: String) {
       else {
         val replacement = existing
           .filter(col(partCol).cast("string").isInCollection(touched.toSeq))
-          .join(broadcast(keys), Seq(idCol), "left_anti")
+          .join(keys, Seq(idCol), "left_anti")
           .unionByName(b.select(existing.columns.map(col).toSeq: _*))
         val remaining = replacement.select(col(partCol)).distinct()
           .collect().map(_.get(0).toString).toSet

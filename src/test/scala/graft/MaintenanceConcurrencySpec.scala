@@ -232,7 +232,6 @@ class MaintenanceConcurrencySpec extends AnyFunSuite {
   }
 
   test("interleaved upsertPartitioned writers: batches land whole or fail loudly") {
-    import org.apache.spark.sql.functions.{col => c}
     val whDir = java.nio.file.Files.createTempDirectory("graft_conc_up").toString
     val storeA = new etl.IndexStore(spark, whDir)
     val storeB = new etl.IndexStore(spark, whDir)
