@@ -78,6 +78,42 @@ object EtlQueries {
       ).orderBy(col("l_orderkey"), col("l_linenumber"))
     }),
 
+    // PARTITION-GRANULAR keyed upsert end-to-end under the driver gate:
+    // bulk-import documents hive-partitioned on `source`, then apply a
+    // deterministic derived batch (FIXTURES.md pattern) exercising all
+    // three upsert behaviors at once — payload updates (content-hash
+    // ~1/4 of docs: lang→'xx', n_chars+1000), partition MOVES (hash
+    // ~1/8: source→'srcmoved', so the old partition must shed the
+    // row), and new-key inserts (hash ~1/8 re-keyed +1e6 into
+    // 'srcnew') — and read the index back. The oracle recomputes the
+    // expected post-merge state from `documents` directly, so the
+    // whole write path (stringify, locality layout, touched-partition
+    // rewrite, move cleanup) hash-checks; the PHYSICAL
+    // only-touched-partitions property is asserted by file mtimes in
+    // IndexStoreSpec, and flatness at 10–100× corpora in
+    // SCALE_UPSERT_*x_probe.json.
+    "etl_upsert_partitioned" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      val hex1 = substring(md5(col("doc_id").cast(StringType)), 1, 1)
+      val wh = java.nio.file.Files.createTempDirectory("etl_up_part").toString
+      val store = new IndexStore(s, wh)
+      store.bulkImportPartitioned(docs, "docs_part", "doc_id", "source")
+      val updated = docs.filter(hex1.isin("0", "1", "2", "3"))
+        .select(col("doc_id"), lit("xx").as("lang"),
+          when(hex1.isin("0", "1"), lit("srcmoved")).otherwise(col("source"))
+            .as("source"),
+          (col("n_chars") + 1000L).as("n_chars"))
+      val added = docs.filter(hex1.isin("e", "f"))
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit("new").as("lang"),
+          lit("srcnew").as("source"), col("n_chars"))
+      store.upsertPartitioned(updated.unionByName(added),
+        "docs_part", "doc_id", "source")
+      store.read("docs_part")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy(col("doc_id").cast(LongType))
+    }),
+
     // SCD Type-2 history — the warehouse extension of the reference's
     // last-write-wins upsert (#4): instead of keeping only the latest
     // version, every version gets a validity interval
@@ -305,6 +341,28 @@ object EtlQueries {
         |           l_suppkey DESC, l_quantity DESC, l_discount DESC,
         |           l_tax DESC, l_returnflag DESC, l_linestatus DESC) = 1
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // The expected post-merge state recomputed directly from documents:
+    // updates override in place, moves just change `source`, inserts
+    // append re-keyed rows. All columns VARCHAR to match the engine's
+    // stringified bulk-import contract.
+    "etl_upsert_partitioned" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS h
+        |  FROM documents),
+        |merged AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h IN ('0','1','2','3') THEN 'xx' ELSE lang END AS lang,
+        |    CASE WHEN h IN ('0','1') THEN 'srcmoved' ELSE source END AS source,
+        |    CASE WHEN h IN ('0','1','2','3') THEN n_chars + 1000
+        |         ELSE n_chars END AS n_chars
+        |  FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, 'new', 'srcnew', n_chars
+        |  FROM base WHERE h IN ('e','f'))
+        |SELECT CAST(doc_id AS VARCHAR) AS doc_id, lang, source,
+        |       CAST(n_chars AS VARCHAR) AS n_chars
+        |FROM merged ORDER BY merged.doc_id""".stripMargin,
     "etl_scd2_history" ->
       """WITH v AS (
         |  SELECT c_custkey, c_acctbal, 1 AS version FROM customer
