@@ -33,18 +33,35 @@ object Bench {
       case _ => None
     }
 
-  /** 1-minute load average from /proc, -1 where unavailable. Recorded
-    * at run start/end in the bench record: identical runs on this host
-    * have differed ±18% and a CPU-saturating co-process produces a
-    * uniform multi-× distortion across every query — a record that
-    * carries its own load context is self-evidently valid or not,
-    * instead of needing an after-the-fact re-run to adjudicate.
+  /** 1-minute load average from /proc, -1 where unavailable. Sampled
+    * CONTINUOUSLY through the run (every 15 s, daemon thread), not
+    * just at the endpoints: round 9's record read `contended: false`
+    * from two idle endpoints while a co-scheduled driver gate
+    * mid-run inflated individual queries 5–12× — an endpoint flag
+    * BLESSES a contaminated record, which is worse than no flag. The
+    * committed flag is max-over-run > 1.0, and the max is emitted so
+    * the record self-identifies.
     */
   private def loadAvg(): Double =
     try new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
+
+  /** queries_op map of the committed idle record (BENCH_LOCAL.json),
+    * used to flag mid-run-contaminated outliers for a rerun — absent
+    * file or parse failure degrades to "no reference" (empty map), it
+    * never fails the bench.
+    */
+  private def committedOpTimes(path: String): Map[String, Double] =
+    try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      val obj = """"queries_op":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      """"([^"]+)":(-?[0-9.]+)""".r.findAllMatchIn(obj)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    } catch { case _: Throwable => Map.empty }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +84,18 @@ object Bench {
       }
     }
     val loadStart = loadAvg()
+    // Whole-run load watermark (see loadAvg scaladoc): every sample,
+    // not the endpoints, decides `contended`.
+    val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
+    locally {
+      val t = new Thread(() => while (true) {
+        val l = loadAvg()
+        loadMax.updateAndGet(m => math.max(m, l))
+        Thread.sleep(15000)
+      }, "bench-load-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
     if (loadStart > 0.5 * cores)
       System.err.println(f"[bench] WARNING: host 1-min load $loadStart%.1f exceeds " +
         f"half of $cores cores at start — this record is contention-distorted; " +
@@ -197,8 +226,16 @@ object Bench {
     }
 
     // Dev-only subset runs (SPARK_GRAFT_ONLY=a,b,c); the driver never
-    // sets it, so round benches always cover the full registry.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // sets it, so round benches always cover the full registry. An
+    // entry ending in `*` is a PREFIX — `SPARK_GRAFT_ONLY='sql_*'`
+    // runs one family in its own JVM, the isolation mode the idle
+    // regression adjudication uses (per-family numbers decouple from
+    // suite-order JVM state).
+    val onlySpec = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val only: Option[String => Boolean] = onlySpec.map { pats => (n: String) =>
+      pats.exists(p =>
+        if (p.endsWith("*")) n.startsWith(p.dropRight(1)) else n == p)
+    }
 
     // Warm-up: JVM + codegen + parquet footer caches.
     runOnce("rel_filter_project")
@@ -253,19 +290,19 @@ object Bench {
       snapShuffle(entry)
       dt
     }
-    val runPairBuild = only.forall(_.contains("_build_neardup_pairs"))
+    val runPairBuild = only.forall(_("_build_neardup_pairs"))
     val pairBuildSecs = if (!runPairBuild) -1.0 else
       buildArtifact("_build_neardup_pairs", llm.DedupQueries.PairIndexName) {
         llm.DedupQueries.materializedPairs(spark, sfDir).write
           .format("noop").mode("overwrite").save()
       }
-    val runVecBuild = only.forall(_.contains("_build_vec_index"))
+    val runVecBuild = only.forall(_("_build_vec_index"))
     val vecBuildSecs = if (!runVecBuild) -1.0 else
       buildArtifact("_build_vec_index", llm.SimilarityQueries.VecIndexName) {
         llm.SimilarityQueries.materializedVecIndex(spark, sfDir)._1.write
           .format("noop").mode("overwrite").save()
       }
-    val runPostingsBuild = only.forall(_.contains("_build_text_postings"))
+    val runPostingsBuild = only.forall(_("_build_text_postings"))
     val postingsBuildSecs = if (!runPostingsBuild) -1.0 else
       buildArtifact("_build_text_postings", search.SearchQueries.PostingsName) {
         search.SearchQueries.materializedPostings(spark, sfDir)._1.write
@@ -284,7 +321,7 @@ object Bench {
     // from keep their pristine fingerprints — a maintenance batch
     // against the shared root would force every postings consumer
     // below into a silent rebuild and skew its cold number.
-    val runPostingsMaint = only.forall(_.contains("_compact_postings"))
+    val runPostingsMaint = only.forall(_("_compact_postings"))
     val (upsertPostingsSecs, compactSecs) = if (!runPostingsMaint) (-1.0, -1.0) else {
       val maintDir = java.nio.file.Files.createTempDirectory("bench_maint").toString
       java.nio.file.Files.createSymbolicLink(
@@ -313,7 +350,7 @@ object Bench {
       (up, comp)
     }
 
-    val runBpeBuild = only.forall(_.contains("_build_bpe"))
+    val runBpeBuild = only.forall(_("_build_bpe"))
     val bpeBuildSecs = if (!runBpeBuild) -1.0 else {
       // Two artifacts share one training run; delete both so the
       // timed build is the full k-iteration loop.
@@ -324,7 +361,7 @@ object Bench {
           .format("noop").mode("overwrite").save()
       }
     }
-    val runWpBuild = only.forall(_.contains("_build_wordpiece"))
+    val runWpBuild = only.forall(_("_build_wordpiece"))
     val wpBuildSecs = if (!runWpBuild) -1.0 else {
       val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
       store.deleteIndex(llm.WordPieceQueries.WordsName)
@@ -333,7 +370,7 @@ object Bench {
           .format("noop").mode("overwrite").save()
       }
     }
-    val runGeoBuild = only.forall(_.contains("_build_geo_cells"))
+    val runGeoBuild = only.forall(_("_build_geo_cells"))
     val geoBuildSecs = if (!runGeoBuild) -1.0 else
       buildArtifact("_build_geo_cells", search.GeoQueries.GeoIndexName) {
         search.GeoQueries.materializedGeoIndex(spark, sfDir).write
@@ -346,7 +383,7 @@ object Bench {
     // Skipped in subset probes unless asked for — it is the single
     // most expensive bench item and would dominate a seconds-long
     // targeted measurement.
-    val runWrite = only.forall(_.contains("_write_bulk_import"))
+    val runWrite = only.forall(_("_write_bulk_import"))
     val writeSecs = if (!runWrite) -1.0 else {
       val out = java.nio.file.Files.createTempDirectory("bench_import").toString
       val store = new etl.IndexStore(spark, out)
@@ -364,7 +401,7 @@ object Bench {
     // headline scenario (its demo imports every MySQL table in
     // parallel threads, R/README.md:12). All 10 fixture tables through
     // bulkImportAll at parallelism 4, FAIR pools per table.
-    val runImportAll = only.forall(_.contains("_write_bulk_import_all"))
+    val runImportAll = only.forall(_("_write_bulk_import_all"))
     val importAllSecs = if (!runImportAll) -1.0 else {
       val out = java.nio.file.Files.createTempDirectory("bench_import_all").toString
       val store = new etl.IndexStore(spark, out)
@@ -400,7 +437,7 @@ object Bench {
     // GROWS with every batch — the anti-pattern this entry exists to
     // rule out). Wall seconds for the 5-batch drain; stderr carries
     // the per-batch mean. Checkpointed, AvailableNow trigger.
-    val runStreamLatency = only.forall(_.contains("_stream_latency"))
+    val runStreamLatency = only.forall(_("_stream_latency"))
     val streamLatencySecs = if (!runStreamLatency) -1.0 else {
       import org.apache.spark.sql.streaming.Trigger
       val src = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
@@ -441,9 +478,32 @@ object Bench {
       dt
     }
 
-    val coldResults = SparkEntry.queries.keys.toSeq.sorted
-      .filter(n => only.forall(_.contains(n)))
+    val coldResults0 = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_(n)))
       .map(n => n -> runOnce(n))
+
+    // Contamination reruns: any query reading >3× its committed idle
+    // op-time gets ONE rerun at the end of the sweep and keeps the
+    // better (min) pair, marked in the record. A transient co-process
+    // (the round-9 mid-run driver gate: 5–12× on individual queries
+    // under an idle-endpoints flag) is unlikely to hit the same query
+    // twice; a REAL regression reproduces and the min keeps it.
+    // Bounded (≤15) so a globally-slow run degrades to the honest
+    // `contended` flag instead of doubling the sweep.
+    val committed = committedOpTimes(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    val rerunNames = coldResults0.collect {
+      case (n, (_, op)) if op > 1.0 &&
+        committed.get(n).exists(prev => prev >= 0.3 && op > 3 * prev) => n
+    }.take(15)
+    val reruns = rerunNames.map { n =>
+      System.err.println(s"[bench] rerun (>3x committed idle op-time): $n")
+      n -> runOnce(n)
+    }.toMap
+    val coldResults = coldResults0.map { case (n, first) =>
+      n -> reruns.get(n).filter(_._2 >= 0).filter(_._2 < first._2)
+        .getOrElse(first)
+    }
 
     // Warm-serving pass: EVERY artifact-served query re-runs in the
     // SAME session after the full sweep — artifacts on disk, parquet
@@ -469,7 +529,7 @@ object Bench {
       // point-lookup serving path
       "search_mget")
     val warmResults = servedIndexQueries
-      .filter(n => only.forall(_.contains(n)))
+      .filter(n => only.forall(_(n)))
       .filter(n => coldResults.exists(_._1 == n))
       .map(n => s"_warm_$n" -> runOnce(n))
 
@@ -499,10 +559,14 @@ object Bench {
     // `contended` rides on BOTH emissions: a driver-tail record taken
     // on a loaded host self-identifies, so a per-query regression in a
     // contended record is inadmissible without an idle re-measure
-    // (the `_build_wordpiece` phantom class).
-    val contended = loadStart > 1.0
+    // (the `_build_wordpiece` phantom class). The flag is the
+    // MAX-over-run of the 15 s load samples — endpoint-only sampling
+    // blessed round 9's mid-run-contaminated record as idle.
+    val loadPeak = math.max(loadMax.get(), loadEnd)
+    val contended = loadPeak > 1.0
     val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},""" +
-      s""""cores":$cores,"contended":$contended}"""
+      s""""max":${fmt(loadPeak)},"cores":$cores,"contended":$contended,""" +
+      rerunNames.map(n => s""""$n"""").mkString(""""reruns":[""", ",", "]}")
     // Two emissions: the full record (per-query op times + shuffle) goes
     // to a committed file; stdout gets a LEAN driver-contract line —
     // round 1's full line was truncated by the driver's stdout capture,

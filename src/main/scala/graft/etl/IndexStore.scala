@@ -270,19 +270,36 @@ class IndexStore(spark: SparkSession, root: String) {
   def upsertPartitioned(incoming: DataFrame, indexName: String, idCol: String,
                         partCol: String): Long =
     withMaintenanceLock(indexName) {
-      // Hive partition-value TYPE INFERENCE can read the (stringified)
-      // partition column back as date/int; pin it to string so the
-      // union with the stringified batch and the touched-value compare
-      // stay type-stable (directory names are unchanged — a date's
-      // string form IS the directory value).
-      val existing = read(indexName)
-        .withColumn(partCol, col(partCol).cast("string"))
-      require(existing.columns.sorted.sameElements(
+      val indexCols = read(indexName).columns
+      require(indexCols.sorted.sameElements(
           Stringify.all(incoming).columns.sorted),
         s"upsertPartitioned: incoming schema must match index $indexName " +
           s"(got ${incoming.columns.sorted.mkString(",")}, index has " +
-          s"${existing.columns.sorted.mkString(",")}); use upsert() to widen")
+          s"${indexCols.sorted.mkString(",")}); use upsert() to widen")
+      // Re-read under an EXPLICIT all-string schema (the store's
+      // bulkImportPartitioned contract: every column stringified). A
+      // user-supplied schema BYPASSES hive partition-value type
+      // inference, so partition values compare BYTE-IDENTICALLY to the
+      // directory names — an inferred-then-cast value diverges for any
+      // value whose inferred-type string form differs from its
+      // directory form (zero-padded numerics: dir `part=007`, inferred
+      // int reads back "7"), and the drop path `part=<cast value>`
+      // would then miss the real directory, leaving STALE rows of
+      // moved keys served next to the rewritten copy.
+      val existing = spark.read
+        .schema(org.apache.spark.sql.types.StructType(indexCols.map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+        .parquet(dir(indexName).toString)
       val b = dedupByKey(Stringify.all(incoming), idCol)
+      // Hive writes a NULL partition value to the
+      // __HIVE_DEFAULT_PARTITION__ sentinel directory, which would not
+      // round-trip the touched-value compare or the drop path — fail
+      // fast rather than corrupt silently.
+      require(b.filter(col(partCol).isNull).isEmpty,
+        s"upsertPartitioned: NULL $partCol in batch — null partition " +
+          "values do not round-trip hive partition directories; assign " +
+          "a sentinel value upstream")
       val keys = b.select(col(idCol)).distinct()
       // Touched partitions = batch's target values + the batch keys'
       // CURRENT values (In-pushed probe for micro-batches, row-group
@@ -308,14 +325,17 @@ class IndexStore(spark: SparkSession, root: String) {
       if (touched.isEmpty) 0L
       else {
         val replacement = existing
-          .filter(col(partCol).cast("string").isInCollection(touched.toSeq))
+          .filter(col(partCol).isInCollection(touched.toSeq))
           .join(keys, Seq(idCol), "left_anti")
           .unionByName(b.select(existing.columns.map(col).toSeq: _*))
-        val remaining = replacement.select(col(partCol)).distinct()
-          .collect().map(_.get(0).toString).toSet
+        // The merge plan executes ONCE: overwritePartitions stages it
+        // to parquet and derives emptied partitions (touched minus
+        // staged) from the cheap staged scan — collecting `remaining`
+        // here would run the touched-scan + anti-join + union a second
+        // time per commit on this hot O(batch) streaming path.
         overwritePartitions(replacement, indexName, partCol,
           fingerprint = "live",
-          dropPartitionValues = (touched -- remaining).toSeq.sorted,
+          dropEmptiedOf = touched,
           withinFileSortCols = Seq(idCol))
         upserted
       }
@@ -746,7 +766,8 @@ class IndexStore(spark: SparkSession, root: String) {
   def overwritePartitions(df: DataFrame, name: String, partitionCol: String,
                           fingerprint: String,
                           dropPartitionValues: Seq[String] = Nil,
-                          withinFileSortCols: Seq[String] = Nil): Unit = {
+                          withinFileSortCols: Seq[String] = Nil,
+                          dropEmptiedOf: Set[String] = Set.empty): Unit = {
     val d = dir(name)
     require(fs.exists(d), s"overwritePartitions: no artifact $name")
     fs.delete(new Path(d, MetaFile), false)
@@ -777,12 +798,25 @@ class IndexStore(spark: SparkSession, root: String) {
         case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
         case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       }
+      // Emptied-partition detection from the STAGED data (one cheap
+      // scan of the just-written touched rows) instead of a second
+      // execution of the caller's merge plan: a touched partition that
+      // kept no rows never re-materializes under the dynamic
+      // overwrite, so its stale directory must drop explicitly.
+      val emptied: Seq[String] =
+        if (dropEmptiedOf.isEmpty) Nil
+        else {
+          val remaining = staged
+            .select(col(partitionCol).cast("string")).distinct()
+            .collect().map(_.getString(0)).toSet
+          (dropEmptiedOf -- remaining).toSeq.sorted
+        }
       // Hadoop delete reports failure by returning FALSE — unchecked,
       // a failed drop leaves the emptied partition's STALE rows served
       // under a fingerprint stamped valid below. Fail loudly instead
       // (the fingerprint stays cleared, forcing a rebuild), mirroring
       // swapIn's rename discipline.
-      dropPartitionValues.foreach { v =>
+      (dropPartitionValues ++ emptied).foreach { v =>
         val p = new Path(d, s"$partitionCol=$v")
         if (!fs.delete(p, true) && fs.exists(p))
           throw new java.io.IOException(

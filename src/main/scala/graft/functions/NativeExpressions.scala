@@ -614,13 +614,23 @@ object GraftKernels {
     * split fields, because the DuckDB twin's regexp_split keeps a
     * TRAILING empty field where Java's split drops it — trimming both
     * sides removes the asymmetry); an all-whitespace/empty text yields
-    * the single empty token both engines then hash. Bit b of a token's
-    * hash = bit (7 − b%8) of md5 digest byte b/8 — exactly the bit the
-    * b-th hex-nibble character of md5's hex form exposes, which is
-    * what the SQL twin reads via substr(md5(tok), b/4+1, 1).
+    * the single empty token both engines then hash. "Whitespace" is
+    * RE2's `\s` = [\t\n\f\r ] EXACTLY (the class the DuckDB twin's
+    * regexp_split uses — notably NO vertical tab, which Java's
+    * Character.isWhitespace would accept), and lowering is
+    * locale-independent (ASCII fast path; Locale.ROOT otherwise —
+    * never the JVM default locale, whose Turkish-İ case mapping would
+    * silently diverge the engine signature from the oracle's). Bit b
+    * of a token's hash = bit (7 − b%8) of md5 digest byte b/8 —
+    * exactly the bit the b-th hex-nibble character of md5's hex form
+    * exposes, which is what the SQL twin reads via
+    * substr(md5(tok), b/4+1, 1).
     */
   def simhashMd5(s: UTF8String): ArrayData = {
-    val bytes = s.toLowerCase.getBytes
+    val lowered =
+      if (s.isFullAscii) s.toLowerCaseAscii
+      else UTF8String.fromString(s.toString.toLowerCase(java.util.Locale.ROOT))
+    val bytes = lowered.getBytes
     val votes = new Array[Int](64)
     val md = md5Local.get()
 
@@ -636,8 +646,10 @@ object GraftKernels {
       }
     }
 
+    // RE2 \s = [\t\n\f\r ] exactly — NO 0x0B vertical tab (unlike
+    // simhash64's Java-regex \s, which keeps it).
     def isWs(c: Byte): Boolean =
-      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+      c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
     var lo0 = 0
     var hi0 = bytes.length

@@ -102,16 +102,39 @@ object FormatIO {
     * cluster scale this is numPartitions concurrent bulk writers,
     * the reference's "10 concurrent bulks" knob as task parallelism.
     */
+  /** SQL identifiers are interpolated into the DELETE/INSERT text, so
+    * they are VALIDATED against the unquoted-identifier grammar first
+    * (plain word, optionally schema-qualified for the table) — an
+    * identifier needing quoting (spaces, reserved words, case-folding
+    * tricks) fails fast here instead of producing a broken or
+    * injectable statement on the executors.
+    */
+  private val SqlWord = "[A-Za-z_][A-Za-z0-9_]*".r
+  private def requireIdent(s: String, what: String, qualified: Boolean): Unit = {
+    val parts = if (qualified) s.split('.').toSeq else Seq(s)
+    require(parts.nonEmpty && parts.forall(p => SqlWord.pattern.matcher(p).matches()),
+      s"jdbcUpsert: $what '$s' is not a plain SQL identifier" +
+        (if (qualified) " (optionally schema-qualified)" else "") +
+        " — quoted/special identifiers are not supported")
+  }
+
   def jdbcUpsert(df: DataFrame, url: String, table: String, idCol: String,
-                 batchSize: Int = 1000): Unit = {
+                 batchSize: Int = 1000, driverClass: Option[String] = None): Unit = {
     val cols = df.columns.toSeq
     require(cols.contains(idCol), s"id column '$idCol' not in ${cols.mkString(",")}")
+    requireIdent(table, "table", qualified = true)
+    cols.foreach(requireIdent(_, "column", qualified = false))
     val deleteSql = s"DELETE FROM $table WHERE $idCol = ?"
     val insertSql =
       s"INSERT INTO $table (${cols.mkString(", ")}) VALUES (${cols.map(_ => "?").mkString(", ")})"
     val idIdx = cols.indexOf(idCol)
     df.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
       if (rows.hasNext) {
+        // Drivers that don't self-register via the ServiceLoader
+        // manifest (older/shaded jars) load explicitly on the EXECUTOR
+        // before getConnection — otherwise they fail only at task
+        // runtime with a bare "No suitable driver".
+        driverClass.foreach(Class.forName)
         val conn = java.sql.DriverManager.getConnection(url)
         try {
           conn.setAutoCommit(false)

@@ -62,6 +62,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhash_md5 tokenizes with RE2 \\s (no vertical tab), locale-free lowering") {
+    // The oracle twin splits with DuckDB's RE2 '\s' = [\t\n\f\r ] —
+    // Java's \s additionally matches 0x0B, so a VT-separated doc would
+    // silently diverge the engine signature from the oracle if the
+    // kernel used Java semantics. VT must NOT separate tokens…
+    def sig(t: String): Seq[Long] = spark.range(1)
+      .select(call_function("simhash_md5", lit(t)).as("s"))
+      .head.getSeq[Long](0)
+    assert(sig("a\tb") == sig("a b"), "tab and space are both separators")
+    assert(sig("a\u000Bb") != sig("a b"),
+      "RE2 \\s has no vertical tab — 'a\\x0Bb' is ONE token")
+    // …and lowering is locale-independent: the signature of mixed-case
+    // text equals the lowered text's under ROOT rules, including for
+    // the Turkish-İ trap character (U+0130 lowers to i̇ in ROOT).
+    assert(sig("HeLLo WoRLD") == sig("hello world"))
+    assert(sig("İstanbul") == sig("İstanbul".toLowerCase(java.util.Locale.ROOT)))
+  }
+
   test("winnow_fps == HOF winnowing on a fixture sample + edge cases") {
     // Truncated sample, not the full corpus: the HOF twin is the
     // DOCUMENTED cubic-ish form (the optimizer re-evaluates the char

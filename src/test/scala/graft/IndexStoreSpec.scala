@@ -568,6 +568,53 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(store.count("pidx") == 5)
   }
 
+  test("upsertPartitioned: inference-hostile partition values round-trip; NULL fails fast") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_up_infer").toString
+    val store = new etl.IndexStore(spark, root)
+    def docs(rows: (Long, String, String)*) =
+      rows.toSeq.toDF("doc_id", "part", "payload")
+    // Zero-padded values: hive type inference reads `part=007` back as
+    // int 7, whose cast-to-string "7" never matches the directory name
+    // — the drop path would miss the real dir and serve the moved
+    // key's STALE copy next to the rewritten one. The explicit-string
+    // read must keep directory values byte-identical.
+    store.bulkImportPartitioned(
+      docs((1, "007", "a"), (2, "010", "b"), (3, "1.10", "c")),
+      "zidx", "doc_id", "part")
+    assert(new java.io.File(s"$root/zidx/part=007").exists(),
+      "directory written under the literal string value")
+    // Move key 1 from '007' (emptied -> must drop) to '010'.
+    store.upsertPartitioned(docs((1, "010", "a2")), "zidx", "doc_id", "part")
+    assert(!new java.io.File(s"$root/zidx/part=007").exists(),
+      "emptied zero-padded partition must physically drop")
+    // Read back the way the store does (explicit string schema — a
+    // plain read would itself re-infer `part` as double here, which is
+    // exactly the trap this test pins).
+    def readStr() = spark.read
+      .schema(org.apache.spark.sql.types.StructType(
+        Seq("doc_id", "part", "payload").map(c =>
+          org.apache.spark.sql.types.StructField(c,
+            org.apache.spark.sql.types.StringType))))
+      .parquet(s"$root/zidx")
+    val all = readStr().select("doc_id", "part", "payload")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(all == Set(("1", "010", "a2"), ("2", "010", "b"), ("3", "1.10", "c")),
+      s"moved key must leave no stale copy: $all")
+    // Decimal-looking value '1.10' (inference would read 1.1) survives
+    // an in-place update without duplicating.
+    store.upsertPartitioned(docs((3, "1.10", "c2")), "zidx", "doc_id", "part")
+    assert(readStr().filter(col("doc_id") === "3").count() == 1L)
+    // NULL partition value: loud error, not __HIVE_DEFAULT_PARTITION__
+    // corruption.
+    val withNull = Seq((9L, Option.empty[String], "x"))
+      .toDF("doc_id", "part", "payload")
+    val e = intercept[IllegalArgumentException] {
+      store.upsertPartitioned(withNull, "zidx", "doc_id", "part")
+    }
+    assert(e.getMessage.contains("NULL part"), e.getMessage)
+  }
+
   test("pathFingerprint tracks file metadata, not path strings only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = tmp.resolve("t.parquet")

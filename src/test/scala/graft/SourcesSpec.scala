@@ -149,6 +149,21 @@ class SourcesSpec extends AnyFunSuite {
       "last write must win")
     assert(read2.filter(col("doc_key") === 110).head.getString(1) == "v2_110")
     read2.unpersist()
+
+    // Identifiers are interpolated into statement text — anything
+    // outside the unquoted-identifier grammar must fail FAST on the
+    // driver, never reach the executors as a broken/injectable
+    // statement. Schema-qualified table names stay legal.
+    val bad = intercept[IllegalArgumentException] {
+      sources.FormatIO.jdbcUpsert(corpus("x_"), url,
+        "docs_sink; DROP TABLE docs_sink", "doc_key")
+    }
+    assert(bad.getMessage.contains("identifier"), bad.getMessage)
+    intercept[IllegalArgumentException] {
+      sources.FormatIO.jdbcUpsert(
+        corpus("x_").withColumnRenamed("doc_val", "doc val"),
+        url, "docs_sink", "doc_key")
+    }
   }
 
   test("malformed JSON: PERMISSIVE captures, FAILFAST refuses") {
