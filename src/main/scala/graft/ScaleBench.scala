@@ -81,6 +81,79 @@ object ScaleBench {
     fs.create(ready, true).close()
   }
 
+  /** Zipfian synthetic corpus (round-9 verdict #3): the replica-derived
+    * corpus above inherits the fixture's ~30-word vocabulary, so every
+    * shingle has enormous document frequency and the near-dup CANDIDATE
+    * sets approach all-pairs — the measured superlinear shuffle slopes
+    * (banded 188×, substring 145× at 100×) are a property of that
+    * degenerate vocabulary, or so the standing defense claims. This
+    * generator makes the claim testable: documents whose tokens draw
+    * from a 50k-word vocabulary with a Zipf(s=1) rank distribution (the
+    * natural-language shape — rank = floor(V^u) for uniform u inverts
+    * the s=1 CDF), ~50–200 tokens per doc, all hashes seeded by
+    * (doc_id, position) so the corpus is fully deterministic. Every
+    * 97th document plants a NEAR-DUP TWIN (5% of token positions
+    * re-drawn independently, distinct id) so the true pair structure
+    * grows exactly linearly and recall stays measurable. No replicas:
+    * a factor× corpus is factor× INDEPENDENT documents — the honest
+    * shape for a slope measurement.
+    */
+  private[graft] val ZipfTwinOffset = 7000000000L
+  private def zipfCorpus(spark: SparkSession, outDir: String, nDocs: Long): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ready = new org.apache.hadoop.fs.Path(s"$outDir/_READY")
+    if (fs.exists(ready)) return
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    import org.apache.spark.sql.Column
+    val V = 50000.0
+    def zipfWord(seed: Column, p: Column, salt: Int): Column = {
+      val u = pmod(xxhash64(seed, p, lit(salt)), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      concat(lit("w"), floor(pow(lit(V), u)).cast("long").cast("string"))
+    }
+    val base = spark.range(nDocs).select(col("id").as("i"),
+      col("id").as("doc_id"), lit(false).as("is_twin"))
+    val twins = spark.range(nDocs).filter(col("id") % 97 === 0)
+      .select(col("id").as("i"),
+        (col("id") + lit(ZipfTwinOffset)).as("doc_id"), lit(true).as("is_twin"))
+    base.unionByName(twins)
+      .withColumn("n_tok",
+        (pmod(xxhash64(col("i"), lit(1)), lit(151L)) + lit(50L)).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("n_tok")), p => {
+          val w = zipfWord(col("i"), p, 0)
+          val mutate = pmod(xxhash64(col("i"), p, lit(77)), lit(100L)) < 5
+          when(col("is_twin") && mutate, zipfWord(col("i"), p, 99)).otherwise(w)
+        })))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("zipf").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    // CLUSTERED embeddings (round-9 verdict #6): K=32 deterministic
+    // cluster centers in [-1,1]^64, each vector = its cluster's center
+    // + per-dim U(-0.1, 0.1) noise — the real-embedding-corpus geometry
+    // (near-dup clusters, inter-center distance ≈ 6.5 vs within-cluster
+    // spread ≈ 0.5) that the i.i.d. fixture lacks; IvfDiag re-runs its
+    // probe-recall curve on this table unchanged, closing the "the
+    // 9/10 is the fixture's geometry, clustered data reads 10/10
+    // cheaply" footnote with a measurement.
+    val K = 32L
+    def unit(seedA: Column, seedB: Column, salt: Int): Column =
+      pmod(xxhash64(seedA, seedB, lit(salt)), lit(2000001L)).cast("double") /
+        lit(1000000.0) - lit(1.0)
+    spark.range(nDocs).select(col("id").as("vec_id"))
+      .withColumn("cl", pmod(xxhash64(col("vec_id"), lit(5)), lit(K)))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (unit(col("cl"), d.cast("long"), 11) +
+          unit(col("vec_id"), d.cast("long"), 13) * lit(0.1)).cast("float")))
+      .select(col("vec_id"), col("embedding"),
+        (col("cl") % 10).cast("int").as("label"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+    fs.create(ready, true).close()
+  }
+
   /** The operators whose cost dominates a real ingest + curation run
     * and whose scale story the repo argues structurally. All read only
     * documents/embeddings, so the derived corpus serves them all.
@@ -227,7 +300,65 @@ object ScaleBench {
     // algorithmic slope from page-cache/host variance (first run cold,
     // later runs warm; a real superlinearity shows in EVERY run, I/O
     // noise only in the cold one).
+    // Corpus mode: `replica` (default — the committed SCALE_*.json
+    // records) derives factor× from the fixture; `zipf` synthesizes a
+    // natural-vocabulary corpus at the SAME base doc count and factor×
+    // of it (see [[zipfCorpus]]) — the witness run for the near-dup
+    // shuffle-slope claim. Zipf mode defaults the timed set to the
+    // three char/word-gram dedup finders whose slopes are at issue
+    // (the zipf corpus has no embeddings table).
+    // Whole-run load watermark (round-9 verdict #7 — the same
+    // continuous sampling + foreign-cpu discrimination Bench uses):
+    // the committed SCALE_*.json self-identifies when a co-scheduled
+    // process contaminated it. Foreign cpu = (Δtotal − Δself) jiffies
+    // per 15 s window — raw loadavg can't decide contention because a
+    // 32-core scale run raises its OWN load past any fixed bar.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next().trim.split("\\s+")
+        val busyTotal = Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
+        val self = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
+        (busyTotal, self(13).toLong + self(14).toLong)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val loadStart = loadAvg()
+    val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
+    val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    locally {
+      val t = new Thread(() => {
+        var prev = cpuJiffies()
+        var prevT = System.nanoTime()
+        while (true) {
+          Thread.sleep(15000)
+          loadMax.updateAndGet(m => math.max(m, loadAvg()))
+          val cur = cpuJiffies()
+          val curT = System.nanoTime()
+          if (prev._1 >= 0 && cur._1 >= 0) {
+            val dt = (curT - prevT) / 1e9
+            val foreign =
+              ((cur._1 - prev._1) - (cur._2 - prev._2)) / 100.0 / math.max(dt, 1e-3)
+            foreignMax.updateAndGet(m => math.max(m, foreign))
+          }
+          prev = cur
+          prevT = curT
+        }
+      }, "scale-load-sampler")
+      t.setDaemon(true)
+      t.start()
+    }
+
+    val corpusMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORPUS", "replica")
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+      .orElse(if (corpusMode == "zipf")
+        Some(Set("llm_dedup_minhash_banded", "llm_dedup_substring",
+          "llm_dedup_winnow")) else None)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "1").toInt
 
     // Shuffle-volume accounting (Bench's listener): bytes written to
@@ -248,12 +379,23 @@ object ScaleBench {
       })
     def shuffleSnap(): Long = { Thread.sleep(150); shuffleBytes.get() }
 
-    deriveCorpus(spark, baseDir, scaledDir, factor)
-    val nBase = Tables(spark, baseDir, "documents").count()
-    val nScaled = Tables(spark, scaledDir, "documents").count()
+    val (baseDirEff, scaledDirEff) =
+      if (corpusMode == "zipf") {
+        val zb = "/tmp/graft_zipf_base"
+        val zs = s"/tmp/graft_zipf_${factor}x"
+        val nBaseDocs = Tables(spark, baseDir, "documents").count()
+        zipfCorpus(spark, zb, nBaseDocs)
+        zipfCorpus(spark, zs, nBaseDocs * factor)
+        (zb, zs)
+      } else {
+        deriveCorpus(spark, baseDir, scaledDir, factor)
+        (baseDir, scaledDir)
+      }
+    val nBase = Tables(spark, baseDirEff, "documents").count()
+    val nScaled = Tables(spark, scaledDirEff, "documents").count()
 
     // Warm-up (JVM + codegen + spark.ml class-loading) off the clock.
-    SparkEntry.queries("llm_token_count")(spark, baseDir).write
+    SparkEntry.queries("llm_token_count")(spark, baseDirEff).write
       .format("noop").mode("overwrite").save()
     Pins.release(spark)
 
@@ -311,8 +453,8 @@ object ScaleBench {
         up.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++ q
     }
 
-    val base = runAll(baseDir).toMap
-    val scaled = runAll(scaledDir).toMap
+    val base = runAll(baseDirEff).toMap
+    val scaled = runAll(scaledDirEff).toMap
 
     def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
     val rows = base.keys.toSeq.sorted.map { n =>
@@ -335,13 +477,21 @@ object ScaleBench {
           s""","scaled_runs":[${sT.map(fmt).mkString(",")}]"""
       s""""$n":{"base_s":${fmt(bT.min)},"scaled_s":${fmt(sT.min)},"ratio":${fmt(r)}$shJson$runsJson}"""
     }
+    val loadEnd = loadAvg()
+    val contended = foreignMax.get() > 0.5
     val json =
-      s"""{"base":"$baseDir","base_docs":$nBase,"factor":$factor,""" +
-        s""""scaled_docs":$nScaled,"repeat":$repeat,"queries":{${rows.mkString(",")}}}"""
+      s"""{"base":"$baseDirEff","base_docs":$nBase,"factor":$factor,""" +
+        s""""corpus":"$corpusMode","scaled_docs":$nScaled,"repeat":$repeat,""" +
+        s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
+        s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
+        s""""contended":$contended},""" +
+        s""""queries":{${rows.mkString(",")}}}"""
     // Probe runs (subset or repeats) get their own file — the
     // committed SCALE_<factor>x.json stays the full single-pass record.
+    val zipfTag = if (corpusMode == "zipf") "ZIPF_" else ""
     val outName =
-      if (only.isEmpty && repeat == 1) s"SCALE_${factor}x.json"
+      if (corpusMode == "zipf") s"SCALE_${zipfTag}${factor}x.json"
+      else if (only.isEmpty && repeat == 1) s"SCALE_${factor}x.json"
       else s"SCALE_${factor}x_probe.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(outName), json.getBytes("UTF-8"))

@@ -32,6 +32,22 @@ class IndexStore(spark: SparkSession, root: String) {
 
   private def dir(index: String) = new Path(root, index.toLowerCase)
 
+  /** Driver-side phase timings of the most recent partition-granular
+    * maintenance call on THIS store instance — the `_stream_latency`
+    * bench reads it per micro-batch to publish a lock/schema/probe/
+    * stage/commit breakdown (a few nanoTime reads per commit; no
+    * effect on the data path). ConcurrentHashMap because
+    * bulkImportAll shares one store across FAIR-pool threads;
+    * last-writer-wins per key — diagnostics, not state.
+    */
+  private[graft] val lastPhases =
+    new java.util.concurrent.ConcurrentHashMap[String, Double]()
+
+  private def phase[T](name: String)(body: => T): T = {
+    val t0 = System.nanoTime()
+    try body finally lastPhases.put(name, (System.nanoTime() - t0) / 1e9)
+  }
+
   /** Crash recovery + GC for swap leftovers. [[swapIn]] can die between
     * the rename-aside and the rename-in, leaving the live dir absent
     * and the only copy under `.old_<name>_<id>` — which listIndexes
@@ -268,60 +284,103 @@ class IndexStore(spark: SparkSession, root: String) {
     * O(index) driver step this O(batch) path must not hide.
     */
   def upsertPartitioned(incoming: DataFrame, indexName: String, idCol: String,
-                        partCol: String): Long =
+                        partCol: String): Long = {
+    val tEnter = System.nanoTime()
     withMaintenanceLock(indexName) {
-      val indexCols = read(indexName).columns
-      require(indexCols.sorted.sameElements(
-          Stringify.all(incoming).columns.sorted),
-        s"upsertPartitioned: incoming schema must match index $indexName " +
-          s"(got ${incoming.columns.sorted.mkString(",")}, index has " +
-          s"${indexCols.sorted.mkString(",")}); use upsert() to widen")
-      // Re-read under an EXPLICIT all-string schema (the store's
-      // bulkImportPartitioned contract: every column stringified). A
-      // user-supplied schema BYPASSES hive partition-value type
-      // inference, so partition values compare BYTE-IDENTICALLY to the
-      // directory names — an inferred-then-cast value diverges for any
-      // value whose inferred-type string form differs from its
-      // directory form (zero-padded numerics: dir `part=007`, inferred
-      // int reads back "7"), and the drop path `part=<cast value>`
-      // would then miss the real directory, leaving STALE rows of
-      // moved keys served next to the rewritten copy.
-      val existing = spark.read
-        .schema(org.apache.spark.sql.types.StructType(indexCols.map(c =>
-          org.apache.spark.sql.types.StructField(c,
-            org.apache.spark.sql.types.StringType))))
-        .parquet(dir(indexName).toString)
+      lastPhases.put("lock", (System.nanoTime() - tEnter) / 1e9)
+      val (indexCols, existing) = phase("schema") {
+        val indexCols = read(indexName).columns
+        require(indexCols.sorted.sameElements(
+            Stringify.all(incoming).columns.sorted),
+          s"upsertPartitioned: incoming schema must match index $indexName " +
+            s"(got ${incoming.columns.sorted.mkString(",")}, index has " +
+            s"${indexCols.sorted.mkString(",")}); use upsert() to widen")
+        // Re-read under an EXPLICIT all-string schema (the store's
+        // bulkImportPartitioned contract: every column stringified). A
+        // user-supplied schema BYPASSES hive partition-value type
+        // inference, so partition values compare BYTE-IDENTICALLY to the
+        // directory names — an inferred-then-cast value diverges for any
+        // value whose inferred-type string form differs from its
+        // directory form (zero-padded numerics: dir `part=007`, inferred
+        // int reads back "7"), and the drop path `part=<cast value>`
+        // would then miss the real directory, leaving STALE rows of
+        // moved keys served next to the rewritten copy.
+        val existing = spark.read
+          .schema(org.apache.spark.sql.types.StructType(indexCols.map(c =>
+            org.apache.spark.sql.types.StructField(c,
+              org.apache.spark.sql.types.StringType))))
+          .parquet(dir(indexName).toString)
+        (indexCols, existing)
+      }
+      // The deduped batch feeds two executions (the bounded probe
+      // collect and the staged merge write). Deliberately NOT
+      // persisted: caching was measured SLOWER on the micro-batch path
+      // (the InMemoryRelation build roughly doubled the probe job,
+      // +0.6 s/batch at 100-doc batches) — recomputing a batch-bounded
+      // two-stage dedup is cheaper than materializing it columnar.
       val b = dedupByKey(Stringify.all(incoming), idCol)
-      // Hive writes a NULL partition value to the
-      // __HIVE_DEFAULT_PARTITION__ sentinel directory, which would not
-      // round-trip the touched-value compare or the drop path — fail
-      // fast rather than corrupt silently.
-      require(b.filter(col(partCol).isNull).isEmpty,
-        s"upsertPartitioned: NULL $partCol in batch — null partition " +
-          "values do not round-trip hive partition directories; assign " +
-          "a sentinel value upstream")
-      val keys = b.select(col(idCol)).distinct()
-      // Touched partitions = batch's target values + the batch keys'
-      // CURRENT values (In-pushed probe for micro-batches, row-group
-      // pruned by the idCol file sort; distributed semi-join past the
-      // push cap — the upsertVecIndex rule).
       val MaxInPush = 10000
-      val keyList = keys.limit(MaxInPush + 1).collect().map(_.get(0))
-      // Plain semi-join past the push cap (no broadcast HINT): a bulk
-      // batch's key set is unbounded, and the session's AQE promotes
-      // the join from ACTUAL runtime sizes — the broadcast-discipline
-      // rule every probe here follows.
-      val oldRows =
-        if (keyList.length <= MaxInPush)
-          existing.filter(col(idCol).isin(keyList.toSeq: _*))
-        else existing.join(keys, Seq(idCol), "left_semi")
-      val oldParts = oldRows.select(col(partCol)).distinct()
-        .collect().map(_.get(0).toString).toSet
-      val newParts = b.select(col(partCol)).distinct()
-        .collect().map(_.get(0).toString).toSet
-      val touched = oldParts ++ newParts
-      val upserted =
-        if (keyList.length <= MaxInPush) keyList.length.toLong else keys.count()
+      val (keys, keyCount, touched) = phase("probe") {
+        // ONE bounded SINGLE-STAGE batch job serves the key list, the
+        // new-partition values AND the null-partition guard: collect
+        // the RAW (id, part) pairs under a limit (CollectLimit — no
+        // shuffle; the last-write-wins dedup shuffle runs exactly once,
+        // inside the stage job) and dedup keys on the driver. This
+        // replaced what used to be three separate two-stage driver
+        // jobs (null-check isEmpty, key collect, newParts distinct) on
+        // the hot streaming path, where per-job scheduling overhead
+        // dominated the probe phase (~0.3 s/job at 100-doc batches).
+        // newParts from RAW rows is a superset of the survivors'
+        // partitions — a superseded row's partition rewrites
+        // unnecessarily but correctly — and the null guard is
+        // correspondingly stricter (a null part fails even in a row
+        // that would lose last-write-wins: loud beats subtle). The cap
+        // counts raw rows, not distinct keys, so a large batch falls
+        // to the distributed path slightly earlier — also safe.
+        val raw = Stringify.all(incoming).select(col(idCol), col(partCol))
+          .limit(MaxInPush + 1).collect()
+        val capped = raw.length <= MaxInPush
+        // Hive writes a NULL partition value to the
+        // __HIVE_DEFAULT_PARTITION__ sentinel directory, which would not
+        // round-trip the touched-value compare or the drop path — fail
+        // fast rather than corrupt silently. (Past the cap the collected
+        // prefix may miss a null — the distributed guard below covers
+        // the bulk path.)
+        require(!capped || raw.forall(!_.isNullAt(1)),
+          s"upsertPartitioned: NULL $partCol in batch — null partition " +
+            "values do not round-trip hive partition directories; assign " +
+            "a sentinel value upstream")
+        if (!capped)
+          require(b.filter(col(partCol).isNull).isEmpty,
+            s"upsertPartitioned: NULL $partCol in batch — null partition " +
+              "values do not round-trip hive partition directories; assign " +
+              "a sentinel value upstream")
+        val keys = b.select(col(idCol)).distinct()
+        val keyList: Array[Any] =
+          if (capped) raw.map(_.get(0)).distinct.toArray else Array.empty
+        // Touched partitions = batch's target values + the batch keys'
+        // CURRENT values (In-pushed probe for micro-batches, row-group
+        // pruned by the idCol file sort; distributed semi-join past the
+        // push cap — the upsertVecIndex rule).
+        // Plain semi-join past the push cap (no broadcast HINT): a bulk
+        // batch's key set is unbounded, and the session's AQE promotes
+        // the join from ACTUAL runtime sizes — the broadcast-discipline
+        // rule every probe here follows.
+        val oldRows =
+          if (capped) existing.filter(col(idCol).isin(keyList.toSeq: _*))
+          else existing.join(keys, Seq(idCol), "left_semi")
+        val oldParts = phase("probe_idx") {
+          oldRows.select(col(partCol)).distinct()
+            .collect().map(_.get(0).toString).toSet
+        }
+        val newParts =
+          if (capped) raw.map(_.get(1).toString).toSet
+          else b.select(col(partCol)).distinct()
+            .collect().map(_.get(0).toString).toSet
+        (keys, if (capped) Some(keyList.length.toLong) else None,
+          oldParts ++ newParts)
+      }
+      val upserted = keyCount.getOrElse(keys.count())
       if (touched.isEmpty) 0L
       else {
         val replacement = existing
@@ -340,6 +399,7 @@ class IndexStore(spark: SparkSession, root: String) {
         upserted
       }
     }
+  }
 
   /** Delete-by-query (ES `_delete_by_query`): rewrite the index
     * without matching docs. Copy-on-write like [[upsert]]; returns
@@ -753,15 +813,27 @@ class IndexStore(spark: SparkSession, root: String) {
     * CELL rewrites, never a corpus rebuild.
     *
     * Failure contract (the upsertPostings discipline, made
-    * partition-granular): dynamic partition overwrite commits PER
-    * PARTITION, so a crash mid-job can leave a subset of touched
-    * partitions updated. The provenance fingerprint is therefore
-    * cleared BEFORE any data moves and restamped only after the last
-    * partition commits + empties drop — a crashed upsert leaves a
-    * fingerprint mismatch that forces readers to REBUILD rather than
-    * serve a half-applied batch. `df` is staged to a sibling directory
-    * first (one bounded materialization of the touched partitions), so
-    * its lineage may freely READ the artifact being rewritten.
+    * partition-granular): partition swaps commit PER PARTITION, so a
+    * crash mid-commit can leave a subset of touched partitions
+    * updated. The provenance fingerprint is therefore cleared BEFORE
+    * any data moves and restamped only after the last partition
+    * commits + empties drop — a crashed upsert leaves a fingerprint
+    * mismatch that forces readers to REBUILD rather than serve a
+    * half-applied batch. `df` is staged to a sibling directory first
+    * (ONE materialization of the touched partitions, hive-partitioned
+    * and key-sorted in the same write), so its lineage may freely
+    * READ the artifact being rewritten; the commit itself is pure
+    * driver-side directory renames — zero Spark jobs — which on the
+    * streaming micro-batch path halves the per-trigger fixed cost the
+    * old stage-then-rewrite shape paid (an unpartitioned stage write,
+    * a second full write under dynamic partitionOverwriteMode, and an
+    * emptied-detection scan of the staged data).
+    *
+    * Partition VALUES are assumed hive-clean (no characters hive
+    * escapes in directory names): every caller partitions by dates,
+    * integer cells, or stringified numerics, and the byte-identity
+    * contract between values and directory names is already load-
+    * bearing in [[upsertPartitioned]]'s probe and the drop path.
     */
   def overwritePartitions(df: DataFrame, name: String, partitionCol: String,
                           fingerprint: String,
@@ -779,48 +851,61 @@ class IndexStore(spark: SparkSession, root: String) {
     val stage = new Path(root, s".tmp_${name.toLowerCase}_stage_" +
       java.util.UUID.randomUUID().toString.take(8))
     try {
-      df.write.mode(SaveMode.Overwrite).parquet(stage.toString)
-      val staged = spark.read.parquet(stage.toString)
-      val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
-      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-      // Rewritten cells keep the build's within-file KEY sort (see
-      // writeArtifact's withinFileSortCols) so maintenance never
-      // degrades the row-group-pruning layout the probes rely on.
-      val sorted =
-        if (withinFileSortCols.isEmpty) staged
-        else staged.repartition(
-            spark.conf.get("spark.sql.shuffle.partitions").toInt,
-            col(partitionCol))
-          .sortWithinPartitions((partitionCol +: withinFileSortCols).map(col): _*)
-      try sorted.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
-        .parquet(d.toString)
-      finally prev match {
-        case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
-        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-      }
-      // Emptied-partition detection from the STAGED data (one cheap
-      // scan of the just-written touched rows) instead of a second
-      // execution of the caller's merge plan: a touched partition that
-      // kept no rows never re-materializes under the dynamic
-      // overwrite, so its stale directory must drop explicitly.
-      val emptied: Seq[String] =
-        if (dropEmptiedOf.isEmpty) Nil
-        else {
-          val remaining = staged
-            .select(col(partitionCol).cast("string")).distinct()
-            .collect().map(_.getString(0)).toSet
-          (dropEmptiedOf -- remaining).toSeq.sorted
+      phase("stage") {
+        // Rewritten cells keep the build's within-file KEY sort (see
+        // writeArtifact's withinFileSortCols) so maintenance never
+        // degrades the row-group-pruning layout the probes rely on.
+        // Shuffle-partition sizing: hash-repartitioning BY VALUE puts
+        // one partition value in one task no matter the count, so any
+        // task beyond the touched-partition count (dropEmptiedOf,
+        // when the caller supplies it) is guaranteed EMPTY — sizing
+        // to the touched count drops ~30 empty-task launches per
+        // micro-batch commit without changing per-value parallelism
+        // at any scale.
+        val nShuffle = {
+          val conf = spark.conf.get("spark.sql.shuffle.partitions").toInt
+          if (dropEmptiedOf.nonEmpty) math.min(conf, dropEmptiedOf.size)
+          else conf
         }
-      // Hadoop delete reports failure by returning FALSE — unchecked,
-      // a failed drop leaves the emptied partition's STALE rows served
-      // under a fingerprint stamped valid below. Fail loudly instead
-      // (the fingerprint stays cleared, forcing a rebuild), mirroring
-      // swapIn's rename discipline.
-      (dropPartitionValues ++ emptied).foreach { v =>
-        val p = new Path(d, s"$partitionCol=$v")
-        if (!fs.delete(p, true) && fs.exists(p))
-          throw new java.io.IOException(
-            s"overwritePartitions: failed to drop emptied partition $p")
+        val sorted =
+          if (withinFileSortCols.isEmpty) df
+          else df.repartition(nShuffle, col(partitionCol))
+            .sortWithinPartitions((partitionCol +: withinFileSortCols).map(col): _*)
+        sorted.write.mode(SaveMode.Overwrite).partitionBy(partitionCol)
+          .parquet(stage.toString)
+      }
+      phase("commit") {
+        // The staged directory names ARE the touched-partition values
+        // that kept rows (a touched partition that kept none never
+        // materializes a dir) — emptied detection is a driver listing,
+        // not a Spark job, and the swap is per-partition renames.
+        val stagedParts = fs.listStatus(stage)
+          .filter(e => e.isDirectory &&
+            e.getPath.getName.startsWith(s"$partitionCol="))
+          .map(_.getPath.getName.stripPrefix(s"$partitionCol=")).toSet
+        // Hadoop rename/delete report failure by returning FALSE —
+        // unchecked, a failed swap would leave a partition's STALE rows
+        // served under a fingerprint stamped valid below. Fail loudly
+        // instead (the fingerprint stays cleared, forcing a rebuild),
+        // mirroring swapIn's rename discipline.
+        stagedParts.foreach { v =>
+          val live = new Path(d, s"$partitionCol=$v")
+          if (fs.exists(live) && !fs.delete(live, true))
+            throw new java.io.IOException(
+              s"overwritePartitions: failed to clear partition $live")
+          if (!fs.rename(new Path(stage, s"$partitionCol=$v"), live))
+            throw new java.io.IOException(
+              s"overwritePartitions: failed to commit partition $live")
+        }
+        val emptied: Seq[String] =
+          if (dropEmptiedOf.isEmpty) Nil
+          else (dropEmptiedOf -- stagedParts).toSeq.sorted
+        (dropPartitionValues ++ emptied).foreach { v =>
+          val p = new Path(d, s"$partitionCol=$v")
+          if (!fs.delete(p, true) && fs.exists(p))
+            throw new java.io.IOException(
+              s"overwritePartitions: failed to drop emptied partition $p")
+        }
       }
     } finally fs.delete(stage, true)
     val out = fs.create(new Path(d, MetaFile), true)

@@ -1,10 +1,11 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftSqlAccess, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.functions.BroadcastArrayExpr
 
 /** Similarity search over the `embeddings` fixture (SURVEY.md §2.4):
   * brute-force cosine top-k as the exact baseline, LSH-bucketed and
@@ -91,6 +92,28 @@ object SimilarityQueries {
     */
   private[graft] def trainCentroids(e: DataFrame, k: Int): Seq[Seq[Double]] =
     lloyd(sampleVectors(e), k, iters = 5).map(_.toSeq).toSeq
+
+  /** array<…<array<double>>> nested `depth` levels — the codebook
+    * column types (depth 2 = centroids, 3 = per-subspace codebooks /
+    * per-cell ADC tables).
+    */
+  private def nestedDoubleArray(depth: Int): DataType =
+    (1 to depth).foldLeft(DoubleType: DataType)((t, _) => ArrayType(t, containsNull = false))
+
+  /** A trained model artifact (codebook, ADC table) as a Column backed
+    * by a Spark BROADCAST instead of a `typedlit` plan literal
+    * ([[graft.functions.BroadcastArrayExpr]]): the plan carries an O(1)
+    * handle, so analysis cost, plan text, and the plan cache are
+    * independent of codebook size — the property that matters at a
+    * 100 TB-grade index (10⁵–10⁶ centroids), where a multi-MB literal
+    * per query bloats driver memory and defeats plan caching. Value
+    * semantics are identical to the literal it replaces (same Catalyst
+    * conversion, same element order), so oracle hashes cannot move.
+    */
+  private[graft] def bcastModel(s: SparkSession, v: AnyRef, depth: Int,
+                                desc: String): Column =
+    GraftSqlAccess.column(BroadcastArrayExpr(
+      s.sparkContext.broadcast(v), nestedDoubleArray(depth), desc))
 
   /** Squared L2 distance to every centroid of the codebook, as
     * array<double> — the native one-pass kernel
@@ -417,7 +440,7 @@ object SimilarityQueries {
       val eU = e.withColumn("unit", transform(col("emb"), x => x / nrm))
       val centroids =
         trainCentroids(eU.withColumn("emb", col("unit")), nList)
-      val cb = typedlit(centroids)
+      val cb = bcastModel(s, centroids, 2, s"ivf_coarse_unit[$nList]")
       val q: Seq[Double] = eU.filter(col("vec_id") === 0)
         .select(col("unit")).head.getSeq[Double](0)
       val celled = eU
@@ -578,7 +601,7 @@ object SimilarityQueries {
         .select(col("vec_id"), col("emb"))
       val k = math.min(MaxTrainSample / 8L,
         math.max(4L, Tables.rowCount(s, dir, "embeddings") / 2000L)).toInt
-      val cb = typedlit(trainCentroids(e, k))
+      val cb = bcastModel(s, trainCentroids(e, k), 2, s"dedup_cells[$k]")
       // Each vector lands in its 3 nearest cells — the recall/cost
       // dial of multi-probe blocking (2 cells measured 0.966 recall on
       // this fixture after the bounded-sample change; 3 restores 1.0
@@ -702,7 +725,7 @@ object SimilarityQueries {
       val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), nList)
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val centroids = trainCentroids(e, nList)
-      val cb = typedlit(centroids)
+      val cb = bcastModel(s, centroids, 2, s"ivf_coarse[$nList]")
       // Query's nProbe nearest cells — driver arithmetic over the
       // bounded codebook (same boundary as training it).
       val q: Seq[Double] = e.filter(col("vec_id") === 0)
@@ -736,9 +759,10 @@ object SimilarityQueries {
     // raw floats); in production encode runs at WRITE time and only
     // the codes column is scanned. Codebooks (m×nCent×8 doubles) and
     // the ADC table (m×nCent) are O(1) artifacts: trained once on the
-    // bounded sample, shipped as literals — broadcast semantics with
-    // zero join. Scoring is pure per-row HOF arithmetic: no UDF, no
-    // shuffle before the shortlist top-k.
+    // bounded sample, shipped as TRUE BROADCASTS
+    // ([[graft.functions.BroadcastArrayExpr]]) — zero join, and plan
+    // size independent of codebook size. Scoring is pure per-row HOF
+    // arithmetic: no UDF, no shuffle before the shortlist top-k.
     // Exact-re-rank output -> DuckDB brute-force-top-10 oracle + Recall.
     "llm_ann_pq_topk" -> ((s, dir) => {
       // 16 subspaces × 4 dims × 64 centroids: the m=8/8-dim/64-cent
@@ -773,7 +797,7 @@ object SimilarityQueries {
         val pts = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
         lloyd(pts, nCent, iters = 3).map(_.toSeq).toSeq
       }
-      val cb = typedlit(codebooks) // array<array<array<double>>> literal
+      val cb = bcastModel(s, codebooks, 3, s"pq_codebooks[${m}x$nCent]")
       // ADC table for THE query vector (vec_id 0): table[j][c] =
       // ||q_sub_j - centroid_jc||² — m×nCent doubles, computed once
       // on the driver from the collected 1-row query (the ANN query
@@ -787,7 +811,7 @@ object SimilarityQueries {
           }.sum
         }
       }
-      val table = typedlit(adc)
+      val table = bcastModel(s, adc, 2, s"pq_adc[${m}x$nCent]")
       val codes = pqCodes(col("emb"), cb, m, subDim, nCent)
       val score = adcScore(col("codes"), table, m)
       // SHORTLIST + EXACT RE-RANK — the production PQ architecture
@@ -898,21 +922,25 @@ object SimilarityQueries {
     // (sub-byte values dictionary/bit-packed by parquet), raw floats
     // touched only for the 100-row shortlist. All model artifacts
     // (coarse codebook nList×64, residual codebooks m×nCent×8, ADC
-    // tables nList×m×nCent) are O(1) literals from the same bounded
-    // sample. Exact-re-rank output -> DuckDB top-10 oracle + Recall.
+    // tables nList×m×nCent) are O(1) broadcasts from the same bounded
+    // sample — plan size stays independent of codebook size.
+    // Exact-re-rank output -> DuckDB top-10 oracle + Recall.
     "llm_ann_ivfpq_topk" -> ((s, dir) => {
       val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), 16)
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
       val model = IvfPqModel.train(e, nList = 16, m = 8, subDim = 8, nCent = 64)
-      val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-      val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+      val coarseLit = bcastModel(s, model.coarse.map(_.toSeq).toSeq, 2,
+        s"ivfpq_coarse[${model.nList}]")
+      val cbLit = bcastModel(s, model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, 3,
+        s"ivfpq_codebooks[${model.m}x${model.nCent}]")
       // Query-side driver math over the O(1) codebooks: probed cells,
       // then one ADC table per probed cell from the query's residual
       // in THAT cell.
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray
       val probed = probeCells(q, model.coarse, nProbe)
-      val tables = typedlit(adcTablesPerCell(q, model, probed))
+      val tables = bcastModel(s, adcTablesPerCell(q, model, probed), 3,
+        s"ivfpq_adc_tables[${model.nList}]")
       // Scan: assign cell, PRUNE to probed cells (at write-time layout
       // this is partition pruning — llm_ann_indexed_topk IS that
       // layout), residual-encode survivors, ADC.
@@ -985,7 +1013,8 @@ object SimilarityQueries {
       val rowC1 =
         if (model.sub.isEmpty) col("cell")
         else (col("cell") / 4096).cast(org.apache.spark.sql.types.IntegerType)
-      val tables = typedlit(adcTablesPerCell(q, model, probed))
+      val tables = bcastModel(s, adcTablesPerCell(q, model, probed), 3,
+        s"idx_adc_tables[${model.nList}]")
       val r = math.min(100000L,
         math.max(200L, Tables.rowCount(s, dir, "embeddings") / 50L)).toInt
       val shortlist = idx
@@ -1237,7 +1266,7 @@ object SimilarityQueries {
     val n = e.count()
     val k1 = math.min(k1Cap.toLong,
       math.max(4L, n / targetCellSize)).toInt
-    val cb1 = typedlit(trainCentroids(e, k1))
+    val cb1 = bcastModel(e.sparkSession, trainCentroids(e, k1), 2, s"l1_coarse[$k1]")
     // Eager local checkpoint, not persist: the level-1 assignment feeds
     // the size count, the sub-codebook sample, and the final level-2
     // projection — computed once, and the ContextCleaner frees the
@@ -1290,8 +1319,10 @@ object SimilarityQueries {
     val dim = subCodebooks(oversized.head).head.length
     // One literal indexed by c1; small cells carry a zero dummy that is
     // never evaluated (CaseWhen branches evaluate lazily per row).
-    val cb2 = typedlit((0 until k1).map(c =>
-      subCodebooks.getOrElse(c, Seq.fill(k2)(Seq.fill(dim)(0.0)))))
+    val cb2 = bcastModel(e.sparkSession,
+      (0 until k1).map(c =>
+        subCodebooks.getOrElse(c, Seq.fill(k2)(Seq.fill(dim)(0.0)))),
+      3, s"l2_codebooks[${k1}x$k2]")
     // Distances as their own projection (the cellDistances rule: the
     // O(k2·dim) fold must evaluate once, not in both argmin branches);
     // small cells get null distances and never read them — the outer
@@ -1319,7 +1350,8 @@ object SimilarityQueries {
     * in how finely the probe can prune directories.
     */
   private[graft] def encodeWithModel(e: DataFrame, model: IvfPqModel): DataFrame = {
-    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
+    val coarseLit = bcastModel(e.sparkSession, model.coarse.map(_.toSeq).toSeq, 2,
+      s"idx_coarse[${model.nList}]")
     val assigned = e
       .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
       .withColumn("c1", argminCell(col("__cd"), model.nList))
@@ -1335,8 +1367,11 @@ object SimilarityQueries {
     * `_build_vec_index` (the round-5 bench regression).
     */
   private[graft] def encodeAssigned(e: DataFrame, model: IvfPqModel): DataFrame = {
-    val coarseLit = typedlit(model.coarse.map(_.toSeq).toSeq)
-    val cbLit = typedlit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    val coarseLit = bcastModel(e.sparkSession, model.coarse.map(_.toSeq).toSeq, 2,
+      s"idx_coarse[${model.nList}]")
+    val cbLit = bcastModel(e.sparkSession,
+      model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, 3,
+      s"idx_codebooks[${model.m}x${model.nCent}]")
     val enc = e
       .withColumn("res",
         zip_with(col("emb"), element_at(coarseLit, col("c1") + 1), (x, y) => x - y))
@@ -1349,9 +1384,11 @@ object SimilarityQueries {
       val splitCells = model.sub.keys.toSeq.sorted
       // One literal indexed by c1; unsplit cells carry a zero dummy
       // that is never evaluated (CaseWhen branches evaluate lazily).
-      val cb2 = typedlit((0 until model.nList).map(c =>
-        model.sub.get(c).map(_.map(_.toSeq).toSeq)
-          .getOrElse(Seq.fill(k2)(Seq.fill(dim)(0.0)))))
+      val cb2 = bcastModel(e.sparkSession,
+        (0 until model.nList).map(c =>
+          model.sub.get(c).map(_.map(_.toSeq).toSeq)
+            .getOrElse(Seq.fill(k2)(Seq.fill(dim)(0.0)))),
+        3, s"idx_l2_codebooks[${model.nList}x$k2]")
       enc
         .withColumn("__cd2",
           when(col("c1").isin(splitCells: _*),
@@ -1442,7 +1479,8 @@ object SimilarityQueries {
       // consumer was the round-5 `_build_vec_index` regression (5.0 →
       // 7.9 s at sf0.1); this is ingest-time cost, released before the
       // build returns, so the query-path no-cache policy is untouched.
-      val coarseLit = typedlit(model0.coarse.map(_.toSeq).toSeq)
+      val coarseLit = bcastModel(s, model0.coarse.map(_.toSeq).toSeq, 2,
+        s"build_coarse[${model0.nList}]")
       val l1 = e
         .withColumn("__cd", cellDistances(col("emb"), coarseLit, model0.nList))
         .withColumn("c1", argminCell(col("__cd"), model0.nList))

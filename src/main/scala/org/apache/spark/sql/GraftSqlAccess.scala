@@ -12,6 +12,22 @@ object GraftSqlAccess {
   def ofRows(session: SparkSession, plan: LogicalPlan): DataFrame =
     classic.Dataset.ofRows(session.asInstanceOf[classic.SparkSession], plan)
 
+  /** Wrap a raw Catalyst expression as a user-facing Column (the
+    * `private[sql]` bridge Column literals/functions use internally).
+    * Used to project graft's broadcast-backed model expressions
+    * ([[graft.functions.BroadcastArrayExpr]]) into DataFrame code.
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
+  /** Scala-value → Catalyst-value converter for the given type —
+    * exactly the conversion `typedlit` applies to its literal value,
+    * exposed so a broadcast-shipped model converts identically.
+    */
+  def toCatalyst(dataType: org.apache.spark.sql.types.DataType)(v: Any): Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(dataType)(v)
+
   /** Force-create the driver's StateStoreCoordinator RPC endpoint.
     * Streaming queries do this on start; BATCH-mode stateful operators
     * (`transformWithState` on a batch Dataset) skip that path, and the

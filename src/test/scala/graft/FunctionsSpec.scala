@@ -395,4 +395,47 @@ class FunctionsSpec extends AnyFunSuite {
       "SELECT simhash64_native(text) AS sh FROM docs_fn").count()
     assert(n == Tables(spark, sf, "documents").count())
   }
+
+  test("broadcast codebook == typedlit codebook on the full corpus (bit-exact)") {
+    // The IVF/PQ family's model artifacts moved from typedlit plan
+    // literals to BroadcastArrayExpr — value semantics must be
+    // IDENTICAL or every ANN oracle hash moves.
+    val e = llm.SimilarityQueries.embDouble(Tables(spark, sf, "embeddings"))
+    val cents: Seq[Seq[Double]] = llm.SimilarityQueries.trainCentroids(e, 8)
+    val litCb = typedlit(cents)
+    val bcCb = llm.SimilarityQueries.bcastModel(spark, cents, 2, "spec_coarse[8]")
+    val diff = e.select(
+      call_function("cell_dists", col("emb"), litCb).as("lit"),
+      call_function("cell_dists", col("emb"), bcCb).as("bc"))
+      .filter(col("lit") =!= col("bc"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // element_at indexing over the broadcast array matches the literal
+    // (the residual-subtraction path reads the codebook this way).
+    val diff2 = e.select(
+      element_at(litCb, 3).as("lit"), element_at(bcCb, 3).as("bc"))
+      .filter(col("lit") =!= col("bc"))
+    assert(diff2.isEmpty, diff2.limit(3).collect().mkString("\n"))
+  }
+
+  test("broadcast codebook stays out of the plan (compact handle, not folded)") {
+    val e = llm.SimilarityQueries.embDouble(Tables(spark, sf, "embeddings"))
+    val cents: Seq[Seq[Double]] = llm.SimilarityQueries.trainCentroids(e, 8)
+    val bcCb = llm.SimilarityQueries.bcastModel(spark, cents, 2, "spec_coarse[8]")
+    val df = e.select(call_function("cell_dists", col("emb"), bcCb).as("cd"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    val executed = df.queryExecution.executedPlan.toString
+    // The handle renders by desc; the centroid VALUES never appear —
+    // that is the whole point (plan size independent of codebook size).
+    assert(optimized.contains("graft_broadcast_array(spec_coarse[8])"),
+      s"missing compact handle:\n$optimized")
+    val firstCentroidVal = cents.head.head.toString
+    assert(!optimized.contains(firstCentroidVal),
+      "codebook values leaked into the optimized plan (ConstantFolding " +
+        "inlined the broadcast back into a literal?)")
+    assert(!executed.contains(firstCentroidVal),
+      "codebook values leaked into the physical plan")
+    // And the expression still evaluates under whole-stage codegen.
+    assert(executed.contains("*("), s"not codegen'd:\n$executed")
+    assert(df.limit(1).collect().nonEmpty)
+  }
 }
