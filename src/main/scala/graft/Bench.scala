@@ -46,7 +46,7 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (total busy jiffies across all cpus, THIS process's jiffies) —
+  /** (total USER+NICE jiffies across all cpus, THIS process's utime) —
     * the pair whose per-interval delta isolates OTHER processes' CPU.
     * Raw loadavg cannot decide `contended`: a 32-core bench raises its
     * OWN 1-min load past any fixed bar (max>1.0 would flag every
@@ -55,6 +55,12 @@ object Bench {
     * `max((Δtotal − Δself)/Δt)` over 15 s windows is that signal:
     * self-load cancels exactly (Spark local mode is one process), and
     * a concurrent sbt/driver gate shows as whole foreign cores.
+    * USER time only, deliberately: kernel writeback of this bench's
+    * OWN shuffle/artifact files runs in kworker threads whose SYSTEM
+    * time would read as ~1 foreign core on every write-heavy family
+    * (measured: sql 1.25, llm 1.05 on an otherwise-idle host) — the
+    * contamination class that matters (another JVM: sbt, a driver
+    * gate, a second bench) is user-cpu-dominated.
     */
   private def cpuJiffies(): (Long, Long) =
     try {
@@ -62,13 +68,12 @@ object Bench {
         java.nio.file.Paths.get("/proc/stat")), "UTF-8")
         .linesIterator.next().trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal ...
-      val busyTotal = Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
+      val userTotal = stat(1).toLong + stat(2).toLong
       val self = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
-      // fields 14,15 (1-based): utime, stime — after comm, which is
-      // parenthesized and contains no spaces for plain `java`.
-      val selfBusy = self(13).toLong + self(14).toLong
-      (busyTotal, selfBusy)
+      // field 14 (1-based): utime — after comm, which is parenthesized
+      // and contains no spaces for plain `java`.
+      (userTotal, self(13).toLong)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** queries_op map of the committed idle record (BENCH_LOCAL.json),

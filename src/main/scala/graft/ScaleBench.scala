@@ -318,15 +318,17 @@ object ScaleBench {
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
+    // USER time only — kernel writeback of the run's own shuffle files
+    // would otherwise read as ~1 foreign core (see Bench.cpuJiffies).
     def cpuJiffies(): (Long, Long) =
       try {
         val stat = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
           .linesIterator.next().trim.split("\\s+")
-        val busyTotal = Seq(1, 2, 3, 6, 7, 8).map(i => stat(i).toLong).sum
+        val userTotal = stat(1).toLong + stat(2).toLong
         val self = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
-        (busyTotal, self(13).toLong + self(14).toLong)
+        (userTotal, self(13).toLong)
       } catch { case _: Throwable => (-1L, -1L) }
     val loadStart = loadAvg()
     val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
