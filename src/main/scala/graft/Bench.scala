@@ -484,6 +484,8 @@ object Bench {
     // rule out). Wall seconds for the 5-batch drain; stderr carries
     // the per-batch mean. Checkpointed, AvailableNow trigger.
     val runStreamLatency = only.forall(_("_stream_latency"))
+    var streamP50 = -1.0
+    var streamP95 = -1.0
     val streamLatencySecs = if (!runStreamLatency) -1.0 else {
       import org.apache.spark.sql.streaming.Trigger
       val src = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
@@ -529,9 +531,11 @@ object Bench {
       def pct(p: Double): Double =
         if (walls.isEmpty) 0.0
         else walls(math.min(walls.length - 1, math.ceil(p * walls.length).toInt - 1).max(0))
+      streamP50 = pct(0.5)
+      streamP95 = pct(0.95)
       System.err.println(f"[bench] _stream_latency: $nBatches micro-batches in " +
-        f"$dt%.2f s (${dt / nBatches}%.2f s/batch, p50=${pct(0.5)}%.2f " +
-        f"p95=${pct(0.95)}%.2f, partition-granular keyed upsert)")
+        f"$dt%.2f s (${dt / nBatches}%.2f s/batch, p50=$streamP50%.2f " +
+        f"p95=$streamP95%.2f, partition-granular keyed upsert)")
       Pins.release(spark)
       snapShuffle("_stream_latency")
       dt
@@ -601,7 +605,13 @@ object Bench {
       (if (runGeoBuild) Seq("_build_geo_cells" -> ((geoBuildSecs, geoBuildSecs))) else Nil) ++
       (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
       (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil) ++
-      (if (runStreamLatency) Seq("_stream_latency" -> ((streamLatencySecs, streamLatencySecs))) else Nil) ++
+      (if (runStreamLatency) Seq(
+        "_stream_latency" -> ((streamLatencySecs, streamLatencySecs)),
+        // Per-batch percentiles as first-class record entries so the
+        // micro-batch latency contract tracks round-over-round without
+        // stderr archaeology.
+        "_stream_latency_p50" -> ((streamP50, streamP50)),
+        "_stream_latency_p95" -> ((streamP95, streamP95))) else Nil) ++
       (if (runPostingsMaint) Seq(
         "_upsert_postings_batch" -> ((upsertPostingsSecs, upsertPostingsSecs)),
         "_compact_postings" -> ((compactSecs, compactSecs))) else Nil)

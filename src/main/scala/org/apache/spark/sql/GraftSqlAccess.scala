@@ -20,6 +20,13 @@ object GraftSqlAccess {
   def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
     classic.ExpressionUtils.column(e)
 
+  /** Inverse of [[column]] — the Column's underlying Catalyst
+    * expression (spec use: serialization-roundtrip the broadcast
+    * model expression the way task dispatch would).
+    */
+  def expression(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+
   /** Scala-value → Catalyst-value converter for the given type —
     * exactly the conversion `typedlit` applies to its literal value,
     * exposed so a broadcast-shipped model converts identically.

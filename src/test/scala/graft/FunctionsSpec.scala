@@ -417,6 +417,33 @@ class FunctionsSpec extends AnyFunSuite {
     assert(diff2.isEmpty, diff2.limit(3).collect().mkString("\n"))
   }
 
+  test("broadcast codebook expression survives serialization (the executor-ship path)") {
+    // local[32] never exercises cross-JVM shipping, so roundtrip the
+    // expression through java serialization exactly as task dispatch
+    // would: the Broadcast handle (not the value) serializes, and the
+    // deserialized copy re-derives the SAME ArrayData from the
+    // broadcast machinery.
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val cents: Seq[Seq[Double]] = Seq(Seq(1.5, -2.25), Seq(0.0, 4.125))
+    val c = llm.SimilarityQueries.bcastModel(spark, cents, 2, "ser_spec")
+    val expr = org.apache.spark.sql.GraftSqlAccess.expression(c)
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(expr)
+    assert(bos.size() < 16 * 1024,
+      s"serialized expression is ${bos.size()} bytes — the VALUE leaked " +
+        "into the task payload instead of riding the broadcast")
+    val back = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[org.apache.spark.sql.catalyst.expressions.Expression]
+    val orig = expr.eval(null).asInstanceOf[ArrayData]
+    val rt = back.eval(null).asInstanceOf[ArrayData]
+    assert(rt.numElements() == orig.numElements())
+    (0 until orig.numElements()).foreach { i =>
+      assert(rt.getArray(i).toDoubleArray().sameElements(
+        orig.getArray(i).toDoubleArray()))
+    }
+  }
+
   test("broadcast codebook stays out of the plan (compact handle, not folded)") {
     val e = llm.SimilarityQueries.embDouble(Tables(spark, sf, "embeddings"))
     val cents: Seq[Seq[Double]] = llm.SimilarityQueries.trainCentroids(e, 8)
