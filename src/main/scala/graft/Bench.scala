@@ -46,8 +46,9 @@ object Bench {
       .split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
-  /** (total USER+NICE jiffies across all cpus, THIS process's utime) —
-    * the pair whose per-interval delta isolates OTHER processes' CPU.
+  /** (total USER+NICE jiffies across all cpus, THIS process's utime,
+    * total SYSTEM jiffies, THIS process's stime) — the pairs whose
+    * per-interval deltas isolate OTHER processes' CPU.
     * Raw loadavg cannot decide `contended`: a 32-core bench raises its
     * OWN 1-min load past any fixed bar (max>1.0 would flag every
     * honest record contended — a permanent false positive), while the
@@ -55,25 +56,61 @@ object Bench {
     * `max((Δtotal − Δself)/Δt)` over 15 s windows is that signal:
     * self-load cancels exactly (Spark local mode is one process), and
     * a concurrent sbt/driver gate shows as whole foreign cores.
-    * USER time only, deliberately: kernel writeback of this bench's
-    * OWN shuffle/artifact files runs in kworker threads whose SYSTEM
-    * time would read as ~1 foreign core on every write-heavy family
-    * (measured: sql 1.25, llm 1.05 on an otherwise-idle host) — the
-    * contamination class that matters (another JVM: sbt, a driver
-    * gate, a second bench) is user-cpu-dominated.
+    * The DECIDING signal is USER time only, deliberately: kernel
+    * writeback of this bench's OWN shuffle/artifact files runs in
+    * kworker threads whose SYSTEM time would read as ~1 foreign core
+    * on every write-heavy family (measured: sql 1.25, llm 1.05 on an
+    * otherwise-idle host) — the contamination class that matters
+    * (another JVM: sbt, a driver gate, a second bench) is
+    * user-cpu-dominated. The SYSTEM pair is carried as an ADVISORY
+    * field only (`foreign_sys_cores_max`): a foreign rsync/backup is
+    * system-time-dominated and would slip the user-cpu bar, but the
+    * kworker allowance means the sys signal cannot gate `contended`
+    * without permanently false-positive-ing write-heavy families —
+    * so `contended:false` covers user-cpu-dominated co-processes and
+    * the record schema says so.
     */
-  private def cpuJiffies(): (Long, Long) =
+  private def cpuJiffies(): (Long, Long, Long, Long) =
     try {
       val stat = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/stat")), "UTF-8")
         .linesIterator.next().trim.split("\\s+")
       // cpu user nice system idle iowait irq softirq steal ...
       val userTotal = stat(1).toLong + stat(2).toLong
+      val sysTotal = stat(3).toLong
       val self = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
-      // field 14 (1-based): utime — after comm, which is parenthesized
-      // and contains no spaces for plain `java`.
-      (userTotal, self(13).toLong)
+      // fields 14/15 (1-based): utime/stime — after comm, which is
+      // parenthesized and contains no spaces for plain `java`.
+      (userTotal, self(13).toLong, sysTotal, self(14).toLong)
+    } catch { case _: Throwable => (-1L, -1L, -1L, -1L) }
+
+  /** (this process's MAJOR page faults, this process's storage-layer
+    * read bytes) — the per-entry I/O-pressure pair (round-10 verdict
+    * #1): a query that reads far over its committed idle time under
+    * `contended:false` needs a signal that names the cause, and
+    * foreign USER cpu misses page-cache eviction by a co-resident
+    * process (the suspected `_build_neardup_pairs` 52.9-vs-9.0 s
+    * mechanism — the gate's DuckDB/dataset work evicts the fixture
+    * from cache, this JVM then pays real disk reads it normally
+    * never does). majflt counts mapped-page misses that hit storage;
+    * /proc/self/io read_bytes counts ALL bytes fetched from the
+    * storage layer (a warm run reads ~0 — everything is page cache).
+    * Either spiking on an outlier entry names I/O pressure as the
+    * contaminant; both flat says the slowdown was CPU-side.
+    */
+  private def ioStat(): (Long, Long) =
+    try {
+      val st = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
+      val majflt = st(11).toLong // field 12 (1-based)
+      val rb = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/io")), "UTF-8")
+        .linesIterator.collectFirst {
+          case l if l.startsWith("read_bytes:") =>
+            l.substring("read_bytes:".length).trim.toLong
+        }.getOrElse(-1L)
+      (majflt, rb)
     } catch { case _: Throwable => (-1L, -1L) }
 
   /** queries_op map of the committed idle record (BENCH_LOCAL.json),
@@ -118,6 +155,7 @@ object Bench {
     // bench's own 32-core work dominates raw loadavg.
     val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
     val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    val foreignSysMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     locally {
       val t = new Thread(() => {
         var prev = cpuJiffies()
@@ -134,6 +172,14 @@ object Bench {
             val foreign =
               ((cur._1 - prev._1) - (cur._2 - prev._2)) / 100.0 / math.max(dt, 1e-3)
             foreignMax.updateAndGet(m => math.max(m, foreign))
+            // Advisory only (see cpuJiffies scaladoc): foreign SYSTEM
+            // time, which includes kworker writeback of this bench's
+            // own files — it cannot gate `contended`, but a
+            // sys-dominated co-process (rsync, compression) shows
+            // here when the user-cpu flag reads clean.
+            val foreignSys =
+              ((cur._3 - prev._3) - (cur._4 - prev._4)) / 100.0 / math.max(dt, 1e-3)
+            foreignSysMax.updateAndGet(m => math.max(m, foreignSys))
           }
           prev = cur
           prevT = curT
@@ -210,6 +256,32 @@ object Bench {
       val snap = shuffleBytes.get()
       shuffleByQuery(name) = snap - lastShuffleSnap
       lastShuffleSnap = snap
+    }
+
+    // Per-entry contamination probe (round-10 verdict #1): EVERY
+    // measured entry — registry query, artifact build, write bench,
+    // stream drain — records its own foreign-user-cpu average,
+    // major-fault delta and storage-read delta over exactly its own
+    // wall window, so an outlier in the committed record SELF-names
+    // its contaminant (foreign cores = a co-scheduled JVM; majflt/
+    // read_mb = page-cache eviction / I/O pressure — the class the
+    // whole-run `contended` flag structurally misses) instead of
+    // waiting a round for a manual adjudication. A few /proc reads
+    // per entry; nothing on the data path.
+    case class EntryProbe(foreign: Double, majflt: Long, readMb: Double)
+    val probes = scala.collection.mutable.LinkedHashMap[String, EntryProbe]()
+    def probed[T](name: String)(body: => T): T = {
+      val j0 = cpuJiffies(); val io0 = ioStat(); val t0 = System.nanoTime()
+      val r = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val j1 = cpuJiffies(); val io1 = ioStat()
+      val foreign =
+        if (j0._1 < 0 || j1._1 < 0) -1.0
+        else ((j1._1 - j0._1) - (j1._2 - j0._2)) / 100.0 / math.max(dt, 1e-3)
+      probes(name) = EntryProbe(foreign,
+        if (io0._1 < 0) -1L else io1._1 - io0._1,
+        if (io0._2 < 0) -1.0 else (io1._2 - io0._2) / 1e6)
+      r
     }
 
     def timeNoop(df: DataFrame): Double = {
@@ -324,8 +396,21 @@ object Bench {
     // consumer queries below then run against warm artifacts, i.e.
     // their numbers are steady-state serving cost instead of
     // whichever consumer ran first silently absorbing the build.
+    //
+    // Every measured NON-QUERY entry below is a RERUNNABLE THUNK
+    // (round-10 verdict #1): each owns its full setup (artifact
+    // delete, temp dirs), so the >3×-over-committed rerun guard at
+    // sweep end re-invokes it exactly like a registry query.
+    // Previously these were one-shot inline blocks — exactly the most
+    // expensive entries in the suite had no rerun, no isolated record
+    // and no per-entry contamination signal, which is how the
+    // round-10 record carried `_build_neardup_pairs` 52.9 s vs
+    // 8.96 s committed idle under `contended:false` with nothing to
+    // adjudicate it. Multi-entry thunks (the postings maintenance
+    // cycle, the stream drain with its percentiles) rerun and replace
+    // as a UNIT, so percentiles always ride with the run that won.
     def buildArtifact(entry: String, artifactName: String)
-                     (build: => Unit): Double = {
+                     (build: => Unit): Double = probed(entry) {
       val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
       store.deleteIndex(artifactName)
       val t0 = System.nanoTime()
@@ -336,24 +421,24 @@ object Bench {
       snapShuffle(entry)
       dt
     }
-    val runPairBuild = only.forall(_("_build_neardup_pairs"))
-    val pairBuildSecs = if (!runPairBuild) -1.0 else
-      buildArtifact("_build_neardup_pairs", llm.DedupQueries.PairIndexName) {
-        llm.DedupQueries.materializedPairs(spark, sfDir).write
-          .format("noop").mode("overwrite").save()
-      }
-    val runVecBuild = only.forall(_("_build_vec_index"))
-    val vecBuildSecs = if (!runVecBuild) -1.0 else
-      buildArtifact("_build_vec_index", llm.SimilarityQueries.VecIndexName) {
-        llm.SimilarityQueries.materializedVecIndex(spark, sfDir)._1.write
-          .format("noop").mode("overwrite").save()
-      }
-    val runPostingsBuild = only.forall(_("_build_text_postings"))
-    val postingsBuildSecs = if (!runPostingsBuild) -1.0 else
-      buildArtifact("_build_text_postings", search.SearchQueries.PostingsName) {
-        search.SearchQueries.materializedPostings(spark, sfDir)._1.write
-          .format("noop").mode("overwrite").save()
-      }
+    def pairBuildF(): Seq[(String, Double)] = Seq(
+      "_build_neardup_pairs" ->
+        buildArtifact("_build_neardup_pairs", llm.DedupQueries.PairIndexName) {
+          llm.DedupQueries.materializedPairs(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
+        })
+    def vecBuildF(): Seq[(String, Double)] = Seq(
+      "_build_vec_index" ->
+        buildArtifact("_build_vec_index", llm.SimilarityQueries.VecIndexName) {
+          llm.SimilarityQueries.materializedVecIndex(spark, sfDir)._1.write
+            .format("noop").mode("overwrite").save()
+        })
+    def postingsBuildF(): Seq[(String, Double)] = Seq(
+      "_build_text_postings" ->
+        buildArtifact("_build_text_postings", search.SearchQueries.PostingsName) {
+          search.SearchQueries.materializedPostings(spark, sfDir)._1.write
+            .format("noop").mode("overwrite").save()
+        })
     // The postings maintenance CYCLE behind the lease story: a 100-doc
     // segment upsert (O(batch) — the flat ScaleBench row), then a FULL
     // compaction (resolve tombstones, fold to seg=0 — the op that
@@ -367,8 +452,7 @@ object Bench {
     // from keep their pristine fingerprints — a maintenance batch
     // against the shared root would force every postings consumer
     // below into a silent rebuild and skew its cold number.
-    val runPostingsMaint = only.forall(_("_compact_postings"))
-    val (upsertPostingsSecs, compactSecs) = if (!runPostingsMaint) (-1.0, -1.0) else {
+    def postingsMaintF(): Seq[(String, Double)] = probed("_compact_postings") {
       val maintDir = java.nio.file.Files.createTempDirectory("bench_maint").toString
       java.nio.file.Files.createSymbolicLink(
         java.nio.file.Paths.get(maintDir, "documents.parquet"),
@@ -393,35 +477,34 @@ object Bench {
         f"_compact_postings: $comp%.2f s")
       Pins.release(spark)
       snapShuffle("_compact_postings")
-      (up, comp)
+      Seq("_upsert_postings_batch" -> up, "_compact_postings" -> comp)
     }
 
-    val runBpeBuild = only.forall(_("_build_bpe"))
-    val bpeBuildSecs = if (!runBpeBuild) -1.0 else {
+    def bpeBuildF(): Seq[(String, Double)] = {
       // Two artifacts share one training run; delete both so the
       // timed build is the full k-iteration loop.
       val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
       store.deleteIndex(llm.BpeQueries.WordsName)
-      buildArtifact("_build_bpe", llm.BpeQueries.MergesName) {
+      Seq("_build_bpe" -> buildArtifact("_build_bpe", llm.BpeQueries.MergesName) {
         llm.BpeQueries.materializedBpe(spark, sfDir)._1.write
           .format("noop").mode("overwrite").save()
-      }
+      })
     }
-    val runWpBuild = only.forall(_("_build_wordpiece"))
-    val wpBuildSecs = if (!runWpBuild) -1.0 else {
+    def wpBuildF(): Seq[(String, Double)] = {
       val store = new etl.IndexStore(spark, etl.IndexStore.artifactRoot(sfDir))
       store.deleteIndex(llm.WordPieceQueries.WordsName)
-      buildArtifact("_build_wordpiece", llm.WordPieceQueries.MergesName) {
-        llm.WordPieceQueries.materializedWordPiece(spark, sfDir)._1.write
-          .format("noop").mode("overwrite").save()
-      }
+      Seq("_build_wordpiece" ->
+        buildArtifact("_build_wordpiece", llm.WordPieceQueries.MergesName) {
+          llm.WordPieceQueries.materializedWordPiece(spark, sfDir)._1.write
+            .format("noop").mode("overwrite").save()
+        })
     }
-    val runGeoBuild = only.forall(_("_build_geo_cells"))
-    val geoBuildSecs = if (!runGeoBuild) -1.0 else
-      buildArtifact("_build_geo_cells", search.GeoQueries.GeoIndexName) {
-        search.GeoQueries.materializedGeoIndex(spark, sfDir).write
-          .format("noop").mode("overwrite").save()
-      }
+    def geoBuildF(): Seq[(String, Double)] = Seq(
+      "_build_geo_cells" ->
+        buildArtifact("_build_geo_cells", search.GeoQueries.GeoIndexName) {
+          search.GeoQueries.materializedGeoIndex(spark, sfDir).write
+            .format("noop").mode("overwrite").save()
+        })
 
     // The reference's headline metric is bulk-import WRITE throughput
     // (BASELINE.md: 33.6k docs/s at 171M rows) — measure the full
@@ -429,8 +512,7 @@ object Bench {
     // Skipped in subset probes unless asked for — it is the single
     // most expensive bench item and would dominate a seconds-long
     // targeted measurement.
-    val runWrite = only.forall(_("_write_bulk_import"))
-    val writeSecs = if (!runWrite) -1.0 else {
+    def writeBulkF(): Seq[(String, Double)] = probed("_write_bulk_import") {
       val out = java.nio.file.Files.createTempDirectory("bench_import").toString
       val store = new etl.IndexStore(spark, out)
       val li = Tables(spark, sfDir, "lineitem")
@@ -440,15 +522,14 @@ object Bench {
       System.err.println(f"[bench] bulk_import: $n rows in $dt%.2fs (${n / dt}%.0f rows/s)")
       Pins.release(spark)
       snapShuffle("_write_bulk_import")
-      dt
+      Seq("_write_bulk_import" -> dt)
     }
 
     // Concurrent whole-database import — the reference's actual
     // headline scenario (its demo imports every MySQL table in
     // parallel threads, R/README.md:12). All 10 fixture tables through
     // bulkImportAll at parallelism 4, FAIR pools per table.
-    val runImportAll = only.forall(_("_write_bulk_import_all"))
-    val importAllSecs = if (!runImportAll) -1.0 else {
+    def writeImportAllF(): Seq[(String, Double)] = probed("_write_bulk_import_all") {
       val out = java.nio.file.Files.createTempDirectory("bench_import_all").toString
       val store = new etl.IndexStore(spark, out)
       val keyed = Seq(
@@ -466,7 +547,7 @@ object Bench {
         f"${counts.values.sum} docs in $dt%.2fs (${counts.size / dt}%.2f tables/s)")
       Pins.release(spark)
       snapShuffle("_write_bulk_import_all")
-      dt
+      Seq("_write_bulk_import_all" -> dt)
     }
 
     // True Structured-Streaming ingest latency (round-8 verdict #8):
@@ -483,10 +564,9 @@ object Bench {
     // GROWS with every batch — the anti-pattern this entry exists to
     // rule out). Wall seconds for the 5-batch drain; stderr carries
     // the per-batch mean. Checkpointed, AvailableNow trigger.
-    val runStreamLatency = only.forall(_("_stream_latency"))
-    var streamP50 = -1.0
-    var streamP95 = -1.0
-    val streamLatencySecs = if (!runStreamLatency) -1.0 else {
+    def streamLatencyF(): Seq[(String, Double)] = probed("_stream_latency") {
+      var streamP50 = -1.0
+      var streamP95 = -1.0
       import org.apache.spark.sql.streaming.Trigger
       val src = java.nio.file.Files.createTempDirectory("bench_stream_src").toString
       val wh = java.nio.file.Files.createTempDirectory("bench_stream_wh").toString
@@ -538,35 +618,125 @@ object Bench {
         f"p95=$streamP95%.2f, partition-granular keyed upsert)")
       Pins.release(spark)
       snapShuffle("_stream_latency")
-      dt
+      // Per-batch percentiles as first-class record entries so the
+      // micro-batch latency contract tracks round-over-round without
+      // stderr archaeology. They are EXCLUDED from the headline
+      // total/total_op sums (round-10 ADVICE #1: they are percentiles
+      // of batch walls already fully counted inside `_stream_latency`
+      // — summing them double-counted ~5.4 s of pseudo-duration and
+      // broke frame comparability with round-9 totals).
+      Seq("_stream_latency" -> dt,
+        "_stream_latency_p50" -> streamP50,
+        "_stream_latency_p95" -> streamP95)
     }
+
+    // Ordered exactly as the one-shot blocks used to run (builds
+    // before the registry sweep so consumer queries serve from warm
+    // artifacts). Gate name = the entry SPARK_GRAFT_ONLY selects the
+    // unit by; an isolated non-query record is
+    //   SPARK_GRAFT_ONLY='_build_*,_write_*,_stream_latency,_compact_postings'
+    //   SPARK_GRAFT_BENCH_OUT=BENCH_FAMILY_build.json
+    // — the same per-family isolation mode the query families use.
+    val specials: Seq[(String, () => Seq[(String, Double)])] = Seq(
+      "_build_neardup_pairs" -> (pairBuildF _),
+      "_build_vec_index" -> (vecBuildF _),
+      "_build_text_postings" -> (postingsBuildF _),
+      "_compact_postings" -> (postingsMaintF _),
+      "_build_bpe" -> (bpeBuildF _),
+      "_build_wordpiece" -> (wpBuildF _),
+      "_build_geo_cells" -> (geoBuildF _),
+      "_write_bulk_import" -> (writeBulkF _),
+      "_write_bulk_import_all" -> (writeImportAllF _),
+      "_stream_latency" -> (streamLatencyF _))
+    val specialResults0: Seq[(String, Seq[(String, Double)])] =
+      specials.filter { case (gate, _) => only.forall(_(gate)) }
+        .map { case (gate, f) => gate -> f() }
 
     val coldResults0 = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_(n)))
-      .map(n => n -> runOnce(n))
+      .map(n => n -> probed(n)(runOnce(n)))
 
-    // Contamination reruns: any query reading >3× its committed idle
-    // op-time gets ONE rerun at the end of the sweep and keeps the
-    // better (min) pair, marked in the record. A transient co-process
-    // (the round-9 mid-run driver gate: 5–12× on individual queries
-    // under an idle-endpoints flag) is unlikely to hit the same query
+    // Contamination reruns: any measured entry — registry query OR
+    // non-query unit — reading >3× its committed idle op-time gets
+    // ONE rerun at the end of the sweep and keeps the better (min)
+    // result, marked in the record. A transient co-process (the
+    // round-9 mid-run driver gate: 5–12× on individual queries under
+    // an idle-endpoints flag) is unlikely to hit the same entry
     // twice; a REAL regression reproduces and the min keeps it.
-    // Bounded (≤15) so a globally-slow run degrades to the honest
-    // `contended` flag instead of doubling the sweep.
+    // Bounded (≤15 units total) so a globally-slow run degrades to
+    // the honest `contended` flag instead of doubling the sweep.
+    // Exclusions are LOGGED and counted (`rerun_skipped` in the
+    // record) so "reruns: []" is distinguishable from "nothing
+    // qualified" (round-10 verdict #7).
     val committed = committedOpTimes(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+    def trips(n: String, op: Double): Boolean =
+      op > 1.0 && committed.get(n).exists(prev => prev >= 0.3 && op > 3 * prev)
+    // Rerun-exclusion provenance: entries over 3× their committed
+    // reference that the guard nonetheless skips, each with its named
+    // reason on stderr. Percentile pseudo-entries are exempt (their
+    // unit reruns with `_stream_latency`, the primary).
+    var rerunSkipped = 0
+    def auditExclusions(entries: Seq[(String, Double)]): Unit =
+      entries.foreach { case (n, op) =>
+        if (!n.startsWith("_stream_latency_p") && op >= 0) committed.get(n) match {
+          case None if op > 1.0 =>
+            rerunSkipped += 1
+            System.err.println(f"[bench] rerun skipped: $n $op%.2f s — no committed reference")
+          case Some(prev) if op > 3 * prev && prev < 0.3 =>
+            rerunSkipped += 1
+            System.err.println(f"[bench] rerun skipped: $n $op%.2f s — committed ref " +
+              f"$prev%.2f s below the 0.3 s floor")
+          case Some(prev) if op > 3 * prev && op <= 1.0 =>
+            rerunSkipped += 1
+            System.err.println(f"[bench] rerun skipped: $n $op%.2f s — at/below the 1.0 s floor")
+          case _ => ()
+        }
+      }
+    auditExclusions(coldResults0.map { case (n, (_, op)) => n -> op })
+    auditExclusions(specialResults0.flatMap(_._2))
+    // First-run probes survive a slower rerun: the per-entry
+    // contamination signal must describe the run whose number the
+    // record keeps.
+    val probesFirst = probes.toMap
     val rerunNames = coldResults0.collect {
-      case (n, (_, op)) if op > 1.0 &&
-        committed.get(n).exists(prev => prev >= 0.3 && op > 3 * prev) => n
+      case (n, (_, op)) if trips(n, op) => n
     }.take(15)
     val reruns = rerunNames.map { n =>
       System.err.println(s"[bench] rerun (>3x committed idle op-time): $n")
-      n -> runOnce(n)
+      n -> probed(n)(runOnce(n))
     }.toMap
     val coldResults = coldResults0.map { case (n, first) =>
-      n -> reruns.get(n).filter(_._2 >= 0).filter(_._2 < first._2)
-        .getOrElse(first)
+      reruns.get(n).filter(_._2 >= 0).filter(_._2 < first._2) match {
+        case Some(second) => n -> second
+        case None =>
+          probesFirst.get(n).foreach(p => probes(n) = p)
+          n -> first
+      }
     }
+    // Non-query units share the bounded rerun budget; a unit whose
+    // ANY entry trips reruns WHOLE (its entries are one measurement
+    // frame — a cycle's upsert and compact, a drain and its
+    // percentiles) and replaces only if the unit total improved.
+    val specialRerunGates = specialResults0.collect {
+      case (gate, entries) if entries.exists { case (n, s) => trips(n, s) } => gate
+    }.take(math.max(0, 15 - rerunNames.size))
+    val specialThunks = specials.toMap
+    val specialReruns: Map[String, Seq[(String, Double)]] = specialRerunGates.map { gate =>
+      System.err.println(s"[bench] rerun (>3x committed idle op-time): non-query unit $gate")
+      gate -> specialThunks(gate)()
+    }.toMap
+    val specialResults = specialResults0.map { case (gate, first) =>
+      specialReruns.get(gate) match {
+        case Some(second)
+          if second.map(_._2).filter(_ >= 0).sum < first.map(_._2).filter(_ >= 0).sum =>
+          gate -> second
+        case _ =>
+          first.foreach { case (n, _) => probesFirst.get(n).foreach(p => probes(n) = p) }
+          gate -> first
+      }
+    }
+    val rerunAll = rerunNames ++ specialRerunGates
 
     // Warm-serving pass: EVERY artifact-served query re-runs in the
     // SAME session after the full sweep — artifacts on disk, parquet
@@ -594,27 +764,10 @@ object Bench {
     val warmResults = servedIndexQueries
       .filter(n => only.forall(_(n)))
       .filter(n => coldResults.exists(_._1 == n))
-      .map(n => s"_warm_$n" -> runOnce(n))
+      .map(n => s"_warm_$n" -> probed(s"_warm_$n")(runOnce(n)))
 
     val results = coldResults ++ warmResults ++
-      (if (runPairBuild) Seq("_build_neardup_pairs" -> ((pairBuildSecs, pairBuildSecs))) else Nil) ++
-      (if (runVecBuild) Seq("_build_vec_index" -> ((vecBuildSecs, vecBuildSecs))) else Nil) ++
-      (if (runPostingsBuild) Seq("_build_text_postings" -> ((postingsBuildSecs, postingsBuildSecs))) else Nil) ++
-      (if (runBpeBuild) Seq("_build_bpe" -> ((bpeBuildSecs, bpeBuildSecs))) else Nil) ++
-      (if (runWpBuild) Seq("_build_wordpiece" -> ((wpBuildSecs, wpBuildSecs))) else Nil) ++
-      (if (runGeoBuild) Seq("_build_geo_cells" -> ((geoBuildSecs, geoBuildSecs))) else Nil) ++
-      (if (runWrite) Seq("_write_bulk_import" -> ((writeSecs, writeSecs))) else Nil) ++
-      (if (runImportAll) Seq("_write_bulk_import_all" -> ((importAllSecs, importAllSecs))) else Nil) ++
-      (if (runStreamLatency) Seq(
-        "_stream_latency" -> ((streamLatencySecs, streamLatencySecs)),
-        // Per-batch percentiles as first-class record entries so the
-        // micro-batch latency contract tracks round-over-round without
-        // stderr archaeology.
-        "_stream_latency_p50" -> ((streamP50, streamP50)),
-        "_stream_latency_p95" -> ((streamP95, streamP95))) else Nil) ++
-      (if (runPostingsMaint) Seq(
-        "_upsert_postings_batch" -> ((upsertPostingsSecs, upsertPostingsSecs)),
-        "_compact_postings" -> ((compactSecs, compactSecs))) else Nil)
+      specialResults.flatMap(_._2).map { case (n, s) => n -> ((s, s)) }
 
     def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
     val qs = results.map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }.mkString("{", ",", "}")
@@ -622,8 +775,14 @@ object Bench {
     val sh = shuffleByQuery
       .map { case (k, v) => s""""$k":${fmt(v / 1e6)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2._1).filter(_ >= 0).sum
-    val totalOp = results.map(_._2._2).filter(_ >= 0).sum
+    // Percentile pseudo-entries stay first-class in `queries` but are
+    // excluded from the headline sums — they are percentiles of batch
+    // walls already fully counted inside `_stream_latency` (round-10
+    // ADVICE #1: summing them inflated the total by ~5.4 s of
+    // double-counted pseudo-duration).
+    val summed = results.filterNot(_._1.startsWith("_stream_latency_p"))
+    val total = summed.map(_._2._1).filter(_ >= 0).sum
+    val totalOp = summed.map(_._2._2).filter(_ >= 0).sum
     val loadEnd = loadAvg()
     // `contended` rides on BOTH emissions: a driver-tail record taken
     // on a loaded host self-identifies, so a per-query regression in a
@@ -636,16 +795,33 @@ object Bench {
     // ran means some co-process was eating cycles mid-run.
     val loadPeak = math.max(loadMax.get(), loadEnd)
     val contended = foreignMax.get() > 0.5
+    // `foreign_sys_cores_max` is ADVISORY (see cpuJiffies scaladoc):
+    // it includes kworker writeback of this bench's own files, so it
+    // cannot gate `contended` — but a sys-dominated co-process
+    // (rsync/compression/backup) shows here when the user-cpu flag
+    // reads clean. `rerun_skipped` counts >3×-over-reference entries
+    // the guard deliberately did not rerun (each logged with its
+    // reason on stderr), so `"reruns": []` is never ambiguous.
     val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},""" +
       s""""max":${fmt(loadPeak)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
-      s""""cores":$cores,"contended":$contended,""" +
-      rerunNames.map(n => s""""$n"""").mkString(""""reruns":[""", ",", "]}")
+      s""""foreign_sys_cores_max":${fmt(foreignSysMax.get())},""" +
+      s""""cores":$cores,"contended":$contended,"rerun_skipped":$rerunSkipped,""" +
+      rerunAll.map(n => s""""$n"""").mkString(""""reruns":[""", ",", "]}")
     // Two emissions: the full record (per-query op times + shuffle) goes
     // to a committed file; stdout gets a LEAN driver-contract line —
     // round 1's full line was truncated by the driver's stdout capture,
     // which zeroed the per-query record (`parsed: null`).
+    // Per-entry contamination probes (FULL record only — the lean
+    // driver line stays lean): foreign user-cpu cores averaged over
+    // the entry's own wall window, major-fault delta, storage-read MB
+    // delta. An outlier entry self-names its contaminant without a
+    // round-trip adjudication.
+    val probeJson = probes
+      .map { case (k, p) =>
+        s""""$k":{"foreign":${fmt(p.foreign)},"majflt":${p.majflt},"read_mb":${fmt(p.readMb)}}""" }
+      .mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"load":$loadJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"probe":$probeJson,"load":$loadJson,"sf":"$sfDir"}"""
     val lean =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"load":$loadJson,"sf":"$sfDir"}"""
     // Subset runs are dev probes — don't clobber the committed full

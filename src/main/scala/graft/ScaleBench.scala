@@ -305,8 +305,10 @@ object ScaleBench {
     // natural-vocabulary corpus at the SAME base doc count and factor×
     // of it (see [[zipfCorpus]]) — the witness run for the near-dup
     // shuffle-slope claim. Zipf mode defaults the timed set to the
-    // three char/word-gram dedup finders whose slopes are at issue
-    // (the zipf corpus has no embeddings table).
+    // three char/word-gram dedup finders whose shuffle slopes the
+    // witness exists to measure; the corpus DOES carry a (clustered)
+    // embeddings table, but its recall curve is measured separately
+    // by IvfDiag, not timed here.
     // Whole-run load watermark (round-9 verdict #7 — the same
     // continuous sampling + foreign-cpu discrimination Bench uses):
     // the committed SCALE_*.json self-identifies when a co-scheduled
@@ -488,11 +490,20 @@ object ScaleBench {
         s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
         s""""contended":$contended},""" +
         s""""queries":{${rows.mkString(",")}}}"""
-    // Probe runs (subset or repeats) get their own file — the
-    // committed SCALE_<factor>x.json stays the full single-pass record.
-    val zipfTag = if (corpusMode == "zipf") "ZIPF_" else ""
+    // Probe runs (explicit subset or off-record repeat count) get
+    // their own file — the committed record name stays the full
+    // canonical-config pass. Zipf mode's committed records run the
+    // DEFAULT timed set at repeat=2 (min-over-2 is the committed
+    // noise-floor config); an explicit SPARK_GRAFT_SCALE_ONLY or any
+    // other repeat is a dev probe and must not clobber the committed
+    // witness (the exact hazard that destroyed the round-8 substring
+    // adjudication probes — restored in 7a057ef).
     val outName =
-      if (corpusMode == "zipf") s"SCALE_${zipfTag}${factor}x.json"
+      if (corpusMode == "zipf") {
+        if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty && repeat == 2)
+          s"SCALE_ZIPF_${factor}x.json"
+        else s"SCALE_ZIPF_${factor}x_probe.json"
+      }
       else if (only.isEmpty && repeat == 1) s"SCALE_${factor}x.json"
       else s"SCALE_${factor}x_probe.json"
     java.nio.file.Files.write(

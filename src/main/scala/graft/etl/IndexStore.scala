@@ -43,6 +43,22 @@ class IndexStore(spark: SparkSession, root: String) {
   private[graft] val lastPhases =
     new java.util.concurrent.ConcurrentHashMap[String, Double]()
 
+  /** Column layout cache for the partition-granular streaming path:
+    * [[upsertPartitioned]] runs once per micro-batch and the index
+    * schema CANNOT change mid-stream (that path rejects drift; schema
+    * widening is [[upsert]]'s full-rewrite job), so the per-trigger
+    * footer-read schema inference was a pure fixed cost on the hot
+    * commit. Invalidated by every full-rewrite path (all of which go
+    * through [[swapIn]]) and by [[deleteIndex]]. Scoped to THIS store
+    * instance — the single-maintainer contract the streaming ingest
+    * loop already satisfies; an external writer that swaps the index
+    * between this store's batches also changes the provenance the
+    * maintenance lock brackets, and the schema-match require below
+    * still fails loudly on any drift the cache could hide.
+    */
+  private val colsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
+
   private def phase[T](name: String)(body: => T): T = {
     val t0 = System.nanoTime()
     try body finally lastPhases.put(name, (System.nanoTime() - t0) / 1e9)
@@ -125,6 +141,7 @@ class IndexStore(spark: SparkSession, root: String) {
     if (fs.exists(live)) renameOrThrow(live, bak)
     renameOrThrow(tmp, live)
     fs.delete(bak, true)
+    colsCache.remove(indexName.toLowerCase)
   }
 
   /** Shared last-write-wins survivor: pack `ordPrefix ++ data` columns
@@ -147,7 +164,10 @@ class IndexStore(spark: SparkSession, root: String) {
         if (c == idCol) col(idCol) else col("__doc").getField(c).as(c)): _*)
   }
 
-  def deleteIndex(name: String): Unit = fs.delete(dir(name), true)
+  def deleteIndex(name: String): Unit = {
+    colsCache.remove(name.toLowerCase)
+    fs.delete(dir(name), true)
+  }
 
   /** All index names, system (dot-prefixed) entries filtered. */
   def listIndexes(): Seq[String] =
@@ -289,7 +309,10 @@ class IndexStore(spark: SparkSession, root: String) {
     withMaintenanceLock(indexName) {
       lastPhases.put("lock", (System.nanoTime() - tEnter) / 1e9)
       val (indexCols, existing) = phase("schema") {
-        val indexCols = read(indexName).columns
+        // Layout from the instance cache (see colsCache) — a footer
+        // read only on the FIRST batch of a stream, not per trigger.
+        val indexCols = colsCache.computeIfAbsent(indexName.toLowerCase,
+          _ => read(indexName).columns)
         require(indexCols.sorted.sameElements(
             Stringify.all(incoming).columns.sorted),
           s"upsertPartitioned: incoming schema must match index $indexName " +
@@ -305,101 +328,171 @@ class IndexStore(spark: SparkSession, root: String) {
         // int reads back "7"), and the drop path `part=<cast value>`
         // would then miss the real directory, leaving STALE rows of
         // moved keys served next to the rewritten copy.
-        val existing = spark.read
-          .schema(org.apache.spark.sql.types.StructType(indexCols.map(c =>
-            org.apache.spark.sql.types.StructField(c,
-              org.apache.spark.sql.types.StringType))))
-          .parquet(dir(indexName).toString)
-        (indexCols, existing)
+        (indexCols, readAllString(indexName, indexCols))
       }
-      // The deduped batch feeds two executions (the bounded probe
-      // collect and the staged merge write). Deliberately NOT
-      // persisted: caching was measured SLOWER on the micro-batch path
-      // (the InMemoryRelation build roughly doubled the probe job,
-      // +0.6 s/batch at 100-doc batches) — recomputing a batch-bounded
-      // two-stage dedup is cheaper than materializing it columnar.
-      val b = dedupByKey(Stringify.all(incoming), idCol)
-      val MaxInPush = 10000
-      val (keys, keyCount, touched) = phase("probe") {
-        // ONE bounded SINGLE-STAGE batch job serves the key list, the
-        // new-partition values AND the null-partition guard: collect
-        // the RAW (id, part) pairs under a limit (CollectLimit — no
-        // shuffle; the last-write-wins dedup shuffle runs exactly once,
-        // inside the stage job) and dedup keys on the driver. This
-        // replaced what used to be three separate two-stage driver
-        // jobs (null-check isEmpty, key collect, newParts distinct) on
-        // the hot streaming path, where per-job scheduling overhead
-        // dominated the probe phase (~0.3 s/job at 100-doc batches).
-        // newParts from RAW rows is a superset of the survivors'
-        // partitions — a superseded row's partition rewrites
-        // unnecessarily but correctly — and the null guard is
-        // correspondingly stricter (a null part fails even in a row
-        // that would lose last-write-wins: loud beats subtle). The cap
-        // counts raw rows, not distinct keys, so a large batch falls
-        // to the distributed path slightly earlier — also safe.
-        val raw = Stringify.all(incoming).select(col(idCol), col(partCol))
+      val stringified = Stringify.all(incoming)
+      // Driver push cap: below it the batch's (id, part) PAIRS collect
+      // to the driver (a few MB at the cap — the same bounded-collect
+      // class as every other probe here) and keys push into scans as
+      // In/InSet filters; above it everything stays distributed. 50k
+      // covers the real streaming micro-batch range (the fixture's
+      // events drain runs ~20k-row triggers); an In of 50k strings
+      // evaluates as a hash InSet, and the parquet pushdown above the
+      // in-filter threshold degrades to min/max range pruning, which
+      // the within-file id sort keeps selective.
+      val MaxInPush = 50000
+      // ONE bounded SINGLE-STAGE batch job serves the key list, the
+      // new-partition values AND the null-partition guard: collect
+      // the RAW (id, part) pairs under a limit (CollectLimit — no
+      // shuffle) and dedup keys on the driver. This replaced what
+      // used to be three separate two-stage driver jobs (null-check
+      // isEmpty, key collect, newParts distinct) on the hot streaming
+      // path, where per-job scheduling overhead dominated the probe
+      // phase (~0.3 s/job at 100-doc batches). newParts from RAW rows
+      // is a superset of the survivors' partitions — a superseded
+      // row's partition rewrites unnecessarily but correctly — and
+      // the null guard is correspondingly stricter (a null part fails
+      // even in a row that would lose last-write-wins: loud beats
+      // subtle). The cap counts raw rows, not distinct keys, so a
+      // large batch falls to the distributed path slightly earlier —
+      // also safe.
+      val raw = phase("probe") {
+        stringified.select(col(idCol), col(partCol))
           .limit(MaxInPush + 1).collect()
-        val capped = raw.length <= MaxInPush
-        // Hive writes a NULL partition value to the
-        // __HIVE_DEFAULT_PARTITION__ sentinel directory, which would not
-        // round-trip the touched-value compare or the drop path — fail
-        // fast rather than corrupt silently. (Past the cap the collected
-        // prefix may miss a null — the distributed guard below covers
-        // the bulk path.)
-        require(!capped || raw.forall(!_.isNullAt(1)),
+      }
+      val capped = raw.length <= MaxInPush
+      // Hive writes a NULL partition value to the
+      // __HIVE_DEFAULT_PARTITION__ sentinel directory, which would not
+      // round-trip the touched-value compare or the drop path — fail
+      // fast rather than corrupt silently. (Past the cap the collected
+      // prefix may miss a null — the distributed guard on the bulk
+      // path below covers it.)
+      require(!capped || raw.forall(!_.isNullAt(1)),
+        s"upsertPartitioned: NULL $partCol in batch — null partition " +
+          "values do not round-trip hive partition directories; assign " +
+          "a sentinel value upstream")
+      if (capped) {
+        // MICRO-BATCH fast path (the per-trigger streaming commit —
+        // every per-trigger cost here is a latency floor): the key
+        // list is already on the driver, so (a) key removal is an
+        // In-filter fused into the stage scan, never an anti-join;
+        // (b) a batch whose raw keys are UNIQUE (the normal event-
+        // stream shape) skips the last-write-wins dedup shuffle
+        // outright — its survivors ARE the batch; (c) the moved-key
+        // probe (partitions the batch keys currently occupy OUTSIDE
+        // the batch's target partitions — almost always none for a
+        // time-local stream) runs CONCURRENTLY with the stage job
+        // instead of serially before it, so its wall cost hides
+        // behind the write; the rare non-empty result pays one extra
+        // bounded rewrite after the main commit.
+        val keyList: Array[Any] = raw.map(_.get(0)).distinct.toArray
+        val newParts = raw.map(_.get(1).toString).toSet
+        if (keyList.isEmpty) 0L
+        else {
+          import scala.concurrent.ExecutionContext.Implicits.global
+          val movedFut = scala.concurrent.Future(phase("probe_idx") {
+            // In-pushed + row-group pruned by the within-file id sort;
+            // reads ONLY partitions outside newParts (partition filter),
+            // which the concurrent commit never touches — no race with
+            // the stage/rename of newParts directories.
+            existing
+              .filter(!col(partCol).isInCollection(newParts.toSeq) &&
+                col(idCol).isin(keyList.toSeq: _*))
+              .select(col(partCol)).distinct()
+              .collect().map(_.get(0).toString).toSet
+          })
+          // Deliberately NOT persisted: caching was measured SLOWER on
+          // the micro-batch path (the InMemoryRelation build roughly
+          // doubled the probe job, +0.6 s/batch at 100-doc batches) —
+          // recomputing a batch-bounded dedup is cheaper than
+          // materializing it columnar.
+          val b =
+            if (keyList.length == raw.length) stringified
+            else dedupByKey(stringified, idCol)
+          val replacement = existing
+            .filter(col(partCol).isInCollection(newParts.toSeq) &&
+              !col(idCol).isin(keyList.toSeq: _*))
+            .unionByName(b)
+          overwritePartitions(replacement, indexName, partCol,
+            fingerprint = "live",
+            dropEmptiedOf = newParts,
+            withinFileSortCols = Seq(idCol))
+          val moved = scala.concurrent.Await.result(movedFut,
+            scala.concurrent.duration.Duration.Inf) -- newParts
+          if (moved.nonEmpty) {
+            // A key changed its locality value: remove its stale copy
+            // from each old partition. FRESH read (not `existing`) —
+            // the commit above already replaced newParts files under
+            // the old frame's file-index snapshot; this scan touches
+            // only `moved` partitions, which both commits rewrite
+            // exclusively here, under the same maintenance lock. A
+            // crash between the two commits leaves the stale copy one
+            // more batch — the streaming checkpoint replays the batch
+            // and this idempotent merge converges.
+            val freshScan = readAllString(indexName, indexCols)
+              .filter(col(partCol).isInCollection(moved.toSeq) &&
+                !col(idCol).isin(keyList.toSeq: _*))
+            overwritePartitions(freshScan, indexName, partCol,
+              fingerprint = "live",
+              dropEmptiedOf = moved,
+              withinFileSortCols = Seq(idCol))
+          }
+          keyList.length.toLong
+        }
+      } else {
+        // BULK path (past the driver push cap): distributed guards and
+        // probes — a plain semi-join, no broadcast HINT (a bulk
+        // batch's key set is unbounded, and the session's AQE promotes
+        // the join from ACTUAL runtime sizes — the broadcast-
+        // discipline rule every probe here follows), and the classic
+        // anti-join merge over all touched partitions at once.
+        val b = dedupByKey(stringified, idCol)
+        require(b.filter(col(partCol).isNull).isEmpty,
           s"upsertPartitioned: NULL $partCol in batch — null partition " +
             "values do not round-trip hive partition directories; assign " +
             "a sentinel value upstream")
-        if (!capped)
-          require(b.filter(col(partCol).isNull).isEmpty,
-            s"upsertPartitioned: NULL $partCol in batch — null partition " +
-              "values do not round-trip hive partition directories; assign " +
-              "a sentinel value upstream")
         val keys = b.select(col(idCol)).distinct()
-        val keyList: Array[Any] =
-          if (capped) raw.map(_.get(0)).distinct.toArray else Array.empty
-        // Touched partitions = batch's target values + the batch keys'
-        // CURRENT values (In-pushed probe for micro-batches, row-group
-        // pruned by the idCol file sort; distributed semi-join past the
-        // push cap — the upsertVecIndex rule).
-        // Plain semi-join past the push cap (no broadcast HINT): a bulk
-        // batch's key set is unbounded, and the session's AQE promotes
-        // the join from ACTUAL runtime sizes — the broadcast-discipline
-        // rule every probe here follows.
-        val oldRows =
-          if (capped) existing.filter(col(idCol).isin(keyList.toSeq: _*))
-          else existing.join(keys, Seq(idCol), "left_semi")
         val oldParts = phase("probe_idx") {
-          oldRows.select(col(partCol)).distinct()
+          existing.join(keys, Seq(idCol), "left_semi")
+            .select(col(partCol)).distinct()
             .collect().map(_.get(0).toString).toSet
         }
-        val newParts =
-          if (capped) raw.map(_.get(1).toString).toSet
-          else b.select(col(partCol)).distinct()
-            .collect().map(_.get(0).toString).toSet
-        (keys, if (capped) Some(keyList.length.toLong) else None,
-          oldParts ++ newParts)
-      }
-      val upserted = keyCount.getOrElse(keys.count())
-      if (touched.isEmpty) 0L
-      else {
-        val replacement = existing
-          .filter(col(partCol).isInCollection(touched.toSeq))
-          .join(keys, Seq(idCol), "left_anti")
-          .unionByName(b.select(existing.columns.map(col).toSeq: _*))
-        // The merge plan executes ONCE: overwritePartitions stages it
-        // to parquet and derives emptied partitions (touched minus
-        // staged) from the cheap staged scan — collecting `remaining`
-        // here would run the touched-scan + anti-join + union a second
-        // time per commit on this hot O(batch) streaming path.
-        overwritePartitions(replacement, indexName, partCol,
-          fingerprint = "live",
-          dropEmptiedOf = touched,
-          withinFileSortCols = Seq(idCol))
-        upserted
+        val newParts = b.select(col(partCol)).distinct()
+          .collect().map(_.get(0).toString).toSet
+        val touched = oldParts ++ newParts
+        val upserted = keys.count()
+        if (touched.isEmpty) 0L
+        else {
+          val replacement = existing
+            .filter(col(partCol).isInCollection(touched.toSeq))
+            .join(keys, Seq(idCol), "left_anti")
+            .unionByName(b.select(existing.columns.map(col).toSeq: _*))
+          // The merge plan executes ONCE: overwritePartitions stages it
+          // to parquet and derives emptied partitions (touched minus
+          // staged) from the cheap staged scan — collecting `remaining`
+          // here would run the touched-scan + anti-join + union a
+          // second time per commit.
+          overwritePartitions(replacement, indexName, partCol,
+            fingerprint = "live",
+            dropEmptiedOf = touched,
+            withinFileSortCols = Seq(idCol))
+          upserted
+        }
       }
     }
   }
+
+  /** The index under an EXPLICIT all-string read schema — see the
+    * partition-type-inference note in [[upsertPartitioned]]'s schema
+    * phase (zero-padded partition values must round-trip the
+    * directory names byte-identically).
+    */
+  private def readAllString(indexName: String, indexCols: Array[String]): DataFrame =
+    spark.read
+      .schema(org.apache.spark.sql.types.StructType(indexCols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.StringType))))
+      .parquet(dir(indexName).toString)
 
   /** Delete-by-query (ES `_delete_by_query`): rewrite the index
     * without matching docs. Copy-on-write like [[upsert]]; returns
