@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Measured recall-vs-cost curve for the banded-MinHash near-dup
+  * blocking dial (round-10 verdict #2): the 8×4 default's recall at
+  * exact Jaccard J is the S-curve 1−(1−J^r)^b, which leaves ~11% of
+  * J≈0.75 twins unfound — correct math, but production near-dup
+  * pipelines (CCNet/Gopher-style) operate at J 0.7–0.8, so (b, r)
+  * must be an OPERATING PARAMETER with a published tradeoff, not a
+  * constant. This main measures it: on a Zipf(s=1) witness corpus
+  * with twins PLANTED at token-mutation rates 2/4/6% (word-3-gram
+  * J ≈ 0.90/0.79/0.71 — [[ScaleBench.zipfCorpusMultiJ]]), each config
+  * in {16×2, 8×4, 4×8} reports
+  *
+  *  - candidate-pair recall per planted-J bucket (found/planted, next
+  *    to the theoretical curve at the bucket's measured mean J),
+  *  - candidate count, shuffle bytes and wall seconds — the cost side
+  *    of the dial (candidates are what the exact-verify join pays
+  *    for; shuffle is what the cluster pays for).
+  *
+  * The result table lands in BANDING.json and SCALE.md, with the
+  * operating rule: target J ≥ 0.9 → 8×4 (the registered default);
+  * target J 0.7–0.8 → 16×2; 4×8 is the measured cautionary point
+  * (cheapest candidates, unusable recall below J≈0.9). Measurement
+  * CLI, not a query path — correctness still gates on the driver
+  * fixtures, where the default config measures recall 1.0.
+  *
+  * Usage: tools/run.sh graft.BandingSweep [nDocs]  (default 50520)
+  */
+object BandingSweep {
+  def main(args: Array[String]): Unit = {
+    val nDocs = if (args.nonEmpty) args(0).toLong else 50520L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bandingsweep")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Same whole-run contamination watermark as ScaleBench: loadavg +
+    // foreign user-cpu max over 15 s windows.
+    def loadAvg(): Double =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    def cpuJiffies(): (Long, Long) =
+      try {
+        val stat = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+          .linesIterator.next().trim.split("\\s+")
+        val self = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
+        (stat(1).toLong + stat(2).toLong, self(13).toLong)
+      } catch { case _: Throwable => (-1L, -1L) }
+    val loadStart = loadAvg()
+    val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
+    val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    locally {
+      val t = new Thread(() => {
+        var prev = cpuJiffies(); var prevT = System.nanoTime()
+        while (true) {
+          Thread.sleep(15000)
+          loadMax.updateAndGet(m => math.max(m, loadAvg()))
+          val cur = cpuJiffies(); val curT = System.nanoTime()
+          if (prev._1 >= 0 && cur._1 >= 0) {
+            val dt = (curT - prevT) / 1e9
+            val foreign =
+              ((cur._1 - prev._1) - (cur._2 - prev._2)) / 100.0 / math.max(dt, 1e-3)
+            foreignMax.updateAndGet(m => math.max(m, foreign))
+          }
+          prev = cur; prevT = curT
+        }
+      }, "banding-load-sampler")
+      t.setDaemon(true); t.start()
+    }
+    val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onStageCompleted(
+            sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val m = sc.stageInfo.taskMetrics
+          if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      })
+    def shuffleSnap(): Long = { Thread.sleep(150); shuffleBytes.get() }
+
+    val dir = "/tmp/graft_zipf_bands"
+    ScaleBench.zipfCorpusMultiJ(spark, dir, nDocs)
+
+    // Shingles cached ONCE and shared by every config — the shingle
+    // pass is config-independent, so excluding it from each config's
+    // timed window makes the per-config numbers pure signature+join
+    // cost (the part the dial actually moves).
+    val docs = Tables.forCompute(spark, dir, "documents")
+      .select(col("doc_id"), llm.DedupQueries.shingles3(col("text")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("shingles")) > 0)
+    docs.count() // materialize off the clock
+
+    // Planted ground truth with EXACT per-pair Jaccard, bucketed by
+    // the planted mutation rate (base doc_id = twin doc_id − offset).
+    val off = ScaleBench.ZipfTwinOffset
+    val planted = docs.filter(col("doc_id") >= off)
+      .select((col("doc_id") - off).as("doc_a"), col("doc_id").as("doc_b"),
+        col("shingles").as("shb"),
+        element_at(array(lit(2L), lit(4L), lit(6L)),
+          (pmod((col("doc_id") - off) / 31, lit(3)) + 1).cast("int")).as("rate"))
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("j", col("inter").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("inter")))
+      .select(col("doc_a"), col("doc_b"), col("rate"), col("j"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val buckets = planted.groupBy(col("rate"))
+      .agg(count(lit(1)).as("planted"), avg(col("j")).as("mean_j"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    def fmt(d: Double) = "%.4f".formatLocal(java.util.Locale.US, d)
+    val configs = Seq((16, 2), (8, 4), (4, 8))
+    val rows = configs.map { case (b, r) =>
+      val sh0 = shuffleSnap()
+      val t0 = System.nanoTime()
+      val cands = llm.DedupQueries.bandedCandidates(docs, b, r)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nCand = cands.count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      val shMb = (shuffleSnap() - sh0) / 1e6
+      val found = planted.join(cands, Seq("doc_a", "doc_b"), "left_semi")
+        .groupBy(col("rate")).agg(count(lit(1)).as("found"))
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      cands.unpersist()
+      val perBucket = buckets.toSeq.sortBy(_._1).map { case (rate, (nPlanted, meanJ)) =>
+        val nFound = found.getOrElse(rate, 0L)
+        val theory = 1.0 - math.pow(1.0 - math.pow(meanJ, r), b)
+        System.err.println(f"[banding] ${b}x$r rate=$rate%d%% meanJ=$meanJ%.3f " +
+          f"recall=$nFound/$nPlanted (theory ${theory}%.3f)")
+        s""""rate_$rate":{"planted":$nPlanted,"mean_j":${fmt(meanJ)},""" +
+          s""""found":$nFound,"recall":${fmt(nFound.toDouble / nPlanted)},""" +
+          s""""theory":${fmt(theory)}}"""
+      }
+      System.err.println(f"[banding] ${b}x$r candidates=$nCand wall=$wall%.2f s " +
+        f"shuffle=$shMb%.1f MB")
+      s""""${b}x$r":{"candidates":$nCand,"wall_s":${fmt(wall)},""" +
+        s""""shuffle_mb":${fmt(shMb)},${perBucket.mkString(",")}}"""
+    }
+    val json =
+      s"""{"corpus":"$dir","docs":$nDocs,"twin_every":31,"rates_pct":[2,4,6],""" +
+        s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
+        s""""end":${fmt(loadAvg())},"foreign_cores_max":${fmt(foreignMax.get())},""" +
+        s""""contended":${foreignMax.get() > 0.5}},""" +
+        s""""configs":{${rows.mkString(",")}}}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BANDING.json"), json.getBytes("UTF-8"))
+    println(json)
+    spark.stop()
+  }
+}

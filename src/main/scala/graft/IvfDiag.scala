@@ -88,6 +88,22 @@ object IvfDiag {
       println(f"spill tau=$t%.2f would duplicate $dup/$total rows " +
         f"(${100.0 * dup / total}%.1f%%)")
     }
+    // The SERVED index's sidecar margin + the escalation decision the
+    // geometry-aware default takes on this corpus (round-10 verdict
+    // #4; see SimilarityQueries.MarginEscalateFrac). Built in a
+    // symlinked scratch dir so diagnosing a corpus never writes into
+    // its artifact root.
+    locally {
+      val tmp = java.nio.file.Files.createTempDirectory("ivfdiag").toString
+      java.nio.file.Files.createSymbolicLink(
+        java.nio.file.Paths.get(tmp, "embeddings.parquet"),
+        java.nio.file.Paths.get(dir, "embeddings.parquet"))
+      val (_, model) = llm.SimilarityQueries.materializedVecIndex(spark, tmp)
+      val esc = model.lowMarginFrac >= llm.SimilarityQueries.MarginEscalateFrac
+      println(f"sidecar lowMarginFrac=${model.lowMarginFrac}%.4f " +
+        f"(tau2=${llm.SimilarityQueries.MarginSpillTau2}) -> " +
+        (if (esc) "ESCALATE to exhaustive quantized scan" else "partition-pruned probe"))
+    }
     spark.stop()
   }
 }

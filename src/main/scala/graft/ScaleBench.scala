@@ -154,6 +154,55 @@ object ScaleBench {
     fs.create(ready, true).close()
   }
 
+  /** [[zipfCorpus]]'s multi-threshold sibling for the BANDING sweep
+    * (round-10 verdict #2): same Zipf(s=1) 50k-word vocabulary and
+    * document shape, but twins plant every 31st doc at a CYCLING
+    * token-mutation rate from `ratesPct` — 2/4/6% map to word-3-gram
+    * Jaccard ≈ (1−m)³/(2−(1−m)³) ≈ 0.90/0.79/0.71, i.e. one corpus
+    * carries planted pairs across the whole production near-dup
+    * operating range (the committed witness corpus plants only the
+    * 5% ≈ J 0.75 point). Docs-only (the sweep times no embedding
+    * operator). Fully deterministic like its sibling.
+    */
+  private[graft] def zipfCorpusMultiJ(spark: SparkSession, outDir: String,
+                                      nDocs: Long,
+                                      ratesPct: Seq[Int] = Seq(2, 4, 6)): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val ready = new org.apache.hadoop.fs.Path(s"$outDir/_READY")
+    if (fs.exists(ready)) return
+    fs.delete(new org.apache.hadoop.fs.Path(outDir), true)
+    import org.apache.spark.sql.Column
+    val V = 50000.0
+    def zipfWord(seed: Column, p: Column, salt: Int): Column = {
+      val u = pmod(xxhash64(seed, p, lit(salt)), lit(1000000L))
+        .cast("double") / lit(1000000.0)
+      concat(lit("w"), floor(pow(lit(V), u)).cast("long").cast("string"))
+    }
+    val rateLit = array(ratesPct.map(r => lit(r.toLong)): _*)
+    val base = spark.range(nDocs).select(col("id").as("i"),
+      col("id").as("doc_id"), lit(-1L).as("rate"))
+    val twins = spark.range(nDocs).filter(col("id") % 31 === 0)
+      .select(col("id").as("i"),
+        (col("id") + lit(ZipfTwinOffset)).as("doc_id"),
+        element_at(rateLit,
+          (pmod(col("id") / 31, lit(ratesPct.length.toLong)) + 1).cast("int")).as("rate"))
+    base.unionByName(twins)
+      .withColumn("n_tok",
+        (pmod(xxhash64(col("i"), lit(1)), lit(151L)) + lit(50L)).cast("int"))
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), col("n_tok")), p => {
+          val w = zipfWord(col("i"), p, 0)
+          val mutate = pmod(xxhash64(col("i"), p, lit(77)), lit(100L)) < col("rate")
+          when(col("rate") >= 0 && mutate, zipfWord(col("i"), p, 99)).otherwise(w)
+        })))
+      .select(col("doc_id"), col("text"), lit("en").as("lang"),
+        lit("zipf").as("source"), length(col("text")).cast("long").as("n_chars"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+    fs.create(ready, true).close()
+  }
+
   /** The operators whose cost dominates a real ingest + curation run
     * and whose scale story the repo argues structurally. All read only
     * documents/embeddings, so the derived corpus serves them all.

@@ -62,6 +62,78 @@ object DedupQueries {
   private def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
 
+  /** Banded-MinHash CANDIDATE pairs at an explicit (bands ×
+    * rowsPerBand) operating point — the near-dup blocking dial made a
+    * PARAMETER (round-10 verdict #2). `docs` is the shingled frame
+    * (doc_id, shingles), non-empty shingle arrays only. The signature
+    * pass is the fused native kernel (32 minhashes — bands·rowsPerBand
+    * must divide into it); docs agreeing on all rowsPerBand slots of
+    * any band become a candidate pair via ONE equi-join on the band
+    * key — linear shuffle, never pairwise.
+    *
+    * Choosing (b, r): candidate recall at exact Jaccard J is the
+    * classic S-curve 1−(1−J^r)^b — more bands of fewer rows catch
+    * lower-J twins at more candidates (the banding sweep measures the
+    * actual tradeoff on the Zipf witness corpus; see BandingSweep +
+    * SCALE.md). The registered query's default stays 8×4 (recall
+    * ≥0.9998 at the J≥0.9 fixture operating range, measured 0 false
+    * candidates surviving verification); pipelines targeting the
+    * production J 0.7–0.8 band should run 16×2 (the sweep's measured
+    * recall/cost point for that threshold).
+    */
+  private[graft] def bandedCandidates(docs: DataFrame, bands: Int,
+                                      rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= 32 && bands >= 1 && rowsPerBand >= 1,
+      s"banding ${bands}x$rowsPerBand exceeds the 32-hash signature")
+    // Signature pass through the fused native kernel (one pass over
+    // the shingle array; bit-exact vs the 32-fold HOF twin, pinned in
+    // FunctionsSpec) — this is the stage that streams the whole
+    // corpus, so it runs at scan speed.
+    val sig = docs.withColumn("sig",
+      call_function("minhash32_native", col("shingles")))
+    // Band join carries ONLY (doc_id, band, key) — the shingle
+    // arrays would multiply the shuffle width and the pair-distinct;
+    // they are attached after dedup of candidate pairs, once per
+    // pair side, for exact verification.
+    val banded = sig.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(bands - 1)), b =>
+        struct(b.as("band"),
+          slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))).as("bk"))
+      .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[bandedCandidates]] + exact-Jaccard verification over the
+    * candidates' shingle arrays (false-positive-free output; recall is
+    * the only approximation): pairs with J ≥ minJacNum/minJacDen.
+    */
+  private[graft] def bandedNearDup(docsRaw: DataFrame, bands: Int, rowsPerBand: Int,
+                                   minJacNum: Int = 1, minJacDen: Int = 5): DataFrame = {
+    // Shingling feeds the signature pass + both verification joins.
+    // PERSIST BEFORE FILTER: a filter on the computed column is
+    // pushed below the forCompute repartition onto the (single-
+    // partition at this file size) scan, single-threading the whole
+    // shingle pass inside the scan stage. The cache is an optimizer
+    // barrier — shingling runs once, distributed; the emptiness
+    // filter is a trivial scan over the cached arrays.
+    val cached = docsRaw
+      .select(col("doc_id"), shingles3(col("text")).as("shingles"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
+    val docs = cached.filter(size(col("shingles")) > 0)
+    bandedCandidates(docs, bands, rowsPerBand)
+      .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
+      .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
+      .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
+      .filter(col("inter") * minJacDen >= col("union_sz") * minJacNum)
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
+  }
+
   /** All co-shingle document pairs with their intersection size and
     * per-doc shingle counts (doc_a < doc_b, inter, n_a, n_b — all
     * integers). The shared pair finder behind BOTH similarity
@@ -886,51 +958,13 @@ object DedupQueries {
     // false-positive-free and recall is the only approximation
     // (property-tested in LlmSpec). This is the 100 TB shape: signature
     // pass is scan-speed, the join touches only banded collisions.
-    "llm_dedup_minhash_banded" -> ((s, dir) => {
-      val nHashes = 32
-      val bands = 8
-      val rowsPerBand = nHashes / bands
-      // Shingling feeds the signature pass + both verification joins.
-      // PERSIST BEFORE FILTER: a filter on the computed column is
-      // pushed below the forCompute repartition onto the (single-
-      // partition at this file size) scan, single-threading the whole
-      // shingle pass inside the scan stage. The cache is an optimizer
-      // barrier — shingling runs once, distributed; the emptiness
-      // filter is a trivial scan over the cached arrays.
-      val cached = Tables.forCompute(s, dir, "documents")
-        .select(col("doc_id"), shingles3(col("text")).as("shingles"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
-      val docs = cached.filter(size(col("shingles")) > 0)
-      // Signature pass through the fused native kernel (one pass over
-      // the shingle array; bit-exact vs the 32-fold HOF twin, pinned in
-      // FunctionsSpec) — this is the stage that streams the whole
-      // corpus, so it runs at scan speed.
-      val sig = docs.withColumn("sig",
-        call_function("minhash32_native", col("shingles")))
-      // Band join carries ONLY (doc_id, band, key) — the shingle
-      // arrays would multiply the shuffle width and the pair-distinct;
-      // they are attached after dedup of candidate pairs, once per
-      // pair side, for exact verification.
-      val banded = sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(bands - 1)), b =>
-          struct(b.as("band"),
-            slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)).as("key")))).as("bk"))
-        .select(col("doc_id"), col("bk.band").as("band"), col("bk.key").as("key"))
-      val pairs = banded.as("a").join(banded.as("b"),
-          col("a.band") === col("b.band") &&
-            col("a.key") === col("b.key") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      pairs
-        .join(docs.select(col("doc_id").as("doc_a"), col("shingles").as("sha")), "doc_a")
-        .join(docs.select(col("doc_id").as("doc_b"), col("shingles").as("shb")), "doc_b")
-        .withColumn("inter", size(array_intersect(col("sha"), col("shb"))))
-        .withColumn("union_sz", size(col("sha")) + size(col("shb")) - col("inter"))
-        .filter(col("inter") * 5 >= col("union_sz")) // exact jaccard >= 0.2
-        .select(col("doc_a"), col("doc_b"), col("inter"), col("union_sz"))
-        .orderBy(col("doc_a"), col("doc_b"))
-    }),
+    "llm_dedup_minhash_banded" -> ((s, dir) =>
+      // Default operating point 8×4 at exact J ≥ 0.2 — see
+      // [[bandedCandidates]] for the (bands × rowsPerBand) dial and
+      // the measured recall/cost curve (BandingSweep → SCALE.md).
+      bandedNearDup(Tables.forCompute(s, dir, "documents"),
+          bands = 8, rowsPerBand = 4)
+        .orderBy(col("doc_a"), col("doc_b"))),
 
     // MinHash+LSH near-dup via spark.ml: distinct word shingles ->
     // fixed-seed HashingTF (2^18 dims) -> MinHashLSH signature ->

@@ -245,17 +245,21 @@ object SimilarityQueries {
   private[graft] case class IvfPqModel(nList: Int, m: Int, subDim: Int, nCent: Int,
                                        coarse: Array[Array[Double]],
                                        codebooks: Array[Array[Array[Double]]],
-                                       sub: Map[Int, Array[Array[Double]]] = Map.empty) {
+                                       sub: Map[Int, Array[Array[Double]]] = Map.empty,
+                                       lowMarginFrac: Double = -1.0) {
 
     /** Text serialization for the artifact sidecar. `Double.toString`
       * round-trips exactly (shortest-repr contract), so a parsed model
       * scores bit-identically to the trained one. Level-2 codebooks
       * (when present) append as `sub <c1> <k2>` sections — absent for
-      * a one-level model, so old sidecars parse unchanged.
+      * a one-level model, so old sidecars parse unchanged. The
+      * cluster-margin diagnostic rides the header as an optional 5th
+      * token (absent = -1 = unknown, which never escalates) — old
+      * sidecars parse unchanged here too.
       */
     def serialize: String = {
       val sb = new StringBuilder
-      sb.append(s"ivfpq $nList $m $subDim $nCent\n")
+      sb.append(s"ivfpq $nList $m $subDim $nCent $lowMarginFrac\n")
       coarse.foreach(c => sb.append(c.mkString(" ")).append('\n'))
       for (j <- 0 until m; c <- 0 until nCent)
         sb.append(codebooks(j)(c).mkString(" ")).append('\n')
@@ -272,7 +276,8 @@ object SimilarityQueries {
       val lines = s.split('\n')
       val hdr = lines(0).split(' ')
       require(hdr(0) == "ivfpq", s"not an ivfpq model: ${lines(0)}")
-      val Array(nList, m, subDim, nCent) = hdr.tail.map(_.toInt)
+      val Array(nList, m, subDim, nCent) = hdr.tail.take(4).map(_.toInt)
+      val lowMarginFrac = if (hdr.length > 5) hdr(5).toDouble else -1.0
       val coarse = Array.tabulate(nList)(i => lines(1 + i).split(' ').map(_.toDouble))
       val codebooks = Array.tabulate(m, nCent)((j, c) =>
         lines(1 + nList + j * nCent + c).split(' ').map(_.toDouble))
@@ -284,7 +289,7 @@ object SimilarityQueries {
         sub(c1s.toInt) = Array.tabulate(k2)(c => lines(idx + 1 + c).split(' ').map(_.toDouble))
         idx += 1 + k2
       }
-      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks, sub.toMap)
+      IvfPqModel(nList, m, subDim, nCent, coarse, codebooks, sub.toMap, lowMarginFrac)
     }
 
     /** Train on the bounded content-hash sample: coarse cells by Lloyd,
@@ -991,7 +996,18 @@ object SimilarityQueries {
       val e = embDouble(Tables(s, dir, "embeddings"))
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray
-      val probed = probeCells(q, model.coarse, nProbe)
+      // Geometry-aware escalation (see [[MarginEscalateFrac]]): a
+      // low-margin index (the build-time sidecar diagnostic says its
+      // Voronoi boundaries cannot support a reliable probe — the
+      // i.i.d.-fixture geometry) serves the EXHAUSTIVE quantized path
+      // — ADC over every cell's codes, exact re-rank unchanged — so
+      // answer quality never silently depends on geometry the caller
+      // can't see. A clustered corpus (margin frac ≈ 0) keeps the
+      // partition-pruned nProbe probe below untouched.
+      val escalate = model.lowMarginFrac >= MarginEscalateFrac
+      val probed =
+        if (escalate) (0 until model.nList).toList
+        else probeCells(q, model.coarse, nProbe)
       // Two-level layout: each probed level-1 cell expands to its
       // composite partition values — a SPLIT cell contributes only the
       // query's IdxSubProbe nearest sub-cells (driver arithmetic over
@@ -1017,8 +1033,14 @@ object SimilarityQueries {
         s"idx_adc_tables[${model.nList}]")
       val r = math.min(100000L,
         math.max(200L, Tables.rowCount(s, dir, "embeddings") / 50L)).toInt
-      val shortlist = idx
-        .filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
+      // Escalated: NO cell filter — every partition's codes scan
+      // through ADC (the llm_ann_pq_topk full-scan shape, raw floats
+      // still only at the re-rank). Probed: the composite partition
+      // values prune directories as before.
+      val scanned =
+        if (escalate) idx.filter(col("vec_id") =!= 0)
+        else idx.filter(col("cell").isin(probedParts: _*) && col("vec_id") =!= 0)
+      val shortlist = scanned
         .select(col("vec_id"),
           round(adcScore(col("codes"), element_at(tables, rowC1 + 1), model.m), 9)
             .as("adc_dist"))
@@ -1423,6 +1445,33 @@ object SimilarityQueries {
     */
   private[graft] val IdxTargetCellSize = 100
   private[graft] val IdxSubK = 16
+
+  /** Geometry-aware serving escalation (round-10 verdict #4). The
+    * quality of an nProbe cell probe depends on corpus geometry the
+    * CALLER cannot see: on clustered data (the real-embedding shape —
+    * the zipf generator's K=32-center corpus) the query's nearest
+    * cells contain the true neighbors and nProbe=1 already reads
+    * 10/10 at a 2.9% scan (SCALE.md round-10), while on an i.i.d.
+    * corpus dim-64 distance concentration puts every vector on a
+    * Voronoi boundary (d2/d1 ≈ 1.0 corpus-wide — IvfDiag measured
+    * 98.6% of the sf0.1 fixture inside τ=1.1) and NO affordable
+    * nProbe is reliable (the honest flat-at-9/10 curve). The index
+    * build therefore measures the margin ONCE — the fraction of rows
+    * whose 2nd-nearest cell sits within τ²=[[MarginSpillTau2]] of
+    * their nearest (exactly the SOAR spill-selectivity census IvfDiag
+    * runs) — stores it in the model sidecar, and the served query
+    * auto-escalates a low-margin index
+    * (frac ≥ [[MarginEscalateFrac]]) to the EXHAUSTIVE quantized
+    * path: ADC over every cell's codes (still never raw floats until
+    * the re-rank — the same full-scan shape as llm_ann_pq_topk, which
+    * reads 10/10 at both SFs) instead of a probe the geometry cannot
+    * support. High-margin indexes keep the partition-pruned probe
+    * untouched. Threshold 0.5 splits the measured geometries by a
+    * wide band: i.i.d. fixtures read ≈0.99, the clustered corpus
+    * ≈0.0x — either side is unambiguous.
+    */
+  private[graft] val MarginSpillTau2 = 1.21
+  private[graft] val MarginEscalateFrac = 0.5
   /** Sub-cells probed per split level-1 cell — the second level's
     * recall/cost dial. Measured at sf0.1 (composite layout active,
     * 625-member cells split 16 ways): probing 8/16 sub-cells returns
@@ -1463,10 +1512,11 @@ object SimilarityQueries {
 
   private[graft] def materializedVecIndex(s: SparkSession, dir: String): (DataFrame, IvfPqModel) = {
     val store = new graft.etl.IndexStore(s, graft.etl.IndexStore.artifactRoot(dir))
-    // v2: two-level layout — oversized level-1 cells split into
+    // v3: two-level layout — oversized level-1 cells split into
     // composite sub-cells (c1·4096 + c2 + 1) so the probe prunes at
-    // file granularity inside them too.
-    val fp = s"ivfpq_v2:nList=16:m=8:nCent=64:target=$IdxTargetCellSize:k2=$IdxSubK:" +
+    // file granularity inside them too — plus the cluster-margin
+    // diagnostic in the sidecar (see [[MarginEscalateFrac]]).
+    val fp = s"ivfpq_v3:nList=16:m=8:nCent=64:target=$IdxTargetCellSize:k2=$IdxSubK:" +
       graft.etl.IndexStore.pathFingerprint(s, s"$dir/embeddings.parquet")
     if (!store.artifactFingerprint(VecIndexName).contains(fp)) {
       val e = embDouble(Tables.forCompute(s, dir, "embeddings"))
@@ -1475,19 +1525,34 @@ object SimilarityQueries {
       // The O(N·nList·dim) coarse assignment is the build's dominant
       // kernel — compute it ONCE into an ingest-scoped persisted frame
       // shared by the size census + sub-codebook sample (inside
-      // trainSubCodebooks) and the final encode. Recomputing it per
-      // consumer was the round-5 `_build_vec_index` regression (5.0 →
-      // 7.9 s at sf0.1); this is ingest-time cost, released before the
-      // build returns, so the query-path no-cache policy is untouched.
+      // trainSubCodebooks), the margin census and the final encode.
+      // Recomputing it per consumer was the round-5 `_build_vec_index`
+      // regression (5.0 → 7.9 s at sf0.1); this is ingest-time cost,
+      // released before the build returns, so the query-path no-cache
+      // policy is untouched. The d1/d2 margin columns ride the same
+      // single __cd evaluation (multi-referenced attribute —
+      // CollapseProject's cost check keeps the O(nList·dim) fold from
+      // duplicating into each consumer) and cost 2 doubles/row in the
+      // transient cache.
       val coarseLit = bcastModel(s, model0.coarse.map(_.toSeq).toSeq, 2,
         s"build_coarse[${model0.nList}]")
       val l1 = e
         .withColumn("__cd", cellDistances(col("emb"), coarseLit, model0.nList))
         .withColumn("c1", argminCell(col("__cd"), model0.nList))
+        .withColumn("__d1", element_at(col("__cd"), col("c1") + 1))
+        .withColumn("__d2", element_at(col("__cd"),
+          argminCell(col("__cd"), model0.nList, excl = Seq(col("c1"))) + 1))
         .drop("__cd")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val model = model0.copy(sub = trainSubCodebooks(l1, model0))
-      val indexed = encodeAssigned(l1, model)
+      // The SOAR spill-selectivity census as a build-time scalar: one
+      // aggregation over the already-persisted assignment.
+      val lowMargin = l1
+        .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
+          .otherwise(0.0)))
+        .head.getDouble(0)
+      val model = model0.copy(sub = trainSubCodebooks(l1, model0),
+        lowMarginFrac = lowMargin)
+      val indexed = encodeAssigned(l1.drop("__d1", "__d2"), model)
       // Within-cell vec_id sort: partition pruning on `cell` stays the
       // probe-time skip; the maintenance key probe's pushed In(vec_id)
       // then prunes ROW GROUPS inside each cell file.

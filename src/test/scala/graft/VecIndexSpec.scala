@@ -23,14 +23,75 @@ class VecIndexSpec extends AnyFunSuite {
       s"inline=${inline.mkString("; ")}\nindexed=${indexed.mkString("; ")}")
   }
 
-  test("probe filter reaches the scan as PartitionFilters (physical pruning)") {
-    val df = SparkEntry.queries("llm_ann_indexed_topk")(spark, sf)
-    val plan = df.queryExecution.executedPlan.toString
-    val pf = plan.linesIterator.filter(_.contains("PartitionFilters: ["))
+  /** The zipf generator's clustered-embedding geometry (K=32
+    * deterministic centers in [-1,1]^64 + U(-0.1,0.1) noise — the
+    * real-embedding-corpus shape), at an arbitrary size. Same xxhash
+    * construction as ScaleBench's witness corpus, where the build
+    * margin measures 0.04 and IvfDiag reads 10/10 at nProbe=1.
+    */
+  private def clusteredCorpus(n: Long) = {
+    val K = 32L
+    def unit(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column,
+             salt: Int) =
+      pmod(xxhash64(a, b, lit(salt)), lit(2000001L)).cast("double") /
+        lit(1000000.0) - lit(1.0)
+    spark.range(0, n).select(col("id").as("vec_id"))
+      .withColumn("cl", pmod(xxhash64(col("vec_id"), lit(5)), lit(K)))
+      .withColumn("embedding", transform(sequence(lit(0), lit(63)), d =>
+        (unit(col("cl"), d.cast("long"), 11) +
+          unit(col("vec_id"), d.cast("long"), 13) * lit(0.1)).cast("float")))
+      .select(col("vec_id"), col("embedding"),
+        (col("cl") % 10).cast("int").as("label"))
+  }
+
+  test("geometry-aware serving: i.i.d. fixture escalates to exhaustive ADC; clustered corpus keeps pruning") {
+    // The i.i.d. fixture is the low-margin geometry (dim-64 distance
+    // concentration: d2/d1 ≈ 1 corpus-wide — IvfDiag's census), where
+    // NO affordable nProbe is reliable. The build stores that margin
+    // in the sidecar and the served query must escalate: no cell
+    // PartitionFilter, exhaustive quantized scan (the first test in
+    // this suite pins that the answer stays the exact top-10).
+    val (_, model) = SimilarityQueries.materializedVecIndex(spark, sf)
+    assert(model.lowMarginFrac >= SimilarityQueries.MarginEscalateFrac,
+      s"i.i.d. fixture must measure low-margin, got ${model.lowMarginFrac}")
+    val plan = SparkEntry.queries("llm_ann_indexed_topk")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // Inspect the BRACKET CONTENTS (the scan line also prints output
+    // attributes like cell#N outside the filter list).
+    val pfRe = """PartitionFilters: \[([^\]]*)\]""".r
+    val pf = pfRe.findAllMatchIn(plan).map(_.group(1)).find(_.contains("cell"))
+    assert(pf.isEmpty,
+      s"escalated serve must not prune cells: ${pf.getOrElse("")}")
+
+    // Clustered geometry: wide margins -> the sidecar says the probe
+    // is reliable and the scan must keep genuine partition pruning.
+    val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_c").toString
+    clusteredCorpus(2000).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val (_, cModel) = SimilarityQueries.materializedVecIndex(spark, dir)
+    assert(cModel.lowMarginFrac >= 0 &&
+      cModel.lowMarginFrac < SimilarityQueries.MarginEscalateFrac,
+      s"clustered corpus must measure wide-margin, got ${cModel.lowMarginFrac}")
+    val cdf = SparkEntry.queries("llm_ann_indexed_topk")(spark, dir)
+    val cPlan = cdf.queryExecution.executedPlan.toString
+    val cpf = cPlan.linesIterator.filter(_.contains("PartitionFilters: ["))
       .find(_.contains("cell"))
-    assert(pf.isDefined, s"no PartitionFilters on cell in:\n$plan")
-    assert(pf.get.contains(" IN ") || pf.get.contains("cell#"),
-      s"cell probe not in PartitionFilters: ${pf.get}")
+    assert(cpf.isDefined, s"no PartitionFilters on cell in:\n$cPlan")
+    assert(cpf.get.contains(" IN ") || cpf.get.contains("cell#"),
+      s"cell probe not in PartitionFilters: ${cpf.get}")
+    // And the pruned probe on this geometry serves the exact top-10.
+    val got = cdf.collect().map(_.getLong(0)).toSeq
+    val e = SimilarityQueries.embDouble(Tables(spark, dir, "embeddings"))
+    val exact = e.crossJoin(
+        broadcast(e.filter(col("vec_id") === 0).select(col("emb").as("qv"))))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(sqrt(
+          aggregate(zip_with(col("emb"), col("qv"), (x, y) => (x - y) * (x - y)),
+            lit(0.0), (a, v) => a + v)), 6).as("l2"))
+      .orderBy(col("l2"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == exact, s"pruned probe lost exactness: got=$got exact=$exact")
   }
 
   test("index is hive-partitioned by cell with the model sidecar, and reused") {
@@ -213,13 +274,12 @@ class VecIndexSpec extends AnyFunSuite {
     // every oversized cell a level-2 codebook, lay the index out on
     // composite cell ids, prune the probe on those composite values,
     // and still serve the exact brute-force answer after the re-rank.
+    // Clustered geometry (so the sidecar margin keeps the pruned-probe
+    // branch — the escalation test above owns the i.i.d. case) at a
+    // size where every cell crosses 4×IdxTargetCellSize.
     val dir = java.nio.file.Files.createTempDirectory("graft_vecidx_2l").toString
-    spark.range(0, 8000)
-      .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          d => (((col("id") * 37 + d * 11) % 101).cast("float") / lit(10.0f))).as("embedding"),
-        (col("id") % 3).cast("string").as("label"))
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    clusteredCorpus(8000).write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
     val (idx, model) = SimilarityQueries.materializedVecIndex(spark, dir)
     assert(model.sub.nonEmpty, "oversized cells must get level-2 codebooks")
     assert(idx.count() == 8000)
@@ -270,11 +330,7 @@ class VecIndexSpec extends AnyFunSuite {
       .filter(f => f.isDirectory && f.getName.startsWith("cell="))
       .map(f => f.getName -> f.listFiles().map(_.lastModified()).max).toMap
     val mt0 = segDirs
-    val one = spark.range(8000, 8001)
-      .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(63)),
-          d => (((col("id") * 37 + d * 11) % 101).cast("float") / lit(10.0f))).as("embedding"),
-        (col("id") % 3).cast("string").as("label"))
+    val one = clusteredCorpus(8001).filter(col("vec_id") === 8000)
     val n = SimilarityQueries.upsertVecIndex(store, one, "two-level-upsert")
     assert(n == 8001)
     val changed = segDirs.filter { case (d, t) => mt0.get(d).forall(_ != t) }.keySet
@@ -293,5 +349,13 @@ class VecIndexSpec extends AnyFunSuite {
       back.subDim == m.subDim && back.nCent == m.nCent)
     assert(back.coarse.flatten.toSeq == m.coarse.flatten.toSeq)
     assert(back.codebooks.flatten.flatten.toSeq == m.codebooks.flatten.flatten.toSeq)
+    // Margin diagnostic rides the header and round-trips exactly ...
+    val withMargin = m.copy(lowMarginFrac = 0.8125)
+    assert(SimilarityQueries.IvfPqModel.parse(withMargin.serialize).lowMarginFrac == 0.8125)
+    // ... and a legacy 4-token header (pre-margin sidecar) parses with
+    // the unknown sentinel, which never escalates.
+    val legacy = m.serialize.replaceFirst("^ivfpq (\\d+) (\\d+) (\\d+) (\\d+)[^\\n]*",
+      "ivfpq $1 $2 $3 $4")
+    assert(SimilarityQueries.IvfPqModel.parse(legacy).lowMarginFrac == -1.0)
   }
 }
