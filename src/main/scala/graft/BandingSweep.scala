@@ -95,7 +95,7 @@ object BandingSweep {
       })
     def shuffleSnap(): Long = { Thread.sleep(150); shuffleBytes.get() }
 
-    val dir = "/tmp/graft_zipf_bands"
+    val dir = s"/tmp/graft_zipf_bands_$nDocs"
     ScaleBench.zipfCorpusMultiJ(spark, dir, nDocs)
 
     // Shingles cached ONCE and shared by every config — the shingle
