@@ -113,6 +113,29 @@ object Bench {
       (majflt, rb)
     } catch { case _: Throwable => (-1L, -1L) }
 
+  /** (this process's block-I/O delay ticks, host STEAL jiffies) — the
+    * two contamination channels the first probe trio is blind to,
+    * exposed by a measured incident: a build-family record taken
+    * minutes after a 60 GB shuffle-spill run read uniformly ~2× slow
+    * with foreign-user ≈ 0, majflt = 0, read_mb ≈ 0 — neither a
+    * co-process nor cache eviction. delayacct_blkio_ticks
+    * (/proc/self/stat field 42) counts time THIS process sat blocked
+    * on block I/O — residual writeback throttling shows here and
+    * nowhere else; steal (/proc/stat cpu field 8) counts cycles the
+    * HYPERVISOR withheld — host-side co-tenancy on this virtualized
+    * box, invisible to every in-guest load metric.
+    */
+  private def stallStat(): (Long, Long) =
+    try {
+      val st = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
+      val blkio = st(41).toLong // field 42 (1-based): delayacct_blkio_ticks
+      val stat = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/stat")), "UTF-8")
+        .linesIterator.next().trim.split("\\s+")
+      (blkio, stat(8).toLong)
+    } catch { case _: Throwable => (-1L, -1L) }
+
   /** queries_op map of the committed idle record (BENCH_LOCAL.json),
     * used to flag mid-run-contaminated outliers for a rerun — absent
     * file or parse failure degrades to "no reference" (empty map), it
@@ -156,15 +179,32 @@ object Bench {
     val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
     val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     val foreignSysMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    val stealMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     locally {
       val t = new Thread(() => {
         var prev = cpuJiffies()
+        var prevSteal = stallStat()._2
         var prevT = System.nanoTime()
         while (true) {
           Thread.sleep(15000)
           loadMax.updateAndGet(m => math.max(m, loadAvg()))
           val cur = cpuJiffies()
+          val curSteal = stallStat()._2
           val curT = System.nanoTime()
+          // Hypervisor steal per 15 s window (see stallStat scaladoc):
+          // host-side co-tenancy withheld these cycles from the WHOLE
+          // guest — invisible to loadavg, foreign-cpu, majflt and
+          // read-bytes alike (measured: a build-family record read
+          // uniformly ~2× slow with every in-guest signal clean and
+          // steal_cores 3.7 on the slow entry). It gates `contended`
+          // below exactly like foreign user-cpu: stolen cores ARE a
+          // co-process, just one scheduled by the host.
+          if (prevSteal >= 0 && curSteal >= 0) {
+            val dt = (curT - prevT) / 1e9
+            stealMax.updateAndGet(m => math.max(m,
+              (curSteal - prevSteal) / 100.0 / math.max(dt, 1e-3)))
+          }
+          prevSteal = curSteal
           if (prev._1 >= 0 && cur._1 >= 0) {
             val dt = (curT - prevT) / 1e9
             // jiffies are USER_HZ=100/s: foreign cores busy over the
@@ -268,19 +308,24 @@ object Bench {
     // whole-run `contended` flag structurally misses) instead of
     // waiting a round for a manual adjudication. A few /proc reads
     // per entry; nothing on the data path.
-    case class EntryProbe(foreign: Double, majflt: Long, readMb: Double)
+    case class EntryProbe(foreign: Double, majflt: Long, readMb: Double,
+                          ioWaitS: Double, stealCores: Double)
     val probes = scala.collection.mutable.LinkedHashMap[String, EntryProbe]()
     def probed[T](name: String)(body: => T): T = {
-      val j0 = cpuJiffies(); val io0 = ioStat(); val t0 = System.nanoTime()
+      val j0 = cpuJiffies(); val io0 = ioStat(); val s0 = stallStat()
+      val t0 = System.nanoTime()
       val r = body
       val dt = (System.nanoTime() - t0) / 1e9
-      val j1 = cpuJiffies(); val io1 = ioStat()
+      val j1 = cpuJiffies(); val io1 = ioStat(); val s1 = stallStat()
       val foreign =
         if (j0._1 < 0 || j1._1 < 0) -1.0
         else ((j1._1 - j0._1) - (j1._2 - j0._2)) / 100.0 / math.max(dt, 1e-3)
       probes(name) = EntryProbe(foreign,
         if (io0._1 < 0) -1L else io1._1 - io0._1,
-        if (io0._2 < 0) -1.0 else (io1._2 - io0._2) / 1e6)
+        if (io0._2 < 0) -1.0 else (io1._2 - io0._2) / 1e6,
+        if (s0._1 < 0) -1.0 else (s1._1 - s0._1) / 100.0,
+        if (s0._2 < 0) -1.0
+        else (s1._2 - s0._2) / 100.0 / math.max(dt, 1e-3))
       r
     }
 
@@ -794,7 +839,7 @@ object Bench {
     // >0.5 of a core sustained over any 15 s window while this bench
     // ran means some co-process was eating cycles mid-run.
     val loadPeak = math.max(loadMax.get(), loadEnd)
-    val contended = foreignMax.get() > 0.5
+    val contended = foreignMax.get() > 0.5 || stealMax.get() > 0.5
     // `foreign_sys_cores_max` is ADVISORY (see cpuJiffies scaladoc):
     // it includes kworker writeback of this bench's own files, so it
     // cannot gate `contended` — but a sys-dominated co-process
@@ -805,6 +850,7 @@ object Bench {
     val loadJson = s"""{"start":${fmt(loadStart)},"end":${fmt(loadEnd)},""" +
       s""""max":${fmt(loadPeak)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
       s""""foreign_sys_cores_max":${fmt(foreignSysMax.get())},""" +
+      s""""steal_cores_max":${fmt(stealMax.get())},""" +
       s""""cores":$cores,"contended":$contended,"rerun_skipped":$rerunSkipped,""" +
       rerunAll.map(n => s""""$n"""").mkString(""""reruns":[""", ",", "]}")
     // Two emissions: the full record (per-query op times + shuffle) goes
@@ -818,7 +864,9 @@ object Bench {
     // round-trip adjudication.
     val probeJson = probes
       .map { case (k, p) =>
-        s""""$k":{"foreign":${fmt(p.foreign)},"majflt":${p.majflt},"read_mb":${fmt(p.readMb)}}""" }
+        s""""$k":{"foreign":${fmt(p.foreign)},"majflt":${p.majflt},""" +
+          s""""read_mb":${fmt(p.readMb)},"io_wait_s":${fmt(p.ioWaitS)},""" +
+          s""""steal_cores":${fmt(p.stealCores)}}""" }
       .mkString("{", ",", "}")
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","total_op":${fmt(totalOp)},"queries":$qs,"queries_op":$qsOp,"shuffle_mb":$sh,"probe":$probeJson,"load":$loadJson,"sf":"$sfDir"}"""

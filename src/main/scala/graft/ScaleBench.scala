@@ -371,7 +371,13 @@ object ScaleBench {
       catch { case _: Throwable => -1.0 }
     // USER time only — kernel writeback of the run's own shuffle files
     // would otherwise read as ~1 foreign core (see Bench.cpuJiffies).
-    def cpuJiffies(): (Long, Long) =
+    // (total user+nice jiffies, self utime, host STEAL jiffies) — steal
+    // counts cycles the hypervisor withheld from the whole guest:
+    // host-side co-tenancy invisible to loadavg/foreign-cpu (measured
+    // via Bench's per-entry probes: a clean-looking record ran under
+    // 3.7 stolen cores), so it gates `contended` exactly like foreign
+    // user-cpu.
+    def cpuJiffies(): (Long, Long, Long) =
       try {
         val stat = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
@@ -379,11 +385,12 @@ object ScaleBench {
         val userTotal = stat(1).toLong + stat(2).toLong
         val self = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
-        (userTotal, self(13).toLong)
-      } catch { case _: Throwable => (-1L, -1L) }
+        (userTotal, self(13).toLong, stat(8).toLong)
+      } catch { case _: Throwable => (-1L, -1L, -1L) }
     val loadStart = loadAvg()
     val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
     val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    val stealMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     locally {
       val t = new Thread(() => {
         var prev = cpuJiffies()
@@ -398,6 +405,8 @@ object ScaleBench {
             val foreign =
               ((cur._1 - prev._1) - (cur._2 - prev._2)) / 100.0 / math.max(dt, 1e-3)
             foreignMax.updateAndGet(m => math.max(m, foreign))
+            stealMax.updateAndGet(m => math.max(m,
+              (cur._3 - prev._3) / 100.0 / math.max(dt, 1e-3)))
           }
           prev = cur
           prevT = curT
@@ -531,12 +540,13 @@ object ScaleBench {
       s""""$n":{"base_s":${fmt(bT.min)},"scaled_s":${fmt(sT.min)},"ratio":${fmt(r)}$shJson$runsJson}"""
     }
     val loadEnd = loadAvg()
-    val contended = foreignMax.get() > 0.5
+    val contended = foreignMax.get() > 0.5 || stealMax.get() > 0.5
     val json =
       s"""{"base":"$baseDirEff","base_docs":$nBase,"factor":$factor,""" +
         s""""corpus":"$corpusMode","scaled_docs":$nScaled,"repeat":$repeat,""" +
         s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
         s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
+        s""""steal_cores_max":${fmt(stealMax.get())},""" +
         s""""contended":$contended},""" +
         s""""queries":{${rows.mkString(",")}}}"""
     // Probe runs (explicit subset or off-record repeat count) get
