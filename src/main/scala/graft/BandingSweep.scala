@@ -47,25 +47,31 @@ object BandingSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // Same whole-run contamination watermark as ScaleBench: loadavg +
-    // foreign user-cpu max over 15 s windows.
+    // Same whole-run contamination watermark as Bench/ScaleBench:
+    // loadavg + foreign user-cpu max + HYPERVISOR STEAL max over 15 s
+    // windows. Steal (/proc/stat cpu field 8) is the channel the
+    // round-11 incident proved invisible to every in-guest metric —
+    // a sweep record without it could be steal-contaminated while
+    // flagged clean, so it gates `contended` here exactly like in
+    // Bench (either signal > 0.5 cores sustained).
     def loadAvg(): Double =
       try new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
-    def cpuJiffies(): (Long, Long) =
+    def cpuJiffies(): (Long, Long, Long) =
       try {
         val stat = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/stat")), "UTF-8")
           .linesIterator.next().trim.split("\\s+")
         val self = new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
-        (stat(1).toLong + stat(2).toLong, self(13).toLong)
-      } catch { case _: Throwable => (-1L, -1L) }
+        (stat(1).toLong + stat(2).toLong, self(13).toLong, stat(8).toLong)
+      } catch { case _: Throwable => (-1L, -1L, -1L) }
     val loadStart = loadAvg()
     val loadMax = new java.util.concurrent.atomic.AtomicReference[Double](loadStart)
     val foreignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    val stealMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     locally {
       val t = new Thread(() => {
         var prev = cpuJiffies(); var prevT = System.nanoTime()
@@ -78,6 +84,9 @@ object BandingSweep {
             val foreign =
               ((cur._1 - prev._1) - (cur._2 - prev._2)) / 100.0 / math.max(dt, 1e-3)
             foreignMax.updateAndGet(m => math.max(m, foreign))
+            if (prev._3 >= 0 && cur._3 >= 0)
+              stealMax.updateAndGet(m => math.max(m,
+                (cur._3 - prev._3) / 100.0 / math.max(dt, 1e-3)))
           }
           prev = cur; prevT = curT
         }
@@ -158,7 +167,8 @@ object BandingSweep {
       s"""{"corpus":"$dir","docs":$nDocs,"twin_every":31,"rates_pct":[2,4,6],""" +
         s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
         s""""end":${fmt(loadAvg())},"foreign_cores_max":${fmt(foreignMax.get())},""" +
-        s""""contended":${foreignMax.get() > 0.5}},""" +
+        s""""steal_cores_max":${fmt(stealMax.get())},""" +
+        s""""contended":${foreignMax.get() > 0.5 || stealMax.get() > 0.5}},""" +
         s""""configs":{${rows.mkString(",")}}}"""
     java.nio.file.Files.write(
       java.nio.file.Paths.get("BANDING.json"), json.getBytes("UTF-8"))

@@ -50,11 +50,16 @@ class IndexStore(spark: SparkSession, root: String) {
     * footer-read schema inference was a pure fixed cost on the hot
     * commit. Invalidated by every full-rewrite path (all of which go
     * through [[swapIn]]) and by [[deleteIndex]]. Scoped to THIS store
-    * instance — the single-maintainer contract the streaming ingest
-    * loop already satisfies; an external writer that swaps the index
-    * between this store's batches also changes the provenance the
-    * maintenance lock brackets, and the schema-match require below
-    * still fails loudly on any drift the cache could hide.
+    * instance. The SAFETY BOUNDARY is the single-maintainer contract
+    * (the maintenance lease: one live writer per index), which the
+    * streaming ingest loop satisfies — NOT the schema-match require
+    * below. That require catches batch-vs-cache drift, but an external
+    * writer that swaps the index to a new layout between this store's
+    * batches, while incoming batches still match the STALE cached
+    * layout, passes the require and would read renamed/missing columns
+    * as null — silent, not loud. Inside the lease contract that writer
+    * cannot exist; violate the contract and the cache is one of
+    * several things that break.
     */
   private val colsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Array[String]]()
@@ -386,6 +391,19 @@ class IndexStore(spark: SparkSession, root: String) {
         // behind the write; the rare non-empty result pays one extra
         // bounded rewrite after the main commit.
         val keyList: Array[Any] = raw.map(_.get(0)).distinct.toArray
+        // The In()-filter rewrites below run under SQL three-valued
+        // logic: a NULL in the In-list makes `NOT id IN (...)` evaluate
+        // NULL (= dropped) for EVERY non-matching row, and a NULL id in
+        // an existing row evaluates NULL against any list. The bulk
+        // path's anti-join KEEPS null-id rows on both sides (a null key
+        // never join-matches), so the fast path must match: the In-list
+        // carries only non-null keys (a batch null-id row never
+        // replaces anything — exactly the anti-join outcome) and every
+        // keep-filter below carries an explicit `id IS NULL OR` arm so
+        // existing null-id rows survive the rewrite.
+        val nonNullKeys: Array[Any] = keyList.filter(_ != null)
+        val keepNotInBatch =
+          col(idCol).isNull || !col(idCol).isin(nonNullKeys.toSeq: _*)
         val newParts = raw.map(_.get(1).toString).toSet
         if (keyList.isEmpty) 0L
         else {
@@ -397,7 +415,7 @@ class IndexStore(spark: SparkSession, root: String) {
             // the stage/rename of newParts directories.
             existing
               .filter(!col(partCol).isInCollection(newParts.toSeq) &&
-                col(idCol).isin(keyList.toSeq: _*))
+                col(idCol).isin(nonNullKeys.toSeq: _*))
               .select(col(partCol)).distinct()
               .collect().map(_.get(0).toString).toSet
           })
@@ -411,7 +429,7 @@ class IndexStore(spark: SparkSession, root: String) {
             else dedupByKey(stringified, idCol)
           val replacement = existing
             .filter(col(partCol).isInCollection(newParts.toSeq) &&
-              !col(idCol).isin(keyList.toSeq: _*))
+              keepNotInBatch)
             .unionByName(b)
           overwritePartitions(replacement, indexName, partCol,
             fingerprint = "live",
@@ -431,7 +449,7 @@ class IndexStore(spark: SparkSession, root: String) {
             // and this idempotent merge converges.
             val freshScan = readAllString(indexName, indexCols)
               .filter(col(partCol).isInCollection(moved.toSeq) &&
-                !col(idCol).isin(keyList.toSeq: _*))
+                keepNotInBatch)
             overwritePartitions(freshScan, indexName, partCol,
               fingerprint = "live",
               dropEmptiedOf = moved,

@@ -615,6 +615,48 @@ class IndexStoreSpec extends AnyFunSuite {
     assert(e.getMessage.contains("NULL part"), e.getMessage)
   }
 
+  test("upsertPartitioned fast path: NULL ids match the anti-join semantics") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_up_null").toString
+    val store = new etl.IndexStore(spark, root)
+    def docs(rows: (Option[Long], String, String)*) =
+      rows.toSeq.toDF("doc_id", "part", "payload")
+    // Seed: three keyed rows + one NULL-id row. The bulk path's
+    // anti-join KEEPS null-id rows (a null key never join-matches);
+    // the capped fast path's In()-filter rewrite must behave
+    // identically — under raw three-valued logic it wouldn't (see
+    // the nonNullKeys note in upsertPartitioned).
+    store.bulkImportPartitioned(
+      docs((Some(1L), "a", "p1"), (Some(2L), "a", "p2"),
+        (Some(3L), "b", "p3"), (None, "a", "keepme")),
+      "nidx", "doc_id", "part")
+    assert(store.count("nidx") == 4)
+    def rowsIn(part: String): Set[(String, String)] =
+      store.read("nidx").filter(col("part") === part)
+        .select("doc_id", "payload").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+    // 1) Null-free batch touching partition 'a': the existing NULL-id
+    //    row must survive the rewrite (pre-fix: `NOT id IN ('1')`
+    //    evaluates NULL for it and silently drops it).
+    store.upsertPartitioned(docs((Some(1L), "a", "p1v2")), "nidx", "doc_id", "part")
+    assert(rowsIn("a") == Set(("1", "p1v2"), ("2", "p2"), (null, "keepme")),
+      s"existing null-id row must survive a null-free upsert: ${rowsIn("a")}")
+    // 2) Batch CONTAINING a null id: pre-fix the null poisons the
+    //    whole In-list (`NOT id IN ('2', NULL)` is never TRUE) and the
+    //    rewrite drops EVERY pre-existing row in the touched
+    //    partitions. Post-fix: keyed rows upsert normally; the batch's
+    //    null row appends (a null key replaces nothing — exactly what
+    //    the bulk path's anti-join + union produces).
+    store.upsertPartitioned(
+      docs((None, "a", "nullv2"), (Some(2L), "a", "p2v2")),
+      "nidx", "doc_id", "part")
+    assert(rowsIn("a") == Set(("1", "p1v2"), ("2", "p2v2"),
+      (null, "keepme"), (null, "nullv2")),
+      s"null-id batch must not drop unrelated existing rows: ${rowsIn("a")}")
+    assert(rowsIn("b") == Set(("3", "p3")), "untouched partition intact")
+    assert(store.count("nidx") == 5)
+  }
+
   test("pathFingerprint tracks file metadata, not path strings only") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fp")
     val f = tmp.resolve("t.parquet")

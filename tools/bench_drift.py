@@ -64,6 +64,14 @@ def main():
         fq, bq = fresh.get("queries_op", {}), base.get("queries_op", {})
         common = sorted(k for k in fq if k in bq
                         and fq[k] >= 0 and bq[k] > 0)
+        if not common:
+            # Renamed queries or a brand-new family: nothing comparable.
+            # Report and keep going — the 'exit 0 always' contract means
+            # one incomparable family must not abort the whole report.
+            lines.append(f"## {path}: no comparable queries vs {args.ref} "
+                         f"({len(fq)} fresh / {len(bq)} committed) — skipped")
+            lines.append("")
+            continue
         ratios = {k: fq[k] / bq[k] for k in common}
         out_band = {k: r for k, r in ratios.items()
                     if abs(r - 1) > args.band}
