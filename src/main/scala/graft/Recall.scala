@@ -87,6 +87,19 @@ object Recall {
     val exactJaccard = pairsOf("llm_dedup_ngram_jaccard")
     val minhashMl = pairsOf("llm_dedup_minhash")
     val minhashBanded = pairsOf("llm_dedup_minhash_banded")
+    // The 16×2 production operating point targets J ≥ 0.7 (SCALE.md
+    // operating rule) — its ground truth is the exact pair set
+    // THRESHOLDED at that J, derived from the same DuckDB-verified
+    // exact query (it carries inter/union_sz).
+    val exactJaccard70: Set[(Long, Long)] = {
+      val s = SparkEntry.queries("llm_dedup_ngram_jaccard")(spark, sfDir)
+        .filter(col("inter") * 10 >= col("union_sz") * 7)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.catalog.clearCache()
+      s
+    }
+    val minhashBanded16x2 = pairsOf("llm_dedup_minhash_banded_16x2")
 
     // Ground truth 2: brute-force all-pairs SimHash hamming <= 3 (the
     // banded query's own distance + threshold, minus the band blocking —
@@ -181,6 +194,7 @@ object Recall {
          |"sf":"$sfDir",
          |"llm_dedup_minhash":${recallEntry(exactJaccard, minhashMl)},
          |"llm_dedup_minhash_banded":${recallEntry(exactJaccard, minhashBanded)},
+         |"llm_dedup_minhash_banded_16x2":${recallEntry(exactJaccard70, minhashBanded16x2)},
          |"llm_dedup_simhash":${recallEntry(simhashTruth, simhashBanded)},
          |"llm_dedup_embedding_cosine":${recallEntry(cosineTruth, cosineBlocked)},
          |"llm_semdedup":${recallEntry(semdedupTruthDropped, semdedupDropped)},

@@ -417,7 +417,29 @@ object ScaleBench {
     }
 
     val corpusMode = sys.env.getOrElse("SPARK_GRAFT_SCALE_CORPUS", "replica")
+    // WITNESS mode (round-11 verdict #1): SPARK_GRAFT_SCALE_WITNESS=
+    // winnowcap times winnow at the DEFAULT df cap (50) next to a
+    // cap-12 twin on the same corpus and writes its own record name —
+    // the cap/4 scaling moves the df-head's cap crossover (the
+    // transiently superlinear decade) into the measurable 10×–1000×
+    // span, so the post-crossover re-linearization is measured, not
+    // argued. Not a registered query: the extra entry exists only
+    // inside this mode.
+    val witness = sys.env.get("SPARK_GRAFT_SCALE_WITNESS")
+    val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
+      if (witness.contains("winnowcap"))
+        Map("llm_dedup_winnow_cap12" ->
+          ((s: SparkSession, d: String) => llm.DedupQueries.winnowPairs(s, d, dfCap = 12)))
+      else Map.empty
+    // In witness mode SPARK_GRAFT_SCALE_ONLY still narrows the set
+    // (e.g. cap12-only at 1000×, where the default-cap twin's ~900 s
+    // runs are already in the committed record and the single-box
+    // memory margin is thin); the default witness set is both caps
+    // same-frame.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
+      .orElse(if (witness.contains("winnowcap"))
+        Some(Set("llm_dedup_winnow", "llm_dedup_winnow_cap12"))
+      else None)
       .orElse(if (corpusMode == "zipf")
         Some(Set("llm_dedup_minhash_banded", "llm_dedup_substring",
           "llm_dedup_winnow")) else None)
@@ -431,6 +453,22 @@ object ScaleBench {
     // BYTES measure the ALGORITHM: a linear operator's volume ratio
     // equals the data ratio regardless of how the JVM struggled.
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong()
+    // Memory-envelope channels (round-11 verdict #6): the 1000×-class
+    // runs are exactly where a single 32-core box runs out of executor
+    // memory (the combined 5M-doc JVM died of memory exhaustion; a
+    // 48 GB repeat-1 winnow re-run hit SparkOutOfMemoryError), so the
+    // record must carry what each operator PEAKED at, not just how
+    // long it took. Three channels per timed window:
+    //  - peak_task_mem_mb: max single-task execution-memory peak
+    //    (× concurrent tasks ≈ the executor-memory floor);
+    //  - spilled_mem/disk_mb: Spark's own spill accounting — nonzero
+    //    spill says the operator ALREADY didn't fit and wall time is
+    //    partly disk;
+    //  - peak_heap_mb: JVM heap-pool peak (resettable per window) —
+    //    the number that actually OOMs the process.
+    val taskPeakMem = new java.util.concurrent.atomic.AtomicLong()
+    val spillDiskB = new java.util.concurrent.atomic.AtomicLong()
+    val spillMemB = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
@@ -438,8 +476,81 @@ object ScaleBench {
           val m = sc.stageInfo.taskMetrics
           if (m != null) shuffleBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = te.taskMetrics
+          if (m != null) {
+            taskPeakMem.updateAndGet(v => math.max(v, m.peakExecutionMemory))
+            spillDiskB.addAndGet(m.diskBytesSpilled)
+            spillMemB.addAndGet(m.memoryBytesSpilled)
+          }
+        }
       })
     def shuffleSnap(): Long = { Thread.sleep(150); shuffleBytes.get() }
+
+    // Per-operator contamination + memory probes (round-11 verdict
+    // #5): SCALE records used to carry only whole-run watermarks, yet
+    // these are the LONGEST runs (30 min at 1000×) — a mid-run steal
+    // burst silently inflates exactly one operator and the whole-run
+    // flag can't name it. Same per-window channels as Bench.probed
+    // (foreign user-cpu avg, majflt delta, storage-read MB, blkio
+    // wait, hypervisor steal) plus the memory envelope above.
+    def ioStat(): (Long, Long) =
+      try {
+        val st = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/stat")), "UTF-8").split(" ")
+        val majflt = st(11).toLong // field 12 (1-based)
+        val rb = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/self/io")), "UTF-8")
+          .linesIterator.collectFirst {
+            case l if l.startsWith("read_bytes:") =>
+              l.substring("read_bytes:".length).trim.toLong
+          }.getOrElse(-1L)
+        (majflt, rb)
+      } catch { case _: Throwable => (-1L, -1L) }
+    def blkioTicks(): Long =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/self/stat")), "UTF-8")
+        .split(" ")(41).toLong // field 42: delayacct_blkio_ticks
+      catch { case _: Throwable => -1L }
+    def heapPools = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    }
+    val probeLog = scala.collection.mutable.LinkedHashMap[
+      String, scala.collection.mutable.ArrayBuffer[String]]()
+    def pfmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
+    def probedRun[T](key: String)(body: => T): T = {
+      val j0 = cpuJiffies(); val io0 = ioStat(); val b0 = blkioTicks()
+      taskPeakMem.set(0)
+      val sd0 = spillDiskB.get(); val sm0 = spillMemB.get()
+      heapPools.foreach(_.resetPeakUsage())
+      val t0 = System.nanoTime()
+      val r = body
+      val dt = (System.nanoTime() - t0) / 1e9
+      val j1 = cpuJiffies(); val io1 = ioStat(); val b1 = blkioTicks()
+      val foreign =
+        if (j0._1 < 0 || j1._1 < 0) -1.0
+        else ((j1._1 - j0._1) - (j1._2 - j0._2)) / 100.0 / math.max(dt, 1e-3)
+      val steal =
+        if (j0._3 < 0 || j1._3 < 0) -1.0
+        else (j1._3 - j0._3) / 100.0 / math.max(dt, 1e-3)
+      val heapMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+      val json =
+        s"""{"foreign":${pfmt(foreign)},""" +
+          s""""majflt":${if (io0._1 < 0) -1L else io1._1 - io0._1},""" +
+          s""""read_mb":${pfmt(if (io0._2 < 0) -1.0 else (io1._2 - io0._2) / 1e6)},""" +
+          s""""io_wait_s":${pfmt(if (b0 < 0) -1.0 else (b1 - b0) / 100.0)},""" +
+          s""""steal_cores":${pfmt(steal)},""" +
+          s""""peak_task_mem_mb":${pfmt(taskPeakMem.get() / 1e6)},""" +
+          s""""peak_heap_mb":${pfmt(heapMb)},""" +
+          s""""spilled_mem_mb":${pfmt((spillMemB.get() - sm0) / 1e6)},""" +
+          s""""spilled_disk_mb":${pfmt((spillDiskB.get() - sd0) / 1e6)}}"""
+      probeLog.getOrElseUpdate(key,
+        scala.collection.mutable.ArrayBuffer[String]()) += json
+      r
+    }
 
     val (baseDirEff, scaledDirEff) =
       if (corpusMode == "zipf") {
@@ -461,7 +572,7 @@ object ScaleBench {
       .format("noop").mode("overwrite").save()
     Pins.release(spark)
 
-    def runAll(dir: String): Seq[(String, Seq[(Double, Double)])] = {
+    def runAll(dir: String, kind: String): Seq[(String, Seq[(Double, Double)])] = {
       // Pair build FIRST (freshest heap), and an explicit GC after
       // every query: stale broadcast relations from prior queries are
       // reference-collected, and at the 30× corpus their accumulated
@@ -471,7 +582,8 @@ object ScaleBench {
       val pb =
         if (!only.forall(_.contains("_build_neardup_pairs"))) Nil
         else {
-          val t = "_build_neardup_pairs" -> Seq(timePairBuild(spark, dir))
+          val t = "_build_neardup_pairs" ->
+            Seq(probedRun(s"$kind/_build_neardup_pairs")(timePairBuild(spark, dir)))
           Pins.release(spark)
           System.gc()
           System.err.println(f"[scale] _build_neardup_pairs @ $dir: ${t._2.head}%.2f s")
@@ -480,7 +592,11 @@ object ScaleBench {
       val pm =
         if (!only.forall(_.contains("_build_text_postings"))) Nil
         else {
-          val t = timePostingsMaint(spark, dir).map { case (n, s) => n -> Seq(s) }
+          // The maintenance units time several entries inside one call
+          // — the probe window covers the UNIT (keyed by its gate);
+          // per-entry attribution inside it stays Bench's job.
+          val t = probedRun(s"$kind/_build_text_postings_unit")(
+            timePostingsMaint(spark, dir)).map { case (n, s) => n -> Seq(s) }
           Pins.release(spark)
           System.gc()
           t.foreach { case (n, s) =>
@@ -490,17 +606,21 @@ object ScaleBench {
       val up =
         if (!only.forall(_.contains("_build_docs_partitioned"))) Nil
         else {
-          val t = timePartitionedMaint(spark, dir).map { case (n, s) => n -> Seq(s) }
+          val t = probedRun(s"$kind/_build_docs_partitioned_unit")(
+            timePartitionedMaint(spark, dir)).map { case (n, s) => n -> Seq(s) }
           Pins.release(spark)
           System.gc()
           t.foreach { case (n, s) =>
             System.err.println(f"[scale] $n @ $dir: ${s.head}%.2f s") }
           t
         }
-      val q = Timed.filter(n => only.forall(_.contains(n))).map { name =>
+      val q = (Timed ++ extraQueries.keys.toSeq.sorted)
+        .filter(n => only.forall(_.contains(n))).map { name =>
+        val thunk = extraQueries.getOrElse(name, SparkEntry.queries(name))
         val runs = (1 to repeat).map { i =>
           val sh0 = shuffleSnap()
-          val secs = timeNoop(SparkEntry.queries(name)(spark, dir))
+          val secs = probedRun(s"$kind/$name")(
+            timeNoop(thunk(spark, dir)))
           Pins.release(spark)
           System.gc()
           val shMb = (shuffleSnap() - sh0) / 1e6
@@ -515,8 +635,8 @@ object ScaleBench {
         up.map { case (n, ss) => n -> ss.map((_, -1.0)) } ++ q
     }
 
-    val base = runAll(baseDirEff).toMap
-    val scaled = runAll(scaledDirEff).toMap
+    val base = runAll(baseDirEff, "base").toMap
+    val scaled = runAll(scaledDirEff, "scaled").toMap
 
     def fmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
     val rows = base.keys.toSeq.sorted.map { n =>
@@ -548,7 +668,14 @@ object ScaleBench {
         s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
         s""""steal_cores_max":${fmt(stealMax.get())},""" +
         s""""contended":$contended},""" +
-        s""""queries":{${rows.mkString(",")}}}"""
+        s""""queries":{${rows.mkString(",")}},""" +
+        // One probe object per timed run, keyed base/<op> and
+        // scaled/<op>, in run order — aligned with base_runs/
+        // scaled_runs so the min-selected number's own window is
+        // auditable (round-11 verdict #5/#6).
+        probeLog.map { case (k, runs) =>
+          s""""$k":[${runs.mkString(",")}]"""
+        }.mkString(""""probes":{""", ",", "}}")
     // Probe runs (explicit subset or off-record repeat count) get
     // their own file — the committed record name stays the full
     // canonical-config pass. Zipf mode's committed records run the
@@ -559,7 +686,9 @@ object ScaleBench {
     // adjudication probes — restored in 7a057ef).
     val outName =
       if (corpusMode == "zipf") {
-        if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty && repeat == 2)
+        if (witness.isDefined)
+          s"SCALE_ZIPF_${factor}x_${witness.get}.json"
+        else if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty && repeat == 2)
           s"SCALE_ZIPF_${factor}x.json"
         else s"SCALE_ZIPF_${factor}x_probe.json"
       }

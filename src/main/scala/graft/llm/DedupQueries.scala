@@ -438,10 +438,48 @@ object DedupQueries {
         sequence(lit(1), length(col("text")) - (k - 1)),
         i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(k))).as("gh")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    val hot = posGrams.groupBy(col("gh"))
+    // GRAM-STATS PASS — the operator family's one unavoidable
+    // positions-scale shuffle (round-11 verdict #4). Per-gram
+    // distinct-doc count serves BOTH consumers: the boilerplate cap
+    // (d > MaxSpanGramDf — output-defining, oracle-matched) and the
+    // PAIRABILITY prefilter (d ≥ 2 — pure candidate pruning: a gram
+    // in one document can never produce a doc_a < doc_b pair). The
+    // explicit repartition(gh) makes this ONE exchange: hash(gh)
+    // satisfies the clustered distribution of both phases of the
+    // distinct-aggregate, so the planner inserts no second
+    // positions-scale exchange (the default plan shuffles once on
+    // (gh, doc_id) and AGAIN on gh — measured as the agg's second
+    // ~positions-sized shuffle, since most grams are unique).
+    // Only the candidate grams (d ≥ 2, a small fraction of a real
+    // corpus) persist — the full per-gram stats frame is
+    // positions-scale and is never materialized.
+    val candGrams = posGrams.select(col("gh"), col("doc_id"))
+      .repartition(col("gh"))
+      .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("d"))
-      .filter(col("d") > MaxSpanGramDf)
-      .select(col("gh"))
+      .filter(col("d") >= 2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
+    val hot = candGrams.filter(col("d") > MaxSpanGramDf).select(col("gh"))
+    // Pairable grams → a broadcast Bloom filter evaluated INSIDE the
+    // scan stage of both self-join sides ([[graft.functions
+    // .BloomMightContainExpr]]): positions whose gram cannot pair
+    // never enter the join's shuffle, which cuts that shuffle from
+    // corpus-positions scale to duplicated-positions scale (the
+    // measured 12.4 GB at the 100× Zipf corpus was ~2/3 join sides).
+    // False positives are harmless here by construction: a leaked
+    // single-doc gram self-joins only against itself and doc_a <
+    // doc_b yields nothing; a leaked HOT gram is removed by the exact
+    // anti-join below. No false negatives — Bloom's guarantee — so
+    // the pair set (and every island) is unchanged.
+    val eligible = candGrams.filter(col("d") <= MaxSpanGramDf).select(col("gh"))
+    val nEligible = eligible.count()
+    val bloom = eligible.stat.bloomFilter("gh", math.max(nEligible, 1L), 0.01)
+    val mightPair = org.apache.spark.sql.GraftSqlAccess.column(
+      graft.functions.BloomMightContainExpr(
+        org.apache.spark.sql.GraftSqlAccess.expression(col("gh")),
+        s.sparkContext.broadcast(bloom),
+        s"substr_pairable_grams[$nEligible]"))
     // Plain (unhinted) joins on purpose — scale safety comes from the
     // session's broadcast discipline (see Scaladoc on [[graft.Tables]]/
     // README): static auto-broadcast is DISABLED in every engine
@@ -454,7 +492,7 @@ object DedupQueries {
     // statically-planned broadcast. With static broadcast off, AQE
     // upgrades joins to broadcast only from ACTUAL runtime sizes —
     // fast at fixture scale, never a corpus-sized build at 100 TB.
-    val g = posGrams.join(hot, Seq("gh"), "left_anti")
+    val g = posGrams.filter(mightPair).join(hot, Seq("gh"), "left_anti")
     // Self-join, NOT the winnowPairs groupBy+in-array pair explode:
     // both were measured head-to-head at the 100× derived corpus and
     // the SMJ wins (104 s vs 160 s) — the collected per-gram arrays
@@ -500,12 +538,21 @@ object DedupQueries {
     * df-capped fingerprints. Shared by llm_dedup_winnow and the
     * llm_dedup_eval harness.
     */
-  private[graft] def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def winnowPairs(s: SparkSession, dir: String,
+                                 dfCap: Int = MaxWinnowDf): DataFrame = {
+    // dfCap is an explicit parameter for the SCALE-WITNESS runs only
+    // (round-11 verdict #1): the decade where the df distribution's
+    // head crosses the cap is transiently superlinear, and at the
+    // default cap that crossover completes beyond the sandbox's reach
+    // — scaling the cap DOWN moves the whole crossover into the
+    // measurable 10×–1000× span so the re-linearization can be
+    // WITNESSED instead of argued (ScaleBench winnowcap mode). The
+    // registered query and its DuckDB twin always run the default.
     val posts = winnowCposts(Tables.forCompute(s, dir, "documents"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val hot = posts.groupBy(col("fp"))
       .agg(count(lit(1)).as("df"))
-      .filter(col("df") > MaxWinnowDf)
+      .filter(col("df") > dfCap)
       .select(col("fp"))
     posts.join(hot, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
@@ -966,6 +1013,23 @@ object DedupQueries {
           bands = 8, rowsPerBand = 4)
         .orderBy(col("doc_a"), col("doc_b"))),
 
+    // The 16×2 PRODUCTION operating point (round-11 verdict #3):
+    // SCALE.md's operating rule sends J 0.7–0.8 pipelines (the
+    // CCNet/Gopher-style near-dup band) to 16 bands × 2 rows, where
+    // the sweep measured candidate recall 1.0 at planted J ≈ 0.71 /
+    // 0.80 / 0.89 for 2.7× candidates (BANDING.json) — this entry
+    // makes that recommended config hash-verified, not just
+    // sweep-measured. Same exact-verify contract as the default:
+    // candidates from the 16×2 band join, output only pairs passing
+    // EXACT Jaccard at the production threshold J ≥ 0.7, so the
+    // result equals the all-pairs exact answer (the DuckDB twin)
+    // wherever candidate recall is 1.0 — which the S-curve puts at
+    // ≥ 0.99998 per pair at J = 0.7 and the fixtures measure at 1.0.
+    "llm_dedup_minhash_banded_16x2" -> ((s, dir) =>
+      bandedNearDup(Tables.forCompute(s, dir, "documents"),
+          bands = 16, rowsPerBand = 2, minJacNum = 7, minJacDen = 10)
+        .orderBy(col("doc_a"), col("doc_b"))),
+
     // MinHash+LSH near-dup via spark.ml: distinct word shingles ->
     // fixed-seed HashingTF (2^18 dims) -> MinHashLSH signature ->
     // approxSimilarityJoin (band-bucket join inside) for CANDIDATES,
@@ -1314,6 +1378,16 @@ object DedupQueries {
          |SELECT doc_a, doc_b, CAST(inter AS INT) AS inter,
          |  CAST(union_sz AS INT) AS union_sz
          |FROM scored WHERE inter * 5 >= union_sz
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 16×2 production operating point: identical all-pairs exact twin,
+    // thresholded at the production J ≥ 0.7 the config is recommended
+    // for (SCALE.md operating rule; BANDING.json measured recall 1.0
+    // across the J 0.71–0.89 buckets at 16×2).
+    "llm_dedup_minhash_banded_16x2" ->
+      s"""WITH $MinhashExactCtes
+         |SELECT doc_a, doc_b, CAST(inter AS INT) AS inter,
+         |  CAST(union_sz AS INT) AS union_sz
+         |FROM scored WHERE inter * 10 >= union_sz * 7
          |ORDER BY doc_a, doc_b""".stripMargin,
     "llm_dedup_minhash" ->
       s"""WITH $MinhashExactCtes

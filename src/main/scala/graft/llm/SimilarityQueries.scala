@@ -707,24 +707,29 @@ object SimilarityQueries {
     // codebook), not a join: at 100 TB the assignment is a write-time
     // partition key and this same filter becomes partition pruning —
     // a scan of nProbe/nList of the files.
-    // Measured recall honesty (shared by the IVF-probed family —
-    // this, ivfpq, indexed): overlap@10 is 10/10 at sf0.01 and 9/10
-    // at sf0.1, and the 9 is a Voronoi-BOUNDARY fact with a PUBLISHED
+    // Measured recall honesty (historical — the IVF-probed family on
+    // the i.i.d. fixture): a pure nProbe probe read 10/10 at sf0.01
+    // but 9/10 at sf0.1, a Voronoi-BOUNDARY fact with a PUBLISHED
     // probe-vs-recall curve (graft.IvfDiag; SCALE.md round-9 section):
     // the missed neighbor's nearest cell is the query's 10th-ranked
     // of 16, so the curve is FLAT at 9/10 for nProbe 1..9 and reaches
-    // 10/10 only at a 62% scan — where the exhaustive PQ-codes scan
-    // strictly dominates. SOAR-style spilled assignment (the standard
-    // boundary fix) is measured to DEGENERATE on this geometry:
-    // d2/d1 ≈ 1.0 corpus-wide (τ=1.1 would duplicate 98.6% of rows)
-    // and the missed vector's 2nd cell ranks 7th anyway. A config
-    // sweep confirms 16/4 optimal (32/6 → 9/10, 64/8 → 7/10 — finer
-    // quantizers lose MORE). That is the inherent IVF trade the
-    // nProbe dial prices; the exhaustive families (PQ R=max(200,N/50),
-    // SQ8, binary-asymmetric, LSH) measure 10/10 at both scales.
-    // At the sf0.01 gate the probe set provably contains the true
-    // top-10 (curve: 10/10 from nProbe=3), so the query hash-checks
-    // against the brute-force DuckDB oracle there.
+    // 10/10 only at a 62% scan. SOAR-style spilled assignment (the
+    // standard boundary fix) DEGENERATES on this geometry: d2/d1 ≈ 1.0
+    // corpus-wide (τ=1.1 would duplicate 98.6% of rows) and the missed
+    // vector's 2nd cell ranks 7th anyway; finer quantizers lose MORE
+    // (32/6 → 9/10, 64/8 → 7/10). Since round 11 the served index
+    // answers this with GEOMETRY-AWARE ESCALATION
+    // ([[MarginEscalateFrac]]) — and since round 12 this inline demo
+    // runs the SAME protocol: the assignment pass (already paid — the
+    // demo trains per query) also carries the d1/d2 margin columns,
+    // one aggregate measures the SOAR spill census, and a low-margin
+    // corpus (i.i.d. fixtures ≈0.99) escalates to the exhaustive scan
+    // instead of a probe the geometry cannot support. Plain IVF has no
+    // quantized codes to fall back on, so its exhaustive path is the
+    // exact scan (the brute-force shape); on clustered data (margin
+    // ≈0.0x — the real-embedding shape, ScaleBench's Zipf corpus) the
+    // nProbe cell probe serves untouched, which is where the nProbe
+    // dial actually prices the IVF trade.
     "llm_ann_ivf_topk" -> ((s, dir) => {
       val nList = 16
       val nProbe = adaptiveNProbe(Tables.rowCount(s, dir, "embeddings"), nList)
@@ -735,15 +740,33 @@ object SimilarityQueries {
       // bounded codebook (same boundary as training it).
       val q: Seq[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0)
-      val probed: Seq[Int] = centroids.zipWithIndex
+      val probedCells: Seq[Int] = centroids.zipWithIndex
         .map { case (cent, i) =>
           (cent.zip(q).map { case (c, x) => val d = c - x; d * d }.sum, i)
         }
         .sorted.take(nProbe).map(_._2)
-      e.withColumn("__cd", cellDistances(col("emb"), cb, nList))
+      // ONE assignment pass (the O(N·nList·dim) kernel) carries cell +
+      // margin; persisted because the census aggregate and the serving
+      // filter both read it — recomputing the kernel per consumer was
+      // the round-5 build regression.
+      val assigned = e
+        .withColumn("__cd", cellDistances(col("emb"), cb, nList))
         .withColumn("cell", argminCell(col("__cd"), nList))
+        .withColumn("__d1", element_at(col("__cd"), col("cell") + 1))
+        .withColumn("__d2", element_at(col("__cd"),
+          argminCell(col("__cd"), nList, excl = Seq(col("cell"))) + 1))
         .drop("__cd")
-        .filter(col("cell").isin(probed: _*) && col("vec_id") =!= 0)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val lowMargin = assigned
+        .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
+          .otherwise(0.0)))
+        .head.getDouble(0)
+      val serveFilter =
+        if (lowMargin >= MarginEscalateFrac) lit(true)
+        else col("cell").isin(probedCells: _*)
+      assigned
+        .filter(serveFilter && col("vec_id") =!= 0)
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
           round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))
@@ -938,22 +961,42 @@ object SimilarityQueries {
         s"ivfpq_coarse[${model.nList}]")
       val cbLit = bcastModel(s, model.codebooks.map(_.map(_.toSeq).toSeq).toSeq, 3,
         s"ivfpq_codebooks[${model.m}x${model.nCent}]")
-      // Query-side driver math over the O(1) codebooks: probed cells,
-      // then one ADC table per probed cell from the query's residual
-      // in THAT cell.
       val q: Array[Double] = e.filter(col("vec_id") === 0)
         .select(col("emb")).head.getSeq[Double](0).toArray
-      val probed = probeCells(q, model.coarse, nProbe)
-      val tables = bcastModel(s, adcTablesPerCell(q, model, probed), 3,
-        s"ivfpq_adc_tables[${model.nList}]")
-      // Scan: assign cell, PRUNE to probed cells (at write-time layout
-      // this is partition pruning — llm_ann_indexed_topk IS that
-      // layout), residual-encode survivors, ADC.
-      val probedRows = e.filter(col("vec_id") =!= 0)
+      // Geometry-aware escalation, same protocol as the served index
+      // and the inline IVF demo above: the assignment pass carries the
+      // d1/d2 margin, one aggregate runs the SOAR spill census, and a
+      // low-margin corpus escalates to the EXHAUSTIVE quantized path —
+      // ADC over every cell's codes (raw floats still only at the
+      // re-rank; the llm_ann_pq_topk full-scan shape, which reads
+      // 10/10 at both SFs). Clustered corpora keep the nProbe probe.
+      val assigned = e.filter(col("vec_id") =!= 0)
         .withColumn("__cd", cellDistances(col("emb"), coarseLit, model.nList))
         .withColumn("cell", argminCell(col("__cd"), model.nList))
+        .withColumn("__d1", element_at(col("__cd"), col("cell") + 1))
+        .withColumn("__d2", element_at(col("__cd"),
+          argminCell(col("__cd"), model.nList, excl = Seq(col("cell"))) + 1))
         .drop("__cd")
-        .filter(col("cell").isin(probed: _*))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val lowMargin = assigned
+        .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
+          .otherwise(0.0)))
+        .head.getDouble(0)
+      val escalate = lowMargin >= MarginEscalateFrac
+      // Query-side driver math over the O(1) codebooks: probed cells
+      // (every cell when escalated), then one ADC table per probed
+      // cell from the query's residual in THAT cell.
+      val probed =
+        if (escalate) (0 until model.nList).toList
+        else probeCells(q, model.coarse, nProbe)
+      val tables = bcastModel(s, adcTablesPerCell(q, model, probed), 3,
+        s"ivfpq_adc_tables[${model.nList}]")
+      // Scan: PRUNE to probed cells (at write-time layout this is
+      // partition pruning — llm_ann_indexed_topk IS that layout; a
+      // no-op when escalated), residual-encode survivors, ADC.
+      val probedRows = assigned
+        .filter(if (escalate) lit(true) else col("cell").isin(probed: _*))
         .withColumn("res",
           zip_with(col("emb"), element_at(coarseLit, col("cell") + 1), (x, y) => x - y))
         .withColumn("codes", pqCodes(col("res"), cbLit, model.m, model.subDim, model.nCent))

@@ -17,10 +17,8 @@ class CacheSpec extends AnyFunSuite {
   import SparkTestSession._
 
   private val family = Seq(
-    "llm_ann_ivf_topk",
     "llm_ann_pq_topk",
     "llm_ann_sq8_topk",
-    "llm_ann_ivfpq_topk",
     "llm_ann_indexed_topk",
     "llm_cosine_topk")
 
@@ -43,6 +41,12 @@ class CacheSpec extends AnyFunSuite {
     * queries.
     */
   private val pinnedFamily = Seq(
+    // Since round 12 the two inline-demo IVF queries persist their
+    // assignment frame (one O(N·nList·dim) kernel pass shared by the
+    // geometry-escalation census and the serving filter) — registered
+    // with Pins like every other multi-consumer intermediate.
+    "llm_ann_ivf_topk",
+    "llm_ann_ivfpq_topk",
     "llm_dedup_embedding_cosine",
     "llm_semdedup",
     "llm_dedup_simhash",

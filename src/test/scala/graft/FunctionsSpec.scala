@@ -465,4 +465,37 @@ class FunctionsSpec extends AnyFunSuite {
     assert(executed.contains("*("), s"not codegen'd:\n$executed")
     assert(df.limit(1).collect().nonEmpty)
   }
+
+  test("graft_bloom_might_contain: no false negatives, codegen'd, fp-bounded") {
+    import spark.implicits._
+    // The substring pair finder's map-side prefilter
+    // ([[graft.functions.BloomMightContainExpr]]) is only SOUND if
+    // membership never reads false for a true member — a false
+    // negative would silently drop a real pair, which no downstream
+    // exact filter can recover. Pin the contract over a real build:
+    // every inserted key passes, and non-members leak at ~the asked
+    // fpp, not wholesale.
+    val members = (0L until 20000L).map(i => i * 2654435761L)
+    val bloom = members.toDF("gh").stat.bloomFilter("gh", members.size, 0.01)
+    val expr = graft.functions.BloomMightContainExpr(
+      org.apache.spark.sql.GraftSqlAccess.expression(col("gh")),
+      spark.sparkContext.broadcast(bloom), "spec_bloom")
+    val flag = org.apache.spark.sql.GraftSqlAccess.column(expr)
+    val hits = members.toDF("gh").filter(flag).count()
+    assert(hits == members.size.toLong,
+      s"false negatives: $hits of ${members.size} members passed")
+    // Disjoint probe set: leakage must be fp-noise, not pass-through.
+    val probes = (1L to 20000L).map(i => i * 1099511628211L + 7L)
+    val leaked = probes.toDF("gh").filter(flag).count()
+    assert(leaked < probes.size / 20,
+      s"bloom leaks far over fpp: $leaked of ${probes.size}")
+    // Survives a serialization round-trip (task dispatch) and keeps
+    // plan text value-free.
+    val javaSer = new org.apache.spark.serializer.JavaSerializer(
+      spark.sparkContext.getConf).newInstance()
+    val revived = javaSer.deserialize[graft.functions.BloomMightContainExpr](
+      javaSer.serialize(expr))
+    assert(revived.toString.contains("spec_bloom") &&
+      !revived.toString.contains("4096"))
+  }
 }
