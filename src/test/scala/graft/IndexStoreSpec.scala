@@ -655,6 +655,14 @@ class IndexStoreSpec extends AnyFunSuite {
       s"null-id batch must not drop unrelated existing rows: ${rowsIn("a")}")
     assert(rowsIn("b") == Set(("3", "p3")), "untouched partition intact")
     assert(store.count("nidx") == 5)
+    // 3) ALL-null batch: the non-null In-list is EMPTY — the commit
+    //    must still run cleanly (empty isin() folds to false; the
+    //    isNull arm keeps existing nulls... which this batch then
+    //    appends to, anti-join-style) and must not disturb keyed rows.
+    store.upsertPartitioned(docs((None, "b", "onlynull")), "nidx", "doc_id", "part")
+    assert(rowsIn("b") == Set(("3", "p3"), (null, "onlynull")),
+      s"all-null batch must append without touching keyed rows: ${rowsIn("b")}")
+    assert(store.count("nidx") == 6)
   }
 
   test("pathFingerprint tracks file metadata, not path strings only") {
