@@ -170,8 +170,17 @@ object BandingSweep {
         s""""steal_cores_max":${fmt(stealMax.get())},""" +
         s""""contended":${foreignMax.get() > 0.5 || stealMax.get() > 0.5}},""" +
         s""""configs":{${rows.mkString(",")}}}"""
+    // Contended-clobber guard, shared with Bench/ScaleBench (round-12
+    // verdict #4): a contended sweep diverts rather than replacing a
+    // committed idle BANDING.json.
+    val contended = foreignMax.get() > 0.5 || stealMax.get() > 0.5
+    val target = Bench.recordTarget("BANDING.json", contended)
+    if (target != "BANDING.json")
+      System.err.println(s"[banding] contended record (foreign " +
+        f"${foreignMax.get()}%.2f / steal ${stealMax.get()}%.2f cores) " +
+        s"would clobber the idle reference at BANDING.json — diverted to $target")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BANDING.json"), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(target), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

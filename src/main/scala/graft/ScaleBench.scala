@@ -438,24 +438,91 @@ object ScaleBench {
     // argued. Not a registered query: the extra entry exists only
     // inside this mode.
     val witness = sys.env.get("SPARK_GRAFT_SCALE_WITNESS")
+    // Known witness modes — an unknown value would silently run the
+    // default zipf set yet write a witness-named record (a mislabeled
+    // record, round-12 advice): fail fast instead.
+    //  - winnowcap (round-11 verdict #1): winnow at the default df cap
+    //    next to a cap-12 twin — the cap/4 scaling moves the df-head's
+    //    cap crossover into the measurable span so the post-crossover
+    //    re-linearization is measured, not argued.
+    //  - substrk20 (round-12 verdict #2): exact-substring at gram
+    //    length 20 next to the production k=50 twin — the shorter gram
+    //    saturates the pairable-gram fraction (the mechanism behind
+    //    the 1000× segment's 1.44) inside the measurable span, so the
+    //    POST-SATURATION shuffle constant is witnessed. Neither twin
+    //    is a registered query; they exist only inside witness mode.
+    val KnownWitnesses = Set("winnowcap", "substrk20")
+    witness.filterNot(KnownWitnesses.contains).foreach { w =>
+      System.err.println(s"[scale] unknown SPARK_GRAFT_SCALE_WITNESS '$w' " +
+        s"(known: ${KnownWitnesses.toSeq.sorted.mkString(", ")}) — refusing " +
+        "to write a mislabeled witness record")
+      spark.stop()
+      sys.exit(2)
+    }
+    if (witness.isDefined && corpusMode != "zipf") {
+      System.err.println("[scale] witness modes measure the Zipf corpus; " +
+        "set SPARK_GRAFT_SCALE_CORPUS=zipf (a replica-corpus run would " +
+        "write a record that silently drops the witness label)")
+      spark.stop()
+      sys.exit(2)
+    }
     val extraQueries: Map[String, (SparkSession, String) => DataFrame] =
       if (witness.contains("winnowcap"))
         Map("llm_dedup_winnow_cap12" ->
           ((s: SparkSession, d: String) => llm.DedupQueries.winnowPairs(s, d, dfCap = 12)))
+      else if (witness.contains("substrk20"))
+        Map("llm_dedup_substring_k20" ->
+          ((s: SparkSession, d: String) =>
+            llm.DedupQueries.substringIslands(s, d, spanK = 20)
+              .groupBy(col("doc_a"), col("doc_b"))
+              .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
+              .orderBy(col("doc_a"), col("doc_b"))))
       else Map.empty
     // In witness mode SPARK_GRAFT_SCALE_ONLY still narrows the set
     // (e.g. cap12-only at 1000×, where the default-cap twin's ~900 s
     // runs are already in the committed record and the single-box
-    // memory margin is thin); the default witness set is both caps
-    // same-frame.
+    // memory margin is thin — such runs divert to _probe unless
+    // SPARK_GRAFT_SCALE_WITNESS_CANONICAL=1 marks the exception
+    // deliberate); the default witness set is both twins same-frame.
     val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY").map(_.split(",").toSet)
       .orElse(if (witness.contains("winnowcap"))
         Some(Set("llm_dedup_winnow", "llm_dedup_winnow_cap12"))
+      else None)
+      .orElse(if (witness.contains("substrk20"))
+        Some(Set("llm_dedup_substring", "llm_dedup_substring_k20"))
       else None)
       .orElse(if (corpusMode == "zipf")
         Some(Set("llm_dedup_minhash_banded", "llm_dedup_substring",
           "llm_dedup_winnow")) else None)
     val repeat = sys.env.getOrElse("SPARK_GRAFT_SCALE_REPEAT", "1").toInt
+
+    // HEAP-FLOOR PRE-FLIGHT (round-12 verdict #7): the published
+    // single-box envelope (SCALE.md round-12 table) has every zipf
+    // dedup finder OOMing at 300×+ under the runner's 8 GB default
+    // heap — previously tribal knowledge that killed runs 10 minutes
+    // in. Refuse up front with the named requirement instead; the
+    // heap actually used is stamped into the record (`heap_max_mb`)
+    // either way. SPARK_GRAFT_SCALE_FORCE=1 overrides (e.g. to probe
+    // the envelope itself).
+    val heapMaxMb = Runtime.getRuntime.maxMemory() / (1L << 20)
+    locally {
+      val heavyFinders = Set("llm_dedup_winnow", "llm_dedup_winnow_cap12",
+        "llm_dedup_minhash_banded", "llm_dedup_substring",
+        "llm_dedup_substring_k20")
+      val timesHeavy = only.forall(s => (s intersect heavyFinders).nonEmpty)
+      val floorMb = 40000L // 48g requirement, measured via maxMemory (~0.97×)
+      if (corpusMode == "zipf" && factor >= 300 && timesHeavy &&
+          heapMaxMb < floorMb && !sys.env.contains("SPARK_GRAFT_SCALE_FORCE")) {
+        System.err.println(s"[scale] refusing: zipf ${factor}x with a dedup " +
+          s"finder in the timed set needs SPARK_DRIVER_MEM=48g (published " +
+          s"floor, SCALE.md round-12 envelope: 8 GB OOMs in the scaled " +
+          s"sort) but this JVM has ${heapMaxMb} MB. Re-run with " +
+          "SPARK_DRIVER_MEM=48g, or SPARK_GRAFT_SCALE_FORCE=1 to probe the " +
+          "envelope itself.")
+        spark.stop()
+        sys.exit(3)
+      }
+    }
 
     // Shuffle-volume accounting (Bench's listener): bytes written to
     // shuffle per timed run. At the sizes where a 100× corpus stops
@@ -534,6 +601,12 @@ object ScaleBench {
       String, scala.collection.mutable.ArrayBuffer[String]]()
     def pfmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
     def probedRun[T](key: String)(body: => T): T = {
+      // Listener events arrive on an async bus (the reason shuffleSnap
+      // sleeps 150 ms): drain BEFORE the reset — a late onTaskEnd from
+      // the previous window must not survive taskPeakMem.set(0) and be
+      // misattributed here — and again before sampling at the end, so
+      // this window's own tail events land in its counters.
+      Thread.sleep(150)
       val j0 = cpuJiffies(); val io0 = ioStat(); val b0 = blkioTicks()
       taskPeakMem.set(0)
       val sd0 = spillDiskB.get(); val sm0 = spillMemB.get()
@@ -541,6 +614,7 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val r = body
       val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150)
       val j1 = cpuJiffies(); val io1 = ioStat(); val b1 = blkioTicks()
       val foreign =
         if (j0._1 < 0 || j1._1 < 0) -1.0
@@ -677,6 +751,7 @@ object ScaleBench {
       s"""{"base":"$baseDirEff","base_docs":$nBase,"factor":$factor,""" +
         s""""corpus":"$corpusMode","scaled_docs":$nScaled,"repeat":$repeat,""" +
         s""""io_codec":"${sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")}",""" +
+        s""""heap_max_mb":$heapMaxMb,""" +
         s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
         s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
         s""""steal_cores_max":${fmt(stealMax.get())},""" +
@@ -697,18 +772,41 @@ object ScaleBench {
     // other repeat is a dev probe and must not clobber the committed
     // witness (the exact hazard that destroyed the round-8 substring
     // adjudication probes — restored in 7a057ef).
+    // Witness canonical config = the FULL witness twin set at
+    // repeat=2; an explicit SPARK_GRAFT_SCALE_ONLY subset or another
+    // repeat is a dev probe and diverts to _probe like non-witness
+    // runs (round-12 advice — previously any witness run clobbered
+    // the canonical name). A deliberate exception (the 1000× cap12-
+    // only record, where the default-cap twin is already committed
+    // and the single-box margin is thin) says so explicitly via
+    // SPARK_GRAFT_SCALE_WITNESS_CANONICAL=1.
+    val witnessCanonical =
+      (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty && repeat == 2) ||
+        sys.env.get("SPARK_GRAFT_SCALE_WITNESS_CANONICAL").contains("1")
     val outName =
       if (corpusMode == "zipf") {
-        if (witness.isDefined)
-          s"SCALE_ZIPF_${factor}x_${witness.get}.json"
+        if (witness.isDefined) {
+          if (witnessCanonical) s"SCALE_ZIPF_${factor}x_${witness.get}.json"
+          else s"SCALE_ZIPF_${factor}x_${witness.get}_probe.json"
+        }
         else if (sys.env.get("SPARK_GRAFT_SCALE_ONLY").isEmpty && repeat == 2)
           s"SCALE_ZIPF_${factor}x.json"
         else s"SCALE_ZIPF_${factor}x_probe.json"
       }
       else if (only.isEmpty && repeat == 1) s"SCALE_${factor}x.json"
       else s"SCALE_${factor}x_probe.json"
+    // CONTENDED-CLOBBER GUARD, shared with Bench (round-12 verdict
+    // #4): a contended scale run must never replace a committed idle
+    // record at a canonical name — these files are the cross-round
+    // slope references. Same decision function, same recovery
+    // direction (idle overwrites anything), no force flag.
+    val target = Bench.recordTarget(outName, contended)
+    if (target != outName)
+      System.err.println(s"[scale] contended record (foreign " +
+        f"${foreignMax.get()}%.2f / steal ${stealMax.get()}%.2f cores) " +
+        s"would clobber the idle reference at $outName — diverted to $target")
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(outName), json.getBytes("UTF-8"))
+      java.nio.file.Paths.get(target), json.getBytes("UTF-8"))
     println(json)
     spark.stop()
   }

@@ -411,6 +411,54 @@ object DedupQueries {
   val SpanK = 50
   val MaxSpanGramDf = 20
 
+  /** Size governor for the substring pairability Bloom (round-12
+    * verdict #1). The prefilter bitmap is materialized on the DRIVER
+    * and torrent-broadcast — at fixed fpp 0.01 it costs ~9.6 bits per
+    * pairable gram, which is fine at the witnessed 5M docs but at
+    * 100 TB (10¹⁰–10¹¹ pairable grams) is a 12–120 GB driver
+    * allocation that OOMs before any task runs. The governor is a
+    * BITS BUDGET: below it the filter is built at the optimal size
+    * for fpp 0.01; past it the bitmap is capped at the budget and the
+    * achievable fpp derived from budget/n; and past the utility point
+    * (fpp > [[SubstrBloomSkipFpp]] — the filter passes most rows
+    * anyway) the prefilter is SKIPPED entirely. Skipping is ALWAYS
+    * correct: the Bloom is purely subtractive candidate pruning (the
+    * hot-gram anti-join and the doc_a < doc_b self-join define the
+    * output), so the governed plan degrades in COST only, never in
+    * answers — spec-pinned in LlmSpec (decision table; skip and
+    * degraded paths row-identical to the default).
+    *
+    * Default budget 256 MB (2³¹ bits): ≥ 223M pairable grams at full
+    * fpp 0.01, degrading gracefully to the skip point at ~1.5G grams
+    * — a bitmap any driver/executor can hold. Witness/ops override
+    * via the [[substringIslands]] parameter.
+    */
+  val SubstrBloomBudgetBits: Long = 1L << 31
+  /** Skip threshold: past fpp 0.5 the filter passes most candidate
+    * rows anyway — the broadcast + per-row probe buy nothing, so the
+    * plan drops the prefilter (exact pruning still happens in the
+    * joins).
+    */
+  val SubstrBloomSkipFpp: Double = 0.5
+
+  /** The governor's pure decision: Bloom geometry from (n, budget).
+    * `Some((numBits, fppEstimate))` = build capped at numBits;
+    * `None` = skip the prefilter. Optimal bits for target fpp p is
+    * −n·ln(p)/ln²2 (standard Bloom sizing, same formula
+    * spark.util.sketch uses); achievable fpp at m bits for n items is
+    * exp(−m/n·ln²2).
+    */
+  private[graft] def substrBloomPlan(
+      nEligible: Long,
+      budgetBits: Long = SubstrBloomBudgetBits): Option[(Long, Double)] = {
+    val n = math.max(nEligible, 1L).toDouble
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    val wantBits = math.ceil(-n * math.log(0.01) / ln2sq).toLong
+    val bits = math.min(wantBits, math.max(budgetBits, 0L))
+    val fpp = math.exp(-(bits / n) * ln2sq)
+    if (bits <= 0L || fpp > SubstrBloomSkipFpp) None else Some((bits, fpp))
+  }
+
   /** The exact-substring machinery shared by the REPORT
     * (llm_dedup_substring) and the CUT (llm_dedup_substring_cut):
     * every position's SpanK-char gram fingerprinted, df-capped,
@@ -430,34 +478,60 @@ object DedupQueries {
     * (content-exploded frame: never cached/checkpointed, same policy
     * as the boilerplate/LM grams).
     */
-  private def substringIslands(s: SparkSession, dir: String): DataFrame = {
-    val k = SpanK
-    val posGrams = Tables.forCompute(s, dir, "documents")
-      .filter(length(col("text")) >= k)
+  /** Positions-gram frame: one row per character position, 8-byte
+    * gram fingerprint. Exposed (private[graft]) so PlanSpec can pin
+    * the stats pass's plan shape on exactly the frame the query runs.
+    */
+  private[graft] def substrPosGrams(s: SparkSession, dir: String,
+                                    spanK: Int = SpanK): DataFrame =
+    Tables.forCompute(s, dir, "documents")
+      .filter(length(col("text")) >= spanK)
       .select(col("doc_id"), explode(transform(
-        sequence(lit(1), length(col("text")) - (k - 1)),
-        i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(k))).as("gh")))).as("g"))
+        sequence(lit(1), length(col("text")) - (spanK - 1)),
+        i => struct(i.as("pos"), xxhash64(col("text").substr(i, lit(spanK))).as("gh")))).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gh").as("gh"))
-    // GRAM-STATS PASS — the operator family's one unavoidable
-    // positions-scale shuffle (round-11 verdict #4). Per-gram
-    // distinct-doc count serves BOTH consumers: the boilerplate cap
-    // (d > MaxSpanGramDf — output-defining, oracle-matched) and the
-    // PAIRABILITY prefilter (d ≥ 2 — pure candidate pruning: a gram
-    // in one document can never produce a doc_a < doc_b pair). The
-    // explicit repartition(gh) makes this ONE exchange: hash(gh)
-    // satisfies the clustered distribution of both phases of the
-    // distinct-aggregate, so the planner inserts no second
-    // positions-scale exchange (the default plan shuffles once on
-    // (gh, doc_id) and AGAIN on gh — measured as the agg's second
-    // ~positions-sized shuffle, since most grams are unique).
-    // Only the candidate grams (d ≥ 2, a small fraction of a real
-    // corpus) persist — the full per-gram stats frame is
-    // positions-scale and is never materialized.
-    val candGrams = posGrams.select(col("gh"), col("doc_id"))
+
+  /** GRAM-STATS PASS — the operator family's one unavoidable
+    * positions-scale shuffle (round-11 verdict #4). Per-gram
+    * distinct-doc count serves BOTH consumers: the boilerplate cap
+    * (d > MaxSpanGramDf — output-defining, oracle-matched) and the
+    * PAIRABILITY prefilter (d ≥ 2 — pure candidate pruning: a gram
+    * in one document can never produce a doc_a < doc_b pair). The
+    * explicit repartition(gh) makes this ONE exchange: hash(gh)
+    * satisfies the clustered distribution of both phases of the
+    * distinct-aggregate, so the planner inserts no second
+    * positions-scale exchange (the default plan shuffles once on
+    * (gh, doc_id) and AGAIN on gh — measured as the agg's second
+    * ~positions-sized shuffle, since most grams are unique).
+    * SPEC-PINNED: PlanSpec counts exactly ONE ShuffleExchangeExec in
+    * this subtree (round-12 verdict #3) — a Spark upgrade or a
+    * refactor dropping the repartition re-doubles the operator's
+    * dominant shuffle and must fail red.
+    */
+  private[graft] def substrCandGrams(posGrams: DataFrame): DataFrame =
+    posGrams.select(col("gh"), col("doc_id"))
       .repartition(col("gh"))
       .groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("d"))
       .filter(col("d") >= 2)
+
+  private[graft] def substringIslands(s: SparkSession, dir: String,
+                                      spanK: Int = SpanK,
+                                      bloomBudgetBits: Long = SubstrBloomBudgetBits): DataFrame = {
+    // spanK and bloomBudgetBits are explicit parameters for the
+    // SCALE-WITNESS runs and the governor spec only, mirroring
+    // winnowPairs(dfCap): shrinking the gram length saturates the
+    // pairable-gram fraction INSIDE the measurable 10×–1000× span so
+    // the post-saturation shuffle constant can be witnessed (round-12
+    // verdict #2); the budget exercises the Bloom governor's degrade/
+    // skip paths. The registered queries and their DuckDB twins always
+    // run the defaults.
+    val k = spanK
+    val posGrams = substrPosGrams(s, dir, k)
+    // Only the candidate grams (d ≥ 2, a small fraction of a real
+    // corpus) persist — the full per-gram stats frame is
+    // positions-scale and is never materialized.
+    val candGrams = substrCandGrams(posGrams)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       .transform(graft.Pins.pin)
     val hot = candGrams.filter(col("d") > MaxSpanGramDf).select(col("gh"))
@@ -474,12 +548,25 @@ object DedupQueries {
     // the pair set (and every island) is unchanged.
     val eligible = candGrams.filter(col("d") <= MaxSpanGramDf).select(col("gh"))
     val nEligible = eligible.count()
-    val bloom = eligible.stat.bloomFilter("gh", math.max(nEligible, 1L), 0.01)
-    val mightPair = org.apache.spark.sql.GraftSqlAccess.column(
-      graft.functions.BloomMightContainExpr(
-        org.apache.spark.sql.GraftSqlAccess.expression(col("gh")),
-        s.sparkContext.broadcast(bloom),
-        s"substr_pairable_grams[$nEligible]"))
+    // Governed build (round-12 verdict #1): [[substrBloomPlan]] caps
+    // the bitmap at the bits budget (fpp derived from budget/n) and
+    // SKIPS the prefilter past the utility point — a skipped or
+    // degraded filter only lets more candidates through to the exact
+    // joins below, never changes an answer.
+    val mightPair = substrBloomPlan(nEligible, bloomBudgetBits) match {
+      case None =>
+        System.err.println(s"[substr] pairability Bloom SKIPPED: " +
+          s"$nEligible eligible grams exceed the ${bloomBudgetBits}-bit " +
+          s"budget's utility point (fpp > $SubstrBloomSkipFpp)")
+        lit(true)
+      case Some((numBits, fppEst)) =>
+        val bloom = eligible.stat.bloomFilter("gh", math.max(nEligible, 1L), numBits)
+        org.apache.spark.sql.GraftSqlAccess.column(
+          graft.functions.BloomMightContainExpr(
+            org.apache.spark.sql.GraftSqlAccess.expression(col("gh")),
+            s.sparkContext.broadcast(bloom),
+            f"substr_pairable_grams[$nEligible,bits=$numBits,fpp~$fppEst%.3f]"))
+    }
     // Plain (unhinted) joins on purpose — scale safety comes from the
     // session's broadcast discipline (see Scaladoc on [[graft.Tables]]/
     // README): static auto-broadcast is DISABLED in every engine

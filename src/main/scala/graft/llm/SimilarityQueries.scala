@@ -749,7 +749,11 @@ object SimilarityQueries {
       // margin; persisted because the census aggregate and the serving
       // filter both read it — recomputing the kernel per consumer was
       // the round-5 build regression.
-      val assigned = e
+      // Corpus rows only (vec_id 0 is the query vector) — the census
+      // below averages over CORPUS geometry, matching the ivfpq
+      // variant exactly; including the query row biased lowMargin by
+      // one row on tiny fixtures (round-12 advice).
+      val assigned = e.filter(col("vec_id") =!= 0)
         .withColumn("__cd", cellDistances(col("emb"), cb, nList))
         .withColumn("cell", argminCell(col("__cd"), nList))
         .withColumn("__d1", element_at(col("__cd"), col("cell") + 1))
@@ -766,7 +770,7 @@ object SimilarityQueries {
         if (lowMargin >= MarginEscalateFrac) lit(true)
         else col("cell").isin(probedCells: _*)
       assigned
-        .filter(serveFilter && col("vec_id") =!= 0)
+        .filter(serveFilter)
         .crossJoin(queryVec(e))
         .select(col("vec_id"), col("label"),
           round(cosineNative(col("emb"), col("qv")), 9).as("cos_sim"))

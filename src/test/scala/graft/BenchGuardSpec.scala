@@ -52,4 +52,21 @@ class BenchGuardSpec extends AnyFunSuite {
     val asked = tmp("bench_out", idleRecord)
     assert(Bench.recordTarget(asked, contended = true) == asked + "_contended.json")
   }
+
+  test("scale/banding records ride the same guard (round-12 verdict #4)") {
+    // ScaleBench and BandingSweep write through Bench.recordTarget too:
+    // SCALE_ZIPF_*.json are the cross-round slope references and
+    // BANDING.json the (b,r) operating table — a steal-burst run must
+    // divert, not replace, a committed idle record at those names.
+    val idleScale =
+      """{"factor":100,"corpus":"zipf","load":{"steal_cores_max":0.2,"contended":false}}"""
+    val scale = tmp("SCALE_ZIPF_100x_winnowcap.json", idleScale)
+    assert(Bench.recordTarget(scale, contended = true) ==
+      scale.stripSuffix(".json") + "_contended.json")
+    assert(Bench.recordTarget(scale, contended = false) == scale)
+    val banding = tmp("BANDING.json",
+      """{"docs":50520,"load":{"contended":false},"configs":{}}""")
+    assert(Bench.recordTarget(banding, contended = true) ==
+      banding.stripSuffix(".json") + "_contended.json")
+  }
 }

@@ -914,4 +914,112 @@ class LlmSpec extends AnyFunSuite {
         s"missing=${(reach -- seeds -- propagated).take(5)} " +
         s"extra=${(propagated -- reach).take(5)}")
   }
+
+  // --- Substring pairability-Bloom size governor (round-12 verdict #1) ---
+
+  test("substring Bloom governor: decision table (budget respected, fpp derived, skip past utility)") {
+    import llm.DedupQueries.{substrBloomPlan, SubstrBloomBudgetBits, SubstrBloomSkipFpp}
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    // Small n inside the budget: optimal fpp-0.01 geometry, untouched.
+    val Some((bitsSmall, fppSmall)) = substrBloomPlan(1000000L)
+    assert(math.abs(fppSmall - 0.01) < 1e-6, s"fpp $fppSmall != 0.01")
+    assert(bitsSmall == math.ceil(-1e6 * math.log(0.01) / ln2sq).toLong)
+    // n past the budget but inside the utility point: bitmap CAPPED at
+    // the budget, fpp degraded accordingly — never a bigger bitmap.
+    val n1e9 = 1000000000L
+    val Some((bitsCap, fppCap)) = substrBloomPlan(n1e9)
+    assert(bitsCap == SubstrBloomBudgetBits, s"bitmap $bitsCap exceeds budget")
+    assert(fppCap > 0.01 && fppCap <= SubstrBloomSkipFpp,
+      s"degraded fpp $fppCap outside (0.01, skip]")
+    assert(math.abs(fppCap -
+      math.exp(-(SubstrBloomBudgetBits.toDouble / n1e9) * ln2sq)) < 1e-9)
+    // The 100 TB shape the governor exists for (10^10+ pairable grams):
+    // the budget buys fpp > 0.5 — the prefilter passes most rows anyway,
+    // so SKIP instead of allocating a useless 256 MB bitmap.
+    assert(substrBloomPlan(10000000000L).isEmpty,
+      "10^10 grams must skip the prefilter at the default budget")
+    // Degenerate budgets skip too, never a zero/negative-bit build.
+    assert(substrBloomPlan(1000L, budgetBits = 0L).isEmpty)
+    assert(substrBloomPlan(0L).isDefined, "n=0 clamps to 1, builds tiny")
+    // Monotone safety: for any n the decided bitmap never exceeds budget.
+    Seq(1L, 1000L, 1000000L, 100000000L, 223000000L, 1000000000L).foreach { n =>
+      substrBloomPlan(n).foreach { case (bits, _) =>
+        assert(bits <= SubstrBloomBudgetBits, s"n=$n bits=$bits over budget") }
+    }
+  }
+
+  test("substring Bloom governor: skip and degraded paths are row-identical to the default") {
+    // The prefilter is purely subtractive candidate pruning — the
+    // governed plan may only change COST, never answers. Exercise all
+    // three governor branches on the fixture and compare full row sets.
+    def rows(budget: Long): Set[String] =
+      llm.DedupQueries.substringIslands(spark, sf, bloomBudgetBits = budget)
+        .collect().map(_.toString).toSet
+    val dflt = rows(llm.DedupQueries.SubstrBloomBudgetBits)
+    assert(dflt.nonEmpty, "fixture must contain exact shared spans")
+    // Skip path: budget 0 -> no prefilter at all.
+    assert(rows(0L) == dflt, "skip path changed the island set")
+    // Degraded path: a budget of ~3 bits/eligible-gram forces a capped
+    // bitmap at fpp ~0.24 — false positives leak through, the exact
+    // joins must still remove every one.
+    val nEligible = llm.DedupQueries
+      .substrCandGrams(llm.DedupQueries.substrPosGrams(spark, sf))
+      .filter(col("d") <= llm.DedupQueries.MaxSpanGramDf).count()
+    val degradedBudget = 3L * math.max(nEligible, 1L)
+    val plan = llm.DedupQueries.substrBloomPlan(nEligible, degradedBudget)
+    assert(plan.exists { case (bits, fpp) =>
+      bits == degradedBudget && fpp > 0.1 && fpp <= 0.5 },
+      s"budget $degradedBudget for n=$nEligible should force a degraded build, got $plan")
+    assert(rows(degradedBudget) == dflt, "degraded path changed the island set")
+  }
+
+  // --- Winnow cap-witness monotonicity (round-12 verdict #5) ---
+
+  test("winnowPairs: a lower df cap only removes pairs (cap-12 witness subset of cap-50)") {
+    // The winnowcap SCALE witness's validity rests on this relation: a
+    // lower cap only drops fingerprints, so shared-fp counts only
+    // decrease and the pair set shrinks — cap-12's measured slope is a
+    // conservative stand-in for the default cap past its crossover.
+    // Pin it NON-VACUOUSLY on a corpus built to straddle the caps:
+    //  - clique A: 30 identical docs — every composite fp has df=30,
+    //    retained at cap 50 (435 pairs), dropped at cap 12 (0 pairs);
+    //  - pair B: 2 identical docs — df=2, found at BOTH caps.
+    import spark.implicits._
+    val textA = "the measured crossover decade moves with the document " +
+      "frequency cap because head fingerprints saturate postings while " +
+      "tail fingerprints keep pairing linearly across every replica shard"
+    val textB = "winnowing selects each window minimum so verbatim " +
+      "duplicate paragraphs always share their fingerprint skeleton " +
+      "regardless of alignment drift between the two document copies"
+    val docs =
+      (1L to 30L).map(i => (i, textA)) ++ Seq((101L, textB), (102L, textB)) ++
+        Seq((201L, "completely unrelated filler text with its own vocabulary"),
+          (202L, "another singleton document sharing nothing with the rest"))
+    val dir = java.nio.file.Files.createTempDirectory("winnowcap_mono")
+    dir.toFile.deleteOnExit()
+    docs.toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("synthetic"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def pairsAt(cap: Int): Set[(Long, Long)] =
+      llm.DedupQueries.winnowPairs(spark, dir.toString, dfCap = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val at50 = pairsAt(50)
+    val at12 = pairsAt(12)
+    assert(at12.subsetOf(at50),
+      s"cap-12 pairs not a subset of cap-50: ${at12.diff(at50).take(5)}")
+    assert(at50.contains((101L, 102L)) && at12.contains((101L, 102L)),
+      "df-2 duplicate pair must survive both caps")
+    assert(at50.exists(p => p._1 <= 30L && p._2 <= 30L),
+      "df-30 clique pairs must be found at cap 50")
+    assert(!at12.exists(p => p._1 <= 30L && p._2 <= 30L),
+      "df-30 clique fps exceed cap 12 and must drop — the crossover mechanism itself")
+    // And the same subset relation on the real fixture (may be equal).
+    def fixturePairs(cap: Int): Set[(Long, Long)] =
+      llm.DedupQueries.winnowPairs(spark, sf, dfCap = cap)
+        .select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fixturePairs(12).subsetOf(fixturePairs(50)))
+  }
 }

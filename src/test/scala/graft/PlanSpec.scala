@@ -368,4 +368,103 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  // Walk everything reachable including AQE inner plans, subqueries,
+  // and CACHED subtrees (shared by the substring plan-shape pins
+  // below): when another test has already persisted the same logical
+  // subplan, CacheManager substitutes an InMemoryTableScan whose real
+  // plan hangs off relation.cachedPlan — the shape being pinned lives
+  // there.
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    p.collect { case n => n }.flatMap { n =>
+      val inner = n match {
+        case a: AdaptiveSparkPlanExec => allNodes(a.executedPlan)
+        case c: InMemoryTableScanExec => allNodes(c.relation.cachedPlan)
+        // Materialized AQE stages are LEAF nodes — the exchange they
+        // wrap lives in q.plan, invisible to a plain collect.
+        case q: QueryStageExec => allNodes(q.plan)
+        case _ => Nil
+      }
+      n +: (inner ++ n.subqueries.flatMap(allNodes))
+    }
+  }
+
+  test("substring gram-stats pass plans exactly ONE shuffle exchange (round-12 verdict #3)") {
+    // The stats pass is the substring family's dominant positions-scale
+    // shuffle; the explicit repartition(gh) makes hash(gh) satisfy both
+    // phases of the distinct-aggregate so the planner inserts no second
+    // exchange. This was hand-verified in round 12 — pin it: a Spark
+    // upgrade or a refactor dropping the repartition silently DOUBLES
+    // the operator's dominant shuffle, and this test goes red.
+    // Tables.forCompute may insert a gated ROUND-ROBIN fan-out below
+    // the explode at fixture scale (byte-small files — a no-op on a
+    // real corpus); the pinned invariant is about the HASH exchanges
+    // the aggregate itself plans: exactly one, on gh.
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RoundRobinPartitioning}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = llm.DedupQueries.substrCandGrams(
+      llm.DedupQueries.substrPosGrams(spark, sf))
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case e: ShuffleExchangeExec => e }
+    val hashEx = exchanges.filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+    assert(hashEx.size == 1,
+      s"gram-stats pass plans ${hashEx.size} hash exchanges (want exactly 1 — on gh):\n" +
+        df.queryExecution.executedPlan.toString)
+    assert(exchanges.forall(e =>
+      e.outputPartitioning.isInstanceOf[HashPartitioning] ||
+        e.outputPartitioning.isInstanceOf[RoundRobinPartitioning]),
+      s"unexpected exchange kind in the stats pass:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
+  test("substring pairability Bloom evaluates INSIDE the scan stage (below every exchange)") {
+    // The Bloom prefilter's whole point is cutting the self-join's
+    // shuffle from corpus-positions scale to duplicated-positions
+    // scale — which only happens if the filter runs BEFORE the join
+    // exchanges. Pin: the plan contains the Bloom filter, and the
+    // filter's own subtree contains no shuffle exchange (i.e. it sits
+    // in a scan-side stage, not above one).
+    // (Tables.forCompute's gated round-robin fan-out legitimately sits
+    // below everything at fixture scale — the invariant is that no
+    // HASH exchange, i.e. no join/agg shuffle, runs before the Bloom.)
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = llm.DedupQueries.substringIslands(spark, sf)
+    val bloomFilters = allNodes(df.queryExecution.executedPlan)
+      .collect { case f: FilterExec
+        if f.condition.toString.contains("graft_bloom_might_contain") => f }
+    assert(bloomFilters.nonEmpty,
+      "plan lost the pairability Bloom prefilter:\n" +
+        df.queryExecution.executedPlan.toString)
+    // "Below" stops at cache boundaries: an exchange inside an
+    // InMemoryRelation's cached plan was paid once at persist time,
+    // not by this filter per serve (the optimizer also pushes a COPY
+    // of the Bloom predicate onto the cached hot side — harmless
+    // extra pruning that must not trip the pin).
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def belowNoCache(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      p.collect { case n => n }.flatMap { n =>
+        val inner = n match {
+          case a: AdaptiveSparkPlanExec => belowNoCache(a.executedPlan)
+          case q: QueryStageExec => belowNoCache(q.plan)
+          case _: InMemoryTableScanExec => Nil
+          case _ => Nil
+        }
+        n +: inner
+      }
+    bloomFilters.foreach { f =>
+      val below = belowNoCache(f).collect {
+        case e: ShuffleExchangeExec
+          if e.outputPartitioning.isInstanceOf[HashPartitioning] => e }
+      assert(below.isEmpty,
+        s"Bloom filter sits ABOVE a hash exchange (prefilter pays the " +
+          s"very shuffle it exists to cut):\n$f")
+    }
+  }
 }
