@@ -32,8 +32,14 @@ import org.apache.spark.util.sketch.BloomFilter
   * Sizing: the filter is built distributedly (`df.stat.bloomFilter` —
   * only the bitmap reaches the driver) at ~9.6 bits/item for fpp 1%;
   * a 30M-gram dup set is a ~36 MB broadcast. At cluster scale the
-  * caller raises fpp or falls back to the exact semi-join — the dial
-  * is theirs; this expression just evaluates the handle it is given.
+  * caller raises fpp or skips the prefilter — the dial is theirs;
+  * this expression just evaluates the handle it is given. The one
+  * production caller ([[graft.llm.DedupQueries]]'s substring pair
+  * finder) holds that dial since round 13:
+  * `DedupQueries.substrBloomPlan` caps the bitmap at a bits budget
+  * (fpp derived from budget/n) and skips past the utility point, so
+  * a 10¹⁰⁺-gram corpus can no longer ask the driver for a 12–120 GB
+  * allocation.
   */
 case class BloomMightContainExpr(child: Expression,
                                  bc: Broadcast[BloomFilter],
