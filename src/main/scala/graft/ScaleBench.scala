@@ -99,7 +99,7 @@ object ScaleBench {
     * shape for a slope measurement.
     */
   private[graft] val ZipfTwinOffset = 7000000000L
-  private def zipfCorpus(spark: SparkSession, outDir: String, nDocs: Long): Unit = {
+  private[graft] def zipfCorpus(spark: SparkSession, outDir: String, nDocs: Long): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val ready = new org.apache.hadoop.fs.Path(s"$outDir/_READY")
@@ -445,16 +445,20 @@ object ScaleBench {
     //    next to a cap-12 twin — the cap/4 scaling moves the df-head's
     //    cap crossover into the measurable span so the post-crossover
     //    re-linearization is measured, not argued.
-    //  - substrk20 (round-12 verdict #2): exact-substring at gram
-    //    length 20 next to the production k=50 twin — the shorter gram
-    //    saturates the pairable-gram fraction (the mechanism behind
-    //    the 1000× segment's 1.44) inside the measurable span, so the
+    //  - substrk<K> (round-12 verdict #2), e.g. substrk20: exact-
+    //    substring at gram length K (8 ≤ K < 50) next to the
+    //    production k=50 twin — the shorter gram saturates the
+    //    pairable-gram fraction (the mechanism behind the 1000×
+    //    segment's 1.44) inside the measurable span, so the
     //    POST-SATURATION shuffle constant is witnessed. Neither twin
     //    is a registered query; they exist only inside witness mode.
-    val KnownWitnesses = Set("winnowcap", "substrk20")
-    witness.filterNot(KnownWitnesses.contains).foreach { w =>
+    val SubstrK = "substrk(\\d+)".r
+    val substrWitnessK: Option[Int] = witness.collect {
+      case SubstrK(k) if k.toInt >= 8 && k.toInt < 50 => k.toInt }
+    witness.filterNot(w =>
+      w == "winnowcap" || substrWitnessK.isDefined).foreach { w =>
       System.err.println(s"[scale] unknown SPARK_GRAFT_SCALE_WITNESS '$w' " +
-        s"(known: ${KnownWitnesses.toSeq.sorted.mkString(", ")}) — refusing " +
+        "(known: winnowcap, substrk<K> for 8 <= K < 50) — refusing " +
         "to write a mislabeled witness record")
       spark.stop()
       sys.exit(2)
@@ -470,14 +474,14 @@ object ScaleBench {
       if (witness.contains("winnowcap"))
         Map("llm_dedup_winnow_cap12" ->
           ((s: SparkSession, d: String) => llm.DedupQueries.winnowPairs(s, d, dfCap = 12)))
-      else if (witness.contains("substrk20"))
-        Map("llm_dedup_substring_k20" ->
+      else substrWitnessK.map { k =>
+        s"llm_dedup_substring_k$k" ->
           ((s: SparkSession, d: String) =>
-            llm.DedupQueries.substringIslands(s, d, spanK = 20)
+            llm.DedupQueries.substringIslands(s, d, spanK = k)
               .groupBy(col("doc_a"), col("doc_b"))
               .agg(count(lit(1)).as("n_spans"), max(col("span_len")).as("max_span"))
-              .orderBy(col("doc_a"), col("doc_b"))))
-      else Map.empty
+              .orderBy(col("doc_a"), col("doc_b")))
+      }.toMap
     // In witness mode SPARK_GRAFT_SCALE_ONLY still narrows the set
     // (e.g. cap12-only at 1000×, where the default-cap twin's ~900 s
     // runs are already in the committed record and the single-box
@@ -488,9 +492,8 @@ object ScaleBench {
       .orElse(if (witness.contains("winnowcap"))
         Some(Set("llm_dedup_winnow", "llm_dedup_winnow_cap12"))
       else None)
-      .orElse(if (witness.contains("substrk20"))
-        Some(Set("llm_dedup_substring", "llm_dedup_substring_k20"))
-      else None)
+      .orElse(substrWitnessK.map(k =>
+        Set("llm_dedup_substring", s"llm_dedup_substring_k$k")))
       .orElse(if (corpusMode == "zipf")
         Some(Set("llm_dedup_minhash_banded", "llm_dedup_substring",
           "llm_dedup_winnow")) else None)
@@ -506,9 +509,12 @@ object ScaleBench {
     // the envelope itself).
     val heapMaxMb = Runtime.getRuntime.maxMemory() / (1L << 20)
     locally {
-      val heavyFinders = Set("llm_dedup_winnow", "llm_dedup_winnow_cap12",
-        "llm_dedup_minhash_banded", "llm_dedup_substring",
-        "llm_dedup_substring_k20")
+      // Only the winnow family has the MEASURED 8 GB OOM at 300×+
+      // (UNABLE_TO_ACQUIRE_MEMORY in the scaled sort — SCALE.md
+      // round-12 envelope table); substring is disk-bound and actually
+      // runs FASTER at the small heap (the measured 8g-vs-32g GC-regime
+      // swing), so the floor must not force it large.
+      val heavyFinders = Set("llm_dedup_winnow", "llm_dedup_winnow_cap12")
       val timesHeavy = only.forall(s => (s intersect heavyFinders).nonEmpty)
       val floorMb = 40000L // 48g requirement, measured via maxMemory (~0.97×)
       if (corpusMode == "zipf" && factor >= 300 && timesHeavy &&
@@ -599,6 +605,16 @@ object ScaleBench {
     }
     val probeLog = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.ArrayBuffer[String]]()
+    // TIMED-window contamination watermarks (round-12 verdict #6): the
+    // whole-run sampler above also catches steal/foreign bursts in
+    // UNtimed windows (corpus derivation, persists between runs, the
+    // gaps GC takes) — real host noise, but noise OUTSIDE every number
+    // in the record. The record standard since round 13: `contended`
+    // gates on the per-operator probes' own windows (what the numbers
+    // actually absorbed); the whole-run view stays published as
+    // `contended_any_window` + the raw watermarks.
+    val timedForeignMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
+    val timedStealMax = new java.util.concurrent.atomic.AtomicReference[Double](0.0)
     def pfmt(d: Double) = "%.3f".formatLocal(java.util.Locale.US, d)
     def probedRun[T](key: String)(body: => T): T = {
       // Listener events arrive on an async bus (the reason shuffleSnap
@@ -623,6 +639,8 @@ object ScaleBench {
         if (j0._3 < 0 || j1._3 < 0) -1.0
         else (j1._3 - j0._3) / 100.0 / math.max(dt, 1e-3)
       val heapMb = heapPools.map(_.getPeakUsage.getUsed).sum / 1e6
+      timedForeignMax.updateAndGet(m => math.max(m, foreign))
+      timedStealMax.updateAndGet(m => math.max(m, steal))
       val json =
         s"""{"foreign":${pfmt(foreign)},""" +
           s""""majflt":${if (io0._1 < 0) -1L else io1._1 - io0._1},""" +
@@ -746,7 +764,11 @@ object ScaleBench {
       s""""$n":{"base_s":${fmt(bT.min)},"scaled_s":${fmt(sT.min)},"ratio":${fmt(r)}$shJson$runsJson}"""
     }
     val loadEnd = loadAvg()
-    val contended = foreignMax.get() > 0.5 || stealMax.get() > 0.5
+    // `contended` = a TIMED window absorbed foreign cpu or steal (the
+    // per-operator probes' own watermark — see the probeLog comment);
+    // `contendedAnyWindow` = the old whole-run view, still published.
+    val contended = timedForeignMax.get() > 0.5 || timedStealMax.get() > 0.5
+    val contendedAnyWindow = foreignMax.get() > 0.5 || stealMax.get() > 0.5
     val json =
       s"""{"base":"$baseDirEff","base_docs":$nBase,"factor":$factor,""" +
         s""""corpus":"$corpusMode","scaled_docs":$nScaled,"repeat":$repeat,""" +
@@ -755,7 +777,10 @@ object ScaleBench {
         s""""load":{"start":${fmt(loadStart)},"max":${fmt(loadMax.get())},""" +
         s""""end":${fmt(loadEnd)},"foreign_cores_max":${fmt(foreignMax.get())},""" +
         s""""steal_cores_max":${fmt(stealMax.get())},""" +
-        s""""contended":$contended},""" +
+        s""""timed_foreign_max":${fmt(timedForeignMax.get())},""" +
+        s""""timed_steal_max":${fmt(timedStealMax.get())},""" +
+        s""""contended":$contended,""" +
+        s""""contended_any_window":$contendedAnyWindow},""" +
         s""""queries":{${rows.mkString(",")}},""" +
         // One probe object per timed run, keyed base/<op> and
         // scaled/<op>, in run order — aligned with base_runs/
@@ -802,8 +827,8 @@ object ScaleBench {
     // direction (idle overwrites anything), no force flag.
     val target = Bench.recordTarget(outName, contended)
     if (target != outName)
-      System.err.println(s"[scale] contended record (foreign " +
-        f"${foreignMax.get()}%.2f / steal ${stealMax.get()}%.2f cores) " +
+      System.err.println(s"[scale] contended record (timed-window foreign " +
+        f"${timedForeignMax.get()}%.2f / steal ${timedStealMax.get()}%.2f cores) " +
         s"would clobber the idle reference at $outName — diverted to $target")
     java.nio.file.Files.write(
       java.nio.file.Paths.get(target), json.getBytes("UTF-8"))

@@ -973,6 +973,32 @@ class LlmSpec extends AnyFunSuite {
     assert(rows(degradedBudget) == dflt, "degraded path changed the island set")
   }
 
+  test("SubstrFrac: stratified gram sampling partitions the exact census") {
+    // The p(N) mechanism witness (SCALE.md round-13) rides gram-hash
+    // strata: species-stratified, so each sampled gram carries its
+    // EXACT global df and the S strata PARTITION the census — sums
+    // over strata must equal the S=1 exact numbers identically, and
+    // the S=1 band-gram count must equal the pair finder's own
+    // eligible-gram accounting.
+    val exact = SubstrFrac.measure(spark, sf, llm.DedupQueries.SpanK,
+      llm.DedupQueries.MaxSpanGramDf, 1L)
+    val strata = (0L until 4L).map(i => SubstrFrac.measure(spark, sf,
+      llm.DedupQueries.SpanK, llm.DedupQueries.MaxSpanGramDf, 4L, i))
+    def sumAt(f: ((Long, Long, Long, Long, Long, Long)) => Long) =
+      strata.map(f).sum
+    assert(sumAt(_._1) == exact._1, "position totals must partition")
+    assert(sumAt(_._2) == exact._2, "band positions must partition")
+    assert(sumAt(_._3) == exact._3, "hot positions must partition")
+    assert(sumAt(_._4) == exact._4, "gram species must partition")
+    assert(sumAt(_._5) == exact._5, "band grams must partition")
+    assert(sumAt(_._6) == exact._6, "band pair mass must partition")
+    val nEligible = llm.DedupQueries
+      .substrCandGrams(llm.DedupQueries.substrPosGrams(spark, sf))
+      .filter(col("d") <= llm.DedupQueries.MaxSpanGramDf).count()
+    assert(exact._5 == nEligible,
+      s"census band grams ${exact._5} != pair finder's eligible $nEligible")
+  }
+
   // --- Winnow cap-witness monotonicity (round-12 verdict #5) ---
 
   test("winnowPairs: a lower df cap only removes pairs (cap-12 witness subset of cap-50)") {
