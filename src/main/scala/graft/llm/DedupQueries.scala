@@ -448,6 +448,42 @@ object DedupQueries {
     * spark.util.sketch uses); achievable fpp at m bits for n items is
     * exp(−m/n·ln²2).
     */
+  /** Direct Bloom build over a LONG key column at the ASKED geometry.
+    *
+    * NOT `df.stat.bloomFilter`: since the stat function moved onto the
+    * SQL BloomFilterAggregate, its geometry is silently CLAMPED by the
+    * runtime-filter session confs (4M expected items / 64M bits by
+    * default) — measured on the 1000× Zipf witness: 16.8M pairable
+    * grams asked for 161M bits, got a 64M-bit/12-hash filter sized for
+    * 4M items, false-positive rate ≈ 54%, and the join-side exchange
+    * carried 1.55 BILLION rows where ~62M were pairable. That silent
+    * degrade was the entire measured 300×→1000× "superlinearity" of
+    * the substring operator (SCALE.md round-13): every ROW count in
+    * the operator is census-linear (SubstrFrac), and a filter honoring
+    * its ask keeps the join sides at band+fpp scale at ANY corpus
+    * size. This builder aggregates [[org.apache.spark.util.sketch
+    * .BloomFilter]] partials directly (putLong — the exact mirror of
+    * [[graft.functions.BloomMightContainExpr]]'s mightContainLong
+    * probe), so the governor's budget arithmetic is what actually
+    * ships. treeAggregate partials are dense m-bit bitmaps, but each
+    * carries only its partition's set bits — they zstd to ~sparse size
+    * on the wire (measured 795 KB per 20 MB partial at 1000×).
+    */
+  private[graft] def buildLongBloom(df: DataFrame, colName: String,
+                                    expectedItems: Long, numBits: Long)
+      : org.apache.spark.util.sketch.BloomFilter = {
+    import org.apache.spark.util.sketch.BloomFilter
+    val built = df.select(col(colName)).rdd
+      .map(_.getLong(0))
+      .treeAggregate(BloomFilter.create(expectedItems, numBits))(
+        (f, v) => { f.putLong(v); f },
+        (a, b) => { a.mergeInPlace(b); a })
+    require(built.bitSize() >= numBits,
+      s"bloom build returned ${built.bitSize()} bits for asked $numBits — " +
+        "a clamped/rewritten build path would silently re-break the scale story")
+    built
+  }
+
   private[graft] def substrBloomPlan(
       nEligible: Long,
       budgetBits: Long = SubstrBloomBudgetBits): Option[(Long, Double)] = {
@@ -560,7 +596,7 @@ object DedupQueries {
           s"budget's utility point (fpp > $SubstrBloomSkipFpp)")
         lit(true)
       case Some((numBits, fppEst)) =>
-        val bloom = eligible.stat.bloomFilter("gh", math.max(nEligible, 1L), numBits)
+        val bloom = buildLongBloom(eligible, "gh", math.max(nEligible, 1L), numBits)
         org.apache.spark.sql.GraftSqlAccess.column(
           graft.functions.BloomMightContainExpr(
             org.apache.spark.sql.GraftSqlAccess.expression(col("gh")),

@@ -498,4 +498,28 @@ class FunctionsSpec extends AnyFunSuite {
     assert(revived.toString.contains("spec_bloom") &&
       !revived.toString.contains("4096"))
   }
+
+  test("buildLongBloom honors the asked geometry PAST the SQL clamp point") {
+    // df.stat.bloomFilter rides the SQL BloomFilterAggregate, whose
+    // geometry is silently clamped by the runtime-filter confs (4M
+    // items / 64M bits default) — measured fp ~54% on the 1000× Zipf
+    // witness where 161M bits were asked (SCALE.md round-13). The
+    // direct builder must deliver the ASK even above both clamp
+    // points, with working membership on the putLong/mightContainLong
+    // pair the scan-stage expression probes.
+    import SparkTestSession._
+    import spark.implicits._
+    val asked = 80L * 1000 * 1000 // > 67,108,864-bit clamp
+    val items = 5000001L          // > 4M-item clamp
+    val keys = (1L to 2000L).map(_ * 2654435761L)
+    val bf = llm.DedupQueries.buildLongBloom(
+      keys.toDF("gh"), "gh", items, asked)
+    assert(bf.bitSize() >= asked, s"got ${bf.bitSize()} bits for asked $asked")
+    assert(keys.forall(bf.mightContainLong), "false negative — contract broken")
+    val nonMembers = (1L to 2000L).map(k => k * 7046029254386353131L + 17)
+      .filterNot(keys.contains)
+    val fp = nonMembers.count(bf.mightContainLong)
+    assert(fp <= 5, s"$fp/${nonMembers.size} false positives on a " +
+      "2000-insert/80M-bit filter — geometry not honored")
+  }
 }
