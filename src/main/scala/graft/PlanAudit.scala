@@ -37,6 +37,16 @@ object PlanAudit {
       // coalescing down to the data: small queries still run ~32
       // effective partitions, big shuffles get the fan-out they need.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached-plan builds go through AQE too (r14): the library's
+      // pinned frames (posting lists, candidate grams, LM type tables)
+      // are AGGREGATE outputs persisted for multiple consumers; with
+      // this off (the upstream default, kept for partitioning-stability
+      // conservatism) the cache materializes at the raw
+      // initialPartitionNum=512 and every consumer scan pays 512 tasks
+      // regardless of data size — measured 7x on the PMI unigram table
+      // at sf0.1. With it on, AQE coalesces the cache build exactly
+      // like any other shuffle, at every scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.session.timeZone", "UTC")

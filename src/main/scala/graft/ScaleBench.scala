@@ -335,6 +335,16 @@ object ScaleBench {
       // coalescing down to the data: small queries still run ~32
       // effective partitions, big shuffles get the fan-out they need.
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached-plan builds go through AQE too (r14): the library's
+      // pinned frames (posting lists, candidate grams, LM type tables)
+      // are AGGREGATE outputs persisted for multiple consumers; with
+      // this off (the upstream default, kept for partitioning-stability
+      // conservatism) the cache materializes at the raw
+      // initialPartitionNum=512 and every consumer scan pays 512 tasks
+      // regardless of data size — measured 7x on the PMI unigram table
+      // at sf0.1. With it on, AQE coalesces the cache build exactly
+      // like any other shuffle, at every scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.ui.enabled", "false")
@@ -630,8 +640,15 @@ object ScaleBench {
       val t0 = System.nanoTime()
       val r = body
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(150)
+      // /proc samples FIRST, flush with the dt endpoint (ADVICE r13:
+      // they don't ride the async listener bus, and sampling them
+      // after the drain sleep charges 150 ms of post-window jiffies
+      // to a dt-length window — on short fixture-scale runs that
+      // inflates timed_foreign/steal and can spuriously divert a
+      // record); the sleep below only guards the LISTENER-derived
+      // counters (spill, taskPeakMem, shuffle).
       val j1 = cpuJiffies(); val io1 = ioStat(); val b1 = blkioTicks()
+      Thread.sleep(150)
       val foreign =
         if (j0._1 < 0 || j1._1 < 0) -1.0
         else ((j1._1 - j0._1) - (j1._2 - j0._2)) / 100.0 / math.max(dt, 1e-3)

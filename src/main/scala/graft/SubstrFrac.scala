@@ -48,6 +48,16 @@ object SubstrFrac {
       .config("spark.sql.autoBroadcastJoinThreshold", "-1")
       .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "10MB")
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum", "512")
+      // Cached-plan builds go through AQE too (r14): the library's
+      // pinned frames (posting lists, candidate grams, LM type tables)
+      // are AGGREGATE outputs persisted for multiple consumers; with
+      // this off (the upstream default, kept for partitioning-stability
+      // conservatism) the cache materializes at the raw
+      // initialPartitionNum=512 and every consumer scan pays 512 tasks
+      // regardless of data size — measured 7x on the PMI unigram table
+      // at sf0.1. With it on, AQE coalesces the cache build exactly
+      // like any other shuffle, at every scale.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .config("spark.sql.files.maxPartitionBytes", s"${1 << 20}")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.io.compression.codec",
@@ -104,10 +114,11 @@ object SubstrFrac {
       count(lit(1)).as("grams_total"),
       sum(when(inBand, 1L)).as("grams_band"),
       // occ² − Σocc_i² is even by construction (= 2·Σ_{i<j} occ_i·occ_j);
-      // integer-divide to stay in exact long arithmetic.
+      // integral `div` (NOT Column.divide, which routes long→double→/2
+      // and loses exactness above 2^53 — ADVICE r13) keeps the whole
+      // pair-mass census in exact long arithmetic.
       sum(when(inBand,
-        (col("occ") * col("occ") - col("occ2")).cast("long")
-          .divide(lit(2)).cast("long"))).as("pairs_band")
+        expr("(occ * occ - occ2) div 2").cast("long"))).as("pairs_band")
     ).head
     def g(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
     (g(0), g(1), g(2), g(3), g(4), g(5))

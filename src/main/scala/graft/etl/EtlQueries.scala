@@ -160,13 +160,26 @@ object EtlQueries {
     // then the 1-row result unpivots driver-side to a row per column.
     "etl_profile_table" -> ((s, dir) => {
       val df = Tables(s, dir, "orders")
-      val aggs = df.columns.flatMap(c => Seq(
+      // TWO fused aggregation passes, not one (r14): fusing the
+      // countDistincts with the min/max aggregates forced the WHOLE
+      // operator onto SortAggregate — a string min/max has an
+      // immutable agg buffer, so the fused plan sorted the Expand's
+      // n_cols+1 × rows frame by its 7 grouping keys twice (measured
+      // 5.4 s at sf0.1, the family's slowest entry). Split, the
+      // distinct pass is a pure HashAggregate dedup (group keys may
+      // be var-length; there are no agg buffers until the final
+      // count) and the plain pass is a single-group SortAggregate
+      // with NO sort (no grouping keys ⇒ no required ordering) —
+      // same exact results, one row each, joined below. At 100 TB
+      // the distinct pass is the same one-shuffle hash dedup, minus
+      // the two corpus-scale sorts.
+      val plainAggs = count(lit(1)).as("n_rows") +: df.columns.flatMap(c => Seq(
         count(col(c)).as(s"nn_$c"),
-        countDistinct(col(c)).as(s"nd_$c"),
         min(col(c)).cast(StringType).as(s"mn_$c"),
-        max(col(c)).cast(StringType).as(s"mx_$c")))
-      val allAggs = count(lit(1)).as("n_rows") +: aggs
-      val row = df.agg(allAggs.head, allAggs.tail: _*)
+        max(col(c)).cast(StringType).as(s"mx_$c"))).toSeq
+      val distinctAggs = df.columns.map(c => countDistinct(col(c)).as(s"nd_$c")).toSeq
+      val row = df.agg(plainAggs.head, plainAggs.tail: _*)
+        .crossJoin(broadcast(df.agg(distinctAggs.head, distinctAggs.tail: _*)))
       val perCol = df.columns.map(c => struct(
         lit(c).as("col_name"),
         (col("n_rows") - col(s"nn_$c")).as("n_null"),

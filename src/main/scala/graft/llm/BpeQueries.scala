@@ -119,7 +119,13 @@ object BpeQueries {
     * so lineage stays shallow across the loop.
     */
   private[graft] def trainMerges(words0: DataFrame, k: Int): (Seq[Merge], DataFrame) = {
-    var words = words0
+    // Checkpoint at ENTRY too (r14): words0 is the corpus-scale
+    // word-type AGGREGATION, and without truncating its lineage here
+    // iterations 1..3 each re-run the whole corpus explode+agg under
+    // their pair-count job (the every-4 checkpoint only helps from
+    // rank 4 on) — 4 corpus passes where one suffices. The word-type
+    // table is vocab-bounded, the class the checkpoint policy allows.
+    var words = words0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     for (rank <- 1 to k) {
       val top = words

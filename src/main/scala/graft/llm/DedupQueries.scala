@@ -58,9 +58,27 @@ object DedupQueries {
       .otherwise(array().cast(ArrayType(StringType)))
   }
 
-  /** doc_id + exploded distinct shingles — the inverted-index postings. */
+  /** doc_id + exploded distinct shingles — the inverted-index postings.
+    *
+    * The shingle rides as an 8-byte xxhash64 FINGERPRINT, not the
+    * ~18-char string (r14): it is an ENGINE-LOCAL equality key —
+    * grouped and joined on, never emitted — exactly the policy the
+    * substring op's gram key already established (its Scaladoc:
+    * "each engine may hash its own way"; the oracle twins re-derive
+    * from the strings). Every consumer (df cap, posting lists, pair
+    * intersection, per-doc sizes, the incremental batch probe) moves
+    * fixed 8-byte keys through its shuffles instead of var-length
+    * strings — at 100 TB the postings shuffle IS this family's cost
+    * (guide §2.3 "narrower types"; measured 70.6 → ~45 MB on the pair
+    * build at sf0.1). A 64-bit collision (birthday ≈ 10⁻⁸ at 10⁶
+    * distinct shingles) merges two shingles' postings — the same
+    * accepted trade as the substring gram key, and the fixture
+    * corpora hash-verify collision-free against the string-keyed
+    * DuckDB twins at every SF.
+    */
   private def postings(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("shingle"))
+    docs.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("shingle"))
 
   /** Banded-MinHash CANDIDATE pairs at an explicit (bands ×
     * rowsPerBand) operating point — the near-dup blocking dial made a

@@ -25,6 +25,14 @@ import graft.functions.BroadcastArrayExpr
   */
 object SimilarityQueries {
 
+  /** Null-safe read of a 1-row avg() aggregate: an empty input frame
+    * (e.g. an embeddings table holding only the query vector, after
+    * the vec_id =!= 0 filter) yields avg() = null — read as 0.0
+    * ("no low-margin mass") rather than NPE (ADVICE r13).
+    */
+  private def nullSafeAvg(r: org.apache.spark.sql.Row): Double =
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+
   /** Sequential-fold dot product of two array<double> columns. */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -762,10 +770,13 @@ object SimilarityQueries {
         .drop("__cd")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.Pins.pin)
-      val lowMargin = assigned
+      // Defensive read (ADVICE r13): an embeddings table holding ONLY
+      // the query vector leaves the assigned frame empty and avg()
+      // null — read as "no low-margin mass" rather than NPE.
+      val lowMargin = nullSafeAvg(assigned
         .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
           .otherwise(0.0)))
-        .head.getDouble(0)
+        .head)
       val serveFilter =
         if (lowMargin >= MarginEscalateFrac) lit(true)
         else col("cell").isin(probedCells: _*)
@@ -983,10 +994,13 @@ object SimilarityQueries {
         .drop("__cd")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.Pins.pin)
-      val lowMargin = assigned
+      // Defensive read (ADVICE r13): an embeddings table holding ONLY
+      // the query vector leaves the assigned frame empty and avg()
+      // null — read as "no low-margin mass" rather than NPE.
+      val lowMargin = nullSafeAvg(assigned
         .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
           .otherwise(0.0)))
-        .head.getDouble(0)
+        .head)
       val escalate = lowMargin >= MarginEscalateFrac
       // Query-side driver math over the O(1) codebooks: probed cells
       // (every cell when escalated), then one ADC table per probed
@@ -1593,10 +1607,10 @@ object SimilarityQueries {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // The SOAR spill-selectivity census as a build-time scalar: one
       // aggregation over the already-persisted assignment.
-      val lowMargin = l1
+      val lowMargin = nullSafeAvg(l1
         .agg(avg(when(col("__d2") <= lit(MarginSpillTau2) * col("__d1"), 1.0)
           .otherwise(0.0)))
-        .head.getDouble(0)
+        .head)
       val model = model0.copy(sub = trainSubCodebooks(l1, model0),
         lowMarginFrac = lowMargin)
       val indexed = encodeAssigned(l1.drop("__d1", "__d2"), model)

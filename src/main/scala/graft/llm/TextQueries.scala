@@ -289,32 +289,55 @@ object TextQueries {
     // probability to q = (c₂+1)·10⁹ DIV (c₁+V) — integer division of
     // exact integer counts — so the per-doc Σq is exact and the only
     // float op is one final division, rounded. Shape: the bigram
-    // explode feeds the two count tables AND the probe and is
-    // RECOMPUTED per consumer — the exploded (doc, bigram) frame is
-    // corpus-sized×expansion, so materializing it (replication-1
-    // localCheckpoint) at 100 TB is petabytes of executor-local disk
-    // with no recompute path on executor loss; extra columnar scans
-    // are the scale-safe trade. Then two equi-join probes against the
-    // count tables (bigram counts c₂, prefix counts c₁ = Σ_w₂ c₂) and
-    // one per-doc agg — every stage linear in corpus size, the LM
-    // tables shuffle-partitioned by their key at 100 TB exactly like
-    // any dimension join.
+    // explode feeds the TYPE-count aggregation and the probe and is
+    // RECOMPUTED per consumer (2 scans) — the exploded (doc, bigram)
+    // frame is corpus-sized×expansion, so materializing it
+    // (replication-1 localCheckpoint) at 100 TB is petabytes of
+    // executor-local disk with no recompute path on executor loss;
+    // extra columnar scans are the scale-safe trade. The VOCABULARY-
+    // shaped LM table (bigram counts c₂; prefix counts c₁ = Σ_w₂ c₂
+    // derive from it) IS persisted — the same aggregate-only persist
+    // policy as the substring op's candidate grams — then pre-joined
+    // vocab-side so the positions-scale probe pays ONE equi-join
+    // shuffle and one per-doc agg: every stage linear in corpus
+    // size, the LM table shuffle-partitioned by its key at 100 TB
+    // exactly like any dimension join.
     "llm_ngram_lm_quality" -> ((s, dir) => {
+      // r14 plan rework, same results by construction (oracle-pinned):
+      //  - bigrams ride as (w1, w2) structs — the old "w1 w2" string key
+      //    concat'd per occurrence and re-split() per probe row; the
+      //    struct key is injective to it (tokens contain no spaces) so
+      //    every count and join is unchanged.
+      //  - the bigram-TYPE table c2 (vocabulary-shaped, the same class
+      //    as the substring op's candidate grams) is persisted once and
+      //    serves c1 (Σ_w2 c2 = the old per-w1 occurrence count,
+      //    exactly), the vocabulary size, and the probe join — the old
+      //    shape re-tokenized the corpus for EACH of those consumers
+      //    (4 scans; no exchange reuse fires across their differently
+      //    pruned aggregates) and ran the vocab count as an EAGER
+      //    driver action at construction time (one whole extra pass).
+      //  - vocab rides as a broadcast 1-row frame (same idiom as KN's
+      //    t_types), and c1 pre-joins onto c2 VOCAB-side so the
+      //    positions-scale probe stream shuffles ONCE on (w1, w2)
+      //    instead of once per statistic (guide §2.3/§2.4).
       val t = toks(col("text"))
-      val bigrams = when(size(t) >= 2,
+      val pairs = when(size(t) >= 2,
         transform(sequence(lit(1), size(t) - 1),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
-        .otherwise(array().cast(ArrayType(StringType)))
+          i => struct(element_at(t, i).as("w1"), element_at(t, i + 1).as("w2"))))
+        .otherwise(array().cast(ArrayType(StructType(Seq(
+          StructField("w1", StringType), StructField("w2", StringType))))))
       val bg = Tables.forCompute(s, dir, "documents")
-        .select(col("doc_id"),
-          explode(bigrams).as("g"))
-        .withColumn("w1", split(col("g"), " ").getItem(0))
-      val c2 = bg.groupBy(col("g")).agg(count(lit(1)).as("c2"))
-      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
-      val vocab = c1.agg(count(lit(1))).head.getLong(0)
-      bg.join(c2, "g").join(c1, "w1")
+        .select(col("doc_id"), explode(pairs).as("b"))
+        .select(col("doc_id"), col("b.w1"), col("b.w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val vocab = broadcast(c1.agg(count(lit(1)).as("vocab_sz")))
+      val lm = c2.join(c1, "w1").crossJoin(vocab)
+      bg.join(lm, Seq("w1", "w2"))
         .withColumn("q",
-          expr(s"((c2 + 1) * 1000000000) DIV (c1 + $vocab)"))
+          expr("((c2 + 1) * 1000000000) DIV (c1 + vocab_sz)"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
         .withColumn("mean_qprob",
@@ -421,8 +444,16 @@ object TextQueries {
       val t = toks(col("text"))
       val words = Tables.forCompute(s, dir, "documents")
         .select(explode(t).as("w"))
+      // Unigram table persisted (r14): vocabulary-shaped, feeds three
+      // consumers (both PMI probe joins and the corpus token count
+      // N = Σc₁ — exactly the old words.count, one aggregation
+      // shallower). Before, each consumer re-tokenized the corpus —
+      // 3 scans; now 2 (unigrams + bigrams), same aggregate-only
+      // persist policy as the LM/type tables.
       val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
-      val n = words.agg(count(lit(1)).as("n_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val n = uni.agg(sum(col("c1")).as("n_tokens"))
       val bigrams = Tables.forCompute(s, dir, "documents")
         .select(explode(when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - 1),
@@ -569,17 +600,31 @@ object TextQueries {
     val bg = Tables.forCompute(s, dir, "documents")
       .select(col("doc_id"), explode(pairs).as("b"))
       .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    // The bigram-TYPE table is VOCABULARY-shaped and feeds four
+    // consumers (ctx, cont, t_types, the probe join) — persisted once
+    // (r14; the same aggregate-only persist policy as the substring
+    // op's candidate grams — the content-exploded bg frame itself
+    // stays recompute-per-consumer, 2 corpus scans). Before, each
+    // consumer re-tokenized the corpus from scratch: Catalyst prunes
+    // each copy differently, so no exchange reuse fired — 5 scans and
+    // 3 positions-scale shuffles, measured in
+    // plans/r14/llm_kneser_ney_quality_before.txt.
     val types = bg.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Pins.pin)
     val ctx = types.groupBy(col("w1"))
       .agg(sum(col("c12")).cast(LongType).as("c1"),
         count(lit(1)).as("nctx"))
     val cont = types.groupBy(col("w2"))
       .agg(count(lit(1)).as("ncont"))
     val tTypes = broadcast(types.agg(count(lit(1)).as("t_types")))
-    bg.join(types, Seq("w1", "w2"))
-      .join(ctx, "w1").join(cont, "w2")
-      .crossJoin(tTypes)
+    // Statistics pre-joined VOCAB-side so the positions-scale probe
+    // stream shuffles ONCE on (w1, w2) — the old probe chain
+    // re-shuffled the whole bigram stream per statistic (on (w1,w2),
+    // then w1, then w2; guide §2.3 "shuffle fewer bytes").
+    val lm = types.join(ctx, "w1").join(cont, "w2").crossJoin(tTypes)
+    bg.join(lm, Seq("w1", "w2"))
       .withColumn("q_ppb", expr(KnExpr))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),

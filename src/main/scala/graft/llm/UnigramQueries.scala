@@ -134,8 +134,14 @@ object UnigramQueries {
     */
   private[graft] def trainUnigram(s: SparkSession, dir: String): (Map[String, Long], Long) = {
     import s.implicits._
+    // Checkpoint at entry (r14, same as the BPE/WordPiece trainers):
+    // the word-TYPE table is a corpus-scale aggregation consumed by
+    // the seed collects (×2) and EVERY EM iteration's E-step — without
+    // lineage truncation each of those re-runs the corpus explode+agg.
+    // Vocab-bounded, the class the checkpoint policy allows.
     val words = BpeQueries.wordTable(Tables.forCompute(s, dir, "documents"))
       .select(col("word"), col("freq"))
+      .localCheckpoint()
     val seeds = seedCounts(words)
     // Bounded driver collects: all single chars (|alphabet|) + the
     // top MultiVocab multi-char candidates under (cnt desc, piece).

@@ -69,7 +69,12 @@ object WordPieceQueries {
     * pair-count agg, score argmax, greedy merge application).
     */
   private[graft] def trainMerges(words0: DataFrame, k: Int): (Seq[WpMerge], DataFrame) = {
-    var words = words0
+    // Checkpoint at ENTRY (r14), same reasoning as the BPE trainer's:
+    // without it, every pre-rank-4 iteration re-runs the corpus-scale
+    // word-type aggregation TWICE per iteration here (symCounts + the
+    // pair argmax both walk `words`); the word-type table is
+    // vocab-bounded, the class the checkpoint policy allows.
+    var words = words0.localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     for (rank <- 1 to k) {
       val symCounts = words

@@ -90,6 +90,16 @@ object FunctionSweeps {
     "rel_stat_agg" -> ((s, dir) => {
       val q = col("l_quantity").cast(DecimalType(20, 4))
       val p = col("l_extendedprice").cast(DecimalType(20, 4))
+      // Total-order key: the DuckDB twin rides a zero-padded string
+      // (struct compare SEMANTICS differ across engines, so the twin
+      // can't use a struct) — the engine side orders on the raw
+      // (shipdate, orderkey, linenumber) struct instead, which is the
+      // SAME total order (field-by-field lexicographic over
+      // non-negative, width-bounded fields = the padded string's
+      // order, and the key is unique so there are no ties to break)
+      // without the two per-row Formatter+unix_timestamp evaluations
+      // the string key cost (r14: measured ~35% of the operator).
+      val ordKey = struct(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
       Tables(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
@@ -97,15 +107,8 @@ object FunctionSweeps {
           sum(q).as("sq"), sum(q * q).as("sq2"),
           sum(p).as("sp"), sum(p * p).as("sp2"),
           sum(q * p).as("sqp"),
-          // Total-order key as a zero-padded string so min_by/max_by
-          // tie-break identically in Spark and DuckDB (struct compare
-          // semantics differ across engines; lexicographic doesn't).
-          min_by(col("l_orderkey"),
-            format_string("%020d|%012d|%04d", unix_timestamp(col("l_shipdate")),
-              col("l_orderkey"), col("l_linenumber"))).as("first_shipped_order"),
-          max_by(col("l_orderkey"),
-            format_string("%020d|%012d|%04d", unix_timestamp(col("l_shipdate")),
-              col("l_orderkey"), col("l_linenumber"))).as("last_shipped_order"))
+          min_by(col("l_orderkey"), ordKey).as("first_shipped_order"),
+          max_by(col("l_orderkey"), ordKey).as("last_shipped_order"))
         .select(
           col("l_returnflag"), col("n"),
           round(sqrt((col("sq2").cast(DoubleType) - col("sq").cast(DoubleType) * col("sq").cast(DoubleType) / col("n"))

@@ -175,25 +175,6 @@ object SqlQueries {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin,
 
-    // TPC-H Q15: top supplier by quarterly revenue — the
-    // view-plus-scalar-subquery shape where the outer query compares
-    // against max() over the same derived table (evaluated once,
-    // broadcast). DECIMAL end-to-end so the max-equality is exact in
-    // both engines; DOUBLE only at the output boundary.
-    "sql_q15_top_supplier" ->
-      """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin,
-
     // TPC-H Q4 shape: priority count of orders with at least one late
     // line — EXISTS decorrelated to a left-semi join, then aggregated.
     // ("Late" = shipped >30 days after order date; the fixture has no
@@ -275,25 +256,6 @@ object SqlQueries {
         |WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'""".stripMargin,
 
-    // TPC-H Q17 shape: revenue from small-quantity lines of a part
-    // family — the correlated per-part average threshold, written in
-    // the repo's cross-multiplied exact form (qty < avg/5 ⟺
-    // 5·qty·cnt < sum, DECIMAL — no float division). Catalyst
-    // decorrelates both scalar subqueries into one per-part aggregate
-    // joined back; the part-family filter prunes before the join.
-    // (The original's p_container maps to a p_size band; the fixture
-    // has no container column.)
-    "sql_q17_small_quantity" ->
-      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
-        |  count(*) AS n_lines
-        |FROM lineitem JOIN part ON p_partkey = l_partkey
-        |WHERE p_brand = 'Brand#13'
-        |  AND p_size <= 10
-        |  AND CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
-        |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
-        |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l2
-        |         WHERE l2.l_partkey = p_partkey)""".stripMargin,
-
     // TPC-H Q19 shape: the three-armed disjunctive predicate spanning
     // both join sides — the optimizer test for OR handling: the
     // part-side disjunction (brand, size) must still reach the part
@@ -374,34 +336,6 @@ object SqlQueries {
         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
         |LIMIT 20""".stripMargin,
 
-    // TPC-H Q21 shape: suppliers who kept multi-supplier orders
-    // waiting — the hardest subquery composition in the suite: one
-    // EXISTS (another supplier participated) AND one NOT EXISTS (no
-    // OTHER supplier was also late) both correlated to the same outer
-    // row, the NOT EXISTS additionally referencing the outer join's
-    // o_orderdate. Catalyst plans this as semi + anti join against
-    // the same lineitem scan. ("Late" = shipped >60 days after the
-    // order date; the fixture has no commit/receipt dates.)
-    "sql_q21_waiting_supplier" ->
-      """SELECT s_name, count(*) AS numwait
-        |FROM supplier
-        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        |JOIN orders ON o_orderkey = l1.l_orderkey
-        |WHERE o_orderstatus = 'F'
-        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-        |  AND EXISTS (
-        |    SELECT 1 FROM lineitem l2
-        |    WHERE l2.l_orderkey = l1.l_orderkey
-        |      AND l2.l_suppkey <> l1.l_suppkey)
-        |  AND NOT EXISTS (
-        |    SELECT 1 FROM lineitem l3
-        |    WHERE l3.l_orderkey = l1.l_orderkey
-        |      AND l3.l_suppkey <> l1.l_suppkey
-        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-        |GROUP BY s_name
-        |ORDER BY numwait DESC, s_name
-        |LIMIT 20""".stripMargin,
-
     // TPC-H Q9 shape: product-type profit by nation × year — the
     // widest join tree in the suite (lineitem × 4 dims) with an
     // arithmetic measure mixing two tables' money columns. Supply
@@ -421,37 +355,6 @@ object SqlQueries {
         |WHERE p_name LIKE '%red%'
         |GROUP BY n_name, CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT)
         |ORDER BY nation, o_year DESC""".stripMargin,
-
-    // TPC-H Q11 shape: important stock — a grouped aggregate kept
-    // only where it exceeds a FRACTION of the grand total, i.e. a
-    // scalar subquery that re-aggregates the same filtered join. Part
-    // value surrogate (no partsupp availqty/supplycost): total traded
-    // value qty·extendedprice of the part through the filtered
-    // nation group's suppliers (a name-prefix RANGE of 12 nations
-    // rather than TPC-H's single 'GERMANY' — the sf0.001 fixture has
-    // ~5 suppliers total, so any single nation can be supplier-empty
-    // and the non-empty-at-every-SF invariant needs the wider cut). The 0.0001 fraction multiplies in DECIMAL so the
-    // threshold compare is exact in both engines (a fraction an order
-    // looser than TPC-H's SF-scaled one: per-part share dilutes as
-    // the part dimension grows, and this stays selective-but-nonempty
-    // at both gate scales); ties on the DOUBLE output value break by
-    // part key.
-    "sql_q11_important_stock" ->
-      """SELECT ps_partkey, CAST(value AS DOUBLE) AS value
-        |FROM (
-        |  SELECT l_partkey AS ps_partkey,
-        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
-        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        |                JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name < 'NATION_2'
-        |  GROUP BY l_partkey
-        |) t
-        |WHERE value > (
-        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * CAST(0.0001 AS DECIMAL(7,6))
-        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
-        |                JOIN nation ON s_nationkey = n_nationkey
-        |  WHERE n_name < 'NATION_2')
-        |ORDER BY value DESC, ps_partkey""".stripMargin,
 
     // TPC-H Q12 shape: shipping-mode service-level audit — join +
     // date-window filter + two complementary conditional counts per
@@ -543,6 +446,150 @@ object SqlQueries {
     * lineitem aggregation, the dominant cost of the query.
     */
   private val divergent: Map[String, (String, String)] = Map(
+
+    // TPC-H Q15: top supplier by quarterly revenue. The ORACLE keeps
+    // the textbook view-plus-scalar-subquery shape (max() over the
+    // same derived table). The ENGINE replaces the scalar subquery —
+    // which Catalyst plans as a SECOND full lineitem scan + agg (no
+    // exchange reuse fires across the grouped-vs-global aggregate
+    // difference; measured, plans/r14/sql_q15_top_supplier_*) — with
+    // MAX OVER () on the one revenue frame: supplier-cardinality
+    // rows through a single window, the DECIMAL max-equality exact
+    // in both forms. At 100 TB this halves the query (one fact scan
+    // + agg instead of two).
+    "sql_q15_top_supplier" -> ((
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN (
+        |  SELECT supplier_no, total_revenue,
+        |         MAX(total_revenue) OVER () AS max_revenue
+        |  FROM revenue) r ON s_suppkey = supplier_no
+        |WHERE total_revenue = max_revenue
+        |ORDER BY s_suppkey""".stripMargin,
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
+    // TPC-H Q17 shape: revenue from small-quantity lines of a part
+    // family — the correlated per-part average threshold, in the
+    // repo's cross-multiplied exact form (qty < avg/5 ⟺ 5·qty·cnt <
+    // sum, DECIMAL — no float division; the original's p_container
+    // maps to a p_size band). The ORACLE keeps the textbook
+    // correlated form. Catalyst decorrelates its TWO scalar
+    // subqueries into TWO separate whole-lineitem aggregates (3 fact
+    // scans total, measured — plans/r14/sql_q17_small_quantity_*);
+    // the ENGINE instead restricts lineitem to the filtered part
+    // family ONCE and computes both statistics as windows over the
+    // part key on that one pass — no join-back, no second scan.
+    // Equivalent: the correlated subqueries range over all lines of
+    // the SAME part, and every line of a surviving part is in the
+    // part-filtered subset (p_partkey is the part table's key, so the
+    // join neither drops nor duplicates lines); cnt/sum per part are
+    // unchanged, and the predicate is typed exactly as before
+    // (COUNT's BIGINT promotes to DECIMAL(20,0) in both forms; the
+    // window SUM is the same DECIMAL(22,2) as the subquery SUM). At
+    // 100 TB: one scan of the ~1/25-of-parts line subset + one
+    // part-keyed window (bounded partitions: lines per part), instead
+    // of two full-corpus aggregates — and the window rides the
+    // partitioning the join already established (guide §2.4).
+    "sql_q17_small_quantity" -> ((
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_lines
+        |FROM (
+        |  SELECT l_quantity, l_extendedprice,
+        |    COUNT(*) OVER w AS cnt,
+        |    SUM(CAST(l_quantity AS DECIMAL(12,2))) OVER w AS sum_qty
+        |  FROM lineitem JOIN part ON p_partkey = l_partkey
+        |  WHERE p_brand = 'Brand#13' AND p_size <= 10
+        |  WINDOW w AS (PARTITION BY l_partkey)
+        |) x
+        |WHERE CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2)) * cnt
+        |      < sum_qty""".stripMargin,
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_price,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON p_partkey = l_partkey
+        |WHERE p_brand = 'Brand#13'
+        |  AND p_size <= 10
+        |  AND CAST(5 AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))
+        |      * (SELECT COUNT(*) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+        |      < (SELECT SUM(CAST(l_quantity AS DECIMAL(12,2))) FROM lineitem l2
+        |         WHERE l2.l_partkey = p_partkey)""".stripMargin)),
+
+    // TPC-H Q21 shape: suppliers who kept multi-supplier orders
+    // waiting — one EXISTS (another supplier participated) and one
+    // NOT EXISTS (no OTHER supplier was also late) correlated to the
+    // same outer row ("late" = shipped >60 days after the order
+    // date; the fixture has no commit/receipt dates). The ORACLE
+    // keeps the textbook form, which Catalyst plans as semi + anti
+    // join against two MORE full lineitem scans (3 total, measured —
+    // plans/r14/sql_q21_waiting_supplier_*). The ENGINE computes the
+    // same two facts per order from ONE lineitem⋈orders pass with
+    // two windows over the order key: EXISTS(other supplier) ⟺ the
+    // order's distinct-supplier set has ≥ 2 members, NOT EXISTS
+    // (other late supplier) ⟺ the order's distinct LATE-supplier set
+    // is exactly {this row's supplier} ⟺ (given this row is late)
+    // its size is 1. collect_set skips the CASE's NULLs, so the late
+    // set is exactly the late lines' suppliers; all lines of an
+    // outer row's order carry the same o_orderdate, so the windowed
+    // late flag equals the subqueries'. Both windows share one
+    // partition spec — the orderkey partitioning the join already
+    // established — so the whole decision costs ONE fact shuffle
+    // instead of three (per-order line counts are bounded, so the
+    // windowed sets are too). numwait still counts qualifying LINES
+    // per supplier name, as in the original.
+    "sql_q21_waiting_supplier" -> ((
+      """SELECT s_name, count(*) AS numwait
+        |FROM (
+        |  SELECT l_suppkey, late,
+        |    size(collect_set(l_suppkey) OVER w) AS n_supp,
+        |    size(collect_set(CASE WHEN late THEN l_suppkey END) OVER w) AS n_late_supp
+        |  FROM (
+        |    SELECT l1.l_orderkey, l1.l_suppkey,
+        |           l1.l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |    FROM lineitem l1 JOIN orders ON o_orderkey = l1.l_orderkey
+        |    WHERE o_orderstatus = 'F') j
+        |  WINDOW w AS (PARTITION BY l_orderkey)
+        |) flagged
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin,
+      """SELECT s_name, count(*) AS numwait
+        |FROM supplier
+        |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |WHERE o_orderstatus = 'F'
+        |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM lineitem l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey
+        |      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 20""".stripMargin)),
+
     "sql_q2_min_cost_supplier" -> ((
       """WITH ps AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -588,12 +635,83 @@ object SqlQueries {
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         |LIMIT 100""".stripMargin)))
 
+  /** Engine sides that need DataFrame-API machinery pure SQL text
+    * cannot express — here, a persist+pin of a frame two consumers
+    * share. Same contract as [[divergent]]: the engine result must be
+    * row-identical to the oracle text's.
+    *
+    * TPC-H Q11 shape: important stock — a grouped aggregate kept only
+    * where it exceeds a FRACTION of the grand total. Part value
+    * surrogate (no partsupp availqty/supplycost): total traded value
+    * qty·extendedprice of the part through the filtered nation group's
+    * suppliers (a name-prefix RANGE of 12 nations rather than TPC-H's
+    * single 'GERMANY' — the sf0.001 fixture has ~5 suppliers total, so
+    * any single nation can be supplier-empty and the
+    * non-empty-at-every-SF invariant needs the wider cut). The 0.0001
+    * fraction multiplies in DECIMAL so the threshold compare is exact;
+    * ties on the DOUBLE output value break by part key.
+    *
+    * The ORACLE keeps TPC-H's textbook form — the grand-total scalar
+    * subquery re-walks the full lineitem⋈supplier⋈nation join, so the
+    * fact table is scanned, joined and aggregated TWICE (measured:
+    * neither CTE dedup nor AQE stage reuse collapses the two copies —
+    * plans/r14/sql_q11_important_stock_before.txt shows both join
+    * trees). The ENGINE computes the per-part frame ONCE (persisted +
+    * Pins-pinned — part-cardinality, the same aggregate-persist policy
+    * as the dedup candidate grams) and derives the grand total from it:
+    * Σ_part SUM(price·qty) = SUM(price·qty) exactly (DECIMAL sums are
+    * associative, no float anywhere), broadcast as a 1-row frame. The
+    * threshold lands in DECIMAL(38,6) by the same precision-loss rule
+    * in both forms, and the value>threshold compare promotes to the
+    * same type — row-identical by construction, driver-oracle-checked.
+    * At 100 TB the saving is an entire lineitem join+agg, the dominant
+    * cost of the query.
+    */
+  private val scalaDivergent
+      : Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+    "sql_q11_important_stock" -> ((
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val t = withViews(s, dir)(
+          """SELECT l_partkey AS ps_partkey,
+            |       SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
+            |FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+            |              JOIN nation ON s_nationkey = n_nationkey
+            |WHERE n_name < 'NATION_2'
+            |GROUP BY l_partkey""".stripMargin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Pins.pin)
+        val threshold = broadcast(t.agg(
+          (sum(col("value")) * expr("CAST(0.0001 AS DECIMAL(7,6))")).as("threshold")))
+        t.crossJoin(threshold)
+          .where(col("value") > col("threshold"))
+          .select(col("ps_partkey"),
+            col("value").cast(org.apache.spark.sql.types.DoubleType).as("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      """SELECT ps_partkey, CAST(value AS DOUBLE) AS value
+        |FROM (
+        |  SELECT l_partkey AS ps_partkey,
+        |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS value
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name < 'NATION_2'
+        |  GROUP BY l_partkey
+        |) t
+        |WHERE value > (
+        |  SELECT SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) * CAST(0.0001 AS DECIMAL(7,6))
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |                JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name < 'NATION_2')
+        |ORDER BY value DESC, ps_partkey""".stripMargin)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] =
     (shared ++ divergent.map { case (n, (sparkSql, _)) => n -> sparkSql })
       .map { case (name, sql) =>
         name -> ((s: SparkSession, dir: String) => withViews(s, dir)(sql))
-      }
+      } ++ scalaDivergent.map { case (n, (fn, _)) => n -> fn }
 
   val oracleSql: Map[String, String] =
-    shared ++ divergent.map { case (n, (_, duckSql)) => n -> duckSql }
+    shared ++ divergent.map { case (n, (_, duckSql)) => n -> duckSql } ++
+      scalaDivergent.map { case (n, (_, duckSql)) => n -> duckSql }
 }

@@ -281,8 +281,15 @@ class PlanSpec extends AnyFunSuite {
     val allowed = Map(
       "relational/PrefixSum.scala" -> 1,      // O(numPartitions) subtotal frame
       "llm/SimilarityQueries.scala" -> 1,     // KMeans cell-stats table, O(cells)
-      "llm/BpeQueries.scala" -> 1,            // word-TYPE table, vocabulary-bounded
-      "llm/WordPieceQueries.scala" -> 1,      // word-TYPE table, vocabulary-bounded
+      "llm/BpeQueries.scala" -> 2,            // word-TYPE table, vocabulary-bounded
+                                              // (loop entry + every-4 — r14: the entry
+                                              // checkpoint stops pre-rank-4 iterations
+                                              // re-running the corpus-scale word agg)
+      "llm/WordPieceQueries.scala" -> 2,      // word-TYPE table, vocabulary-bounded
+                                              // (loop entry + every-4, same as BPE)
+      "llm/UnigramQueries.scala" -> 1,        // word-TYPE table at trainer entry
+                                              // (seed collects ×2 + every EM E-step
+                                              // re-ran the corpus agg without it)
       "llm/CorpusQueries.scala" -> 3)         // CC labels ×2 (two longs per doc id) +
                                               // sparse pair-graph edges; iterative
                                               // lineage truncation is load-bearing there
