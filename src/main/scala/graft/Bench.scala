@@ -934,6 +934,32 @@ object Bench {
       catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
     }
     println(lean)
+    // r15 (r14 VERDICT #2): the ~12 KB lean line outlives the driver's
+    // 2 KB stdout-tail capture, so BOTH r13's and r14's bench lines
+    // parsed as null and the driver's per-query/geomean machinery
+    // produced nothing. The full emissions above are UNCHANGED (file
+    // record + lean line: every entry, same methodology, same schema);
+    // this FINAL line is a compact summary with the same key layout —
+    // headline totals, per-family subtotals, and the most expensive
+    // individual entries — sized to always fit whole inside a 2 KB
+    // tail. Nothing is removed or renamed: the full per-query record
+    // is still printed and written; this line is additive.
+    val famOf = (n: String) =>
+      if (n.startsWith("_")) "_" + n.stripPrefix("_").takeWhile(_ != '_')
+      else n.takeWhile(_ != '_')
+    val fams = summed.groupBy { case (k, _) => famOf(k) }.toSeq.sortBy(_._1)
+      .map { case (f, es) => s""""$f":${fmt(es.map(_._2._1).filter(_ >= 0).sum)}""" }
+      .mkString("{", ",", "}")
+    val topQs = summed.sortBy(-_._2._1).take(24)
+      .map { case (k, (full, _)) => s""""$k":${fmt(full)}""" }
+      .mkString("{", ",", "}")
+    val loadCompact = s"""{"steal_cores_max":${fmt(stealMax.get())},""" +
+      s""""foreign_cores_max":${fmt(foreignMax.get())},"contended":$contended,""" +
+      s""""rerun_skipped":$rerunSkipped}"""
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",""" +
+        s""""total_op":${fmt(totalOp)},"n":${results.size},"families":$fams,""" +
+        s""""queries":$topQs,"load":$loadCompact,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PqEncodeExpr, SimHash64Expr, SimHashMd5Expr, WinnowCfpsExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PairStructsExpr, PqEncodeExpr, SimHash64Expr, SimHashMd5Expr, WinnowCfpsExpr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -89,6 +89,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("pq_encode", 2, children)
         PqEncodeExpr(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pair_structs"),
+      new ExpressionInfo(classOf[PairStructsExpr].getName, "pair_structs",
+        "pair_structs(ids) - all ordered in-list pairs of array<bigint>: struct(a, b) for every (x, y) with y > x, in list order"),
+      (children: Exprs) => {
+        arity("pair_structs", 1, children)
+        PairStructsExpr(children.head)
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

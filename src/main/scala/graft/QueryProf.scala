@@ -36,6 +36,7 @@ object QueryProf {
     val tasks = new java.util.concurrent.atomic.AtomicLong()
     val stages = new java.util.concurrent.atomic.AtomicLong()
     val jobs = new java.util.concurrent.atomic.AtomicLong()
+    val jobsEnded = new java.util.concurrent.atomic.AtomicLong()
     val cpuNs = new java.util.concurrent.atomic.AtomicLong()
     val shuffle = new java.util.concurrent.atomic.AtomicLong()
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -53,7 +54,24 @@ object QueryProf {
           js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet(); ()
       }
+      override def onJobEnd(
+          je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        jobsEnded.incrementAndGet(); ()
+      }
     })
+    // Listener events ride an async bus with no completion barrier;
+    // under load a stage-completion event can land AFTER a fixed-delay
+    // snapshot and get charged to the next query (r14 ADVICE #4).
+    // Gate each snapshot on observed completion instead: wait (bounded)
+    // until every started job has ended — stage events for a job are
+    // delivered before its job-end event on the ordered bus, so
+    // started == ended means the counters above are settled.
+    def drain(): Unit = {
+      val deadline = System.nanoTime() + 10_000_000_000L
+      while (jobs.get() != jobsEnded.get() && System.nanoTime() < deadline)
+        Thread.sleep(20)
+      Thread.sleep(50) // same-bus margin for the final stage event batch
+    }
     def snap(): (Long, Long, Long, Long, Long) =
       (jobs.get(), stages.get(), tasks.get(), cpuNs.get(), shuffle.get())
     // Warm-up
@@ -61,14 +79,14 @@ object QueryProf {
       .write.format("noop").mode("overwrite").save()
     Pins.release(spark)
     names.foreach { name =>
-      Thread.sleep(200)
+      drain()
       val before = snap()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
       Pins.release(spark)
-      Thread.sleep(200)
+      drain()
       val after = snap()
       println(f"[prof] $name%-32s wall=$wall%7.2f s  jobs=${after._1 - before._1}%3d  " +
         f"stages=${after._2 - before._2}%4d  tasks=${after._3 - before._3}%6d  " +

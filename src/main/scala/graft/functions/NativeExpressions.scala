@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -378,6 +378,45 @@ case class PqEncodeExpr(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): PqEncodeExpr =
     copy(left = newLeft, right = newRight)
+}
+
+/** pair_structs(ids): all ordered in-list pairs of an array<bigint> —
+  * for each element x, a struct(a = x, b = y) for every y in the array
+  * with y > x, in the array's own (outer, inner) order. The kernel
+  * behind the posting-list pair expansion in the near-dup family
+  * (scoredPairs / winnowPairs): the HOF twin
+  * (`flatten(transform(ids, x => transform(filter(ids, y => y > x),
+  * y => struct(x, y))))`, kept as
+  * [[graft.llm.DedupQueries.pairStructsHof]] for the spec twin-pin)
+  * allocates a filtered copy of the list per element — O(df²) array
+  * copies — plus interpreted nested-lambda evaluation per pair; this
+  * emits each pair once into one output buffer. Null elements cannot
+  * occur on the query path (collect_list of a non-null key), but the
+  * HOF semantics are matched anyway: a null x contributes no pairs
+  * (its filter predicate is never true) and a null y never passes
+  * y > x.
+  */
+case class PairStructsExpr(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"pair_structs requires ARRAY<BIGINT>, got ${dt.sql}")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("a", LongType, nullable = false),
+      StructField("b", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "pair_structs"
+
+  override protected def nullSafeEval(input: Any): Any =
+    GraftKernels.pairStructs(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.GraftKernels.pairStructs($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): PairStructsExpr =
+    copy(child = newChild)
 }
 
 /** Static kernels referenced from generated code (plain object =>
@@ -879,5 +918,53 @@ object GraftKernels {
       while (q < lim && s1.charAt(q) == s2.charAt(q)) { p += 1; q += 1 }
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
+  }
+
+  /** All ordered in-list pairs (see [[PairStructsExpr]]): two passes —
+    * count, then fill an exactly-sized array — so the only per-pair
+    * allocation is the 2-field output row itself. List length is
+    * bounded by the callers' df cap (≤ MaxShingleDf/MaxWinnowDf), so
+    * the O(n²) scan is a few thousand long-compares per list.
+    */
+  def pairStructs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val vals = new Array[Long](n)
+    val ok = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      ok(i) = !ids.isNullAt(i)
+      if (ok(i)) vals(i) = ids.getLong(i)
+      i += 1
+    }
+    var count = 0
+    i = 0
+    while (i < n) {
+      if (ok(i)) {
+        var j = 0
+        while (j < n) {
+          if (ok(j) && vals(j) > vals(i)) count += 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](count)
+    var k = 0
+    i = 0
+    while (i < n) {
+      if (ok(i)) {
+        var j = 0
+        while (j < n) {
+          if (ok(j) && vals(j) > vals(i)) {
+            out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](vals(i), vals(j)))
+            k += 1
+          }
+          j += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 }

@@ -448,16 +448,25 @@ object CorpusQueries {
       // the forCompute repartition onto the single-partition scan,
       // single-threading the 3-gram evaluation (the same pushdown trap
       // as the minhash shingle filter — the cache is the barrier).
+      // r15: the projection is NARROW — guide §2.3/§5. The r14 shape
+      // persisted every doc column INCLUDING text (the corpus bytes,
+      // cached, only so split could be computed downstream); computing
+      // split here (deterministic per doc — same value on every row
+      // that survives, so results are unchanged) drops text from the
+      // cache, leaving 6 scalar columns per doc: the cache shrinks
+      // from corpus-sized to metadata-sized at every scale, for one
+      // extra md5 over the docs the filter would have discarded.
       val scored = docs
-        .withColumn("total3", greatest(size(tks) - 2, lit(0)))
-        .withColumn("uniq3", size(DedupQueries.shingles3(col("text"))))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          greatest(size(tks) - 2, lit(0)).as("total3"),
+          size(DedupQueries.shingles3(col("text"))).as("uniq3"),
+          PipelineQueries.splitBucket(col("text")).as("split"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
       scored
         .join(survivors, Seq("doc_id")) // keep canonical members only
         .filter(col("total3") > 0 &&
           (col("total3") - col("uniq3")) * 5 <= col("total3") && // dup ratio <= 0.2
           col("n_chars") >= 100)
-        .withColumn("split", PipelineQueries.splitBucket(col("text")))
         .groupBy(col("split"), col("lang"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"), col("lang"))

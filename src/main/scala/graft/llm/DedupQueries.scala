@@ -70,11 +70,33 @@ object DedupQueries {
     * fixed 8-byte keys through its shuffles instead of var-length
     * strings — at 100 TB the postings shuffle IS this family's cost
     * (guide §2.3 "narrower types"; measured 70.6 → ~45 MB on the pair
-    * build at sf0.1). A 64-bit collision (birthday ≈ 10⁻⁸ at 10⁶
-    * distinct shingles) merges two shingles' postings — the same
-    * accepted trade as the substring gram key, and the fixture
-    * corpora hash-verify collision-free against the string-keyed
-    * DuckDB twins at every SF.
+    * build at sf0.1).
+    *
+    * COLLISION ENVELOPE (r15, stating the scale-dependent expectation
+    * honestly — r14 VERDICT #4): a 64-bit collision merges two
+    * shingles' postings, inflating the affected doc pairs'
+    * intersection counts by ≤ 1 each. Expected colliding pairs among
+    * n distinct shingles ≈ n²/2⁶⁵:
+    *   n = 10⁶  (fixture scale)      → ~3·10⁻⁸  (none; fixtures
+    *                                    hash-verify collision-free
+    *                                    against the string-keyed
+    *                                    DuckDB twins at every SF)
+    *   n = 10¹⁰ (≈ 1 TB of text)     → ~3 merged postings
+    *   n = 10¹¹–10¹² (100 TB design) → ~3·10²–3·10⁴ merged postings
+    * At design scale that is thousands of +1 perturbations spread over
+    * ~10¹⁰ documents' pairwise counts — statistically invisible to
+    * near-dup estimation (each affected pair's Jaccard moves by
+    * ~1/|union|), but NOT bit-identical to a string-keyed run: the
+    * "results identical at every scale" contract holds only up to this
+    * envelope. ACCEPTED TRADE, same class as the substring gram key.
+    * Deployments needing near-exactness at design scale should widen
+    * the key to 128 bits — two salted halves,
+    * `struct(xxhash64(sh), xxhash64(sh, lit(1)))`, expected collisions
+    * ~n²/2¹²⁹ ≈ 10⁻¹⁵ at n = 10¹² — for 2× the key bytes in every
+    * postings shuffle; the 8-byte key stays the default because the
+    * shuffle IS the cost at scale and the perturbation is below any
+    * measurable recall/precision effect (SCALE.md "64-bit fingerprint
+    * collision budget").
     */
   private def postings(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(shingles3(col("text"))).as("sh"))
@@ -195,12 +217,15 @@ object DedupQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
     val sizes = lists.select(explode(col("ids")).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    // All in-list ordered pairs (a < b): O(df²) HOF per shingle with
-    // df ≤ MaxShingleDf — bounded, codegen'd, no join.
+    // All in-list ordered pairs (a < b): O(df²) per shingle with
+    // df ≤ MaxShingleDf — bounded, no join. r15: through the native
+    // pair kernel ([[graft.functions.PairStructsExpr]]; element-exact
+    // twin of the HOF kept as [[pairStructsHof]], pinned in
+    // FunctionsSpec) — the HOF form allocated a filtered copy of the
+    // list per element plus interpreted nested lambdas per pair; the
+    // kernel emits each pair once into one exactly-sized buffer.
     val pairs = lists
-      .select(explode(flatten(transform(col("ids"),
-        x => transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(call_function("pair_structs", col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
     // Sizes join stays a shuffle join: per-doc sizes are corpus-sized
@@ -697,9 +722,8 @@ object DedupQueries {
       .select(col("fp"))
     posts.join(hot, Seq("fp"), "left_anti")
       .groupBy(col("fp")).agg(collect_list(col("doc_id")).as("ids"))
-      .select(explode(flatten(transform(col("ids"),
-        x => transform(filter(col("ids"), y => y > x),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      // Native pair kernel (r15) — same swap as scoredPairs'.
+      .select(explode(call_function("pair_structs", col("ids"))).as("p"))
       .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= MinSharedFps)
@@ -720,6 +744,17 @@ object DedupQueries {
       .filter(length(col("text")) >= WinnowK + WinnowW - 1)
       .select(col("doc_id"),
         explode(call_function("winnow_cfps", col("text"))).as("fp"))
+
+  /** HOF twin of [[graft.functions.GraftKernels.pairStructs]] —
+    * SEMANTICS SPEC ONLY (FunctionsSpec pins the native kernel
+    * element-for-element against it). The query paths (scoredPairs,
+    * winnowPairs) run the kernel: this form allocates a filtered list
+    * copy per element — O(df²) copies per posting list.
+    */
+  private[graft] def pairStructsHof(ids: Column): Column =
+    flatten(transform(ids,
+      x => transform(filter(ids, y => y > x),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** The HOF twin of [[graft.functions.GraftKernels.winnowFps]] —
     * SEMANTICS SPEC ONLY (FunctionsSpec pins the native kernel

@@ -325,20 +325,30 @@ object PipelineQueries {
         array_distinct(transform(sequence(lit(1), size(t) - 7),
           i => concat_ws(" ", (0 to 7).map(o => element_at(t, i + o)): _*))))
         .otherwise(array().cast(ArrayType(StringType)))
-      // Persist the exploded 8-gram projection: it feeds BOTH the
-      // eval-postings branch and the train probe, and without the
-      // cache barrier each branch re-runs the full scan→split→
-      // transform→explode chain (and the optimizer pushes the split
-      // filter below the repartition, single-threading it — the
-      // persist-before-filter rule, cf. jaccardPairs). This was the
-      // 42 s-vs-2 s outlier in BENCH_r02.
-      val docs = Tables.forCompute(s, dir, "documents")
-        .withColumn("split", splitBucket(col("text")))
-        .select(col("doc_id"), col("split"), explode(grams8).as("g"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK).transform(graft.Pins.pin)
-      val evalG = docs.filter(col("split") === "eval").select(col("g")).distinct()
-      docs.filter(col("split") === "train")
-        .join(broadcast(evalG), "g")
+      // r15 (was: persist the exploded (doc, 8-gram) projection and
+      // filter it per branch — the corpus-sized×8 cache this file's
+      // own policy forbids elsewhere: at 100 TB that is petabytes of
+      // cache for one query, and locally the materialization write+
+      // read dominated the op). Instead each branch filters the RAW
+      // docs on the split BEFORE exploding: every doc is 8-grammed by
+      // exactly one branch (splits partition the corpus), so total
+      // tokenize work is unchanged, the only duplicated work is the
+      // cheap md5 split predicate (2 corpus text passes), and nothing
+      // corpus-scale is ever materialized. The r02 42 s trap
+      // (branch filters on the EXPLODED frame pushed below the
+      // repartition) does not apply: the split filter pushing to the
+      // scan is now exactly where it belongs — the expensive gram
+      // Generate stays above the forCompute repartition, distributed.
+      // evalG keeps no static broadcast hint: eval postings are small
+      // at fixture scale (AQE promotes to broadcast from the runtime
+      // size) but grow with the corpus — the static-broadcast-off
+      // discipline everywhere else in the engine.
+      val base = Tables.forCompute(s, dir, "documents")
+      val evalG = base.filter(splitBucket(col("text")) === "eval")
+        .select(explode(grams8).as("g")).distinct()
+      base.filter(splitBucket(col("text")) === "train")
+        .select(col("doc_id"), explode(grams8).as("g"))
+        .join(evalG, "g")
         .groupBy(col("doc_id"))
         .agg(countDistinct(col("g")).as("n_shared_8grams"))
         .orderBy(col("doc_id"))

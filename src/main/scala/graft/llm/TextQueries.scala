@@ -453,7 +453,9 @@ object TextQueries {
       val uni = words.groupBy(col("w")).agg(count(lit(1)).as("c1"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         .transform(graft.Pins.pin)
-      val n = uni.agg(sum(col("c1")).as("n_tokens"))
+      // coalesce keeps the old count(*) non-null contract on an empty
+      // corpus (sum() is NULL over zero rows; r14 ADVICE #3).
+      val n = uni.agg(coalesce(sum(col("c1")), lit(0L)).as("n_tokens"))
       val bigrams = Tables.forCompute(s, dir, "documents")
         .select(explode(when(size(t) >= 2,
           transform(sequence(lit(1), size(t) - 1),

@@ -138,10 +138,13 @@ object UnigramQueries {
     // the word-TYPE table is a corpus-scale aggregation consumed by
     // the seed collects (×2) and EVERY EM iteration's E-step — without
     // lineage truncation each of those re-runs the corpus explode+agg.
-    // Vocab-bounded, the class the checkpoint policy allows.
-    val words = BpeQueries.wordTable(Tables.forCompute(s, dir, "documents"))
+    // Vocab-bounded, the class the checkpoint policy allows. Gated on
+    // corpus size (r15) — see [[BpeQueries.trainerEntryCheckpoint]].
+    val words0 = BpeQueries.wordTable(Tables.forCompute(s, dir, "documents"))
       .select(col("word"), col("freq"))
-      .localCheckpoint()
+    val words =
+      if (BpeQueries.trainerEntryCheckpoint(s, dir)) words0.localCheckpoint()
+      else words0
     val seeds = seedCounts(words)
     // Bounded driver collects: all single chars (|alphabet|) + the
     // top MultiVocab multi-char candidates under (cnt desc, piece).

@@ -68,13 +68,16 @@ object WordPieceQueries {
   /** The WordPiece training loop: k iterations of (symbol-count agg,
     * pair-count agg, score argmax, greedy merge application).
     */
-  private[graft] def trainMerges(words0: DataFrame, k: Int): (Seq[WpMerge], DataFrame) = {
+  private[graft] def trainMerges(words0: DataFrame, k: Int,
+                                 entryCheckpoint: Boolean = true): (Seq[WpMerge], DataFrame) = {
     // Checkpoint at ENTRY (r14), same reasoning as the BPE trainer's:
     // without it, every pre-rank-4 iteration re-runs the corpus-scale
     // word-type aggregation TWICE per iteration here (symCounts + the
     // pair argmax both walk `words`); the word-type table is
-    // vocab-bounded, the class the checkpoint policy allows.
-    var words = words0.localCheckpoint()
+    // vocab-bounded, the class the checkpoint policy allows. Gated on
+    // corpus size by the caller (r15) — see
+    // [[BpeQueries.trainerEntryCheckpoint]].
+    var words = if (entryCheckpoint) words0.localCheckpoint() else words0
     val merges = scala.collection.mutable.ArrayBuffer.empty[WpMerge]
     for (rank <- 1 to k) {
       val symCounts = words
@@ -129,7 +132,8 @@ object WordPieceQueries {
     if (!store.artifactFingerprint(MergesName).contains(fp) ||
         !store.artifactFingerprint(WordsName).contains(fp)) {
       val (merges, words) = trainMerges(
-        wordTable(Tables.forCompute(s, dir, "documents")), NMerges)
+        wordTable(Tables.forCompute(s, dir, "documents")), NMerges,
+        entryCheckpoint = BpeQueries.trainerEntryCheckpoint(s, dir))
       store.writeArtifact(s.createDataFrame(merges), MergesName, fp, numShards = 1)
       store.writeArtifact(words, WordsName, fp)
     }

@@ -222,11 +222,23 @@ object AdvancedQueries {
         pick(99, col("lb")).as("p99_lb"), pick(99, col("ub")).as("p99_ub"))
       // Exact percentiles via the value-histogram technique (no global
       // row sort — value-cardinality-shaped, same as llm_length_trim).
-      val exCum = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
-        .withColumn("cum", sum(col("c")).over(Window.orderBy(col("v"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("n", sum(col("c")).over(wAll))
-      val exact = exCum.agg(
+      // r15 (r14 VERDICT #4): the histogram cumsum was TWO
+      // unpartitioned windows — value-cardinality rows (distinct cent
+      // values, which grow with the corpus) through ONE task. Now the
+      // running count is the distributed two-pass prefix sum
+      // (PrefixSum.exclusivePrefixSum: range-partition by v, per-
+      // partition subtotals to the driver, partitioned window — §2.2's
+      // parallel-scan shape), cum = exclusive + own count exactly as
+      // before (v is unique post-groupBy, so the order is total and
+      // the integer chain identical); the global N rides as a
+      // broadcast 1-row aggregate instead of the second unpartitioned
+      // window (the q11/q15 scalar-max mechanism).
+      val exHist = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+      val exCum = graft.relational.PrefixSum
+        .exclusivePrefixSum(exHist, Seq(col("v")), col("c"), "excl")
+        .withColumn("cum", col("excl") + col("c"))
+      val nTot = broadcast(exCum.agg(sum(col("c")).as("n")))
+      val exact = exCum.crossJoin(nTot).agg(
         pick(50, col("v")).as("p50_exact"),
         pick(90, col("v")).as("p90_exact"),
         pick(99, col("v")).as("p99_exact"))

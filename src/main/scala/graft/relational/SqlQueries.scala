@@ -447,45 +447,6 @@ object SqlQueries {
     */
   private val divergent: Map[String, (String, String)] = Map(
 
-    // TPC-H Q15: top supplier by quarterly revenue. The ORACLE keeps
-    // the textbook view-plus-scalar-subquery shape (max() over the
-    // same derived table). The ENGINE replaces the scalar subquery —
-    // which Catalyst plans as a SECOND full lineitem scan + agg (no
-    // exchange reuse fires across the grouped-vs-global aggregate
-    // difference; measured, plans/r14/sql_q15_top_supplier_*) — with
-    // MAX OVER () on the one revenue frame: supplier-cardinality
-    // rows through a single window, the DECIMAL max-equality exact
-    // in both forms. At 100 TB this halves the query (one fact scan
-    // + agg instead of two).
-    "sql_q15_top_supplier" -> ((
-      """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-        |FROM supplier JOIN (
-        |  SELECT supplier_no, total_revenue,
-        |         MAX(total_revenue) OVER () AS max_revenue
-        |  FROM revenue) r ON s_suppkey = supplier_no
-        |WHERE total_revenue = max_revenue
-        |ORDER BY s_suppkey""".stripMargin,
-      """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
-        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
-        |  FROM lineitem
-        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
-        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
-        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
-        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin)),
-
     // TPC-H Q17 shape: revenue from small-quantity lines of a part
     // family — the correlated per-part average threshold, in the
     // repo's cross-multiplied exact form (qty < avg/5 ⟺ 5·qty·cnt <
@@ -669,6 +630,60 @@ object SqlQueries {
     */
   private val scalaDivergent
       : Map[String, ((SparkSession, String) => DataFrame, String)] = Map(
+
+    // TPC-H Q15: top supplier by quarterly revenue. The ORACLE keeps
+    // the textbook view-plus-scalar-subquery shape (max() over the
+    // same derived table); Catalyst plans that as a SECOND full
+    // lineitem scan + agg (no exchange reuse fires across the
+    // grouped-vs-global aggregate difference; measured,
+    // plans/r14/sql_q15_top_supplier_before.txt). r14 replaced the
+    // subquery with MAX OVER () — one fact scan, but the
+    // unpartitioned window funnels the whole supplier-grain revenue
+    // frame through ONE task (Exchange SinglePartition; ~10⁹ rows at
+    // the 100 TB design point — r14 VERDICT #3). r15 keeps the
+    // one-scan win and drops the serial window via the same mechanism
+    // as Q11: the revenue frame is computed ONCE (persisted +
+    // Pins-pinned, supplier-cardinality), the max derives from it as
+    // a global AGGREGATE (partial+final, fully parallel) broadcast as
+    // a 1-row frame, and the winner filter is an exact DECIMAL
+    // equality — identical values in both forms, driver-oracle-checked.
+    "sql_q15_top_supplier" -> ((
+      (s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions._
+        val revenue = withViews(s, dir)(
+          """SELECT l_suppkey AS supplier_no,
+            |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+            |      * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+            |FROM lineitem
+            |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+            |  AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+            |GROUP BY l_suppkey""".stripMargin)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Pins.pin)
+        val maxRev = broadcast(revenue.agg(
+          max(col("total_revenue")).as("max_revenue")))
+        s.sql("SELECT s_suppkey, s_name FROM supplier")
+          .join(revenue.crossJoin(maxRev)
+              .where(col("total_revenue") === col("max_revenue")),
+            col("s_suppkey") === col("supplier_no"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("total_revenue").cast(org.apache.spark.sql.types.DoubleType)
+              .as("total_revenue"))
+          .orderBy(col("s_suppkey"))
+      },
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |        * (CAST(1 AS DECIMAL(12,2)) - CAST(l_discount AS DECIMAL(12,2)))) AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+        |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)),
+
     "sql_q11_important_stock" -> ((
       (s: SparkSession, dir: String) => {
         import org.apache.spark.sql.functions._

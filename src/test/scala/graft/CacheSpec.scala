@@ -56,6 +56,15 @@ class CacheSpec extends AnyFunSuite {
     "llm_dedup_ngram_jaccard",
     "llm_curate_pipeline",
     "llm_heavy_hitters_cms",
+    // TPC-H divergent engine sides that persist the shared frame the
+    // broadcast scalar derives from (q11 r14, q15 r15).
+    "sql_q11_important_stock",
+    "sql_q15_top_supplier",
+    // llm_decontaminate stopped persisting in r15 (per-branch split
+    // filters replaced the corpus-scale exploded-frame cache); kept in
+    // the sweep as a regression tripwire — the assert is "empty after
+    // release", which a query that persists nothing satisfies and a
+    // future re-persist outside Pins would fail.
     "llm_decontaminate",
     "mm_phash_dedup")
 

@@ -218,6 +218,38 @@ class FunctionsSpec extends AnyFunSuite {
     assert(rn.getSeq[Any](0) == rn.getSeq[Any](1))
   }
 
+  test("pair_structs == HOF in-list pair expansion on fixture posting lists + edges") {
+    // Real posting lists: the near-dup pair path's own collect_list
+    // frame (df-capped xxhash64 shingle postings), element-for-element.
+    val posts = Tables(spark, sf, "documents")
+      .select(col("doc_id"), explode(llm.DedupQueries.shingles3(col("text"))).as("sh"))
+      .select(col("doc_id"), xxhash64(col("sh")).as("fp"))
+    val lists = posts.groupBy(col("fp"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+    val diff = lists.select(
+      llm.DedupQueries.pairStructsHof(col("ids")).as("hof"),
+      call_function("pair_structs", col("ids")).as("native"))
+      .filter(col("hof") =!= col("native"))
+    assert(diff.isEmpty, diff.limit(3).collect().mkString("\n"))
+    // Edges: empty, singleton, duplicates (no self-pairs), unsorted
+    // input (pair order follows LIST order, not value order).
+    import spark.implicits._
+    val edge = Seq(
+      (1L, Seq.empty[Long]),
+      (2L, Seq(7L)),
+      (3L, Seq(5L, 5L, 5L)),
+      (4L, Seq(9L, 2L, 7L, 2L))
+    ).toDF("id", "ids")
+    val rows = edge.select(col("id"),
+      llm.DedupQueries.pairStructsHof(col("ids")).as("hof"),
+      call_function("pair_structs", col("ids")).as("native"))
+      .orderBy("id").collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Any](1) == r.getSeq[Any](2),
+        s"id=${r.getLong(0)}: hof=${r.getSeq[Any](1)} native=${r.getSeq[Any](2)}")
+    }
+  }
+
   test("cosine_sim == HOF cosine on the full embedding corpus (bit-exact)") {
     val e = Tables(spark, sf, "embeddings")
       .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
