@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
 
-import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, PairStructsExpr, PqEncodeExpr, SimHash64Expr, SimHashMd5Expr, WinnowCfpsExpr, WinnowFpsExpr}
+import graft.functions.{CdcChunksExpr, CellDistsExpr, CosineSimExpr, JaroWinklerExpr, MinHash32Expr, NgramsWsExpr, PairStructsExpr, PqEncodeExpr, SimHash64Expr, SimHashMd5Expr, WinnowCfpsExpr, WinnowFpsExpr}
 
 /** Engine extension point: registers the native Catalyst expressions
   * as SQL functions. Enable with
@@ -97,6 +97,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Exprs) => {
         arity("pair_structs", 1, children)
         PairStructsExpr(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ngrams_ws"),
+      new ExpressionInfo(classOf[NgramsWsExpr].getName, "ngrams_ws",
+        "ngrams_ws(text, n) - all word n-grams of lower(text) in order, tokens = Java split(\"\\\\s+\", -1) fields, grams joined by single spaces; empty array when fewer than n tokens or NULL input"),
+      (children: Exprs) => {
+        arity("ngrams_ws", 2, children)
+        NgramsWsExpr(children(0), children(1))
       }))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),

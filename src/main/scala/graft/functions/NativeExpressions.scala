@@ -419,6 +419,71 @@ case class PairStructsExpr(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** ngrams_ws(text, n): ALL word n-grams of lower(text), in order —
+  * tokens are the fields of Java-regex `split("\\s+", -1)` (leading/
+  * trailing whitespace runs yield empty edge tokens, same artifact
+  * contract as [[SimHash64Expr]]), grams join n consecutive tokens
+  * with single spaces exactly like `concat_ws(" ", t[i], …)`; fewer
+  * than n tokens (or NULL text/n) yields the EMPTY array, matching
+  * the `when(size(t) >= n, …).otherwise(array())` guard every HOF
+  * call site wraps around the transform (Spark's `sequence` counts
+  * down when start > stop, and `size(NULL)` is −1, so the guard's
+  * empty-array branch is the semantics to preserve). One pass over
+  * the raw bytes: the HOF twin
+  * (`transform(sequence(1, size(t)−(n−1)), i => concat_ws(" ",
+  * element_at(t,i), …))`, kept on each call site's *Hof spec twin)
+  * pays a regex split plus n element_at probes and a UTF8String
+  * build per gram, per CONSUMER — and the gram passes are the
+  * corpus-streaming stages of the boilerplate/decontaminate/near-dup
+  * family. The byte walk is exact for any input, not just ASCII:
+  * java.util.regex `\s` is [ \t\n\x0B\f\r] (no Unicode classes by
+  * default) and ASCII bytes never occur inside multi-byte UTF-8
+  * sequences, so byte-level whitespace scanning finds exactly the
+  * code-point boundaries the UTF-16 regex sees.
+  */
+case class NgramsWsExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == IntegerType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"ngrams_ws requires (STRING, INT), got " +
+        s"(${left.dataType.sql}, ${right.dataType.sql})")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "ngrams_ws"
+  override def nullable: Boolean = false
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = left.eval(input)
+    val n = right.eval(input)
+    if (t == null || n == null) GraftKernels.emptyStringArray()
+    else GraftKernels.ngramsWs(t.asInstanceOf[UTF8String],
+      n.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+    val leftGen = left.genCode(ctx)
+    val rightGen = right.genCode(ctx)
+    ev.copy(code =
+      code"""
+            |${leftGen.code}
+            |${rightGen.code}
+            |org.apache.spark.sql.catalyst.util.ArrayData ${ev.value} =
+            |  (${leftGen.isNull} || ${rightGen.isNull})
+            |    ? graft.functions.GraftKernels.emptyStringArray()
+            |    : graft.functions.GraftKernels.ngramsWs(
+            |        ${leftGen.value}, ${rightGen.value});
+          """.stripMargin,
+      isNull = org.apache.spark.sql.catalyst.expressions.codegen.FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NgramsWsExpr =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Static kernels referenced from generated code (plain object =>
   * static forwarders, Java-name-clean for janino).
   */
@@ -918,6 +983,71 @@ object GraftKernels {
       while (q < lim && s1.charAt(q) == s2.charAt(q)) { p += 1; q += 1 }
       jaro + p * 0.1 * (1.0 - jaro)
     } else jaro
+  }
+
+  private val EmptyStrArr = new GenericArrayData(Array.empty[Any])
+
+  /** Shared empty result for [[NgramsWsExpr]]'s null/short branches —
+    * GenericArrayData is immutable, one instance serves every row.
+    */
+  def emptyStringArray(): ArrayData = EmptyStrArr
+
+  /** [[NgramsWsExpr]] kernel: tokenize the lowered bytes by maximal
+    * ASCII-whitespace runs (Java `\s` set, `split(-1)` edge-field
+    * semantics: possibly-empty head and tail fields), then emit each
+    * window of n consecutive tokens joined by single spaces into one
+    * exactly-sized byte buffer per gram. The only per-gram allocation
+    * is the output UTF8String itself.
+    */
+  def ngramsWs(s: UTF8String, n: Int): ArrayData = {
+    if (n < 1) return EmptyStrArr
+    val bytes = s.toLowerCase.getBytes
+    val len = bytes.length
+
+    def isWs(c: Byte): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r'
+
+    var starts = new Array[Int](16)
+    var ends = new Array[Int](16)
+    var nTok = 0
+    def push(st: Int, en: Int): Unit = {
+      if (nTok == starts.length) {
+        starts = java.util.Arrays.copyOf(starts, nTok * 2)
+        ends = java.util.Arrays.copyOf(ends, nTok * 2)
+      }
+      starts(nTok) = st; ends(nTok) = en; nTok += 1
+    }
+    var prev = 0
+    var i = 0
+    while (i < len) {
+      if (isWs(bytes(i))) {
+        push(prev, i)
+        while (i < len && isWs(bytes(i))) i += 1
+        prev = i
+      } else i += 1
+    }
+    push(prev, len) // tail field ("" after a trailing whitespace run)
+    if (nTok < n) return EmptyStrArr
+    val out = new Array[Any](nTok - n + 1)
+    var g = 0
+    while (g <= nTok - n) {
+      var glen = n - 1 // the single-space separators
+      var j = 0
+      while (j < n) { glen += ends(g + j) - starts(g + j); j += 1 }
+      val buf = new Array[Byte](glen)
+      var pos = 0
+      j = 0
+      while (j < n) {
+        if (j > 0) { buf(pos) = ' '; pos += 1 }
+        val l = ends(g + j) - starts(g + j)
+        System.arraycopy(bytes, starts(g + j), buf, pos, l)
+        pos += l
+        j += 1
+      }
+      out(g) = UTF8String.fromBytes(buf)
+      g += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** All ordered in-list pairs (see [[PairStructsExpr]]): two passes —

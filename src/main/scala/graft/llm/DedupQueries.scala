@@ -46,15 +46,30 @@ object DedupQueries {
   private[graft] def toks(c: Column): Column = split(lower(c), "\\s+")
 
   /** Distinct word-3-shingles of the text, as strings (n tokens →
-    * n-2 shingles; empty for n<3 — guarded because Spark's `sequence`
-    * counts DOWN when start > stop).
+    * n-2 shingles; empty for n<3). r15: the gram construction is the
+    * native one-pass [[graft.functions.NgramsWsExpr]] kernel — the
+    * HOF form re-ran a regex split plus three element_at probes and a
+    * concat_ws build per shingle per CONSUMER, and this is the
+    * corpus-streaming stage of the whole near-dup family (guide §4:
+    * kill per-row allocation in the hot path). Bit-exact twin
+    * [[ngramsWsHof]] stays as the semantics spec (FunctionsSpec pins
+    * equality over the full fixture corpus + edge cases).
     */
-  private[graft] def shingles3(c: Column): Column = {
+  private[graft] def shingles3(c: Column): Column =
+    array_distinct(call_function("ngrams_ws", c, lit(3)))
+
+  /** HOF twin of the ngrams_ws kernel for any n — spec only, pinned
+    * element-for-element (order included) in FunctionsSpec (guarded
+    * because Spark's `sequence` counts DOWN when start > stop).
+    * [[shingles3]]'s old form was array_distinct of exactly this at
+    * n = 3.
+    */
+  private[graft] def ngramsWsHof(c: Column, n: Int): Column = {
     val t = toks(c)
-    when(size(t) >= 3,
-      array_distinct(transform(
-        sequence(lit(1), size(t) - 2),
-        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
+    when(size(t) >= n,
+      transform(
+        sequence(lit(1), size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(t, i + o)): _*)))
       .otherwise(array().cast(ArrayType(StringType)))
   }
 

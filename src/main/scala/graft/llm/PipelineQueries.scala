@@ -320,11 +320,11 @@ object PipelineQueries {
     // by construction, so its postings broadcast and the train side
     // streams through — linear in corpus size at 100 TB.
     "llm_decontaminate" -> ((s, dir) => {
-      val t = split(lower(col("text")), "\\s+")
-      val grams8 = when(size(t) >= 8,
-        array_distinct(transform(sequence(lit(1), size(t) - 7),
-          i => concat_ws(" ", (0 to 7).map(o => element_at(t, i + o)): _*))))
-        .otherwise(array().cast(ArrayType(StringType)))
+      // r15: native one-pass 8-gram kernel (ngrams_ws, bit-exact HOF
+      // twin pinned in FunctionsSpec) — the 8-wide concat_ws HOF paid
+      // a regex split plus eight element_at probes per gram on both
+      // the train and eval branches.
+      val grams8 = array_distinct(call_function("ngrams_ws", col("text"), lit(8)))
       // r15 (was: persist the exploded (doc, 8-gram) projection and
       // filter it per branch — the corpus-sized×8 cache this file's
       // own policy forbids elsewhere: at 100 TB that is petabytes of

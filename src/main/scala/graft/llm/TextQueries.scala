@@ -214,11 +214,11 @@ object TextQueries {
     // standard pre-training repetition cut. Pure per-row HOF arithmetic
     // (integer counts + one division) — scan-speed, shuffle-free.
     "llm_repetition_filter" -> ((s, dir) => {
-      val t = toks(col("text"))
-      val grams = when(size(t) >= 3,
-        transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
-        .otherwise(array().cast(ArrayType(StringType)))
+      // r15: native one-pass gram kernel (ngrams_ws) instead of the
+      // regex-split + per-gram concat_ws HOF — same grams bit-exactly
+      // (FunctionsSpec twin pin), ~one allocation per gram instead of
+      // a split array + n element_at probes per gram per consumer.
+      val grams = call_function("ngrams_ws", col("text"), lit(3))
       Tables.forCompute(s, dir, "documents")
         .withColumn("total_3grams", size(grams))
         .withColumn("uniq_3grams", size(array_distinct(grams)))
@@ -262,11 +262,12 @@ object TextQueries {
     // aggregations are linear in corpus size, never doc×doc; AQE
     // broadcasts the boilerplate side when it is small.
     "llm_boilerplate_ngrams" -> ((s, dir) => {
-      val t = toks(col("text"))
-      val grams = when(size(t) >= 3,
-        array_distinct(transform(sequence(lit(1), size(t) - 2),
-          i => concat_ws(" ", element_at(t, i), element_at(t, i + 1), element_at(t, i + 2)))))
-        .otherwise(array().cast(ArrayType(StringType)))
+      // r15: the gram pass is the native ngrams_ws kernel (bit-exact
+      // HOF twin pinned in FunctionsSpec) — this projection runs per
+      // CONSUMER (twice), so the regex split + per-gram concat_ws it
+      // replaces was the query's dominant CPU (38.8 executor-CPU-s at
+      // sf0.1 by QueryProf).
+      val grams = array_distinct(call_function("ngrams_ws", col("text"), lit(3)))
       val docGrams = Tables.forCompute(s, dir, "documents")
         .select(col("doc_id"), explode(grams).as("g"))
       val boiler = docGrams.groupBy(col("g"))

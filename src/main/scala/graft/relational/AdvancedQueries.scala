@@ -200,13 +200,24 @@ object AdvancedQueries {
       val cents = Tables(s, dir, "lineitem")
         .select((col("l_extendedprice").cast(DecimalType(18, 2)) * 100)
           .cast(LongType).as("v"))
-      val bucketed = cents
+      // r15: the whole query now reads lineitem ONCE — the sketch's
+      // bucket counts derive from the exact side's persisted value
+      // histogram (lb/ub are pure functions of v, so
+      // count(*) GROUP BY bucket ≡ sum(c) over the histogram rows
+      // whose v falls in the bucket; exact BIGINT either way). Before,
+      // the sketch ran its own corpus scan + aggregation next to the
+      // histogram's (2 scans; see plans/r15/rel_hdr_quantiles_*).
+      val exHist = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
+        .withColumn("hi", expr("shiftright(v, 16)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .transform(graft.Pins.pin)
+      val bucketed = exHist
         .withColumn("e", length(bin(col("v"))) - 1)
         .withColumn("shift", greatest(col("e") - 3, lit(0)))
         .withColumn("lb", expr("shiftleft(shiftright(v, shift), shift)"))
         .withColumn("ub", expr("lb + shiftleft(CAST(1 AS BIGINT), shift) - 1"))
       val sketch = bucketed.groupBy(col("lb"), col("ub"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("c"))
       val wCum = Window.orderBy(col("lb"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
@@ -224,20 +235,41 @@ object AdvancedQueries {
       // row sort — value-cardinality-shaped, same as llm_length_trim).
       // r15 (r14 VERDICT #4): the histogram cumsum was TWO
       // unpartitioned windows — value-cardinality rows (distinct cent
-      // values, which grow with the corpus) through ONE task. Now the
-      // running count is the distributed two-pass prefix sum
-      // (PrefixSum.exclusivePrefixSum: range-partition by v, per-
-      // partition subtotals to the driver, partitioned window — §2.2's
-      // parallel-scan shape), cum = exclusive + own count exactly as
-      // before (v is unique post-groupBy, so the order is total and
-      // the integer chain identical); the global N rides as a
-      // broadcast 1-row aggregate instead of the second unpartitioned
-      // window (the q11/q15 scalar-max mechanism).
-      val exHist = cents.groupBy(col("v")).agg(count(lit(1)).as("c"))
-      val exCum = graft.relational.PrefixSum
-        .exclusivePrefixSum(exHist, Seq(col("v")), col("c"), "excl")
-        .withColumn("cum", col("excl") + col("c"))
-      val nTot = broadcast(exCum.agg(sum(col("c")).as("n")))
+      // values, which grow with the corpus) through ONE task. First
+      // fix was the generic range-partitioned prefix sum
+      // (PrefixSum.exclusivePrefixSum); measured at sf0.1 its
+      // machinery COSTS more than it saves on this shape (4.8 → 27
+      // executor-CPU-s: the histogram barely reduces — 583k distinct
+      // cents of 600k rows — so boundary sampling + eager
+      // localCheckpoint + subtotal collect each re-touch a near-
+      // corpus-sized frame). This shape has a cheaper exact scan: the
+      // cumsum partitions by a key DERIVED FROM THE VALUE (hi =
+      // v >> 16), so no sampling, no checkpoint, no driver round-trip
+      // — per-bucket running sums are a parallel window over ≤ 2¹⁶
+      // values each, and the bucket base offsets come from one
+      // unpartitioned window over the COARSE histogram, whose row
+      // count is ⌈value-domain/2¹⁶⌉ (price domain, NOT corpus size —
+      // ~170 rows for any cents domain ≤ 10⁷; the same domain-bounded
+      // class as the ≤512-bucket sketch windows above). cum(v) =
+      // coarse_excl(hi) + within_bucket(v): exact BIGINT, total order
+      // preserved (u >> 16 < v >> 16 ⟹ u < v). The histogram is
+      // persisted across its consumers (sketch agg above + fine
+      // window + coarse agg; value-cardinality — the allowed
+      // aggregate-persist class, Pins-registered); N rides the
+      // q11/q15 broadcast-1-row mechanism, derived from the tiny
+      // coarse side.
+      val coarse = exHist.groupBy(col("hi")).agg(sum(col("c")).as("cc"))
+      val wCoarse = Window.orderBy(col("hi"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val coarseOff = coarse
+        .withColumn("off", sum(col("cc")).over(wCoarse) - col("cc"))
+      val wFine = Window.partitionBy(col("hi")).orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exCum = exHist
+        .withColumn("within", sum(col("c")).over(wFine))
+        .join(broadcast(coarseOff.select(col("hi"), col("off"))), "hi")
+        .withColumn("cum", col("off") + col("within"))
+      val nTot = broadcast(coarse.agg(sum(col("cc")).as("n")))
       val exact = exCum.crossJoin(nTot).agg(
         pick(50, col("v")).as("p50_exact"),
         pick(90, col("v")).as("p90_exact"),

@@ -46,11 +46,24 @@ object PrefixSum {
     // would leak — library callers never see the frame to unpersist
     // it. Checkpointed partitions are freed by the ContextCleaner once
     // the returned frame (whose lineage pins them) is dropped.
-    val sorted = df
-      .repartitionByRange(p, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+    // The INPUT rides a persist across exactly two jobs (r15): the
+    // RangePartitioner's boundary-sampling pass and the eager
+    // checkpoint each compute `df` in full, so an expensive child
+    // (rel_hdr_quantiles' corpus-scan histogram: measured 3.3 → 18.3
+    // executor-CPU-s when this double-compute shipped un-persisted)
+    // runs twice. Released the moment the checkpoint materializes —
+    // nothing leaks to the caller, and the checkpoint carries all
+    // later consumers (guide §5: persist the frame a multi-job
+    // operator re-reads, scoped to the operator).
+    val input = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sorted =
+      try {
+        input
+          .repartitionByRange(p, orderCols: _*)
+          .sortWithinPartitions(orderCols: _*)
+          .withColumn("__pid", spark_partition_id())
+          .localCheckpoint(true)
+      } finally input.unpersist(false)
     // P subtotal rows to the driver — bounded by partition count.
     val subtotals = sorted.groupBy(col("__pid"))
       .agg(sum(valueCol).as("__sub"))

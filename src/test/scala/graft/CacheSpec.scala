@@ -66,6 +66,15 @@ class CacheSpec extends AnyFunSuite {
     // release", which a query that persists nothing satisfies and a
     // future re-persist outside Pins would fail.
     "llm_decontaminate",
+    // r15: the exact-percentile value histogram is Pins-persisted
+    // (sketch agg + coarse offsets + fine window all derive from it);
+    // the PrefixSum-riding operators below persist NOTHING after the
+    // scan returns (the prefix-sum input persist is released inside
+    // exclusivePrefixSum the moment the eager checkpoint
+    // materializes) — swept as tripwires.
+    "rel_hdr_quantiles",
+    "llm_pack_sequences",
+    "llm_curriculum_shards",
     "mm_phash_dedup")
 
   test("persisting operators release every cache entry through Pins.release") {

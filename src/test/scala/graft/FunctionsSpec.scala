@@ -250,6 +250,44 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("ngrams_ws == HOF word-n-grams on the full fixture corpus (n=3 and n=8)") {
+    // Element-for-element including ORDER (llm_repetition_filter
+    // counts duplicates positionally) for both gram widths on the
+    // query paths: 3 (shingles/boilerplate/repetition) and 8
+    // (decontaminate).
+    val docs = Tables(spark, sf, "documents")
+    for (n <- Seq(3, 8)) {
+      val diff = docs.select(
+        llm.DedupQueries.ngramsWsHof(col("text"), n).as("hof"),
+        call_function("ngrams_ws", col("text"), lit(n)).as("native"))
+        .filter(col("hof") =!= col("native"))
+      assert(diff.isEmpty, s"n=$n: " + diff.limit(3).collect().mkString("\n"))
+    }
+  }
+
+  test("ngrams_ws matches HOF on whitespace/short-text edges and yields empty on NULL") {
+    import spark.implicits._
+    val edges = Seq(
+      "", " ", "  ", "a", "a b", "a b c", " a b c", "a b c ",
+      "a  b\tc\nd", "\t\na b c d e f g h i\r", "MiXeD CaSe three GRAMS here",
+      "one two three four five six seven eight nine"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for (n <- Seq(1, 2, 3, 8)) {
+      val diff = edges.select(col("id"),
+        llm.DedupQueries.ngramsWsHof(col("text"), n).as("hof"),
+        call_function("ngrams_ws", col("text"), lit(n)).as("native"))
+        .filter(col("hof") =!= col("native"))
+      assert(diff.isEmpty, s"n=$n: " + diff.collect().mkString("\n"))
+    }
+    // NULL text: every call site's HOF wrapped the transform in
+    // when(size >= n, …).otherwise(array()) and size(NULL) = −1, so
+    // the empty array (NOT null) is the semantics to preserve.
+    val nullRow = Seq((1L, null: String)).toDF("id", "text")
+      .select(call_function("ngrams_ws", col("text"), lit(3)).as("g"))
+      .collect()(0)
+    assert(nullRow.getSeq[Any](0) == Seq.empty)
+  }
+
   test("cosine_sim == HOF cosine on the full embedding corpus (bit-exact)") {
     val e = Tables(spark, sf, "embeddings")
       .withColumn("emb", transform(col("embedding"), x => x.cast(DoubleType)))
