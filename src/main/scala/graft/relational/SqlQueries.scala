@@ -551,21 +551,42 @@ object SqlQueries {
         |ORDER BY numwait DESC, s_name
         |LIMIT 20""".stripMargin)),
 
+    // r15 engine side: the supply-cost aggregation over lineitem (the
+    // query's only fact-scale shuffle) is PRE-FILTERED by the highly
+    // selective part predicate (p_size = 15 AND p_type = 'SMALL' —
+    // the filtered part set `fp` is a small fraction of parts at any
+    // scale) BEFORE the GROUP BY, instead of aggregating every
+    // (l_partkey, l_suppkey) group and discarding ~98% of them in the
+    // later part join (guide §3.2 pre-filter the big side / §2.3
+    // shuffle fewer bytes; AQE broadcasts fp locally — unhinted, so a
+    // corpus-scale fp lands on a partkey-shuffle join whose bytes
+    // equal the old aggregation exchange, never more). Equivalence:
+    // every ps group the old form built for a partkey outside fp was
+    // dropped by the inner `JOIN part ... WHERE p_size/p_type` anyway,
+    // and the min_cost window runs in `eu` AFTER the EUROPE join
+    // filter exactly as before — identical input rows, identical
+    // window frames. Oracle twin (the correlated-subquery textbook
+    // form, right) unchanged.
     "sql_q2_min_cost_supplier" -> ((
-      """WITH ps AS (
+      """WITH fp AS (
+        |  SELECT p_partkey, p_type FROM part
+        |  WHERE p_size = 15 AND p_type = 'SMALL'
+        |),
+        |ps AS (
         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
         |         MIN(CAST(l_extendedprice AS DECIMAL(12,2))) AS ps_supplycost
-        |  FROM lineitem GROUP BY l_partkey, l_suppkey
+        |  FROM lineitem JOIN fp ON l_partkey = p_partkey
+        |  GROUP BY l_partkey, l_suppkey
         |),
         |eu AS (
         |  SELECT s_acctbal, s_name, n_name, p_partkey, p_type, ps_supplycost,
         |         MIN(ps_supplycost) OVER (PARTITION BY p_partkey) AS min_cost
-        |  FROM part
+        |  FROM fp
         |  JOIN ps ON p_partkey = ps_partkey
         |  JOIN supplier ON s_suppkey = ps_suppkey
         |  JOIN nation ON s_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
-        |  WHERE p_size = 15 AND p_type = 'SMALL' AND r_name = 'EUROPE'
+        |  WHERE r_name = 'EUROPE'
         |)
         |SELECT s_acctbal, s_name, n_name, p_partkey, p_type,
         |       CAST(ps_supplycost AS DOUBLE) AS supplycost
